@@ -1,0 +1,20 @@
+"""backupdeduplicator_ray — a Ray-Data-native near-duplicate detection and
+clustering engine with the data-processing capabilities of
+0xCCF4/BackupDeduplicator (reference at /root/reference, Rust), rebuilt from
+scratch over Parquet tables of source-code repositories.
+
+The reference walks a filesystem, builds a Merkle-style hash tree (per-file
+content hash, per-directory hash of sorted child hashes) and reports minimal
+duplicate sets.  This engine expresses the same computation — plus MinHash /
+SimHash near-dup detection, union-find clustering, text analysis and
+embedding similarity — as `ray.data.Dataset` pipelines: `map_batches` over
+zero-copy Arrow batches for the hashes and signatures, `groupby` shuffles in
+place of the filesystem recursion, a level-synchronous bottom-up groupby over
+`(repo, parent_path)` for the directory tree, actor pools for stateful stages
+(archive expansion), and label propagation / DSU for cluster closure.
+
+No code is shared with the reference; `file:line` citations in docstrings
+point at the reference behavior being re-expressed.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,82 @@
+"""Pipeline configuration dataclasses.
+
+Mirrors the reference's user-extension surface (SURVEY.md §2.10): pluggable
+hash algorithm (reference `src/data/hash.rs:53-66` GeneralHashType + CLI
+`--hash`, `src/main.rs:58-60`), plus the signature configs mandated by the
+north star for the near-dup extension (shingle k, permutations, bands/rows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class HashConfig:
+    """Which content hash to use (reference GeneralHashType, hash.rs:53-66).
+
+    The reference supports sha512/sha256/sha1/xxh64/xxh32/null behind cargo
+    features; here the registry (functions/hashing.py) carries every hashlib
+    algorithm plus 'null' (hash skipped, sizes only — reference
+    `worker/file.rs:48-51`).  xxhash is gated behind an import-try since the
+    package is not available in this environment.
+    """
+
+    algorithm: str = "sha256"
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    """MinHash + LSH banding parameters.
+
+    Defaults follow the classic 128-permutation / 16-band x 8-row layout:
+    the S-curve threshold (1/b)^(1/r) = (1/16)^(1/8) ~ 0.707, paired with a
+    verify threshold of 0.7 estimated Jaccard on the signatures.
+    """
+
+    shingle_k: int = 3  # tokens per shingle
+    num_perms: int = 128
+    bands: int = 16  # rows per band = num_perms // bands
+    seed: int = 42
+    verify_threshold: float = 0.7  # estimated-Jaccard cutoff on signatures
+    bucket_cap: int = 512  # LSH bucket size beyond which star expansion is used
+
+    @property
+    def rows_per_band(self) -> int:
+        if self.num_perms % self.bands:
+            raise ValueError("num_perms must be divisible by bands")
+        return self.num_perms // self.bands
+
+
+@dataclass(frozen=True)
+class SimHashConfig:
+    """64-bit SimHash with banded candidate generation.
+
+    bits are split into `bands` contiguous segments; docs sharing any segment
+    value become candidates, verified by Hamming distance <= max_hamming.
+    """
+
+    shingle_k: int = 2
+    bands: int = 4
+    max_hamming: int = 3
+    seed: int = 42
+    bucket_cap: int = 512
+
+
+@dataclass(frozen=True)
+class JaccardConfig:
+    """Exact n-gram-Jaccard pair detection via a shingle inverted index."""
+
+    shingle_k: int = 3
+    threshold: float = 0.6
+    max_doc_freq: int | None = None  # drop shingles appearing in more docs (scale valve)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    hash: HashConfig = field(default_factory=HashConfig)
+    minhash: MinHashConfig = field(default_factory=MinHashConfig)
+    simhash: SimHashConfig = field(default_factory=SimHashConfig)
+    jaccard: JaccardConfig = field(default_factory=JaccardConfig)
+    batch_size: int = 8192
+    checkpoint_dir: str | None = None

@@ -1,0 +1,144 @@
+"""Content hashing over Arrow columns.
+
+Re-expresses the reference's streaming file hash (`src/data/hash.rs:509-528`
+`hash_file`, 4096-byte chunks) and directory hash (`hash.rs:540-553`
+`hash_directory`: hash of the children's digests in ascending digest order,
+`src/stages/build/cmd/worker/directory.rs:89`) for Arrow batches:
+
+- File content lives in an Arrow (large_)string column; we hash each value's
+  UTF-8 bytes directly out of the Arrow data buffer via memoryview slices
+  (zero copies into Python strings).  hashlib releases the GIL for inputs
+  >2047 bytes, and each digest call is C code, so the per-row loop is cheap
+  relative to the digest work itself.
+- Directory digests hash the concatenation of the children's *hex* digests
+  sorted ascending.  Hex order equals raw-digest byte order, so the sort
+  semantics match the reference exactly; using hex (instead of the
+  reference's raw digest bytes, hash.rs:546-548) keeps the digest
+  reproducible by the DuckDB oracle, whose sha256() only accepts VARCHAR.
+- Null content (unreadable file — reference degrades to an `Other` entry
+  with a NULL hash, `src/stages/build/cmd/worker.rs:126-132`) produces a
+  null hash.
+
+Hash algorithms are pluggable like the reference's GeneralHashType
+(hash.rs:53-66): any hashlib algorithm by name, plus "null" (skip hashing,
+sizes only — `worker/file.rs:48-51`) and xxh64/xxh32 gated behind an
+import-try (the xxhash package is absent here).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterable
+
+import numpy as np
+import pyarrow as pa
+
+# 64-hex-zero sentinel used when a null-hash (unreadable "other") child
+# participates in a directory digest, so presence/absence of an unreadable
+# child changes the parent digest (the reference hashes the NULL hash's
+# empty digest; a fixed sentinel is the Arrow-friendly equivalent).
+NULL_CHILD_SENTINEL = "0" * 64
+
+
+def get_hasher_factory(algorithm: str) -> Callable | None:
+    """Return a hashlib-style constructor for `algorithm`, or None for 'null'.
+
+    Mirrors the reference's pluggable GeneralHasher trait (hash.rs:611-630).
+    """
+    algorithm = algorithm.lower()
+    if algorithm == "null":
+        return None
+    if algorithm in ("xxh64", "xxh32"):
+        try:
+            import xxhash  # noqa: F401  — not installed in this environment
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "xxh64/xxh32 need the 'xxhash' package, unavailable here; "
+                "use sha256/sha1/sha512/md5 or 'null'"
+            ) from exc
+        return xxhash.xxh64 if algorithm == "xxh64" else xxhash.xxh32  # pragma: no cover
+    if algorithm in hashlib.algorithms_available:
+        return getattr(hashlib, algorithm, None) or (lambda d=b"": hashlib.new(algorithm, d))
+    raise ValueError(f"unknown hash algorithm: {algorithm}")
+
+
+def _iter_chunks(col: pa.Array | pa.ChunkedArray) -> Iterable[pa.Array]:
+    if isinstance(col, pa.ChunkedArray):
+        yield from col.chunks
+    else:
+        yield col
+
+
+def hash_string_column(
+    col: pa.Array | pa.ChunkedArray, algorithm: str = "sha256"
+) -> pa.Array:
+    """Hex digest of each value's UTF-8 bytes; null in → null out.
+
+    Zero-copy: slices the Arrow data buffer with memoryviews instead of
+    materializing Python strings (content columns dominate the input bytes).
+    """
+    factory = get_hasher_factory(algorithm)
+    out: list[str | None] = []
+    for chunk in _iter_chunks(col):
+        if pa.types.is_string(chunk.type):
+            chunk = chunk.cast(pa.large_string())
+        if pa.types.is_large_string(chunk.type) or pa.types.is_large_binary(chunk.type):
+            off_dtype = np.int64
+        else:
+            off_dtype = np.int32
+        bufs = chunk.buffers()
+        n = len(chunk)
+        start = chunk.offset
+        offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=n + 1 + start)[start:]
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        if factory is None:
+            out.extend([None] * n)
+            continue
+        if chunk.null_count:
+            valid = chunk.is_valid().to_numpy(zero_copy_only=False)
+            for i in range(n):
+                if valid[i]:
+                    out.append(factory(data[offsets[i] : offsets[i + 1]]).hexdigest())
+                else:
+                    out.append(None)
+        else:
+            out.extend(
+                factory(data[offsets[i] : offsets[i + 1]]).hexdigest() for i in range(n)
+            )
+    return pa.array(out, type=pa.string())
+
+
+def byte_length_column(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """UTF-8 byte length per value (reference size = content bytes,
+    hashtreefile.rs:56); null in → 0 (reference Other rows carry size 0,
+    worker/other.rs:20-45)."""
+    import pyarrow.compute as pc
+
+    lens = pc.binary_length(pc.cast(col, pa.large_binary()))
+    return pc.fill_null(pc.cast(lens, pa.int64()), 0)
+
+
+def digest_of_children(child_hexes: Iterable[str | None], algorithm: str = "sha256") -> str:
+    """Directory digest: H(concat of child hex digests sorted ascending).
+
+    Semantics of reference hash_directory (hash.rs:540-553) + the
+    sort-children-by-hash step (directory.rs:89).  Ascending hex order ==
+    ascending raw-digest byte order.  Null child hashes (unreadable
+    children) contribute NULL_CHILD_SENTINEL.  DuckDB-oracle equivalent:
+    sha256(string_agg(coalesce(hash, repeat('0',64)), '' ORDER BY 1)).
+    """
+    factory = get_hasher_factory(algorithm)
+    if factory is None:
+        return NULL_CHILD_SENTINEL
+    payload = "".join(
+        sorted(h if h is not None else NULL_CHILD_SENTINEL for h in child_hexes)
+    )
+    return factory(payload.encode("ascii")).hexdigest()
+
+
+def hash_text(text: str, algorithm: str = "sha256") -> str:
+    """Digest of one string's UTF-8 bytes (oracle/test helper)."""
+    factory = get_hasher_factory(algorithm)
+    if factory is None:
+        return NULL_CHILD_SENTINEL
+    return factory(text.encode("utf-8")).hexdigest()

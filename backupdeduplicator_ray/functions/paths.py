@@ -1,0 +1,74 @@
+"""Lexical path algebra for the corpus table.
+
+Re-expresses the reference's FilePath component navigation
+(`src/data/path.rs:158-232` child/parent) and lexical normalization
+(`src/utils.rs:21-55` LexicalAbsolute) for flat posix-relative path strings.
+Archive members are addressed with a `!` separator ("vendor/lib.zip!inner/a.py"),
+the flat-string equivalent of the reference's multi-component FilePath whose
+components cross archive boundaries (`path.rs:36-55` doc; ArchiveType design
+`path.rs:8-23`).
+
+Depth of a node = count('/') + count('!'), so a child is always exactly one
+level below its parent regardless of archive boundaries, which is what the
+level-synchronous tree loop (stages/tree.py) relies on.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+import numpy as np
+import pandas as pd
+
+ROOT = ""  # repo-root directory path (reference: the build target dir itself)
+
+
+def parent_of(path: str) -> str | None:
+    """Parent path, treating the archive file as a directory.
+
+    "a/b/c.py" -> "a/b"; "a.py" -> "" (repo root); "" -> None (root has no
+    parent — reference path.rs parent() returns None at root, path.rs:186-199).
+    "v/lib.zip!x/y.py" -> "v/lib.zip!x"; "v/lib.zip!y.py" -> "v/lib.zip".
+    """
+    if path == ROOT:
+        return None
+    if "!" in path:
+        archive, member = path.rsplit("!", 1)
+        if "/" in member:
+            return archive + "!" + member.rsplit("/", 1)[0]
+        return archive
+    if "/" in path:
+        return path.rsplit("/", 1)[0]
+    return ROOT
+
+
+def depth_of(path: str) -> int:
+    """Tree depth: 0 for repo-root children and for the root itself ("")."""
+    return path.count("/") + path.count("!")
+
+
+def normalize(path: str) -> str:
+    """Lexical normalization (reference utils.rs:21-55 LexicalAbsolute):
+    resolve '.' and '..' without filesystem access, strip leading './',
+    collapse '//'.  Applied per archive segment."""
+    segs = path.split("!")
+    return "!".join(posixpath.normpath(s) if s not in ("", ".") else "" for s in segs)
+
+
+def add_parent_depth(df: pd.DataFrame, path_col: str = "path") -> pd.DataFrame:
+    """Vectorized parent + depth columns for a pandas batch.
+
+    Fast path: no '!' in the batch → pandas str ops; archive rows fall back
+    to the scalar helpers (archives are a small fraction of rows).
+    """
+    paths = df[path_col]
+    has_bang = paths.str.contains("!", regex=False)
+    depth = paths.str.count("/").astype(np.int64)
+    if has_bang.any():
+        depth = depth + paths.str.count("!").astype(np.int64)
+        df["parent"] = [parent_of(p) for p in paths]
+    else:
+        # rpartition: everything before the last '/', '' when no '/'
+        df["parent"] = paths.str.rpartition("/")[0]
+    df["depth"] = depth
+    return df

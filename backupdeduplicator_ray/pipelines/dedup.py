@@ -1,0 +1,39 @@
+"""End-to-end dedup pipelines (reference `build` → `analyze` lifecycle,
+SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+from ..config import PipelineConfig
+from ..stages.analyze import dup_members, dup_sets, exact_clusters
+from ..stages.build import build_file_nodes
+from ..stages.tree import build_tree
+
+
+def build_nodes(corpus_ds, config: PipelineConfig | None = None):
+    """corpus → full node table (files + Merkle dirs + repo roots).
+
+    Reference `build` stage equivalent (src/stages/build/cmd/cmd.rs:46-143).
+    """
+    config = config or PipelineConfig()
+    files = build_file_nodes(corpus_ds, config.hash, batch_size=config.batch_size)
+    ckpt = f"{config.checkpoint_dir}/file_nodes" if config.checkpoint_dir else None
+    return build_tree(files, config.hash, checkpoint_dir=ckpt)
+
+
+def analyze(corpus_ds, config: PipelineConfig | None = None):
+    """corpus → (dupsets Dataset, duplicated_bytes).
+
+    Reference `analyze` stage equivalent (src/stages/analyze/cmd.rs:45-197).
+    """
+    return dup_sets(build_nodes(corpus_ds, config))
+
+
+def minimal_dup_members(corpus_ds, config: PipelineConfig | None = None):
+    """corpus → exploded minimal duplicate-set members (flagship output)."""
+    return dup_members(build_nodes(corpus_ds, config))
+
+
+def exact_file_clusters(corpus_ds, config: PipelineConfig | None = None):
+    """corpus → (repo, path, cluster_id, method='exact') file clusters."""
+    return exact_clusters(build_nodes(corpus_ds, config))

@@ -1,0 +1,277 @@
+"""Corpus sources.
+
+The engine's input is a Parquet table of source-code repositories with one
+row per file: (repo, path, commit, lang, content) — BASELINE.json
+`input_hint`.  This module provides:
+
+- `synth_corpus`: the deterministic (seeded) fixture generator from
+  FIXTURES.md §1, with injected exact dups, duplicated subtrees, near-dups,
+  archive-member rows and null-content rows, plus ground-truth pair/cluster
+  tables for recall scoring.
+- `corpus_from_documents`: a deterministic derivation of a corpus-shaped
+  table from the driver's `documents` parquet (doc_id, text, lang, source),
+  including mirrored rows so exact-dup and duplicated-subtree structure
+  exists at sf0.01.  Every derivation rule here is also expressible in
+  ANSI SQL so the DuckDB oracle can reproduce it exactly (see
+  `__ray_entry__.oracle_sql`).
+- `read_corpus` / `write_corpus`: thin parquet IO with column pruning.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_LANGS = ["py", "rs", "js", "go", "md", "txt"]
+_TOKENS = (
+    "fn let mut return import def class struct impl match if else for while "
+    "self value result index buffer stream batch table column hash digest "
+    "merge sort filter reduce span node tree path file entry queue worker"
+).split()
+
+
+@dataclass
+class CorpusTruth:
+    """Ground truth emitted alongside the synthetic corpus."""
+
+    exact_pairs: list[tuple[str, str]] = field(default_factory=list)  # (key_a, key_b)
+    near_pairs: list[tuple[str, str]] = field(default_factory=list)
+    subtree_dups: list[tuple[str, str]] = field(default_factory=list)  # (repo/dir, repo/dir)
+
+
+def _file_key(repo: str, path: str) -> str:
+    return f"{repo}|{path}"
+
+
+def _gen_content(rng: random.Random, lang: str, n_lines: int) -> str:
+    header = {
+        "py": "#!/usr/bin/env python\n",
+        "rs": "// generated module\n",
+        "js": "'use strict';\n",
+        "go": "package main\n",
+        "md": "# notes\n",
+        "txt": "",
+    }[lang]
+    lines = [
+        " ".join(rng.choices(_TOKENS, k=rng.randint(4, 12))) for _ in range(n_lines)
+    ]
+    return header + "\n".join(lines) + "\n"
+
+
+def _edit_tokens(rng: random.Random, text: str, k: int) -> str:
+    """k seeded single-token edits — near-dup injection (FIXTURES.md)."""
+    toks = text.split(" ")
+    for _ in range(k):
+        i = rng.randrange(len(toks))
+        toks[i] = rng.choice(_TOKENS)
+    return " ".join(toks)
+
+
+def synth_corpus(
+    n_repos: int = 8,
+    files_per_repo: int = 40,
+    seed: int = 42,
+    with_archives: bool = True,
+) -> tuple[pa.Table, CorpusTruth]:
+    """Deterministic synthetic corpus per FIXTURES.md §1.
+
+    Structure injected (all recorded in the returned CorpusTruth):
+    - ~10% exact-dup files incl. cross-repo dups and empty-file hot key;
+    - one directory subtree per even repo copied verbatim into the next repo
+      (Merkle parity + minimal-set suppression test);
+    - near-dup clones with k in {1,2,5} token edits;
+    - archive member rows (`path!member`) mirroring a plain directory;
+    - ~0.5% null-content rows (degrade to 'other' nodes).
+    """
+    rng = random.Random(seed)
+    truth = CorpusTruth()
+    repos, paths, commits, langs, contents = [], [], [], [], []
+
+    def add(repo: str, path: str, commit: str, lang: str, content: str | None) -> None:
+        repos.append(repo)
+        paths.append(path)
+        commits.append(commit)
+        langs.append(lang)
+        contents.append(content)
+
+    repo_names = [f"org{i % 3}/repo{i:04d}" for i in range(n_repos)]
+    commit_of = {r: f"{rng.getrandbits(160):040x}" for r in repo_names}
+    dirs = ["src", "src/core", "src/util", "docs", "tests/unit"]
+
+    base_rows: list[tuple[str, str, str, str]] = []  # (repo, path, lang, content)
+    for repo in repo_names:
+        for j in range(files_per_repo):
+            lang = rng.choice(_LANGS)
+            d = rng.choice(dirs)
+            path = f"{d}/mod_{j:03d}.{lang}"
+            content = _gen_content(rng, lang, rng.randint(3, 40))
+            base_rows.append((repo, path, lang, content))
+        # heavy-tail file for skew (~64KB here; FIXTURES says ~256KB at bench scale)
+        base_rows.append(
+            (repo, "src/generated_bundle.txt", "txt", _gen_content(rng, "txt", 1500))
+        )
+
+    for repo, path, lang, content in base_rows:
+        add(repo, path, commit_of[repo], lang, content)
+
+    # exact dups: copy ~10% of files to a different (repo, path)
+    for repo, path, lang, content in base_rows:
+        if rng.random() < 0.10:
+            dst_repo = rng.choice(repo_names)
+            dst_path = f"vendor/copy_of_{path.replace('/', '_')}"
+            add(dst_repo, dst_path, commit_of[dst_repo], lang, content)
+            truth.exact_pairs.append((_file_key(repo, path), _file_key(dst_repo, dst_path)))
+
+    # empty-file hot key (~2%)
+    for repo in repo_names:
+        if rng.random() < 0.9:
+            add(repo, "docs/.gitkeep", commit_of[repo], "txt", "")
+
+    # duplicated subtrees: repo[2i]'s src/core copied verbatim into repo[2i+1]
+    for i in range(0, n_repos - 1, 2):
+        src_repo, dst_repo = repo_names[i], repo_names[i + 1]
+        copied = [
+            (p, lang, c) for (r, p, lang, c) in base_rows
+            if r == src_repo and p.startswith("src/core/")
+        ]
+        for p, lang, c in copied:
+            dst_path = "mirror/" + p
+            add(dst_repo, dst_path, commit_of[dst_repo], lang, c)
+            truth.exact_pairs.append((_file_key(src_repo, p), _file_key(dst_repo, dst_path)))
+        if copied:
+            truth.subtree_dups.append(
+                (f"{src_repo}|src/core", f"{dst_repo}|mirror/src/core")
+            )
+
+    # near-dups: clones with k token edits
+    for repo, path, lang, content in base_rows:
+        if rng.random() < 0.08 and len(content) > 200:
+            k = rng.choice([1, 2, 5])
+            clone = _edit_tokens(rng, content, k)
+            dst_repo = rng.choice(repo_names)
+            dst_path = f"forks/near_{path.replace('/', '_')}"
+            add(dst_repo, dst_path, commit_of[dst_repo], lang, clone)
+            truth.near_pairs.append((_file_key(repo, path), _file_key(dst_repo, dst_path)))
+
+    # archive rows mirroring a plain directory (subtree dup across archive boundary)
+    if with_archives and n_repos >= 2:
+        src_repo = repo_names[0]
+        arc_repo = repo_names[-1]
+        members = [
+            (p, lang, c) for (r, p, lang, c) in base_rows
+            if r == src_repo and p.startswith("src/util/")
+        ]
+        for p, lang, c in members:
+            member = p[len("src/util/"):]
+            add(arc_repo, f"vendor/bundle.zip!{member}", commit_of[arc_repo], lang, c)
+            truth.exact_pairs.append(
+                (_file_key(src_repo, p), _file_key(arc_repo, f"vendor/bundle.zip!{member}"))
+            )
+        if members:
+            truth.subtree_dups.append(
+                (f"{src_repo}|src/util", f"{arc_repo}|vendor/bundle.zip")
+            )
+
+    # null-content rows (~0.5%): unreadable -> 'other' nodes
+    for repo in repo_names:
+        if rng.random() < 0.5:
+            add(repo, "src/broken.bin", commit_of[repo], "txt", None)
+
+    table = pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "content": pa.array(contents, pa.large_string()),
+        }
+    )
+    return table, truth
+
+
+# --- derivation from the driver's documents table (SQL-reproducible) -------
+
+#: Documents with doc_id % MIRROR_MOD == 0 are mirrored into repo "mirror<k>"
+#: under the same path, creating exact-dup files AND duplicated `a0` subtrees
+#: (doc_id % 3 == 0 ⇒ the file sits in dir a0, and all of a0's files are
+#: mirrored), which exercises Merkle dir dups + minimal-set suppression in
+#: the oracle-checked path.  MIRROR_MOD must be a multiple of 3.
+MIRROR_MOD = 3
+N_REPOS = 10
+
+
+def derive_corpus_sql(documents_view: str = "documents") -> str:
+    """SQL producing exactly the same rows as `corpus_from_documents`."""
+    return f"""
+    SELECT 'r' || (doc_id % {N_REPOS}) AS repo,
+           'a' || (doc_id % 3) || '/b' || (doc_id % 5) || '/doc_' || doc_id || '.txt' AS path,
+           'deadbeef' AS commit, lang, text AS content
+    FROM {documents_view}
+    UNION ALL
+    SELECT 'mirror' || (doc_id % {N_REPOS}) AS repo,
+           'a' || (doc_id % 3) || '/b' || (doc_id % 5) || '/doc_' || doc_id || '.txt' AS path,
+           'deadbeef' AS commit, lang, text AS content
+    FROM {documents_view}
+    WHERE doc_id % {MIRROR_MOD} = 0
+    """
+
+
+def corpus_from_documents(sf_dir: str):
+    """Ray Dataset of corpus rows derived from `{sf_dir}/documents.parquet`.
+
+    Must stay row-for-row identical to `derive_corpus_sql` (the DuckDB
+    oracle reproduces this derivation).
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc_id = batch["doc_id"]
+        path = pc.binary_join_element_wise(
+            "a", pc.cast(pc.mod(doc_id, 3), pa.string()),
+            "/b", pc.cast(pc.mod(doc_id, 5), pa.string()),
+            "/doc_", pc.cast(doc_id, pa.string()), ".txt", "",
+        )
+        base = pa.table(
+            {
+                "repo": pc.binary_join_element_wise(
+                    "r", pc.cast(pc.mod(doc_id, N_REPOS), pa.string()), ""
+                ),
+                "path": path,
+                "commit": pa.array(["deadbeef"] * len(batch), pa.string()),
+                "lang": batch["lang"],
+                "content": pc.cast(batch["text"], pa.large_string()),
+            }
+        )
+        mmask = pc.equal(pc.mod(doc_id, MIRROR_MOD), 0)
+        mirror = base.filter(mmask).set_column(
+            0,
+            "repo",
+            pc.binary_join_element_wise(
+                "mirror",
+                pc.cast(pc.mod(doc_id.filter(mmask), N_REPOS), pa.string()),
+                "",
+            ),
+        )
+        return pa.concat_tables([base, mirror])
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def write_corpus(table: pa.Table, path: str) -> None:
+    pq.write_table(table, path)
+
+
+def read_corpus(path_or_dir: str, columns: list[str] | None = None):
+    """Column-pruned parquet read of a corpus table/directory."""
+    import ray.data
+
+    return ray.data.read_parquet(path_or_dir, columns=columns)

@@ -1,0 +1,238 @@
+"""Analyze stage: minimal duplicate sets over the node table.
+
+Re-expresses the reference `analyze` stage (`src/stages/analyze/cmd.rs`):
+
+1. Hash-collision candidates: entries whose hash occurs >= 2 times
+   (`cmd.rs:93-102` retain len>=2).  Here: one `groupby("hash")` shuffle
+   over the node table (NULL hashes — 'other' nodes — excluded up front;
+   the reference's write_result_entry returns 0 for Other, `cmd.rs:209-216`).
+2. Refinement: each hash group is partitioned by SetKey(size, ftype,
+   children) against hash collisions (`cmd.rs:200-226`, README.md:23-27).
+   We key on (size, node_type) inside the group; the children vector is
+   implied — two dirs with equal sha256 digest have equal sorted-children
+   concatenations barring a sha256 collision, which the size/ftype key
+   already only guards against.
+3. Minimal-set suppression: an entry whose PARENT's hash is also colliding
+   is covered by the parent's set and skipped (`cmd.rs:136-190`; the parent
+   check uses raw hash collision, NOT the refined SetKey — order replicated
+   here).  Rather than the reference's in-memory parent-pointer tree
+   (intermediary_analysis_data.rs), membership of the parent in a colliding
+   *dir* group is looked up against the set of duplicated-dir paths — which
+   is exactly the small side of the problem (only actually-duplicated
+   directories) — broadcast once via `ray.put` and read per batch: no
+   second full shuffle.  (If dup-dir cardinality ever outgrew a broadcast,
+   this flips to a union-groupby hash join keyed on (repo, parent); the
+   candidate-set dataset is already materialized at that point.)
+4. Emission: one row per refined set with >= 2 members and at least one
+   unsuppressed member, `conflicting` sorted by (repo, path) for
+   deterministic output.  The reference's write-once guard (`cmd.rs:236-239`)
+   makes emission depend on file-load order when only *some* members are
+   suppressed; emitting whenever ANY member survives is the deterministic
+   superset — documented deviation.  Like the reference, an emitted set
+   lists ALL members, including suppressed ones.
+5. duplicated_bytes = sum(size * (n-1)) over emitted sets (`cmd.rs:255`,
+   reference quirk retained: a dir's "size" is its child count).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+SETS_SCHEMA = pa.schema(
+    [
+        ("hash", pa.string()),
+        ("ftype", pa.string()),
+        ("size", pa.int64()),
+        ("repos", pa.list_(pa.string())),
+        ("paths", pa.list_(pa.string())),
+        ("parents", pa.list_(pa.string())),
+    ]
+)
+
+DUPSETS_SCHEMA = pa.schema(
+    [
+        ("hash", pa.string()),
+        ("ftype", pa.string()),
+        ("size", pa.int64()),
+        ("n_conflicts", pa.int64()),
+        ("dup_bytes", pa.int64()),
+        ("repos", pa.list_(pa.string())),
+        ("paths", pa.list_(pa.string())),
+    ]
+)
+
+
+def _sets_table(rows: list[dict]) -> pa.Table:
+    return pa.Table.from_pylist(rows, schema=SETS_SCHEMA)
+
+
+def _candidate_sets(group: pd.DataFrame) -> pa.Table:
+    """One hash group → refined candidate-set rows (n>=2 only).
+
+    Members are packed as parallel list columns so suppression can be
+    applied batch-wise afterwards without another shuffle.
+    """
+    if len(group) < 2:
+        return _sets_table([])
+    out = []
+    for (size, ftype), sub in group.groupby(["size", "node_type"], sort=True):
+        if len(sub) < 2:
+            continue
+        sub = sub.sort_values(["repo", "path"], kind="mergesort")
+        out.append(
+            {
+                "hash": sub["hash"].iloc[0],
+                "ftype": ftype,
+                "size": int(size),
+                "repos": list(sub["repo"]),
+                "paths": list(sub["path"]),
+                "parents": [p if isinstance(p, str) else None for p in sub["parent"]],
+            }
+        )
+    return _sets_table(out)
+
+
+def candidate_sets(nodes_ds):
+    """Node Dataset → refined candidate-set Dataset (one full shuffle)."""
+    import pyarrow.compute as pc
+
+    hashed = nodes_ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["hash"])), batch_format="pyarrow"
+    )
+    return hashed.groupby("hash").map_groups(_candidate_sets, batch_format="pandas")
+
+
+def dup_sets(nodes_ds):
+    """Node Dataset → (dupsets Dataset, duplicated_bytes int).
+
+    dupsets schema: DUPSETS_SCHEMA (member lists sorted by (repo, path)).
+    """
+    import ray
+
+    sets = candidate_sets(nodes_ds).materialize()
+
+    # Small side: paths of directories that are members of ANY candidate set
+    # (their hash occurs >=2 times by construction).  Only these parents can
+    # suppress.  Broadcast once; read per batch.
+    dup_dir_rows = sets.map_batches(
+        _explode_dir_members, batch_format="pyarrow"
+    ).take_all()
+    dup_dirs = {(r["repo"], r["path"]) for r in dup_dir_rows}
+    dup_dirs_ref = ray.put(dup_dirs)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = ray.get(dup_dirs_ref)
+        keep = []
+        for row in batch.to_pylist():
+            suppressed = [
+                (parent is not None) and ((repo, parent) in s)
+                for repo, parent in zip(row["repos"], row["parents"])
+            ]
+            if suppressed and all(suppressed):
+                continue
+            n = len(row["repos"])
+            keep.append(
+                {
+                    "hash": row["hash"],
+                    "ftype": row["ftype"],
+                    "size": row["size"],
+                    "n_conflicts": n,
+                    "dup_bytes": int(row["size"]) * (n - 1),
+                    "repos": row["repos"],
+                    "paths": row["paths"],
+                }
+            )
+        return pa.Table.from_pylist(keep, schema=DUPSETS_SCHEMA)
+
+    dupsets = sets.map_batches(finalize, batch_format="pyarrow").materialize()
+    total = dupsets.sum("dup_bytes") if dupsets.count() else 0
+    return dupsets, int(total or 0)
+
+
+def _explode_dir_members(batch: pa.Table) -> pa.Table:
+    repos, paths = [], []
+    for row in batch.to_pylist():
+        if row["ftype"] == "dir":
+            repos.extend(row["repos"])
+            paths.extend(row["paths"])
+    return pa.table(
+        {"repo": pa.array(repos, pa.string()), "path": pa.array(paths, pa.string())}
+    )
+
+
+MEMBERS_SCHEMA = pa.schema(
+    [
+        ("hash", pa.string()),
+        ("ftype", pa.string()),
+        ("size", pa.int64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+    ]
+)
+
+
+def dup_members(nodes_ds):
+    """Exploded minimal-dup-set members: one row per (set, member).
+
+    Scalar columns only (oracle-friendly exploded form of the reference's
+    DupSetEntryRef, dupset_file.rs:13-19).
+    """
+    dupsets, _ = dup_sets(nodes_ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            for repo, path in zip(row["repos"], row["paths"]):
+                rows.append(
+                    {
+                        "hash": row["hash"],
+                        "ftype": row["ftype"],
+                        "size": row["size"],
+                        "repo": repo,
+                        "path": path,
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=MEMBERS_SCHEMA)
+
+    return dupsets.map_batches(explode, batch_format="pyarrow")
+
+
+CLUSTERS_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("cluster_id", pa.string()),
+        ("method", pa.string()),
+    ]
+)
+
+
+def exact_clusters(nodes_ds):
+    """Exact-dup cluster table: (repo, path, cluster_id, method='exact').
+
+    cluster_id = the set's hash hex (stable, content-derived).  Files only;
+    one row per member of every file-level refined set (pre-suppression:
+    cluster scoring wants every duplicate pair; minimality is a reporting
+    concern — the reference separates the two the same way: file_by_hash
+    holds all collisions, minimal sets are a view, cmd.rs:136-190).
+    """
+    sets = candidate_sets(nodes_ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            if row["ftype"] != "file":
+                continue
+            for repo, path in zip(row["repos"], row["paths"]):
+                rows.append(
+                    {
+                        "repo": repo,
+                        "path": path,
+                        "cluster_id": row["hash"],
+                        "method": "exact",
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=CLUSTERS_SCHEMA)
+
+    return sets.map_batches(explode, batch_format="pyarrow")

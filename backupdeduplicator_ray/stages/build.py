@@ -1,0 +1,82 @@
+"""Build stage: corpus rows → file-node table.
+
+Re-expresses the reference `build` stage (`src/stages/build/cmd/cmd.rs:46-143`
++ per-node workers `worker.rs:43-100`): the directory walk disappears (the
+input table already enumerates files); what remains per row is the content
+hash (`worker/file.rs:23-79`, streaming sha) and the degrade-to-`other`
+semantics for unreadable entries (`worker.rs:126-132`: errors emit a NULL
+hash / size-0 entry and never kill the job).
+
+Node table schema (rebuild of HashTreeFileEntryV1,
+`src/stages/build/output/hashtreefile.rs:63-71`):
+
+    repo:string, path:string, node_type:string in {file,dir,symlink,other},
+    size:int64 (bytes for files, CHILD COUNT for dirs — reference quirk,
+    hashtreefile.rs:56), hash:string (hex digest, null for 'other'),
+    n_children:int64, parent:string (null for repo root), depth:int64
+
+Directory rows are produced by stages/tree.py; this stage emits file rows
+(and 'other' rows for null content) via one vectorized map_batches.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import HashConfig
+from ..functions.hashing import byte_length_column, hash_string_column
+
+NODE_COLUMNS = [
+    "repo",
+    "path",
+    "node_type",
+    "size",
+    "hash",
+    "n_children",
+    "parent",
+    "depth",
+]
+
+
+def _file_nodes_batch(batch: pa.Table, algorithm: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    from ..functions.paths import depth_of, parent_of
+
+    content = batch["content"]
+    hashes = hash_string_column(content, algorithm)
+    sizes = byte_length_column(content)
+    is_other = pc.is_null(content)
+    node_type = pc.if_else(is_other, "other", "file")
+    # 'other' rows: NULL hash, size 0 (reference worker/other.rs:20-45)
+    sizes = pc.if_else(is_other, pa.scalar(0, pa.int64()), sizes)
+
+    paths = batch["path"].to_pylist()
+    parents = pa.array([parent_of(p) for p in paths], pa.string())
+    depths = pa.array([depth_of(p) for p in paths], pa.int64())
+    return pa.table(
+        {
+            "repo": batch["repo"].combine_chunks() if isinstance(batch["repo"], pa.ChunkedArray) else batch["repo"],
+            "path": batch["path"],
+            "node_type": node_type,
+            "size": sizes,
+            "hash": hashes,
+            "n_children": pa.array([0] * len(batch), pa.int64()),
+            "parent": parents,
+            "depth": depths,
+        }
+    )
+
+
+def build_file_nodes(corpus_ds, hash_config: HashConfig | None = None, batch_size: int = 4096):
+    """corpus Dataset → file/other node Dataset (lazy).
+
+    Per-row invariant (BASELINE.json input_hint): hash == sha256(content
+    UTF-8 bytes) for every non-null row when algorithm == sha256.
+    """
+    algorithm = (hash_config or HashConfig()).algorithm
+    return corpus_ds.map_batches(
+        lambda b: _file_nodes_batch(b, algorithm),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

@@ -1,0 +1,197 @@
+"""Merkle directory-tree stage.
+
+The reference builds directory hashes by recursive task feedback: a
+directory job expands children, and the last-finishing child re-enqueues the
+parent, whose second visit hashes the children sorted by digest
+(`src/stages/build/cmd/worker/directory.rs:29-153`, re-enqueue protocol
+`worker.rs:179-200`).  Here that recursion becomes data-parallel.  Two
+strategies:
+
+- **"repo" (default)**: directory trees never span repositories, so the
+  whole Merkle reduction is ONE `groupby("repo")` shuffle; each group builds
+  its repo's tree locally, bottom-up (`_repo_tree`).  Group payload is node
+  metadata only (path/hash/size — content never enters this stage), so even
+  a 10^7-file monster repo is ~1 GB in its group; the digest work itself is
+  C-speed hashlib.  This is the scale path: one shuffle, perfectly
+  partitionable, no cross-group coordination.
+
+- **"level"**: the level-synchronous loop (SURVEY.md §2.5 A3) — for depth
+  d = maxd..0, nodes at depth d `groupby(repo, parent)` into dir nodes at
+  depth d-1.  maxd+1 shuffles, but fan-in per group is one directory's
+  children; this is the fallback if a single repo ever outgrows a worker
+  (not observed for source trees; kept tested).
+
+Digest semantics are exact reference parity: child digests sorted ascending
+(`directory.rs:89`; hex order == raw-digest byte order), dir hash =
+H(concatenation) (`hash.rs:540-553`), dir size = CHILD COUNT
+(`hashtreefile.rs:56`), unreadable children contribute a fixed sentinel.
+Repo roots get path "" and depth -1 (reference: the build target dir).
+
+With `checkpoint_dir` set, file nodes are checkpointed once as Parquet and
+the tree stage resumes from them (state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pandas as pd
+import pyarrow as pa
+
+from ..config import HashConfig
+from ..functions.hashing import NULL_CHILD_SENTINEL, digest_of_children
+from ..functions.paths import ROOT, parent_of
+
+NODE_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("node_type", pa.string()),
+        ("size", pa.int64()),
+        ("hash", pa.string()),
+        ("n_children", pa.int64()),
+        ("parent", pa.string()),
+        ("depth", pa.int64()),
+    ]
+)
+
+
+def _conform(t: pa.Table) -> pa.Table:
+    """Cast a node batch to NODE_SCHEMA (all-null object columns otherwise
+    infer as null type and break unions/groupbys on mixed blocks)."""
+    cols = [
+        t.column(name).cast(typ) for name, typ in zip(NODE_SCHEMA.names, NODE_SCHEMA.types)
+    ]
+    return pa.Table.from_arrays(cols, schema=NODE_SCHEMA)
+
+
+def _repo_tree(group: pd.DataFrame, algorithm: str) -> pa.Table:
+    """One repo's file/other nodes → its dir + root nodes (local Merkle)."""
+    repo = group["repo"].iloc[0]
+    levels: dict[int, list[tuple[str, str | None]]] = defaultdict(list)
+    for path, hx, depth in zip(group["path"], group["hash"], group["depth"]):
+        levels[int(depth)].append((path, hx if isinstance(hx, str) else None))
+    out = {k: [] for k in NODE_SCHEMA.names}
+    maxd = max(levels)
+    for d in range(maxd, -1, -1):
+        by_parent: dict[str, list[str]] = defaultdict(list)
+        for path, hx in levels[d]:
+            if path == ROOT:
+                continue
+            by_parent[parent_of(path)].append(hx if hx is not None else NULL_CHILD_SENTINEL)
+        for ppath, child_hexes in by_parent.items():
+            digest = digest_of_children(child_hexes, algorithm)
+            n = len(child_hexes)
+            out["repo"].append(repo)
+            out["path"].append(ppath)
+            out["node_type"].append("dir")
+            out["size"].append(n)  # dirs: size = number of children (hashtreefile.rs:56)
+            out["hash"].append(digest)
+            out["n_children"].append(n)
+            out["parent"].append(parent_of(ppath))
+            out["depth"].append(d - 1)
+            levels[d - 1].append((ppath, digest))
+    return pa.Table.from_arrays(
+        [pa.array(out[n], t) for n, t in zip(NODE_SCHEMA.names, NODE_SCHEMA.types)],
+        schema=NODE_SCHEMA,
+    )
+
+
+def build_tree(
+    file_nodes_ds,
+    hash_config: HashConfig | None = None,
+    checkpoint_dir: str | None = None,
+    strategy: str = "repo",
+):
+    """File-node Dataset → full node Dataset (files + dirs + repo roots)."""
+    algorithm = (hash_config or HashConfig()).algorithm
+
+    if checkpoint_dir is not None:
+        from ..state.checkpoint import is_complete, checkpoint_dataset, read_checkpoint
+
+        if not is_complete(checkpoint_dir):
+            checkpoint_dataset(
+                file_nodes_ds.map_batches(_conform, batch_format="pyarrow"),
+                checkpoint_dir,
+                lineage={"stage": "file_nodes"},
+            )
+        base = read_checkpoint(checkpoint_dir)
+    else:
+        base = file_nodes_ds.map_batches(_conform, batch_format="pyarrow").materialize()
+
+    if strategy == "repo":
+        dirs = base.groupby("repo").map_groups(
+            lambda g: _repo_tree(g, algorithm), batch_format="pandas"
+        )
+        return base.union(dirs.map_batches(_conform, batch_format="pyarrow"))
+    if strategy == "level":
+        return _build_tree_levels(base, algorithm)
+    raise ValueError(f"unknown tree strategy: {strategy}")
+
+
+def _build_tree_levels(base, algorithm: str):
+    """Level-synchronous loop (fallback for repos too big for one group)."""
+    maxd = base.max("depth")
+    if maxd is None:
+        return base
+
+    levels = [base]
+    pending: dict[int, list] = {}
+    for d in range(int(maxd), -1, -1):
+        level_parts = [_filter_depth(base, d)]
+        level_parts.extend(pending.pop(d, []))
+        level = level_parts[0]
+        for extra in level_parts[1:]:
+            level = level.union(extra)
+        dirs = (
+            level.groupby(["repo", "parent"])
+            .map_groups(
+                lambda g: _make_dir_nodes(g, algorithm), batch_format="pandas"
+            )
+            .map_batches(_conform, batch_format="pyarrow")
+            .materialize()
+        )
+        levels.append(dirs)
+        if d > 0:
+            pending.setdefault(d - 1, []).append(dirs)
+    out = levels[0]
+    for part in levels[1:]:
+        out = out.union(part)
+    return out
+
+
+def _make_dir_nodes(group: pd.DataFrame, algorithm: str) -> pd.DataFrame:
+    """One (repo, parent) group of finished children → one dir node row."""
+    repo = group["repo"].iloc[0]
+    path = group["parent"].iloc[0]
+    child_hexes = [
+        h if isinstance(h, str) else NULL_CHILD_SENTINEL for h in group["hash"]
+    ]
+    depth = int(group["depth"].iloc[0]) - 1
+    n = len(group)
+    return pd.DataFrame(
+        {
+            "repo": [repo],
+            "path": [path],
+            "node_type": ["dir"],
+            "size": [n],
+            "hash": [digest_of_children(child_hexes, algorithm)],
+            "n_children": [n],
+            "parent": [parent_of(path)],
+            "depth": [depth],
+        }
+    )
+
+
+def _filter_depth(ds, depth: int):
+    """Vectorized depth filter (a pruned scan over materialized blocks)."""
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["depth"], depth)), batch_format="pyarrow"
+    )
+
+
+def filter_level(ds, depth: int):
+    """Rows of one tree level (helper for tests)."""
+    return _filter_depth(ds, depth)

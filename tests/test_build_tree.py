@@ -1,0 +1,73 @@
+"""Build + Merkle tree vs the pure-Python oracle, on the fixture corpus."""
+
+import hashlib
+
+import pytest
+
+import oracle as orc
+from backupdeduplicator_ray.pipelines.dedup import build_nodes
+from backupdeduplicator_ray.stages.build import build_file_nodes
+
+
+@pytest.fixture(scope="module")
+def node_map(ray_session, small_corpus_ds):
+    ds = build_nodes(small_corpus_ds)
+    rows = ds.take_all()
+    return {(r["repo"], r["path"]): r for r in rows}
+
+
+@pytest.fixture(scope="module")
+def oracle_nodes(small_corpus):
+    table, _ = small_corpus
+    return orc.build_nodes(table.to_pylist())
+
+
+def test_per_row_sha256_invariant(ray_session, small_corpus_ds, small_corpus):
+    """BASELINE.json per-row invariant: hash == sha256(content)."""
+    table, _ = small_corpus
+    rows = build_file_nodes(small_corpus_ds).take_all()
+    got = {(r["repo"], r["path"]): r for r in rows}
+    assert len(got) == table.num_rows
+    for rec in table.to_pylist():
+        r = got[(rec["repo"], rec["path"])]
+        if rec["content"] is None:
+            assert r["node_type"] == "other"
+            assert r["hash"] is None
+            assert r["size"] == 0
+        else:
+            data = rec["content"].encode("utf-8")
+            assert r["hash"] == hashlib.sha256(data).hexdigest()
+            assert r["size"] == len(data)
+            assert r["node_type"] == "file"
+
+
+def test_tree_matches_oracle(node_map, oracle_nodes):
+    """Every node (incl. dirs and repo roots) matches the oracle digest."""
+    got_keys = set(node_map)
+    want_keys = set(oracle_nodes)
+    assert got_keys == want_keys
+    for key, want in oracle_nodes.items():
+        r = node_map[key]
+        assert r["node_type"] == want["node_type"], key
+        assert r["size"] == want["size"], key
+        assert r["hash"] == want["hash"], key
+
+
+def test_subtree_duplicate_has_equal_digest(node_map, small_corpus):
+    """Duplicated subtrees (truth) produce identical dir digests."""
+    _, truth = small_corpus
+    assert truth.subtree_dups
+    for a, b in truth.subtree_dups:
+        ra, pa_ = a.split("|", 1)
+        rb, pb = b.split("|", 1)
+        assert node_map[(ra, pa_)]["hash"] == node_map[(rb, pb)]["hash"], (a, b)
+        assert node_map[(ra, pa_)]["node_type"] == "dir"
+
+
+def test_tree_invariant_under_repartition(ray_session, small_corpus_ds, oracle_nodes):
+    """Digests are independent of block partitioning (SURVEY §5 property)."""
+    ds = small_corpus_ds.repartition(7)
+    rows = build_nodes(ds).take_all()
+    got = {(r["repo"], r["path"]): r["hash"] for r in rows}
+    want = {k: v["hash"] for k, v in oracle_nodes.items()}
+    assert got == want

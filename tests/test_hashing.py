@@ -1,0 +1,91 @@
+"""Known-answer + property tests for the hashing kernels (no Ray needed)."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from backupdeduplicator_ray.functions.hashing import (
+    NULL_CHILD_SENTINEL,
+    byte_length_column,
+    digest_of_children,
+    get_hasher_factory,
+    hash_string_column,
+    hash_text,
+)
+from backupdeduplicator_ray.functions.paths import depth_of, normalize, parent_of
+
+
+def test_known_answer_sha256():
+    # reference doc-test vector: src/data/hash.rs:26-43
+    assert (
+        hash_text("Hello, world!")
+        == "315f5bdb76d078c43b8ac0064e4a0164612b1fce77c869345bfc94c75894edd3"
+    )
+
+
+def test_hash_string_column_matches_hashlib():
+    vals = ["", "a", "Hello, world!", "x" * 10000, None, "unicode: ééé"]
+    col = pa.array(vals, pa.large_string())
+    out = hash_string_column(col).to_pylist()
+    for v, h in zip(vals, out):
+        if v is None:
+            assert h is None
+        else:
+            assert h == hashlib.sha256(v.encode("utf-8")).hexdigest()
+
+
+def test_hash_string_column_chunked_and_sliced():
+    vals = [f"row{i}" for i in range(100)]
+    col = pa.chunked_array([pa.array(vals[:50]), pa.array(vals[50:])])
+    out = hash_string_column(col).to_pylist()
+    assert out == [hashlib.sha256(v.encode()).hexdigest() for v in vals]
+    sl = pa.array(vals).slice(10, 5)
+    assert hash_string_column(sl).to_pylist() == [
+        hashlib.sha256(v.encode()).hexdigest() for v in vals[10:15]
+    ]
+
+
+def test_byte_length_utf8():
+    col = pa.array(["abc", "ééé", None, ""], pa.string())
+    assert byte_length_column(col).to_pylist() == [3, 6, 0, 0]
+
+
+def test_digest_of_children_sorted_invariance():
+    a = hash_text("a")
+    b = hash_text("b")
+    assert digest_of_children([a, b]) == digest_of_children([b, a])
+    expect = hashlib.sha256("".join(sorted([a, b])).encode()).hexdigest()
+    assert digest_of_children([a, b]) == expect
+    # null child contributes the sentinel and changes the digest
+    assert digest_of_children([a, None]) == digest_of_children([a, NULL_CHILD_SENTINEL])
+    assert digest_of_children([a, None]) != digest_of_children([a])
+
+
+def test_hasher_registry():
+    assert get_hasher_factory("sha1")(b"abc").hexdigest() == hashlib.sha1(b"abc").hexdigest()
+    assert get_hasher_factory("null") is None
+    with pytest.raises(ValueError):
+        get_hasher_factory("nope")
+    with pytest.raises(NotImplementedError):
+        get_hasher_factory("xxh64")  # xxhash package absent in this env
+
+
+def test_null_algorithm_column():
+    col = pa.array(["a", "b"])
+    assert hash_string_column(col, "null").to_pylist() == [None, None]
+
+
+def test_path_algebra():
+    # reference doc-tests: path.rs:137-199 child/parent chain; utils.rs:25-33
+    assert parent_of("a/b/c.py") == "a/b"
+    assert parent_of("a.py") == ""
+    assert parent_of("") is None
+    assert parent_of("v/lib.zip!x/y.py") == "v/lib.zip!x"
+    assert parent_of("v/lib.zip!y.py") == "v/lib.zip"
+    assert parent_of("v/lib.zip") == "v"
+    assert depth_of("a/b/c.py") == 2
+    assert depth_of("v/lib.zip!x/y.py") == 3
+    assert depth_of("a.py") == 0
+    assert normalize("a/b/../c") == "a/c"
+    assert normalize("./a//b") == "a/b"
