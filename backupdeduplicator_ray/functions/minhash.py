@@ -1,0 +1,78 @@
+"""MinHash signatures and LSH band hashes (numpy, mergeable).
+
+North-star extension (BASELINE.json): token-shingle MinHash signatures
+computed per batch in `map_batches`, LSH band hashing emitting
+(band_hash -> file) pairs into a groupby shuffle.  Not present in the
+reference (SURVEY.md §2.7 D4).
+
+Hash family: h_i(x) = a_i * x + b_i in uint64 overflow arithmetic (a_i odd),
+seeded — a standard practical permutation family; signatures from the same
+config/seed are comparable and mergeable (elementwise min).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import MinHashConfig
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def perm_table(cfg: MinHashConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) coefficient vectors, a forced odd."""
+    rng = np.random.default_rng(cfg.seed)
+    a = rng.integers(1, 2**63, size=cfg.num_perms, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, size=cfg.num_perms, dtype=np.uint64)
+    return a, b
+
+
+def signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray, chunk: int = 4096) -> np.ndarray:
+    """uint64[num_perms] MinHash signature of a shingle-hash set.
+
+    Chunked over the shingle axis so a monster document never materializes
+    an n_shingles x num_perms matrix (memory stays chunk x num_perms).
+    Empty input → all-ones sentinel signature (empty docs are exact dups of
+    each other and are pre-bucketed by exact hash before LSH anyway).
+    """
+    if len(shingles) == 0:
+        return np.full(len(a), _U64_MAX, dtype=np.uint64)
+    sig = np.full(len(a), _U64_MAX, dtype=np.uint64)
+    for i in range(0, len(shingles), chunk):
+        block = shingles[i : i + chunk, None] * a[None, :] + b[None, :]
+        np.minimum(sig, block.min(axis=0), out=sig)
+    return sig
+
+
+def merge_signatures(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Sketch merge (elementwise min) — signatures are mergeable, so partial
+    signatures per batch can be combined in a tiny second stage."""
+    return np.minimum(sig_a, sig_b)
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+_BAND_POLY = np.uint64(0x100000001B3)
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """uint64[bands]: polynomial combine of each band's signature rows."""
+    rows = len(sig) // bands
+    mat = sig.reshape(bands, rows)
+    acc = mat[:, 0].copy()
+    for j in range(1, rows):
+        acc = acc * _BAND_POLY + mat[:, j]
+    return acc
+
+
+def band_hashes_batch(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perms) signature matrix → (n, bands) band-hash matrix."""
+    n, num_perms = sigs.shape
+    rows = num_perms // bands
+    mat = sigs.reshape(n, bands, rows)
+    acc = mat[:, :, 0].copy()
+    for j in range(1, rows):
+        acc = acc * _BAND_POLY + mat[:, :, j]
+    return acc

@@ -1,0 +1,66 @@
+"""Tokenization and shingle hashing (shared by MinHash / SimHash / Jaccard).
+
+Deterministic across processes (no reliance on PYTHONHASHSEED): token
+hashes come from zlib.crc32, widened to 64 bits with a splitmix64 finalizer;
+k-token shingle hashes combine the widened token hashes with a polynomial
+roll, all vectorized with numpy over the token axis.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+
+# polynomial multiplier for shingle combination (odd => invertible mod 2^64)
+_POLY = np.uint64(1099511628211)  # FNV prime
+_U64 = np.uint64
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercased word tokens.  Keep in sync with the DuckDB oracle's
+    regexp_extract_all(lower(text), '[a-z0-9_]+')."""
+    return TOKEN_RE.findall(text.lower())
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — spreads 32-bit crc values over 64 bits."""
+    x = (x + _U64(0x9E3779B97F4A7C15)).astype(_U64)
+    x ^= x >> _U64(30)
+    x *= _U64(0xBF58476D1CE4E5B9)
+    x ^= x >> _U64(27)
+    x *= _U64(0x94D049BB133111EB)
+    x ^= x >> _U64(31)
+    return x
+
+
+def token_hashes(tokens: list[str]) -> np.ndarray:
+    """uint64 hash per token (crc32 -> splitmix64)."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    crc = np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+    return _splitmix64(crc)
+
+
+def shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
+    """Distinct uint64 hashes of the k-token shingles of `tokens`.
+
+    Fewer than k tokens → a single shingle of all tokens (empty → empty).
+    Vectorized polynomial combine over a sliding window (mod 2^64 overflow
+    arithmetic, multiplier odd).
+    """
+    th = token_hashes(tokens)
+    n = len(th)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        k = n
+    acc = th[: n - k + 1].copy()
+    for j in range(1, k):
+        acc = acc * _POLY + th[j : n - k + 1 + j]
+    return np.unique(acc)

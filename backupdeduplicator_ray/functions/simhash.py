@@ -1,0 +1,35 @@
+"""64-bit SimHash fingerprints (north-star near-dup variant).
+
+fingerprint bit j = sign of the vote sum over shingle hashes' bit j
+(+1 if set, -1 if clear).  Near-dups differ in few bits; candidates come
+from exact matches on 16-bit bands (any of 4), verified by Hamming
+distance <= max_hamming.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BITS = 64
+
+
+def simhash(shingles: np.ndarray) -> int:
+    """uint64 SimHash of a shingle-hash set (empty → 0)."""
+    if len(shingles) == 0:
+        return 0
+    bits = (shingles[:, None] >> np.arange(_BITS, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    fp = np.uint64(0)
+    fp = int((votes >= 0).astype(np.uint64) @ (np.uint64(1) << np.arange(_BITS, dtype=np.uint64)))
+    return fp & 0xFFFFFFFFFFFFFFFF
+
+
+def simhash_bands(fp: int, bands: int) -> list[int]:
+    """Split the 64-bit fingerprint into `bands` contiguous segments."""
+    seg = _BITS // bands
+    mask = (1 << seg) - 1
+    return [(fp >> (i * seg)) & mask for i in range(bands)]
+
+
+def hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

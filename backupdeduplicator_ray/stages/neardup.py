@@ -1,0 +1,350 @@
+"""Near-duplicate detection pipelines (north-star extension, SURVEY §2.7 D4).
+
+Flow (minhash):
+    docs --SignatureStage (actor pool: perm table/regex built once)-->
+    (id, exact, sig) --groupby(exact): exact pre-bucket--> exact edges +
+    one representative per distinct content --band explode-->
+    (band_id, band_hash, id, sig) --groupby(band): verify est-Jaccard-->
+    near edges --connected components--> (id, cluster_id)
+
+The exact pre-bucket is the LSH-skew valve (SURVEY §7.4): identical
+contents (empty files, boilerplate) never enter LSH — only one
+representative per distinct content does — so the hottest band buckets
+shrink from "every copy of the empty file" to one row.  Residual hot
+buckets (distinct-but-similar boilerplate) are capped: buckets above
+`bucket_cap` emit star edges against the bucket minimum instead of all
+pairs (connectivity preserved; pair verification still applies).
+
+Signatures ride along into the band shuffle (bands x sig duplication) so
+verification happens inside the bucket group — no second join back to a
+signature table.  With r=8 rows/band the duplication factor is 16x on a
+1 KiB signature; the alternative (join) is a second full shuffle — the
+ride-along wins until signatures dwarf content, which they don't for
+source files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import MinHashConfig, SimHashConfig
+from ..functions import minhash as mh
+from ..functions import simhash as sh
+from ..functions.hashing import hash_string_column
+from ..functions.shingles import shingle_hashes, tokenize
+from ..state.unionfind import EDGE_SCHEMA, connected_components
+
+SIG_SCHEMA = pa.schema(
+    [
+        ("id", pa.string()),
+        ("exact", pa.string()),
+        ("sig", pa.list_(pa.uint64())),
+    ]
+)
+
+
+class MinHashSignatureStage:
+    """Actor-pool map_batches stage: text → (exact hash, MinHash signature).
+
+    Per-actor state built once in __init__ (perm table, tokenizer regex) —
+    SURVEY §2.3 ST3 actor-pool guidance.
+    """
+
+    def __init__(self, cfg: MinHashConfig, id_col: str, text_col: str):
+        self.cfg = cfg
+        self.id_col = id_col
+        self.text_col = text_col
+        self.a, self.b = mh.perm_table(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col]
+        exact = hash_string_column(texts)
+        sigs = []
+        for t in texts.to_pylist():
+            if t is None:
+                sigs.append(np.full(self.cfg.num_perms, 0, dtype=np.uint64))
+                continue
+            shingles = shingle_hashes(tokenize(t), self.cfg.shingle_k)
+            sigs.append(mh.signature(shingles, self.a, self.b))
+        sig_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(sigs) if sigs else np.empty(0, np.uint64)),
+            self.cfg.num_perms,
+        ).cast(pa.list_(pa.uint64()))
+        return pa.table(
+            {
+                "id": batch[self.id_col].cast(pa.string()),
+                "exact": exact,
+                "sig": sig_arr,
+            }
+        )
+
+
+def default_concurrency(fraction: float = 0.5, cap: int = 16) -> int:
+    """Actor-pool size: a fraction of cluster CPUs, capped — leaves CPUs for
+    the read/shuffle stages so the pool doesn't starve the pipeline."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, min(cap, int(cpus * fraction)))
+
+
+def signatures(ds, cfg: MinHashConfig, id_col: str = "id", text_col: str = "text", concurrency: int | None = None):
+    """Dataset → (id, exact, sig) signature Dataset via an actor pool."""
+    return ds.map_batches(
+        MinHashSignatureStage,
+        fn_constructor_args=(cfg, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
+def _exact_prebucket(sig_ds):
+    """groupby(exact) → (edges among identical docs, representative rows).
+
+    Edges: star from min id to every other member.  Representatives: the
+    min-id member of each distinct content (plus its signature).
+    """
+
+    def per_group(g):
+        ids = sorted(g["id"])
+        rep = ids[0]
+        edges = [{"src": rep, "dst": other} for other in ids[1:]]
+        rep_row = g[g["id"] == rep].iloc[0]
+        rep_tbl = pa.Table.from_pylist(
+            [{"id": rep, "exact": rep_row["exact"], "sig": list(rep_row["sig"])}],
+            schema=SIG_SCHEMA,
+        )
+        edge_tbl = pa.Table.from_pylist(edges, schema=EDGE_SCHEMA)
+        # single output table: tag rows (role) — avoids two shuffles
+        return pa.table(
+            {
+                "role": pa.array(["rep"] * len(rep_tbl) + ["edge"] * len(edge_tbl)),
+                "id": pa.concat_arrays(
+                    [rep_tbl["id"].combine_chunks(), edge_tbl["src"].combine_chunks()]
+                ),
+                "exact": pa.concat_arrays(
+                    [
+                        rep_tbl["exact"].combine_chunks(),
+                        pa.nulls(len(edge_tbl), pa.string()),
+                    ]
+                ),
+                "sig": pa.concat_arrays(
+                    [
+                        rep_tbl["sig"].combine_chunks().cast(pa.list_(pa.uint64())),
+                        pa.nulls(len(edge_tbl), pa.list_(pa.uint64())),
+                    ]
+                ),
+                "dst": pa.concat_arrays(
+                    [pa.nulls(len(rep_tbl), pa.string()), edge_tbl["dst"].combine_chunks()]
+                ),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    # null exact hash == unreadable content: never a dup of anything
+    sig_ds = sig_ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["exact"])), batch_format="pyarrow"
+    )
+    tagged = sig_ds.groupby("exact").map_groups(per_group, batch_format="pandas").materialize()
+
+    reps = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["role"], "rep")).select(["id", "exact", "sig"]),
+        batch_format="pyarrow",
+    )
+    exact_edges = tagged.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.filter(pc.equal(t["role"], "edge"))["id"],
+                "dst": t.filter(pc.equal(t["role"], "edge"))["dst"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return exact_edges, reps
+
+
+def _band_explode(cfg: MinHashConfig):
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.uint64()),
+                    "id": pa.array([], pa.string()),
+                    "sig": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        sigs = np.asarray(batch["sig"].to_pylist(), dtype=np.uint64)
+        bh = mh.band_hashes_batch(sigs, cfg.bands)  # (n, bands)
+        ids = batch["id"].to_pylist()
+        band_ids = np.tile(np.arange(cfg.bands, dtype=np.int32), n)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids),
+                "band_hash": pa.array(bh.reshape(-1)),
+                "id": pa.array(np.repeat(ids, cfg.bands), pa.string()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.repeat(sigs, cfg.bands, axis=0).reshape(-1), pa.uint64()),
+                    cfg.num_perms,
+                ).cast(pa.list_(pa.uint64())),
+            }
+        )
+
+    return explode
+
+
+def _bucket_edges(cfg: MinHashConfig):
+    def per_bucket(g):
+        n = len(g)
+        if n < 2:
+            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
+        ids = list(g["id"])
+        sigs = np.asarray(list(g["sig"]), dtype=np.uint64)
+        order = sorted(range(n), key=lambda i: ids[i])
+        edges = []
+        if n <= cfg.bucket_cap:
+            for ii in range(n):
+                i = order[ii]
+                # compare against all later ids at once (vectorized)
+                rest = order[ii + 1 :]
+                if len(rest) == 0:
+                    continue
+                est = (sigs[rest] == sigs[i]).mean(axis=1)
+                for j, e in zip(rest, est):
+                    if e >= cfg.verify_threshold:
+                        edges.append({"src": ids[i], "dst": ids[j]})
+        else:
+            # star expansion against the bucket minimum (skew valve)
+            i = order[0]
+            rest = order[1:]
+            est = (sigs[rest] == sigs[i]).mean(axis=1)
+            for j, e in zip(rest, est):
+                if e >= cfg.verify_threshold:
+                    edges.append({"src": ids[i], "dst": ids[j]})
+        return pa.Table.from_pylist(edges, schema=EDGE_SCHEMA)
+
+    return per_bucket
+
+
+def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text_col: str = "text"):
+    """Document Dataset → (exact ∪ verified-near) edge Dataset + signature count."""
+    cfg = cfg or MinHashConfig()
+    sig_ds = signatures(ds, cfg, id_col, text_col)
+    exact_edges, reps = _exact_prebucket(sig_ds)
+    bands = reps.map_batches(_band_explode(cfg), batch_format="pyarrow")
+    near_edges = bands.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_edges(cfg), batch_format="pandas"
+    )
+    return exact_edges.union(near_edges)
+
+
+def minhash_clusters(
+    ds,
+    cfg: MinHashConfig | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+    include_singletons: bool = False,
+):
+    """Document Dataset → (id, cluster_id, method='minhash') cluster table."""
+    cfg = cfg or MinHashConfig()
+    all_ids = ds.map_batches(
+        lambda t: pa.table({"id": t[id_col].cast(pa.string())}), batch_format="pyarrow"
+    ) if include_singletons else None
+    edges = minhash_edges(ds, cfg, id_col, text_col)
+    labels = connected_components(edges, nodes_ds=all_ids)
+    return labels.map_batches(
+        lambda t: t.append_column("method", pa.array(["minhash"] * len(t), pa.string())),
+        batch_format="pyarrow",
+    )
+
+
+# --- SimHash -------------------------------------------------------------
+
+
+class SimHashStage:
+    """Actor-pool stage: text → 64-bit SimHash fingerprint (+ band values)."""
+
+    def __init__(self, cfg: SimHashConfig, id_col: str, text_col: str):
+        self.cfg = cfg
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = []
+        for t in batch[self.text_col].to_pylist():
+            if t is None:
+                fps.append(0)
+            else:
+                fps.append(sh.simhash(shingle_hashes(tokenize(t), self.cfg.shingle_k)))
+        return pa.table(
+            {
+                "id": batch[self.id_col].cast(pa.string()),
+                "fingerprint": pa.array(fps, pa.uint64()),
+            }
+        )
+
+
+def simhash_fingerprints(ds, cfg: SimHashConfig | None = None, id_col: str = "id", text_col: str = "text", concurrency: int | None = None):
+    cfg = cfg or SimHashConfig()
+    return ds.map_batches(
+        SimHashStage,
+        fn_constructor_args=(cfg, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
+def simhash_edges(ds, cfg: SimHashConfig | None = None, id_col: str = "id", text_col: str = "text"):
+    cfg = cfg or SimHashConfig()
+    fps = simhash_fingerprints(ds, cfg, id_col, text_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, band_ids, vals, f = [], [], [], []
+        for i, fp in zip(batch["id"].to_pylist(), batch["fingerprint"].to_pylist()):
+            for bi, v in enumerate(sh.simhash_bands(int(fp), cfg.bands)):
+                ids.append(i)
+                band_ids.append(bi)
+                vals.append(v)
+                f.append(fp)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_val": pa.array(vals, pa.uint64()),
+                "id": pa.array(ids, pa.string()),
+                "fingerprint": pa.array(f, pa.uint64()),
+            }
+        )
+
+    bands = fps.map_batches(explode, batch_format="pyarrow")
+
+    def per_bucket(g):
+        n = len(g)
+        if n < 2:
+            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
+        rows = sorted(zip(g["id"], g["fingerprint"]))
+        edges = []
+        cap = min(n, cfg.bucket_cap)
+        for ii in range(cap if n > cfg.bucket_cap else n):
+            a_id, a_fp = rows[ii]
+            limit = range(ii + 1, n) if n <= cfg.bucket_cap else range(ii + 1, min(ii + 2, n))
+            for jj in limit:
+                b_id, b_fp = rows[jj]
+                if sh.hamming(int(a_fp), int(b_fp)) <= cfg.max_hamming:
+                    edges.append({"src": a_id, "dst": b_id})
+        return pa.Table.from_pylist(edges, schema=EDGE_SCHEMA)
+
+    return bands.groupby(["band_id", "band_val"]).map_groups(per_bucket, batch_format="pandas")
+
+
+def simhash_clusters(ds, cfg: SimHashConfig | None = None, id_col: str = "id", text_col: str = "text"):
+    edges = simhash_edges(ds, cfg, id_col, text_col)
+    labels = connected_components(edges)
+    return labels.map_batches(
+        lambda t: t.append_column("method", pa.array(["simhash"] * len(t), pa.string())),
+        batch_format="pyarrow",
+    )

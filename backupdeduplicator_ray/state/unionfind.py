@@ -1,0 +1,168 @@
+"""Cluster closure: union-find and label propagation over an edge Dataset.
+
+The reference has no clustering (its duplicate "clusters" are exact hash
+groups); this implements the north-star union-find stage for near-dup
+edges.  Two paths:
+
+- **driver DSU** (default when the edge set is small): verified near-dup
+  edges are a tiny fraction of the corpus, so `take_all` + an in-memory
+  union-by-min DSU is exact and fast.  The size guard keeps this honest:
+  above `driver_limit` edges it refuses and uses label propagation.
+- **label propagation** (scale path): labels(node)=node; each round sends
+  every node's current label across its edges and keeps the min
+  (`groupby(node).min`) — two map_batches + one groupby per round, no
+  driver state.  Plain min-propagation converges in graph-diameter rounds;
+  verified near-dup clusters are dense (band buckets emit cliques/stars),
+  so the default round budget covers them.  For adversarial long chains
+  the BTS-style balanced DSU (PAPERS.md, ICDE 2024) is the upgrade path.
+
+Labels are the min member id (string compare) — deterministic, matching
+the fixture oracle (tests/oracle.py connected_clusters).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string())])
+LABEL_SCHEMA = pa.schema([("id", pa.string()), ("cluster_id", pa.string())])
+
+
+class DSU:
+    """Union-by-min disjoint-set with path compression (driver-side)."""
+
+    def __init__(self):
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            gp = self.parent.setdefault(p, p)
+            self.parent[x] = gp
+            x, p = p, gp
+        return x
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if rb < ra:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+
+
+def connected_components(
+    edges_ds,
+    nodes_ds=None,
+    driver_limit: int = 2_000_000,
+    max_rounds: int = 8,
+):
+    """Edges (src, dst) → labels (id, cluster_id = min member of component).
+
+    nodes_ds: optional (id) Dataset of ALL nodes; nodes without edges label
+    themselves.  Returns a Ray Dataset with LABEL_SCHEMA.
+    """
+    import ray.data
+
+    n_edges = edges_ds.count()
+    if n_edges <= driver_limit:
+        dsu = DSU()
+        for row in edges_ds.iter_rows():
+            dsu.union(row["src"], row["dst"])
+        ids = set(dsu.parent)
+        if nodes_ds is not None:
+            for row in nodes_ds.iter_rows():
+                ids.add(row["id"])
+        labels = sorted(ids)
+        table = pa.table(
+            {
+                "id": pa.array(labels, pa.string()),
+                "cluster_id": pa.array([dsu.find(i) for i in labels], pa.string()),
+            }
+        )
+        return ray.data.from_arrow(table)
+    return _label_propagation(edges_ds, nodes_ds, max_rounds)
+
+
+def _label_propagation(edges_ds, nodes_ds, max_rounds: int):
+    """Distributed min-label propagation (no driver state)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    # undirected: duplicate each edge in both directions once, up front
+    def bidir(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                ),
+                "peer": pa.concat_arrays(
+                    [t["dst"].combine_chunks(), t["src"].combine_chunks()]
+                ),
+            }
+        )
+
+    edges = edges_ds.map_batches(bidir, batch_format="pyarrow").materialize()
+
+    # labels start as self
+    def self_label(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["node"], "cluster_id": t["node"]})
+
+    labels = edges.map_batches(self_label, batch_format="pyarrow")
+    if nodes_ds is not None:
+        labels = labels.union(
+            nodes_ds.map_batches(
+                lambda t: pa.table({"id": t["id"], "cluster_id": t["id"]}),
+                batch_format="pyarrow",
+            )
+        )
+    labels = labels.groupby("id").min("cluster_id").materialize()
+    labels = labels.map_batches(
+        lambda t: t.rename_columns(["id", "cluster_id"]), batch_format="pyarrow"
+    ).materialize()
+
+    for _ in range(max_rounds):
+        # message pass: join labels onto edges via union + groupby(key)
+        # (portable partitioned hash join: tag sides, co-group, emit peer msgs)
+        lab_side = labels.map_batches(
+            lambda t: pa.table(
+                {"key": t["id"], "peer": pa.nulls(len(t), pa.string()), "label": t["cluster_id"]}
+            ),
+            batch_format="pyarrow",
+        )
+        edge_side = edges.map_batches(
+            lambda t: pa.table(
+                {"key": t["node"], "peer": t["peer"], "label": pa.nulls(len(t), pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+
+        def emit_msgs(g):
+            import pandas as pd
+
+            lab = g["label"].dropna()
+            if lab.empty:
+                return pa.table({"id": pa.array([], pa.string()), "cluster_id": pa.array([], pa.string())})
+            label = lab.min()
+            peers = list(g["peer"].dropna())
+            node = g["key"].iloc[0]
+            return pa.table(
+                {
+                    "id": pa.array(peers + [node], pa.string()),
+                    "cluster_id": pa.array([label] * (len(peers) + 1), pa.string()),
+                }
+            )
+
+        msgs = (
+            lab_side.union(edge_side)
+            .groupby("key")
+            .map_groups(emit_msgs, batch_format="pandas")
+        )
+        new_labels = (
+            msgs.groupby("id").min("cluster_id").materialize()
+        )
+        new_labels = new_labels.map_batches(
+            lambda t: t.rename_columns(["id", "cluster_id"]), batch_format="pyarrow"
+        ).materialize()
+        labels = new_labels
+    return labels

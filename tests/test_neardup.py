@@ -1,0 +1,161 @@
+"""MinHash/LSH + SimHash near-dup detection vs brute-force Jaccard oracle."""
+
+import numpy as np
+import pytest
+
+import oracle as orc
+from backupdeduplicator_ray.config import MinHashConfig, SimHashConfig
+from backupdeduplicator_ray.functions import minhash as mh
+from backupdeduplicator_ray.functions import simhash as sh
+from backupdeduplicator_ray.functions.shingles import shingle_hashes, tokenize
+
+
+def test_shingle_hashes_deterministic_and_set_like():
+    a = shingle_hashes(tokenize("the quick brown fox jumps"), 3)
+    b = shingle_hashes(tokenize("THE quick Brown fox JUMPS"), 3)  # case-folded
+    assert np.array_equal(a, b)
+    assert len(a) == 3  # 5 tokens, k=3 -> 3 shingles
+    assert len(shingle_hashes(tokenize(""), 3)) == 0
+    assert len(shingle_hashes(tokenize("one two"), 3)) == 1  # < k tokens -> 1
+
+
+def test_minhash_estimates_jaccard():
+    cfg = MinHashConfig(num_perms=256)
+    a, b = mh.perm_table(cfg)
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2**63, 1000, dtype=np.uint64)
+    # overlap 80%
+    other = np.concatenate([base[:800], rng.integers(0, 2**63, 200, dtype=np.uint64)])
+    sa = mh.signature(np.unique(base), a, b)
+    sb = mh.signature(np.unique(other), a, b)
+    est = mh.estimate_jaccard(sa, sb)
+    true_j = len(np.intersect1d(base, other)) / len(np.union1d(base, other))
+    assert abs(est - true_j) < 0.1
+
+
+def test_signature_merge_and_chunking():
+    cfg = MinHashConfig()
+    a, b = mh.perm_table(cfg)
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 2**63, 10000, dtype=np.uint64)
+    full = mh.signature(x, a, b, chunk=512)
+    assert np.array_equal(full, mh.signature(x, a, b, chunk=100000))
+    merged = mh.merge_signatures(mh.signature(x[:5000], a, b), mh.signature(x[5000:], a, b))
+    assert np.array_equal(full, merged)
+
+
+def test_band_hashes_batch_matches_single():
+    cfg = MinHashConfig()
+    a, b = mh.perm_table(cfg)
+    rng = np.random.default_rng(5)
+    sigs = rng.integers(0, 2**63, (4, cfg.num_perms), dtype=np.uint64)
+    batch = mh.band_hashes_batch(sigs, cfg.bands)
+    for i in range(4):
+        assert np.array_equal(batch[i], mh.band_hashes(sigs[i], cfg.bands))
+
+
+def test_simhash_near_far():
+    t1 = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    t2 = t1.replace("gamma", "zamma")
+    t3 = "completely different words entirely unrelated text here now"
+    f1 = sh.simhash(shingle_hashes(tokenize(t1), 2))
+    f2 = sh.simhash(shingle_hashes(tokenize(t2), 2))
+    f3 = sh.simhash(shingle_hashes(tokenize(t3), 2))
+    assert sh.hamming(f1, f2) < sh.hamming(f1, f3)
+    assert sh.simhash(np.empty(0, np.uint64)) == 0
+    assert len(sh.simhash_bands(f1, 4)) == 4
+
+
+@pytest.fixture(scope="module")
+def doc_corpus(small_corpus):
+    """id -> text map over the fixture corpus (non-null contents)."""
+    table, truth = small_corpus
+    docs = {
+        f"{r}|{p}": c
+        for r, p, c in zip(
+            table["repo"].to_pylist(),
+            table["path"].to_pylist(),
+            table["content"].to_pylist(),
+        )
+        if c is not None
+    }
+    return docs, truth
+
+
+def test_minhash_clusters_recall(ray_session, doc_corpus):
+    """Dup-pair recall >= 0.99 vs brute-force Jaccard truth (BASELINE.json)."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.neardup import minhash_clusters
+
+    docs, truth = doc_corpus
+    cfg = MinHashConfig()
+    ds = ray.data.from_arrow(
+        pa.table({"id": list(docs.keys()), "text": pa.array(list(docs.values()), pa.large_string())})
+    )
+    labels = {r["id"]: r["cluster_id"] for r in minhash_clusters(ds, cfg).take_all()}
+
+    truth_pairs = orc.brute_force_near_pairs(docs, k=cfg.shingle_k, threshold=0.8)
+    assert truth_pairs, "fixture must contain near-dup pairs"
+    found = sum(
+        1
+        for a, b in truth_pairs
+        if labels.get(a) is not None and labels.get(a) == labels.get(b)
+    )
+    recall = found / len(truth_pairs)
+    assert recall >= 0.99, f"recall {recall} over {len(truth_pairs)} pairs"
+    # injected near-dup truth pairs are clustered together too
+    near_hits = sum(
+        1 for a, b in truth.near_pairs if labels.get(a) == labels.get(b) and labels.get(a)
+    )
+    assert near_hits >= 0.9 * len(truth.near_pairs)
+
+
+def test_minhash_precision_no_false_merges(ray_session, doc_corpus):
+    """Docs in the same cluster really are similar (est >= verify threshold
+    implies true Jaccard isn't tiny): check no cluster mixes docs with
+    near-zero true Jaccard."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.neardup import minhash_clusters
+
+    docs, _ = doc_corpus
+    cfg = MinHashConfig()
+    ds = ray.data.from_arrow(
+        pa.table({"id": list(docs.keys()), "text": pa.array(list(docs.values()), pa.large_string())})
+    )
+    rows = minhash_clusters(ds, cfg).take_all()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["id"])
+    checked = 0
+    for members in by_cluster.values():
+        if len(members) < 2:
+            continue
+        a, b = members[0], members[1]
+        j = orc.jaccard(orc.shingle_set(docs[a], 3), orc.shingle_set(docs[b], 3))
+        assert j > 0.3, (a, b, j)
+        checked += 1
+    assert checked > 0
+
+
+def test_simhash_clusters_exact_dups(ray_session, doc_corpus):
+    """SimHash clusters at least group exact duplicates together."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.neardup import simhash_clusters
+
+    docs, truth = doc_corpus
+    ds = ray.data.from_arrow(
+        pa.table({"id": list(docs.keys()), "text": pa.array(list(docs.values()), pa.large_string())})
+    )
+    labels = {r["id"]: r["cluster_id"] for r in simhash_clusters(ds, SimHashConfig()).take_all()}
+    hits = sum(
+        1
+        for a, b in truth.exact_pairs
+        if labels.get(a) is not None and labels.get(a) == labels.get(b)
+    )
+    assert hits >= 0.95 * len(truth.exact_pairs)
