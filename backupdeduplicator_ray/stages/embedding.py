@@ -1,0 +1,232 @@
+"""Embedding similarity: brute-force cosine top-k, cosine near-dup pairs,
+and a random-hyperplane LSH-bucketed variant for scale.
+
+Mandated extensions (similarity search + embedding-cosine near-dup).  The
+baseline path broadcasts the (small) query matrix once via `ray.put` and
+does a float64 numpy matmul per batch — per-batch top-k partials are
+reduced at the end (top-k is an aggregate, not a materialization of the
+scored corpus).  The all-pairs near-dup path is quadratic and only for
+verification scale; `embedding_neardup_lsh` is the scale path: sign-bit
+bucketing → within-bucket pairs only.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+TOPK_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("vec_id", pa.int64()),
+        ("cos_sim", pa.float64()),
+    ]
+)
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def cosine_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+):
+    """Brute-force cosine top-k of each query vector over the dataset.
+
+    queries: (q, dim) float matrix, broadcast once (ray.put) and read in
+    every task.  Each batch emits its local top-k per query; the driver
+    merges the tiny partials with a heap.  Returns an Arrow table
+    (query_id, vec_id, cos_sim) sorted by (query_id, -cos_sim, vec_id).
+    Rounding (default 6 dp) makes results comparable across engines.
+    """
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+    qids = list(query_ids)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = m @ q.T  # (n, q)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+            for j in top:
+                out_q.append(qids[qi])
+                out_v.append(int(ids[j]))
+                out_s.append(float(col[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    best: dict[int, list] = {}
+    for r in partials:
+        heapq.heappush(
+            best.setdefault(r["query_id"], []), (r["cos_sim"], -r["vec_id"])
+        )
+        if len(best[r["query_id"]]) > k:
+            heapq.heappop(best[r["query_id"]])
+    rows = []
+    for qid in sorted(best):
+        ranked = sorted(best[qid], key=lambda t: (-t[0], -t[1]))
+        for sim, neg_vid in ranked:
+            rows.append(
+                {
+                    "query_id": qid,
+                    "vec_id": -neg_vid,
+                    "cos_sim": round(sim, round_to) if round_to else sim,
+                }
+            )
+    return pa.Table.from_pylist(rows, schema=TOPK_SCHEMA)
+
+
+PAIRS_SCHEMA = pa.schema(
+    [("a_id", pa.int64()), ("b_id", pa.int64()), ("cos_sim", pa.float64())]
+)
+
+
+def cosine_dup_pairs(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+):
+    """All pairs with cosine >= threshold (a_id < b_id).
+
+    Broadcasts the full normalized matrix — verification-scale only (the
+    oracle-checkable exact semantics).  Scale path: embedding_neardup_lsh.
+    """
+    import ray
+
+    rows = ds.map_batches(
+        lambda t: pa.table({"vec_id": t[id_col], "embedding": t[vec_col]}),
+        batch_format="pyarrow",
+    ).take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = _normalize(np.asarray([r["embedding"] for r in rows], dtype=np.float64))
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    m_ref = ray.put((ids, m))
+    import ray.data
+
+    idx_ds = ray.data.range(len(ids))
+
+    def block_pairs(batch: dict) -> pa.Table:
+        all_ids, mat = ray.get(m_ref)
+        out_a, out_b, out_s = [], [], []
+        for i in batch["id"]:
+            i = int(i)
+            sims = mat[i + 1 :] @ mat[i]
+            hits = np.nonzero(sims >= threshold)[0]
+            for h in hits:
+                out_a.append(int(all_ids[i]))
+                out_b.append(int(all_ids[i + 1 + h]))
+                s = float(sims[h])
+                out_s.append(round(s, round_to) if round_to else s)
+        return pa.table(
+            {
+                "a_id": pa.array(out_a, pa.int64()),
+                "b_id": pa.array(out_b, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return idx_ds.map_batches(block_pairs, batch_format="numpy")
+
+
+def embedding_neardup_lsh(
+    ds,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 4096,
+):
+    """Random-hyperplane LSH near-dup pairs: sign-bit bucket per table →
+    groupby(table, bucket) → exact cosine within bucket only.
+
+    Recall is probabilistic (tested >= 0.95 vs brute force on fixtures);
+    n_tables trades recall for shuffle volume.  Dim is inferred from the
+    first batch; the plane tensor is seeded so every task derives identical
+    planes without a broadcast.
+    """
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, m.shape[1], n_planes))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out = {"table_id": [], "bucket": [], "vec_id": [], "vec": []}
+        for t in range(n_tables):
+            bits = (m @ planes[t]) >= 0  # (n, planes)
+            bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+            out["table_id"].extend([t] * len(ids))
+            out["bucket"].extend(bucket.tolist())
+            out["vec_id"].extend(int(i) for i in ids)
+            out["vec"].extend(m.tolist())
+        return pa.table(
+            {
+                "table_id": pa.array(out["table_id"], pa.int32()),
+                "bucket": pa.array(out["bucket"], pa.uint64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "vec": pa.array(out["vec"], pa.list_(pa.float64())),
+            }
+        )
+
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def per_bucket(g):
+        n = len(g)
+        if n < 2:
+            return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
+        ids = np.asarray(list(g["vec_id"]), dtype=np.int64)
+        m = np.asarray(list(g["vec"]), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        if n > bucket_cap:
+            m, ids = m[:bucket_cap], ids[:bucket_cap]
+            n = bucket_cap
+        sims = m @ m.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pa.table(
+            {
+                "a_id": pa.array(ids[ai], pa.int64()),
+                "b_id": pa.array(ids[bi], pa.int64()),
+                "cos_sim": pa.array(np.round(sims[ai, bi], 6), pa.float64()),
+            }
+        )
+
+    pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
+        per_bucket, batch_format="pandas"
+    )
+    # dedupe pairs found by multiple tables
+    return (
+        pairs.groupby(["a_id", "b_id"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )

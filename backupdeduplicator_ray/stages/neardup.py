@@ -348,3 +348,108 @@ def simhash_clusters(ds, cfg: SimHashConfig | None = None, id_col: str = "id", t
         lambda t: t.append_column("method", pa.array(["simhash"] * len(t), pa.string())),
         batch_format="pyarrow",
     )
+
+
+# --- exact n-gram Jaccard via shingle inverted index ----------------------
+
+JACCARD_SCHEMA = pa.schema(
+    [("a_id", pa.string()), ("b_id", pa.string()), ("jaccard", pa.float64())]
+)
+
+
+def jaccard_pairs(
+    ds,
+    threshold: float = 0.6,
+    k: int = 3,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+    hashed: bool = True,
+):
+    """EXACT n-gram-Jaccard pairs >= threshold via an inverted shingle index.
+
+    J(A,B) = c / (|A| + |B| - c) where c = co-occurring distinct shingles,
+    computed from (shingle → docs) groups — no all-pairs scan:
+      explode (shingle, id, set_size) → groupby(shingle): emit pair hits →
+      groupby(a,b): count hits = c → filter.
+
+    `hashed=True` uses u64 shingle hashes (lean shuffle; collision odds
+    ~n²/2^64).  `hashed=False` ships shingle strings — bit-identical to the
+    DuckDB oracle's string shingles (oracle-checked path).  Strict
+    k-shingles only: docs with < k tokens have an empty set (no pairs).
+    `max_doc_freq` drops shingles shared by more docs (stopword-shingle
+    pair-explosion valve at scale; off by default = exact).
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, sh_out, size_out = [], [], []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            if t is None:
+                continue
+            toks = tokenize(t)
+            if len(toks) < k:
+                continue
+            if hashed:
+                shingles = [int(x) for x in shingle_hashes(toks, k)]
+            else:
+                shingles = sorted({" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)})
+            sid = str(i)
+            for s in shingles:
+                ids_out.append(sid)
+                sh_out.append(s)
+                size_out.append(len(shingles))
+        return pa.table(
+            {
+                "shingle": pa.array(sh_out, pa.uint64() if hashed else pa.string()),
+                "id": pa.array(ids_out, pa.string()),
+                "set_size": pa.array(size_out, pa.int64()),
+            }
+        )
+
+    inv = ds.map_batches(explode, batch_format="pyarrow")
+
+    def pair_hits(g):
+        n = len(g)
+        if n < 2 or (max_doc_freq is not None and n > max_doc_freq):
+            return pa.table(
+                {
+                    "a_id": pa.array([], pa.string()),
+                    "b_id": pa.array([], pa.string()),
+                    "na": pa.array([], pa.int64()),
+                    "nb": pa.array([], pa.int64()),
+                }
+            )
+        rows = sorted(zip(g["id"], g["set_size"]))
+        a_ids, b_ids, nas, nbs = [], [], [], []
+        for x in range(n):
+            for y in range(x + 1, n):
+                a_ids.append(rows[x][0])
+                b_ids.append(rows[y][0])
+                nas.append(int(rows[x][1]))
+                nbs.append(int(rows[y][1]))
+        return pa.table(
+            {
+                "a_id": pa.array(a_ids, pa.string()),
+                "b_id": pa.array(b_ids, pa.string()),
+                "na": pa.array(nas, pa.int64()),
+                "nb": pa.array(nbs, pa.int64()),
+            }
+        )
+
+    hits = inv.groupby("shingle").map_groups(pair_hits, batch_format="pandas")
+
+    def reduce_pair(g):
+        c = len(g)
+        na = int(g["na"].iloc[0])
+        nb = int(g["nb"].iloc[0])
+        j = c / (na + nb - c)
+        if j < threshold:
+            return pa.Table.from_pylist([], schema=JACCARD_SCHEMA)
+        return pa.Table.from_pylist(
+            [{"a_id": g["a_id"].iloc[0], "b_id": g["b_id"].iloc[0], "jaccard": round(j, 6)}],
+            schema=JACCARD_SCHEMA,
+        )
+
+    return hits.groupby(["a_id", "b_id"]).map_groups(reduce_pair, batch_format="pandas")

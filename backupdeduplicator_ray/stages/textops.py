@@ -1,0 +1,261 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's scope (mandated extensions): token counting, quality
+scoring, language identification, document fingerprinting.  Counting ops are
+pure pyarrow.compute kernels (RE2 regexes — keep patterns RE2-safe so the
+DuckDB oracle's regexp functions agree); langid and winnowing are actor-pool
+stages with per-actor compiled state.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+TOKEN_PATTERN = r"[A-Za-z0-9_]+"
+PUNCT_PATTERN = r"[.,;:!?]"
+DIGIT_PATTERN = r"[0-9]"
+
+
+def token_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc integer counts: n_tokens, n_chars, n_punct, n_digits, n_lines.
+
+    Integer outputs on purpose — float ratios would make oracle value-hash
+    comparison fragile.  SQL equivalents (DuckDB):
+      n_tokens = len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+      n_chars  = length(text)         (characters, matches utf8_length)
+      n_punct  = len(regexp_extract_all(text, '[.,;:!?]'))
+      n_digits = len(regexp_extract_all(text, '[0-9]'))
+      n_lines  = len(text) - len(replace(text, chr(10), '')) + 1
+    """
+    import pyarrow.compute as pc
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pc.cast(pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_punct": pc.cast(pc.count_substring_regex(text, PUNCT_PATTERN), pa.int64()),
+                "n_digits": pc.cast(pc.count_substring_regex(text, DIGIT_PATTERN), pa.int64()),
+                "n_lines": pc.cast(
+                    pc.add(pc.count_substring(text, "\n"), 1), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def quality_flags(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_punct_per_100_tokens: int = 30,
+):
+    """Quality gate: integer flags (1/0) per doc + the counts they derive
+    from.  Flags: long_enough (n_tokens >= min_tokens), punct_ok
+    (100*n_punct <= max_punct_per_100_tokens*n_tokens), passes (both).
+    All-integer arithmetic so the SQL oracle matches bit-for-bit.
+    """
+    import pyarrow.compute as pc
+
+    def flags(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_PATTERN), pa.int64())
+        long_enough = pc.cast(pc.greater_equal(n_tokens, min_tokens), pa.int64())
+        punct_ok = pc.cast(
+            pc.less_equal(
+                pc.multiply(n_punct, 100),
+                pc.multiply(n_tokens, max_punct_per_100_tokens),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": n_tokens,
+                "n_punct": n_punct,
+                "long_enough": long_enough,
+                "punct_ok": punct_ok,
+                "passes": pc.multiply(long_enough, punct_ok),
+            }
+        )
+
+    return ds.map_batches(flags, batch_format="pyarrow")
+
+
+# --- language identification ----------------------------------------------
+
+_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "this"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "von", "zu", "den"},
+    "es": {"el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por"},
+    "fr": {"le", "la", "les", "des", "et", "est", "une", "dans", "que", "pour", "qui", "du"},
+    "it": {"il", "la", "di", "che", "e", "un", "una", "per", "con", "del", "sono", "non"},
+    "pt": {"o", "a", "os", "as", "de", "que", "e", "um", "uma", "para", "com", "não"},
+    "nl": {"de", "het", "een", "en", "van", "is", "dat", "op", "niet", "met", "zijn", "voor"},
+}
+
+
+class LangIdStage:
+    """Actor-pool stage: heuristic language ID (stopword votes + script
+    ranges).  Compiled state (token regex, marker sets) built once per actor.
+
+    Scripts shortcut the vote: CJK → zh, Cyrillic → ru, Greek → el,
+    Arabic → ar, Devanagari → hi.  Latin-script texts are voted by stopword
+    hits; ties break alphabetically; no hits → 'unknown'.
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.token_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.markers = _MARKERS
+
+    def _script(self, text: str) -> str | None:
+        counts = {"zh": 0, "ru": 0, "el": 0, "ar": 0, "hi": 0}
+        scanned = 0
+        for ch in text[:2000]:
+            o = ord(ch)
+            if 0x4E00 <= o <= 0x9FFF or 0x3040 <= o <= 0x30FF:
+                counts["zh"] += 1
+            elif 0x0400 <= o <= 0x04FF:
+                counts["ru"] += 1
+            elif 0x0370 <= o <= 0x03FF:
+                counts["el"] += 1
+            elif 0x0600 <= o <= 0x06FF:
+                counts["ar"] += 1
+            elif 0x0900 <= o <= 0x097F:
+                counts["hi"] += 1
+            if ch.isalpha():
+                scanned += 1
+        if scanned == 0:
+            return None
+        best = max(sorted(counts), key=lambda k: counts[k])
+        return best if counts[best] > 0.3 * scanned else None
+
+    def predict(self, text: str | None) -> str:
+        if not text:
+            return "unknown"
+        script = self._script(text)
+        if script:
+            return script
+        toks = [t.lower() for t in self.token_re.findall(text[:4000])]
+        if not toks:
+            return "unknown"
+        scores = {
+            lang: sum(1 for t in toks if t in marks)
+            for lang, marks in self.markers.items()
+        }
+        best = min(
+            (lang for lang in scores if scores[lang] == max(scores.values()))
+        )
+        return best if scores[best] > 0 else "unknown"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "lang_pred": pa.array(preds, pa.string()),
+            }
+        )
+
+
+def language_id(ds, id_col: str = "doc_id", text_col: str = "text", concurrency: int | None = None):
+    from .neardup import default_concurrency
+
+    return ds.map_batches(
+        LangIdStage,
+        fn_constructor_args=(id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
+# --- winnowing fingerprints ------------------------------------------------
+
+
+def winnow(hashes: np.ndarray, window: int) -> np.ndarray:
+    """Winnowing (Schleimer et al., SIGMOD 2003): rightmost-minimum of each
+    sliding window over the k-gram hash sequence, consecutive duplicates
+    collapsed.  Guarantees shared fingerprints for sufficiently long shared
+    substrings — the document-fingerprinting primitive."""
+    n = len(hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n <= window:
+        return np.array([hashes.min()], dtype=np.uint64)
+    idx = np.arange(n - window + 1)[:, None] + np.arange(window)[None, :]
+    w = hashes[idx]
+    # rightmost min: reverse, argmin picks first occurrence in reversed order
+    rev = w[:, ::-1]
+    pos = window - 1 - rev.argmin(axis=1)
+    mins = w[np.arange(len(w)), pos]
+    # a fingerprint repeats while consecutive windows select the same
+    # occurrence (same global position); keep only selection changes
+    gpos = pos + np.arange(len(w))
+    keep = np.ones(len(mins), dtype=bool)
+    keep[1:] = gpos[1:] != gpos[:-1]
+    return mins[keep]
+
+
+class FingerprintStage:
+    """Actor-pool stage: text → winnowed fingerprint summary (deterministic
+    rolling-hash document fingerprint)."""
+
+    def __init__(self, id_col: str, text_col: str, k: int = 5, window: int = 4):
+        from ..functions.shingles import TOKEN_RE
+
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.window = window
+        self.token_re = TOKEN_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.shingles import token_hashes
+
+        ids, n_fp, min_fp, max_fp = [], [], [], []
+        poly = np.uint64(1099511628211)
+        for i, t in zip(batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()):
+            ids.append(i)
+            toks = self.token_re.findall((t or "").lower())
+            th = token_hashes(toks)
+            if len(th) >= self.k:
+                acc = th[: len(th) - self.k + 1].copy()
+                for j in range(1, self.k):
+                    acc = acc * poly + th[j : len(th) - self.k + 1 + j]
+            else:
+                acc = th
+            fps = winnow(acc, self.window)
+            n_fp.append(len(fps))
+            min_fp.append(int(fps.min()) if len(fps) else 0)
+            max_fp.append(int(fps.max()) if len(fps) else 0)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "n_fingerprints": pa.array(n_fp, pa.int64()),
+                "min_fingerprint": pa.array(min_fp, pa.uint64()),
+                "max_fingerprint": pa.array(max_fp, pa.uint64()),
+            }
+        )
+
+
+def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 5, window: int = 4, concurrency: int | None = None):
+    from .neardup import default_concurrency
+
+    return ds.map_batches(
+        FingerprintStage,
+        fn_constructor_args=(id_col, text_col, k, window),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency or default_concurrency(),
+    )

@@ -1,0 +1,79 @@
+"""Embedding similarity: brute-force top-k, dup pairs, LSH recall."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def vec_table():
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((60, 16))
+    # inject near-dups: rows 50..59 are noisy copies of rows 0..9
+    base[50:60] = base[0:10] + 0.01 * rng.standard_normal((10, 16))
+    return pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in base], pa.list_(pa.float64())),
+        }
+    )
+
+
+def _brute_cosine(table):
+    m = np.asarray(table["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return m @ m.T
+
+
+def test_cosine_topk_matches_brute_force(ray_session, vec_table):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.embedding import cosine_topk
+
+    sims = _brute_cosine(vec_table)
+    queries = np.asarray(vec_table["embedding"].to_pylist()[:3], dtype=np.float64)
+    ds = ray.data.from_arrow(vec_table).repartition(4)
+    out = cosine_topk(ds, queries, [0, 1, 2], k=5)
+    got = {}
+    for r in out.to_pylist():
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    for q in range(3):
+        want = list(np.argsort(-sims[q])[:5])
+        assert got[q] == want, (q, got[q], want)
+
+
+def test_cosine_dup_pairs(ray_session, vec_table):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.embedding import cosine_dup_pairs
+
+    sims = _brute_cosine(vec_table)
+    want = {
+        (a, b)
+        for a in range(60)
+        for b in range(a + 1, 60)
+        if sims[a, b] >= 0.95
+    }
+    assert len(want) >= 10  # the injected noisy copies
+    ds = ray.data.from_arrow(vec_table).repartition(3)
+    got = {(r["a_id"], r["b_id"]) for r in cosine_dup_pairs(ds, 0.95).take_all()}
+    assert got == want
+
+
+def test_embedding_lsh_recall(ray_session, vec_table):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.embedding import embedding_neardup_lsh
+
+    sims = _brute_cosine(vec_table)
+    want = {
+        (a, b) for a in range(60) for b in range(a + 1, 60) if sims[a, b] >= 0.95
+    }
+    ds = ray.data.from_arrow(vec_table)
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_neardup_lsh(ds, 0.95, n_planes=8, n_tables=6).take_all()
+    }
+    assert got <= want or not want  # no false positives (exact verify in-bucket)
+    recall = len(got & want) / len(want)
+    assert recall >= 0.95, recall

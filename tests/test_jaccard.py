@@ -1,0 +1,72 @@
+"""Exact n-gram Jaccard pairs vs brute force, hashed and string paths."""
+
+import pyarrow as pa
+import pytest
+
+import oracle as orc
+
+
+def _strict_shingles(text, k=3):
+    toks = orc._tokenize(text)
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+@pytest.fixture(scope="module")
+def docs():
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    return {
+        "a": base,
+        "b": base.replace("quick", "slow"),
+        "c": base,
+        "d": "completely different content with other words entirely here",
+        "e": "tiny doc",
+        "f": base.replace("river", "ocean").replace("today", "tomorrow"),
+    }
+
+
+def _truth(docs, threshold):
+    out = set()
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = orc.jaccard(_strict_shingles(docs[a]), _strict_shingles(docs[b]))
+            sa, sb = _strict_shingles(docs[a]), _strict_shingles(docs[b])
+            if sa and sb and j >= threshold:
+                out.add((a, b))
+    return out
+
+
+@pytest.mark.parametrize("hashed", [True, False])
+def test_jaccard_pairs_exact(ray_session, docs, hashed):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.neardup import jaccard_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": list(docs.keys()), "text": list(docs.values())})
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in jaccard_pairs(ds, threshold=0.5, k=3, hashed=hashed).take_all()
+    }
+    want = _truth(docs, 0.5)
+    assert set(got) == want
+    # exact values match brute force
+    for (a, b), j in got.items():
+        jt = orc.jaccard(_strict_shingles(docs[a]), _strict_shingles(docs[b]))
+        assert abs(j - jt) < 5e-7  # engine rounds to 6 dp
+
+
+def test_jaccard_max_doc_freq_prunes(ray_session, docs):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.neardup import jaccard_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": list(docs.keys()), "text": list(docs.values())})
+    )
+    # max_doc_freq=1 drops every shared shingle -> no pairs at all
+    got = jaccard_pairs(ds, threshold=0.1, max_doc_freq=1).take_all()
+    assert got == []

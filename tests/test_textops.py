@@ -1,0 +1,109 @@
+"""Text-analysis operators: counts, quality, langid, winnowing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from backupdeduplicator_ray.stages.textops import LangIdStage, winnow
+
+
+def test_winnow_properties():
+    h = np.array([9, 3, 5, 7, 2, 8, 4], dtype=np.uint64)
+    fps = winnow(h, 3)
+    # winnowing always selects the global minimum
+    assert 2 in fps
+    # short sequence -> single min
+    assert list(winnow(np.array([5, 9], dtype=np.uint64), 4)) == [5]
+    assert len(winnow(np.empty(0, dtype=np.uint64), 4)) == 0
+    # shared long substring -> shared fingerprints
+    a = np.array([11, 13, 2, 4, 6, 8, 17], dtype=np.uint64)
+    b = np.array([99, 98, 2, 4, 6, 8, 97], dtype=np.uint64)
+    assert set(winnow(a, 2)) & set(winnow(b, 2))
+
+
+def test_langid_scripts_and_stopwords():
+    stage = LangIdStage()
+    assert stage.predict("the cat sat on the mat and it was happy with this") == "en"
+    assert stage.predict("der Hund ist nicht mit der Katze und das ist gut") == "de"
+    assert stage.predict("el perro y la casa que es de los niños por la tarde") == "es"
+    assert stage.predict("le chien est dans la maison pour les enfants qui dorment") == "fr"
+    assert stage.predict("这是一个中文句子这是测试文本") == "zh"
+    assert stage.predict("это русский текст для проверки языка") == "ru"
+    assert stage.predict("") == "unknown"
+    assert stage.predict(None) == "unknown"
+    assert stage.predict("12345 67890 ---") == "unknown"
+
+
+def test_token_stats_and_quality(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.textops import quality_flags, token_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "Hello world, one two three. Line!\nSecond line 42.",
+                    "short",
+                    "a b c d e f g h i j k l",  # 12 tokens, no punct
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    stats = {r["doc_id"]: r for r in token_stats(ds).take_all()}
+    assert stats[1]["n_tokens"] == 9
+    assert stats[1]["n_lines"] == 2
+    assert stats[1]["n_punct"] == 4  # , . ! .
+    assert stats[1]["n_digits"] == 2
+    assert stats[2]["n_tokens"] == 1
+    assert stats[3]["n_tokens"] == 12
+
+    q = {r["doc_id"]: r for r in quality_flags(ds).take_all()}
+    assert q[2]["long_enough"] == 0 and q[2]["passes"] == 0
+    assert q[3]["long_enough"] == 1 and q[3]["punct_ok"] == 1 and q[3]["passes"] == 1
+
+
+def test_language_id_stage_on_dataset(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.textops import language_id
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                ["the quick brown fox and the lazy dog in the yard", "der schnelle braune Fuchs und der faule Hund ist da"]
+            ),
+        }
+    )
+    preds = {r["doc_id"]: r["lang_pred"] for r in language_id(ray.data.from_arrow(t)).take_all()}
+    assert preds == {1: "en", 2: "de"}
+
+
+def test_fingerprints_deterministic(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.textops import fingerprints
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                    "tiny",
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    rows = {r["doc_id"]: r for r in fingerprints(ds).take_all()}
+    # identical docs -> identical fingerprint summaries
+    assert rows[1]["n_fingerprints"] == rows[2]["n_fingerprints"] > 0
+    assert rows[1]["min_fingerprint"] == rows[2]["min_fingerprint"]
+    assert rows[1]["max_fingerprint"] == rows[2]["max_fingerprint"]
+    # < k tokens still fingerprints (falls back to shorter gram)
+    assert rows[3]["n_fingerprints"] >= 1
