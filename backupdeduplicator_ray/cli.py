@@ -1,0 +1,105 @@
+"""CLI entry points — parity with the reference's `backup-deduplicator
+build / analyze / clean` commands (`src/main.rs:13-98`), Ray-Data-backed.
+
+    python -m backupdeduplicator_ray.cli build   --input corpus.parquet --output nodes/
+    python -m backupdeduplicator_ray.cli analyze --input corpus.parquet --output dupsets/
+    python -m backupdeduplicator_ray.cli cluster --input corpus.parquet --output clusters/
+    python -m backupdeduplicator_ray.cli clean   --input nodes/ --snapshot corpus.parquet --output clean/
+
+Owns a Ray session (scripts only — library code never calls ray.init;
+the driver contract in __ray_entry__.py relies on that).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="backupdeduplicator_ray")
+    p.add_argument("command", choices=["build", "analyze", "cluster", "clean"])
+    p.add_argument("--input", required=True, help="corpus parquet file/dir (nodes dir for clean)")
+    p.add_argument("--output", required=True, help="output parquet dir")
+    p.add_argument("--snapshot", help="clean: current corpus snapshot parquet")
+    p.add_argument("--hash", default="sha256", help="hash algorithm (reference --hash)")
+    p.add_argument("--threads", type=int, default=None, help="num_cpus for ray.init (reference --threads)")
+    p.add_argument("--checkpoint-dir", default=None)
+    args = p.parse_args(argv)
+
+    _init_ray(args.threads)
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from .config import HashConfig, PipelineConfig
+    from .pipelines.dedup import build_nodes, minimal_dup_members
+    from .sources.corpus import read_corpus
+    from .stages.analyze import dup_sets
+    from .stages.neardup import minhash_clusters
+
+    cfg = PipelineConfig(hash=HashConfig(args.hash), checkpoint_dir=args.checkpoint_dir)
+    os.makedirs(args.output, exist_ok=True)
+
+    if args.command == "build":
+        build_nodes(read_corpus(args.input), cfg).write_parquet(args.output)
+    elif args.command == "analyze":
+        dupsets, dup_bytes = dup_sets(build_nodes(read_corpus(args.input), cfg))
+        dupsets.map_batches(
+            lambda t: t.drop_columns(["repos", "paths"]), batch_format="pyarrow"
+        ).write_parquet(args.output)
+        # reference prints the duplicated-bytes total (analyze/cmd.rs:194)
+        print(f"duplicated bytes: {dup_bytes}")
+    elif args.command == "cluster":
+        corpus = read_corpus(args.input)
+        docs = corpus.map_batches(
+            lambda t: pa.table(
+                {
+                    "id": pa.array(
+                        [f"{r}|{p}" for r, p in zip(t["repo"].to_pylist(), t["path"].to_pylist())],
+                        pa.string(),
+                    ),
+                    "text": t["content"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        minhash_clusters(docs).write_parquet(args.output)
+    elif args.command == "clean":
+        from .stages.clean import clean as clean_stage
+
+        nodes = ray.data.read_parquet(args.input)
+        snapshot = None
+        if args.snapshot:
+            snapshot = build_nodes(read_corpus(args.snapshot), cfg)
+        if "file_index" not in nodes.schema().names:
+            nodes = nodes.map_batches(
+                lambda t: t.append_column(
+                    "file_index", pa.array([0] * len(t), pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+        clean_stage(nodes, snapshot).write_parquet(args.output)
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

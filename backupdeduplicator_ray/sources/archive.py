@@ -1,0 +1,134 @@
+"""Archive expansion: zip/tar blob rows → member rows (`path!member`).
+
+The reference *designed* archive traversal but never wired it in
+(`src/data/path.rs:8-23` ArchiveType {Tar, Zip} commented out;
+README.md:30-31 "planned feature").  Here it is implemented for real as a
+stateful actor-pool `map_batches` stage over rows carrying the archive
+bytes in a binary column: each member becomes a corpus row whose path is
+`<archive_path>!<member_path>`, feeding the build/tree/analyze stages
+unchanged (the '!' parent chain makes the archive node a directory — a
+duplicated archive then surfaces exactly like a duplicated subtree).
+
+stdlib zipfile/tarfile on in-memory buffers; no temp files.  Undecodable
+member bytes degrade to null content ('other' node semantics), mirroring
+the reference's degrade-never-fail rule (`worker.rs:126-132`).
+"""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import tarfile
+import zipfile
+
+import pyarrow as pa
+
+MEMBER_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.large_string()),
+    ]
+)
+
+_LANG_BY_EXT = {
+    ".py": "py", ".rs": "rs", ".js": "js", ".go": "go", ".md": "md", ".txt": "txt",
+}
+
+
+def _lang_of(member: str) -> str:
+    return _LANG_BY_EXT.get(posixpath.splitext(member)[1], "txt")
+
+
+def expand_archive_bytes(data: bytes, kind: str | None = None) -> list[tuple[str, str | None]]:
+    """Archive bytes → [(member_path, text_or_None)].  kind: 'zip'/'tar'/None
+    (sniff).  Raises ValueError for unrecognized bytes."""
+    if kind is None:
+        if data[:2] == b"PK":
+            kind = "zip"
+        else:
+            kind = "tar"
+    out: list[tuple[str, str | None]] = []
+    if kind == "zip":
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            for info in zf.infolist():
+                if info.is_dir():
+                    continue
+                raw = zf.read(info)
+                out.append((info.filename, _decode(raw)))
+    elif kind == "tar":
+        with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+            for info in tf.getmembers():
+                if not info.isfile():
+                    continue
+                raw = tf.extractfile(info).read()
+                out.append((info.name, _decode(raw)))
+    else:
+        raise ValueError(f"unknown archive kind: {kind}")
+    return out
+
+
+def _decode(raw: bytes) -> str | None:
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return None  # binary member -> 'other' node downstream
+
+
+class ArchiveExpander:
+    """Actor-pool stage: rows (repo, path, commit, blob) → member corpus rows.
+
+    Stateful (actor) on purpose: a future libarchive-backed variant needs
+    per-actor native handles/temp dirs; the stage signature stays fixed.
+    Unreadable archives degrade to a single null-content row for the
+    archive path itself (degrade-never-fail).
+    """
+
+    def __init__(self, blob_col: str = "blob"):
+        self.blob_col = blob_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            repo, apath, commit = row["repo"], row["path"], row.get("commit", "")
+            blob = row[self.blob_col]
+            try:
+                members = expand_archive_bytes(blob) if blob is not None else None
+            except Exception:
+                members = None
+            if members is None:
+                rows.append(
+                    {"repo": repo, "path": apath, "commit": commit, "lang": "txt", "content": None}
+                )
+                continue
+            for member, text in members:
+                member = member.lstrip("/")
+                rows.append(
+                    {
+                        "repo": repo,
+                        "path": f"{apath}!{member}",
+                        "commit": commit,
+                        "lang": _lang_of(member),
+                        "content": text,
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=MEMBER_SCHEMA)
+
+
+def expand_archives(ds, blob_col: str = "blob", concurrency: int | None = None, batch_size: int = 64):
+    """Dataset of archive-blob rows → Dataset of member corpus rows.
+
+    Small batch_size: each row can explode into many members and blobs are
+    large — keep worker heap bounded.
+    """
+    from ..stages.neardup import default_concurrency
+
+    return ds.map_batches(
+        ArchiveExpander,
+        fn_constructor_args=(blob_col,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )

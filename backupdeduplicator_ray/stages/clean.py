@@ -1,0 +1,69 @@
+"""Clean stage: latest-wins compaction + liveness filter.
+
+Re-expresses the reference `clean` stage (`src/stages/clean/cmd.rs:26-114`):
+the append-only hash-tree file accumulates stale entries (same path written
+again on resume) and dead entries (path no longer exists / fs type
+changed); clean rewrites the file keeping one live entry per path.
+
+Ray-Data form over a node table with a `file_index` (monotone write
+generation, the analogue of append order — the loader's last-write-wins,
+`hashtreefile.rs:229-239`):
+
+- compaction: `groupby(repo, path)` keep the max-file_index row (D1);
+- liveness: semi-join against the current corpus snapshot's (repo, path,
+  node_type) — dropped if missing or type changed (`clean/cmd.rs:58-96`).
+  The snapshot key set rides as a broadcast (ray.put) exactly like the
+  analyze stage's dup-dir set; flips to a shuffle join past broadcast size.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def compact_latest(nodes_ds, index_col: str = "file_index"):
+    """Keep the newest row per (repo, path) — reference last-write-wins."""
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.loc[[g[index_col].idxmax()]]
+
+    return (
+        nodes_ds.groupby(["repo", "path"])
+        .map_groups(latest, batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+
+
+def liveness_filter(nodes_ds, snapshot_ds):
+    """Drop node rows whose (repo, path) is absent from the snapshot or
+    whose node_type changed (reference clean/cmd.rs:58-96)."""
+    import ray
+
+    snap = {
+        (r["repo"], r["path"]): r["node_type"]
+        for r in snapshot_ds.select_columns(["repo", "path", "node_type"]).take_all()
+    }
+    snap_ref = ray.put(snap)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        s = ray.get(snap_ref)
+        mask = [
+            s.get((repo, path)) == ntype
+            for repo, path, ntype in zip(
+                batch["repo"].to_pylist(),
+                batch["path"].to_pylist(),
+                batch["node_type"].to_pylist(),
+            )
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return nodes_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def clean(nodes_ds, snapshot_ds=None, index_col: str = "file_index"):
+    """Full clean: compaction, then (optional) liveness vs snapshot."""
+    out = compact_latest(nodes_ds, index_col)
+    if snapshot_ds is not None:
+        out = liveness_filter(out, snapshot_ds)
+    return out

@@ -1,0 +1,135 @@
+"""Multimodal columns: opaque binary media + typed metadata.
+
+Mandated extension: image/audio/video ride as `binary` columns with typed
+metadata; decode / feature-extract are actor-pool `map_batches` stages.
+The decode libraries (PIL/ffmpeg/etc.) are NOT in this container, so the
+decode kernel is stubbed two ways — `mode="strict"` raises
+NotImplementedError (clearly marked), `mode="fake"` produces a
+deterministic content-derived pseudo-feature vector — while everything
+Ray-side (schema, batch sizing, actor signature, output layout) is real
+and tested.
+
+Media rows are large: the stage defaults to small batches so
+batch_size x concurrency x row_size stays inside a worker's heap (the
+object store spills; worker heaps don't).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # {"image","audio","video"}
+        ("media", pa.large_binary()),
+        ("format", pa.string()),  # e.g. "png", "wav"
+        ("width", pa.int32()),  # -1 when unknown / not applicable
+        ("height", pa.int32()),
+        ("duration_ms", pa.int64()),
+    ]
+)
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("feature", pa.list_(pa.float32())),
+    ]
+)
+
+
+class MediaFeatureStage:
+    """Actor-pool stage: media binary → fixed-size feature vector.
+
+    mode="strict": raises NotImplementedError at the decode step (the real
+    decoder is not available in this environment — STUB, clearly marked).
+    mode="fake": deterministic pseudo-features derived from the media bytes
+    (sha256-seeded), so the distributed plumbing is exercised end-to-end
+    and downstream stages (ANN over features) have real inputs to chew on.
+    """
+
+    def __init__(self, dim: int = 64, mode: str = "fake", media_col: str = "media"):
+        if mode not in ("fake", "strict"):
+            raise ValueError(f"unknown mode: {mode}")
+        self.dim = dim
+        self.mode = mode
+        self.media_col = media_col
+
+    def _decode_real(self, data: bytes, kind: str) -> np.ndarray:
+        raise NotImplementedError(
+            "media decoding requires PIL/ffmpeg which are not available in "
+            "this environment; run with mode='fake' for the deterministic stub"
+        )
+
+    def _decode_fake(self, data: bytes) -> np.ndarray:
+        seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(self.dim).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, n_bytes = [], []
+        for row in batch.to_pylist():
+            data = row[self.media_col] or b""
+            n_bytes.append(len(data))
+            if self.mode == "strict":
+                feats.append(self._decode_real(data, row["kind"]))
+            else:
+                feats.append(self._decode_fake(data))
+        flat = np.concatenate(feats) if feats else np.empty(0, np.float32)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "feature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, pa.float32()), self.dim
+                ).cast(pa.list_(pa.float32())),
+            }
+        )
+
+
+def media_features(
+    ds,
+    dim: int = 64,
+    mode: str = "fake",
+    media_col: str = "media",
+    concurrency: int | None = None,
+    batch_size: int = 32,
+):
+    """Media Dataset → feature Dataset via an actor pool (small batches —
+    large binary payloads)."""
+    from .neardup import default_concurrency
+
+    return ds.map_batches(
+        MediaFeatureStage,
+        fn_constructor_args=(dim, mode, media_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
+def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows (bytes are seeded noise) for tests."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "media": rng.bytes(128 + int(rng.integers(0, 512))),
+                "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
+                "width": 64 if kind == "image" else -1,
+                "height": 64 if kind == "image" else -1,
+                "duration_ms": 1000 if kind != "image" else -1,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)

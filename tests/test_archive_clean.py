@@ -1,0 +1,186 @@
+"""Archive expansion, clean/compaction, checkpoint resume, multimodal stubs."""
+
+import io
+import os
+import tarfile
+import zipfile
+
+import pyarrow as pa
+import pytest
+
+
+def _make_zip(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members.items():
+            zf.writestr(zipfile.ZipInfo(name, (2020, 1, 1, 0, 0, 0)), data)
+    return buf.getvalue()
+
+
+def _make_tar(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_expand_archive_bytes():
+    from backupdeduplicator_ray.sources.archive import expand_archive_bytes
+
+    members = {"a.py": b"print(1)\n", "sub/b.txt": b"hello", "bin.dat": b"\xff\xfe\x00"}
+    for blob in (_make_zip(members), _make_tar(members)):
+        got = dict(expand_archive_bytes(blob))
+        assert got["a.py"] == "print(1)\n"
+        assert got["sub/b.txt"] == "hello"
+        assert got["bin.dat"] is None  # undecodable -> null content
+
+
+def test_archive_expansion_feeds_dedup(ray_session):
+    """A zip whose members mirror a plain dir -> the archive node and the
+    dir get EQUAL Merkle digests (subtree dup across the archive boundary)."""
+    import ray.data
+
+    from backupdeduplicator_ray.pipelines.dedup import build_nodes
+    from backupdeduplicator_ray.sources.archive import expand_archives
+
+    members = {"x.py": b"alpha\n", "deep/y.txt": b"beta\n"}
+    blob_rows = pa.table(
+        {
+            "repo": ["r2"],
+            "path": ["vendor/lib.zip"],
+            "commit": ["c"],
+            "blob": pa.array([_make_zip(members)], pa.large_binary()),
+        }
+    )
+    plain_rows = pa.table(
+        {
+            "repo": ["r1", "r1"],
+            "path": ["lib/x.py", "lib/deep/y.txt"],
+            "commit": ["c", "c"],
+            "lang": ["py", "txt"],
+            "content": pa.array(["alpha\n", "beta\n"], pa.large_string()),
+        }
+    )
+    expanded = expand_archives(ray.data.from_arrow(blob_rows))
+    corpus = ray.data.from_arrow(plain_rows).union(expanded)
+    nodes = {(r["repo"], r["path"]): r for r in build_nodes(corpus).take_all()}
+    assert nodes[("r2", "vendor/lib.zip")]["node_type"] == "dir"
+    assert nodes[("r2", "vendor/lib.zip")]["hash"] == nodes[("r1", "lib")]["hash"]
+
+
+def test_unreadable_archive_degrades(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.sources.archive import expand_archives
+
+    bad = pa.table(
+        {
+            "repo": ["r"],
+            "path": ["x.zip"],
+            "commit": ["c"],
+            "blob": pa.array([b"not an archive"], pa.large_binary()),
+        }
+    )
+    rows = expand_archives(ray.data.from_arrow(bad)).take_all()
+    assert len(rows) == 1
+    assert rows[0]["path"] == "x.zip" and rows[0]["content"] is None
+
+
+def test_clean_compaction_and_liveness(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.clean import clean
+
+    nodes = pa.table(
+        {
+            "repo": ["r", "r", "r", "r"],
+            "path": ["a.txt", "a.txt", "gone.txt", "changed.txt"],
+            "node_type": ["file", "file", "file", "file"],
+            "hash": ["h1", "h2", "h3", "h4"],
+            "file_index": pa.array([0, 1, 0, 0], pa.int64()),
+        }
+    )
+    snapshot = pa.table(
+        {
+            "repo": ["r", "r"],
+            "path": ["a.txt", "changed.txt"],
+            "node_type": ["file", "dir"],  # changed.txt flipped type -> dropped
+        }
+    )
+    out = clean(ray.data.from_arrow(nodes), ray.data.from_arrow(snapshot)).take_all()
+    assert len(out) == 1
+    assert out[0]["path"] == "a.txt" and out[0]["hash"] == "h2"  # latest wins
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    import ray.data
+
+    from backupdeduplicator_ray.state import checkpoint as ck
+
+    path = str(tmp_path / "stage1")
+    t = pa.table({"x": pa.array(range(100), pa.int64())})
+    calls = {"n": 0}
+
+    def producer():
+        calls["n"] += 1
+        return ray.data.from_arrow(t)
+
+    ds1 = ck.run_or_resume(path, producer)
+    assert ds1.count() == 100 and calls["n"] == 1
+    assert ck.is_complete(path)
+    assert ck.read_manifest(path)["rows"] == 100
+    # resume: producer not called again
+    ds2 = ck.run_or_resume(path, producer)
+    assert ds2.count() == 100 and calls["n"] == 1
+    # partial (torn) checkpoint is ignored and rebuilt
+    import shutil
+
+    shutil.rmtree(path)
+    os.makedirs(path)  # empty dir, no manifest
+    ds3 = ck.run_or_resume(path, producer)
+    assert ds3.count() == 100 and calls["n"] == 2
+
+
+def test_tree_checkpoint_roundtrip(ray_session, small_corpus_ds, tmp_path):
+    from backupdeduplicator_ray.config import HashConfig, PipelineConfig
+    from backupdeduplicator_ray.pipelines.dedup import build_nodes
+
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    with_ckpt = {
+        (r["repo"], r["path"]): r["hash"]
+        for r in build_nodes(small_corpus_ds, cfg).take_all()
+    }
+    plain = {
+        (r["repo"], r["path"]): r["hash"]
+        for r in build_nodes(small_corpus_ds).take_all()
+    }
+    assert with_ckpt == plain
+
+
+def test_multimodal_feature_stage(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.multimodal import (
+        MediaFeatureStage,
+        media_features,
+        synth_media_table,
+    )
+
+    t = synth_media_table(12)
+    feats = media_features(ray.data.from_arrow(t), dim=16).take_all()
+    assert len(feats) == 12
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["feature"]) == 16 for r in feats)
+    # deterministic: same bytes -> same features
+    feats2 = media_features(ray.data.from_arrow(t), dim=16).take_all()
+    assert {r["media_id"]: list(r["feature"]) for r in feats2} == {
+        r["media_id"]: list(r["feature"]) for r in feats
+    }
+    # strict mode is a clearly-marked stub
+    stage = MediaFeatureStage(mode="strict")
+    with pytest.raises(NotImplementedError):
+        stage(t.slice(0, 2))
