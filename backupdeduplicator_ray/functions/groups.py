@@ -1,0 +1,63 @@
+"""Group pruning helpers.
+
+`groupby(key).map_groups(fn)` pays a Python call per group — ruinous when
+most groups are singletons (LSH buckets, content hashes, shingles).  The
+pattern here: a vectorized `groupby(key).count()` first (Ray pre-aggregates
+per block before the shuffle, so the exchange moves per-block distinct
+keys, not rows), broadcast the surviving key set (only keys with >= 2
+members — the interesting minority for dedup workloads), filter rows
+against it in `map_batches`, and run the per-group UDF on the survivors
+only.
+
+Scale valve: if a surviving key set ever outgrew a broadcast, the filter
+flips to a shuffle semi-join (union + groupby on the key); the call sites
+note this.  For dedup semantics the surviving set is proportional to the
+number of *actual duplicates*, which is the small side by construction.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def keys_with_count_between(ds, keys: list[str], min_count: int = 2, max_count: int | None = None):
+    """Vectorized count per key; returns a python set of key tuples whose
+    count is in [min_count, max_count]."""
+    # shuffle only the key columns — payload columns (signatures, texts)
+    # must not ride along in the counting exchange
+    counts = ds.select_columns(keys).groupby(keys[0] if len(keys) == 1 else keys).count()
+    rows = counts.take_all()
+    out = set()
+    for r in rows:
+        c = r["count()"]
+        if c >= min_count and (max_count is None or c <= max_count):
+            out.add(tuple(r[k] for k in keys))
+    return out
+
+
+def filter_by_key_set(ds, keys: list[str], key_set, keep: bool = True):
+    """map_batches filter: keep rows whose key tuple is (not) in key_set.
+
+    key_set is broadcast once via ray.put and read per batch.
+    """
+    import ray
+
+    ref = ray.put(key_set)
+
+    def flt(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        cols = [t[k].to_pylist() for k in keys]
+        mask = [((tup in s) == keep) for tup in zip(*cols)] if len(t) else []
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def grouped_on_survivors(ds, keys: list[str], group_fn, min_count: int = 2, batch_format: str = "pandas"):
+    """groupby(keys).map_groups(group_fn), but only over keys with
+    >= min_count rows — singleton groups never reach Python."""
+    survivors = keys_with_count_between(ds, keys, min_count=min_count)
+    pruned = filter_by_key_set(ds, keys, survivors, keep=True)
+    return pruned.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        group_fn, batch_format=batch_format
+    )

@@ -1,0 +1,641 @@
+"""Driver-contract queries: one entry per operator/pipeline (SURVEY.md §2),
+each with a DuckDB oracle where ANSI SQL can express the semantics.
+
+Every Ray callable takes `sf_dir` and reads the driver's parquet tables
+(`documents`, `embeddings`); corpus-shaped operators run over the
+deterministic derivation in sources/corpus.py (`corpus_from_documents`),
+which the SQL oracles reproduce verbatim via `derive_corpus_sql`.  Column
+names and types match the SQL exactly (the driver hash-compares values
+after sorting columns by name).
+
+Numeric conventions shared with the oracles:
+- sizes are UTF-8 BYTE lengths (DuckDB strlen), char counts use length();
+- dir digest = sha256 of the children's hex digests sorted ascending,
+  null-hash children contribute repeat('0',64);
+- floats are rounded to 6 dp on both sides; cosine is computed in float64
+  (DuckDB lists are cast to DOUBLE[] — its FLOAT list kernel computes in
+  float32 and would diverge).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.corpus import corpus_from_documents, derive_corpus_sql
+
+# --- shared SQL fragments --------------------------------------------------
+
+_NODES_CTE = f"""
+corpus AS ({derive_corpus_sql("documents")}),
+files AS (
+  SELECT repo, path,
+         CASE WHEN content IS NULL THEN 'other' ELSE 'file' END AS node_type,
+         CAST(CASE WHEN content IS NULL THEN 0 ELSE strlen(content) END AS BIGINT) AS size,
+         sha256(content) AS hash,
+         regexp_replace(path, '/[^/]*$', '') AS parent
+  FROM corpus
+),
+d1 AS (
+  SELECT repo, parent AS path, 'dir' AS node_type,
+         CAST(count(*) AS BIGINT) AS size,
+         sha256(string_agg(COALESCE(hash, repeat('0', 64)), '' ORDER BY COALESCE(hash, repeat('0', 64)))) AS hash,
+         regexp_replace(parent, '/[^/]*$', '') AS parent_up
+  FROM files GROUP BY repo, parent
+),
+d1n AS (SELECT repo, path, node_type, size, hash, parent_up AS parent FROM d1),
+d0 AS (
+  SELECT repo, parent AS path, 'dir' AS node_type,
+         CAST(count(*) AS BIGINT) AS size,
+         sha256(string_agg(hash, '' ORDER BY hash)) AS hash,
+         '' AS parent
+  FROM d1n GROUP BY repo, parent
+),
+roots AS (
+  SELECT repo, '' AS path, 'dir' AS node_type,
+         CAST(count(*) AS BIGINT) AS size,
+         sha256(string_agg(hash, '' ORDER BY hash)) AS hash,
+         CAST(NULL AS VARCHAR) AS parent
+  FROM d0 GROUP BY repo
+),
+nodes AS (
+  SELECT * FROM files UNION ALL SELECT * FROM d1n
+  UNION ALL SELECT * FROM d0 UNION ALL SELECT * FROM roots
+)
+"""
+
+_SETS_CTE = """
+counts AS (SELECT hash, count(*) AS c FROM nodes WHERE hash IS NOT NULL GROUP BY hash),
+colliding AS (SELECT hash FROM counts WHERE c >= 2),
+dup_dirs AS (
+  SELECT DISTINCT n.repo, n.path FROM nodes n JOIN colliding c ON n.hash = c.hash
+  WHERE n.node_type = 'dir'
+),
+members AS (
+  SELECT n.*, EXISTS(
+    SELECT 1 FROM dup_dirs d WHERE d.repo = n.repo AND d.path = n.parent
+  ) AS suppressed
+  FROM nodes n JOIN colliding c ON n.hash = c.hash
+),
+sets AS (
+  SELECT hash, node_type AS ftype, size, CAST(count(*) AS BIGINT) AS n_conflicts
+  FROM members GROUP BY 1, 2, 3
+  HAVING count(*) >= 2 AND bool_or(NOT suppressed)
+)
+"""
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- corpus / dedup queries ------------------------------------------------
+
+
+def q_file_hash(sf_dir: str):
+    """Per-row content sha256 over the derived corpus (M2; the per-row
+    invariant of BASELINE.json)."""
+    from ..stages.build import build_file_nodes
+
+    nodes = build_file_nodes(corpus_from_documents(sf_dir))
+    return nodes.map_batches(
+        lambda t: t.select(["repo", "path", "hash"]), batch_format="pyarrow"
+    )
+
+
+SQL_FILE_HASH = f"""
+WITH corpus AS ({derive_corpus_sql("documents")})
+SELECT repo, path, sha256(content) AS hash FROM corpus
+"""
+
+
+def q_exact_dup_groups(sf_dir: str):
+    """File-level exact-dup groups (A1/A2): hash, size, n_dups, first_member."""
+    import pyarrow.compute as pc
+
+    from ..stages.build import build_file_nodes
+
+    nodes = build_file_nodes(corpus_from_documents(sf_dir)).map_batches(
+        lambda t: t.filter(pc.equal(t["node_type"], "file")), batch_format="pyarrow"
+    )
+
+    def per_group(g):
+        if len(g) < 2:
+            return pa.table(
+                {
+                    "hash": pa.array([], pa.string()),
+                    "size": pa.array([], pa.int64()),
+                    "n_dups": pa.array([], pa.int64()),
+                    "first_member": pa.array([], pa.string()),
+                }
+            )
+        members = sorted(f"{r}|{p}" for r, p in zip(g["repo"], g["path"]))
+        return pa.table(
+            {
+                "hash": pa.array([g["hash"].iloc[0]], pa.string()),
+                "size": pa.array([int(g["size"].iloc[0])], pa.int64()),
+                "n_dups": pa.array([len(g)], pa.int64()),
+                "first_member": pa.array([members[0]], pa.string()),
+            }
+        )
+
+    return nodes.groupby(["hash", "size"]).map_groups(per_group, batch_format="pandas")
+
+
+SQL_EXACT_DUP_GROUPS = f"""
+WITH corpus AS ({derive_corpus_sql("documents")})
+SELECT sha256(content) AS hash, CAST(strlen(content) AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_dups, min(repo || '|' || path) AS first_member
+FROM corpus WHERE content IS NOT NULL
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_tree_nodes(sf_dir: str):
+    """Full Merkle node table (M5/A3): repo, path, node_type, size, hash."""
+    from ..pipelines.dedup import build_nodes
+
+    nodes = build_nodes(corpus_from_documents(sf_dir))
+    return nodes.map_batches(
+        lambda t: t.select(["repo", "path", "node_type", "size", "hash"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TREE_NODES = f"WITH {_NODES_CTE} SELECT repo, path, node_type, size, hash FROM nodes"
+
+
+def q_dup_members(sf_dir: str):
+    """Exploded minimal duplicate-set members (A4 + J3 suppression)."""
+    from ..pipelines.dedup import minimal_dup_members
+
+    return minimal_dup_members(corpus_from_documents(sf_dir))
+
+
+SQL_DUP_MEMBERS = f"""
+WITH {_NODES_CTE}, {_SETS_CTE}
+SELECT m.hash, m.node_type AS ftype, m.size, m.repo, m.path
+FROM members m JOIN sets s ON m.hash = s.hash AND m.node_type = s.ftype AND m.size = s.size
+"""
+
+
+def q_dup_total(sf_dir: str):
+    """(n_sets, dup_bytes) — the reference's duplicated-bytes counter (A5)."""
+    from ..pipelines.dedup import analyze
+
+    dupsets, dup_bytes = analyze(corpus_from_documents(sf_dir))
+    return pa.table(
+        {
+            "n_sets": pa.array([dupsets.count()], pa.int64()),
+            "dup_bytes": pa.array([dup_bytes], pa.int64()),
+        }
+    )
+
+
+SQL_DUP_TOTAL = f"""
+WITH {_NODES_CTE}, {_SETS_CTE}
+SELECT CAST(count(*) AS BIGINT) AS n_sets,
+       CAST(COALESCE(sum(size * (n_conflicts - 1)), 0) AS BIGINT) AS dup_bytes
+FROM sets
+"""
+
+
+def q_compact_latest(sf_dir: str):
+    """Latest-wins compaction (D1/clean): two write generations of the same
+    paths, keep the newest row's hash."""
+    from ..functions.hashing import hash_string_column
+    from ..stages.clean import compact_latest
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def versions(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc_id = t["doc_id"].to_numpy()
+        base = pa.table(
+            {
+                "repo": pa.array([f"r{i % 10}" for i in doc_id], pa.string()),
+                "path": pa.array([f"f_{i}.txt" for i in doc_id], pa.string()),
+                "content": t["text"],
+                "file_index": pa.array([0] * len(t), pa.int64()),
+            }
+        )
+        mask = pa.array(doc_id % 5 == 0)
+        upd = base.filter(mask)
+        upd = pa.table(
+            {
+                "repo": upd["repo"],
+                "path": upd["path"],
+                "content": pc.binary_join_element_wise(upd["content"], " v2", ""),
+                "file_index": pa.array([1] * len(upd), pa.int64()),
+            }
+        )
+        return pa.concat_tables([base, upd])
+
+    latest = compact_latest(docs.map_batches(versions, batch_format="pyarrow"))
+    return latest.map_batches(
+        lambda t: pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "hash": hash_string_column(t["content"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_COMPACT_LATEST = """
+WITH versions AS (
+  SELECT 'r' || (doc_id % 10) AS repo, 'f_' || doc_id || '.txt' AS path,
+         text AS content, 0 AS file_index FROM documents
+  UNION ALL
+  SELECT 'r' || (doc_id % 10), 'f_' || doc_id || '.txt', text || ' v2', 1
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT repo, path, sha256(content) AS hash FROM versions
+QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY file_index DESC) = 1
+"""
+
+
+def q_archive_roundtrip(sf_dir: str):
+    """Archive expansion round-trip (S5): documents packed into zip blobs
+    (10 archives by doc_id%10), expanded back by the ArchiveExpander stage;
+    output member rows must equal the direct derivation."""
+    import io
+    import zipfile
+
+    from ..sources.archive import expand_archives
+    from ..functions.hashing import hash_string_column
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def pack(g):
+        buf = io.BytesIO()
+        rows = sorted(zip(g["doc_id"], g["text"]))
+        with zipfile.ZipFile(buf, "w") as zf:
+            for doc_id, text in rows:
+                zf.writestr(
+                    zipfile.ZipInfo(f"doc_{doc_id}.txt", (2020, 1, 1, 0, 0, 0)),
+                    (text or "").encode("utf-8"),
+                )
+        k = int(g["doc_id"].iloc[0]) % 10
+        return pa.table(
+            {
+                "repo": pa.array(["arc"], pa.string()),
+                "path": pa.array([f"arc{k}.zip"], pa.string()),
+                "commit": pa.array(["c"], pa.string()),
+                "blob": pa.array([buf.getvalue()], pa.large_binary()),
+            }
+        )
+
+    blobs = (
+        docs.map_batches(
+            lambda t: t.append_column(
+                "bucket",
+                pa.array((t["doc_id"].to_numpy() % 10).astype(np.int64)),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pandas")
+    )
+    members = expand_archives(blobs)
+    return members.map_batches(
+        lambda t: pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "hash": hash_string_column(t["content"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ARCHIVE_ROUNDTRIP = """
+SELECT 'arc' AS repo,
+       'arc' || (doc_id % 10) || '.zip!doc_' || doc_id || '.txt' AS path,
+       sha256(text) AS hash
+FROM documents
+"""
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def q_token_stats(sf_dir: str):
+    from ..stages.textops import token_stats
+
+    return token_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+       CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT) AS n_lines
+FROM documents
+"""
+
+
+def q_quality_flags(sf_dir: str):
+    from ..stages.textops import quality_flags
+
+    return quality_flags(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_QUALITY_FLAGS = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_punct,
+       CAST(n_tokens >= 10 AS BIGINT) AS long_enough,
+       CAST(n_punct * 100 <= n_tokens * 30 AS BIGINT) AS punct_ok,
+       CAST(n_tokens >= 10 AS BIGINT) * CAST(n_punct * 100 <= n_tokens * 30 AS BIGINT) AS passes
+FROM c
+"""
+
+
+def q_lang_agg(sf_dir: str):
+    """Grouped aggregate demo over documents (n_docs, sum_chars per lang)."""
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # partial aggregation inside the batch, then a tiny global groupby
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "n": 1,
+                "chars": pc.utf8_length(t["text"]).to_pylist(),
+            }
+        )
+        g = df.groupby("lang", as_index=False).agg(n_docs=("n", "sum"), sum_chars=("chars", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+
+    def final(g):
+        return pa.table(
+            {
+                "lang": pa.array([g["lang"].iloc[0]], pa.string()),
+                "n_docs": pa.array([int(g["n_docs"].sum())], pa.int64()),
+                "sum_chars": pa.array([int(g["sum_chars"].sum())], pa.int64()),
+            }
+        )
+
+    return partials.groupby("lang").map_groups(final, batch_format="pandas")
+
+
+SQL_LANG_AGG = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard pairs >= 0.5 (string shingles — oracle path)."""
+    from ..stages.neardup import jaccard_pairs
+
+    return jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        threshold=0.5,
+        k=3,
+        id_col="doc_id",
+        text_col="text",
+        hashed=False,
+    )
+
+
+SQL_JACCARD_PAIRS = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM toks CROSS JOIN UNNEST(range(1, len(tk) - 1)) AS r(i)
+  WHERE len(tk) >= 3
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+hits AS (
+  -- VARCHAR comparison: the engine orders pair ids lexicographically
+  -- (generic string ids), so the oracle must orient pairs the same way
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle
+   AND CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+  GROUP BY 1, 2
+)
+SELECT CAST(h.a AS VARCHAR) AS a_id, CAST(h.b AS VARCHAR) AS b_id,
+       round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM hits h JOIN sizes sa ON sa.doc_id = h.a JOIN sizes sb ON sb.doc_id = h.b
+WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+"""
+
+
+# --- embeddings ------------------------------------------------------------
+
+_N_QUERIES = 4
+_TOP_K = 10
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors vec_id 0..3."""
+    from ..stages.embedding import cosine_topk
+
+    emb = _embeddings(sf_dir)
+    import pyarrow.compute as pc
+
+    qrows = sorted(
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], _N_QUERIES)), batch_format="pyarrow"
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    return cosine_topk(emb, queries, [r["vec_id"] for r in qrows], k=_TOP_K)
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {_N_QUERIES})
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+         ) AS rk
+  FROM embeddings e CROSS JOIN q
+) WHERE rk <= {_TOP_K}
+"""
+
+
+def q_cosine_pairs(sf_dir: str):
+    """All embedding pairs with cosine >= 0.35 (exact, oracle-checked)."""
+    from ..stages.embedding import cosine_dup_pairs
+
+    return cosine_dup_pairs(_embeddings(sf_dir), threshold=0.35)
+
+
+SQL_COSINE_PAIRS = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
+"""
+
+
+# --- non-SQL-expressible (rows-only checks) -------------------------------
+
+
+def q_minhash_clusters(sf_dir: str):
+    """MinHash+LSH near-dup clusters over documents (D4)."""
+    from ..stages.neardup import minhash_clusters
+
+    return minhash_clusters(
+        _docs(sf_dir, ["doc_id", "text"]), id_col="doc_id", text_col="text"
+    )
+
+
+def q_simhash_clusters(sf_dir: str):
+    from ..stages.neardup import simhash_clusters
+
+    return simhash_clusters(
+        _docs(sf_dir, ["doc_id", "text"]), id_col="doc_id", text_col="text"
+    )
+
+
+def q_simhash_fingerprints(sf_dir: str):
+    from ..stages.neardup import simhash_fingerprints
+
+    fps = simhash_fingerprints(_docs(sf_dir, ["doc_id", "text"]), id_col="doc_id", text_col="text")
+    # the stage normalizes the id column name to "id" (string)
+    return fps.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["id"].cast(pa.int64()),
+                "fingerprint_hex": pa.array(
+                    [f"{int(v):016x}" for v in t["fingerprint"].to_pylist()], pa.string()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_langid(sf_dir: str):
+    from ..stages.textops import language_id
+
+    return language_id(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_fingerprints(sf_dir: str):
+    from ..stages.textops import fingerprints
+
+    fp = fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+    return fp.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_fingerprints": t["n_fingerprints"],
+                "min_fp_hex": pa.array(
+                    [f"{int(v):016x}" for v in t["min_fingerprint"].to_pylist()], pa.string()
+                ),
+                "max_fp_hex": pa.array(
+                    [f"{int(v):016x}" for v in t["max_fingerprint"].to_pylist()], pa.string()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_embedding_lsh_pairs(sf_dir: str):
+    """Random-hyperplane LSH near-dup pairs (scale path; rows-only check —
+    pytest verifies recall vs the brute-force path)."""
+    from ..stages.embedding import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(_embeddings(sf_dir), threshold=0.35, n_planes=8, n_tables=6)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing demo: deterministic fake media -> features."""
+    import ray.data
+
+    from ..stages.multimodal import media_features, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(64))
+    feats = media_features(ds, dim=16)
+    return feats.map_batches(
+        lambda t: pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "n_bytes": t["n_bytes"],
+                "dim": pa.array([len(f) for f in t["feature"].to_pylist()], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# --- registry --------------------------------------------------------------
+
+QUERIES = {
+    "file_hash": q_file_hash,
+    "exact_dup_groups": q_exact_dup_groups,
+    "tree_nodes": q_tree_nodes,
+    "dup_members": q_dup_members,
+    "dup_total": q_dup_total,
+    "compact_latest": q_compact_latest,
+    "archive_roundtrip": q_archive_roundtrip,
+    "token_stats": q_token_stats,
+    "quality_flags": q_quality_flags,
+    "lang_agg": q_lang_agg,
+    "jaccard_pairs": q_jaccard_pairs,
+    "ann_topk": q_ann_topk,
+    "cosine_pairs": q_cosine_pairs,
+    "minhash_clusters": q_minhash_clusters,
+    "simhash_clusters": q_simhash_clusters,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "langid": q_langid,
+    "fingerprints": q_fingerprints,
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    "media_features": q_media_features,
+}
+
+ORACLE_SQL = {
+    "file_hash": SQL_FILE_HASH,
+    "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+    "tree_nodes": SQL_TREE_NODES,
+    "dup_members": SQL_DUP_MEMBERS,
+    "dup_total": SQL_DUP_TOTAL,
+    "compact_latest": SQL_COMPACT_LATEST,
+    "archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_flags": SQL_QUALITY_FLAGS,
+    "lang_agg": SQL_LANG_AGG,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    "cosine_pairs": SQL_COSINE_PAIRS,
+    # minhash/simhash/langid/fingerprints/embedding-LSH/media: stateful or
+    # model-like semantics SQL can't express -> rows-only driver check;
+    # pytest covers them against brute-force oracles instead.
+}

@@ -192,6 +192,91 @@ def synth_corpus(
     return table, truth
 
 
+# --- distributed bench-scale generator ------------------------------------
+
+
+def _repo_rows(repo_idx: int, files_per_repo: int, seed: int) -> list[dict]:
+    """Deterministic rows for one repo — safe to generate in any worker.
+
+    Dup structure without cross-worker coordination: content is seeded by
+    (repo_group, j) where repo_group = repo_idx // 2, so repo pairs
+    (2i, 2i+1) independently generate identical content for the first 10%
+    of files (exact cross-repo dups) and near-identical (one token edit)
+    for the next 5%.  The empty-file hot key appears in every repo.
+    """
+    rng = random.Random(f"{seed}:{repo_idx}")
+    repo = f"org{repo_idx % 7}/repo{repo_idx:06d}"
+    commit = f"{rng.getrandbits(160):040x}"
+    dirs = ["src", "src/core", "src/util", "docs", "tests/unit", "src/gen/v2"]
+    rows = []
+    n_dup = max(1, files_per_repo // 10)
+    n_near = max(1, files_per_repo // 20)
+    group = repo_idx // 2
+    for j in range(files_per_repo):
+        # shared-content files (j < n_dup + n_near) must derive lang from j
+        # only — the content header depends on lang and both repos of a
+        # group must generate identical bytes
+        if j < n_dup + n_near:
+            lang = _LANGS[j % len(_LANGS)]
+        else:
+            lang = _LANGS[(repo_idx + j) % len(_LANGS)]
+        d = dirs[(j * 7 + repo_idx) % len(dirs)]
+        path = f"{d}/mod_{j:04d}.{lang}"
+        if j < n_dup:
+            crng = random.Random(f"{seed}:dup:{group}:{j}")
+            content = _gen_content(crng, lang, crng.randint(5, 40))
+        elif j < n_dup + n_near:
+            crng = random.Random(f"{seed}:near:{group}:{j}")
+            content = _gen_content(crng, lang, crng.randint(10, 40))
+            if repo_idx % 2 == 1:
+                content = _edit_tokens(random.Random(f"{seed}:{repo_idx}:{j}"), content, 1)
+        else:
+            content = _gen_content(rng, lang, rng.randint(3, 60))
+        rows.append(
+            {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+        )
+    rows.append(
+        {"repo": repo, "path": "docs/.gitkeep", "commit": commit, "lang": "txt", "content": ""}
+    )
+    rows.append(
+        {
+            "repo": repo,
+            "path": "src/generated_bundle.txt",
+            "commit": commit,
+            "lang": "txt",
+            "content": _gen_content(rng, "txt", 1200),
+        }
+    )
+    return rows
+
+
+def synth_corpus_distributed(n_repos: int, files_per_repo: int = 100, seed: int = 42):
+    """Bench-scale corpus as a Ray Dataset: repos generated in parallel
+    workers, deterministic regardless of parallelism (per-repo seeding)."""
+    import ray.data
+
+    schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit", pa.string()),
+            ("lang", pa.string()),
+            ("content", pa.large_string()),
+        ]
+    )
+
+    def gen(batch) -> pa.Table:
+        rows = []
+        for idx in batch["id"]:
+            rows.extend(_repo_rows(int(idx), files_per_repo, seed))
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    n_blocks = max(8, min(256, n_repos // 4 or 1))
+    return ray.data.range(n_repos, override_num_blocks=n_blocks).map_batches(
+        gen, batch_format="numpy", batch_size=max(1, n_repos // n_blocks)
+    )
+
+
 # --- derivation from the driver's documents table (SQL-reproducible) -------
 
 #: Documents with doc_id % MIRROR_MOD == 0 are mirrored into repo "mirror<k>"
@@ -232,33 +317,34 @@ def corpus_from_documents(sf_dir: str):
     )
 
     def derive(batch: pa.Table) -> pa.Table:
+        import numpy as np
         import pyarrow.compute as pc
 
-        doc_id = batch["doc_id"]
-        path = pc.binary_join_element_wise(
-            "a", pc.cast(pc.mod(doc_id, 3), pa.string()),
-            "/b", pc.cast(pc.mod(doc_id, 5), pa.string()),
-            "/doc_", pc.cast(doc_id, pa.string()), ".txt", "",
+        doc_id = batch["doc_id"].to_numpy()
+        sid = doc_id.astype(str)
+        path = pa.array(
+            [
+                f"a{i % 3}/b{i % 5}/doc_{i}.txt"
+                for i in doc_id
+            ],
+            pa.string(),
         )
         base = pa.table(
             {
-                "repo": pc.binary_join_element_wise(
-                    "r", pc.cast(pc.mod(doc_id, N_REPOS), pa.string()), ""
-                ),
+                "repo": pa.array([f"r{i % N_REPOS}" for i in doc_id], pa.string()),
                 "path": path,
                 "commit": pa.array(["deadbeef"] * len(batch), pa.string()),
                 "lang": batch["lang"],
                 "content": pc.cast(batch["text"], pa.large_string()),
             }
         )
-        mmask = pc.equal(pc.mod(doc_id, MIRROR_MOD), 0)
+        mmask = pa.array(doc_id % MIRROR_MOD == 0)
         mirror = base.filter(mmask).set_column(
             0,
             "repo",
-            pc.binary_join_element_wise(
-                "mirror",
-                pc.cast(pc.mod(doc_id.filter(mmask), N_REPOS), pa.string()),
-                "",
+            pa.array(
+                [f"mirror{i % N_REPOS}" for i in doc_id[doc_id % MIRROR_MOD == 0]],
+                pa.string(),
             ),
         )
         return pa.concat_tables([base, mirror])

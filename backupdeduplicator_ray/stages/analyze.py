@@ -94,13 +94,21 @@ def _candidate_sets(group: pd.DataFrame) -> pa.Table:
 
 
 def candidate_sets(nodes_ds):
-    """Node Dataset → refined candidate-set Dataset (one full shuffle)."""
+    """Node Dataset → refined candidate-set Dataset.
+
+    A vectorized `groupby(hash).count()` (block-level partial aggregation)
+    finds colliding hashes first; only those rows — the actual duplicates —
+    reach the per-group refinement pass.  Singleton hashes (the vast
+    majority) never cost a Python group call.
+    """
     import pyarrow.compute as pc
+
+    from ..functions.groups import grouped_on_survivors
 
     hashed = nodes_ds.map_batches(
         lambda t: t.filter(pc.is_valid(t["hash"])), batch_format="pyarrow"
-    )
-    return hashed.groupby("hash").map_groups(_candidate_sets, batch_format="pandas")
+    ).materialize()
+    return grouped_on_survivors(hashed, ["hash"], _candidate_sets, min_count=2)
 
 
 def dup_sets(nodes_ds):

@@ -60,16 +60,35 @@ class MinHashSignatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col]
         exact = hash_string_column(texts)
-        sigs = []
+        n = len(batch)
+        num_perms = self.cfg.num_perms
+        # tokenize + shingle per doc (regex and hashing are C-speed), then
+        # vectorize the minhash across ALL docs of the batch at once with
+        # np.minimum.reduceat over the concatenated shingle array —
+        # per-doc numpy-call overhead was the hot spot before.
+        shingle_arrays: list[np.ndarray] = []
         for t in texts.to_pylist():
             if t is None:
-                sigs.append(np.full(self.cfg.num_perms, 0, dtype=np.uint64))
+                shingle_arrays.append(np.empty(0, dtype=np.uint64))
+            else:
+                shingle_arrays.append(shingle_hashes(tokenize(t), self.cfg.shingle_k))
+        sigs = np.full((n, num_perms), np.iinfo(np.uint64).max, dtype=np.uint64)
+        a, b = self.a[None, :], self.b[None, :]
+        for i, sh in enumerate(shingle_arrays):
+            if len(sh) == 0:
                 continue
-            shingles = shingle_hashes(tokenize(t), self.cfg.shingle_k)
-            sigs.append(mh.signature(shingles, self.a, self.b))
+            if len(sh) <= 8192:
+                # (n_shingles x perms) broadcast + min — C-speed; NB
+                # np.minimum.reduceat over doc segments benchmarks ~100x
+                # SLOWER than this per-doc loop for uint64, don't "optimize"
+                sigs[i] = (sh[:, None] * a + b).min(axis=0)
+            else:
+                # monster doc: chunk the shingle axis (bounded transient)
+                for s0 in range(0, len(sh), 8192):
+                    block = (sh[s0 : s0 + 8192, None] * a + b).min(axis=0)
+                    np.minimum(sigs[i], block, out=sigs[i])
         sig_arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.concatenate(sigs) if sigs else np.empty(0, np.uint64)),
-            self.cfg.num_perms,
+            pa.array(sigs.reshape(-1)), num_perms
         ).cast(pa.list_(pa.uint64()))
         return pa.table(
             {
@@ -101,34 +120,47 @@ def signatures(ds, cfg: MinHashConfig, id_col: str = "id", text_col: str = "text
 
 
 def _exact_prebucket(sig_ds):
-    """groupby(exact) → (edges among identical docs, representative rows).
+    """Exact-hash pre-bucket → (edges among identical docs, representatives).
 
-    Edges: star from min id to every other member.  Representatives: the
-    min-id member of each distinct content (plus its signature).
+    Vectorized-first: a `groupby(exact).count()` (block-level partial
+    aggregation) finds duplicated contents; only THOSE rows — the actual
+    duplicates, the small side by construction — go through a per-group
+    pass (star edges from the min id + rep selection).  Unique-content rows
+    are their own representatives and never hit a Python group call.
     """
+    import pyarrow.compute as pc
+
+    from ..functions.groups import filter_by_key_set, keys_with_count_between
+
+    # null exact hash == unreadable content: never a dup of anything
+    sig_ds = sig_ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["exact"])), batch_format="pyarrow"
+    ).materialize()
+    dup_hashes = keys_with_count_between(sig_ds, ["exact"], min_count=2)
+
+    uniques = filter_by_key_set(sig_ds, ["exact"], dup_hashes, keep=False)
+    dup_rows = filter_by_key_set(sig_ds, ["exact"], dup_hashes, keep=True)
 
     def per_group(g):
         ids = sorted(g["id"])
         rep = ids[0]
-        edges = [{"src": rep, "dst": other} for other in ids[1:]]
         rep_row = g[g["id"] == rep].iloc[0]
         rep_tbl = pa.Table.from_pylist(
             [{"id": rep, "exact": rep_row["exact"], "sig": list(rep_row["sig"])}],
             schema=SIG_SCHEMA,
         )
-        edge_tbl = pa.Table.from_pylist(edges, schema=EDGE_SCHEMA)
-        # single output table: tag rows (role) — avoids two shuffles
+        edge_tbl = pa.Table.from_pylist(
+            [{"src": rep, "dst": other} for other in ids[1:]], schema=EDGE_SCHEMA
+        )
+        # tagged union: one output table per group -> one shuffle total
         return pa.table(
             {
-                "role": pa.array(["rep"] * len(rep_tbl) + ["edge"] * len(edge_tbl)),
+                "role": pa.array(["rep"] + ["edge"] * len(edge_tbl)),
                 "id": pa.concat_arrays(
                     [rep_tbl["id"].combine_chunks(), edge_tbl["src"].combine_chunks()]
                 ),
                 "exact": pa.concat_arrays(
-                    [
-                        rep_tbl["exact"].combine_chunks(),
-                        pa.nulls(len(edge_tbl), pa.string()),
-                    ]
+                    [rep_tbl["exact"].combine_chunks(), pa.nulls(len(edge_tbl), pa.string())]
                 ),
                 "sig": pa.concat_arrays(
                     [
@@ -137,20 +169,13 @@ def _exact_prebucket(sig_ds):
                     ]
                 ),
                 "dst": pa.concat_arrays(
-                    [pa.nulls(len(rep_tbl), pa.string()), edge_tbl["dst"].combine_chunks()]
+                    [pa.nulls(1, pa.string()), edge_tbl["dst"].combine_chunks()]
                 ),
             }
         )
 
-    import pyarrow.compute as pc
-
-    # null exact hash == unreadable content: never a dup of anything
-    sig_ds = sig_ds.map_batches(
-        lambda t: t.filter(pc.is_valid(t["exact"])), batch_format="pyarrow"
-    )
-    tagged = sig_ds.groupby("exact").map_groups(per_group, batch_format="pandas").materialize()
-
-    reps = tagged.map_batches(
+    tagged = dup_rows.groupby("exact").map_groups(per_group, batch_format="pandas").materialize()
+    dup_reps = tagged.map_batches(
         lambda t: t.filter(pc.equal(t["role"], "rep")).select(["id", "exact", "sig"]),
         batch_format="pyarrow",
     )
@@ -163,6 +188,9 @@ def _exact_prebucket(sig_ds):
         ),
         batch_format="pyarrow",
     )
+    reps = uniques.map_batches(
+        lambda t: t.select(["id", "exact", "sig"]), batch_format="pyarrow"
+    ).union(dup_reps)
     return exact_edges, reps
 
 
@@ -172,8 +200,7 @@ def _band_explode(cfg: MinHashConfig):
         if n == 0:
             return pa.table(
                 {
-                    "band_id": pa.array([], pa.int32()),
-                    "band_hash": pa.array([], pa.uint64()),
+                    "bucket_key": pa.array([], pa.uint64()),
                     "id": pa.array([], pa.string()),
                     "sig": pa.array([], pa.list_(pa.uint64())),
                 }
@@ -181,11 +208,13 @@ def _band_explode(cfg: MinHashConfig):
         sigs = np.asarray(batch["sig"].to_pylist(), dtype=np.uint64)
         bh = mh.band_hashes_batch(sigs, cfg.bands)  # (n, bands)
         ids = batch["id"].to_pylist()
-        band_ids = np.tile(np.arange(cfg.bands, dtype=np.int32), n)
+        # fuse (band_id, band_hash) into ONE u64 key: a single-column
+        # groupby halves the sort/count shuffle cost vs a two-key exchange
+        band_ids = np.tile(np.arange(cfg.bands, dtype=np.uint64), n)
+        fused = bh.reshape(-1) ^ (band_ids * np.uint64(0x9E3779B97F4A7C15))
         return pa.table(
             {
-                "band_id": pa.array(band_ids),
-                "band_hash": pa.array(bh.reshape(-1)),
+                "bucket_key": pa.array(fused),
                 "id": pa.array(np.repeat(ids, cfg.bands), pa.string()),
                 "sig": pa.FixedSizeListArray.from_arrays(
                     pa.array(np.repeat(sigs, cfg.bands, axis=0).reshape(-1), pa.uint64()),
@@ -232,12 +261,17 @@ def _bucket_edges(cfg: MinHashConfig):
 
 def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text_col: str = "text"):
     """Document Dataset → (exact ∪ verified-near) edge Dataset + signature count."""
+    from ..functions.groups import grouped_on_survivors
+
     cfg = cfg or MinHashConfig()
     sig_ds = signatures(ds, cfg, id_col, text_col)
     exact_edges, reps = _exact_prebucket(sig_ds)
-    bands = reps.map_batches(_band_explode(cfg), batch_format="pyarrow")
-    near_edges = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_edges(cfg), batch_format="pandas"
+    bands = reps.map_batches(_band_explode(cfg), batch_format="pyarrow").materialize()
+    # prune singleton buckets with a vectorized count before the per-group
+    # verification pass (the overwhelming majority of band buckets hold one
+    # doc; without pruning each costs a Python group call)
+    near_edges = grouped_on_survivors(
+        bands, ["bucket_key"], _bucket_edges(cfg), min_count=2
     )
     return exact_edges.union(near_edges)
 
@@ -311,10 +345,13 @@ def simhash_edges(ds, cfg: SimHashConfig | None = None, id_col: str = "id", text
                 band_ids.append(bi)
                 vals.append(v)
                 f.append(fp)
+        fused = [
+            (v ^ (bi * 0x9E3779B97F4A7C15)) & 0xFFFFFFFFFFFFFFFF
+            for bi, v in zip(band_ids, vals)
+        ]
         return pa.table(
             {
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_val": pa.array(vals, pa.uint64()),
+                "bucket_key": pa.array(fused, pa.uint64()),
                 "id": pa.array(ids, pa.string()),
                 "fingerprint": pa.array(f, pa.uint64()),
             }
@@ -338,7 +375,11 @@ def simhash_edges(ds, cfg: SimHashConfig | None = None, id_col: str = "id", text
                     edges.append({"src": a_id, "dst": b_id})
         return pa.Table.from_pylist(edges, schema=EDGE_SCHEMA)
 
-    return bands.groupby(["band_id", "band_val"]).map_groups(per_bucket, batch_format="pandas")
+    from ..functions.groups import grouped_on_survivors
+
+    return grouped_on_survivors(
+        bands.materialize(), ["bucket_key"], per_bucket, min_count=2
+    )
 
 
 def simhash_clusters(ds, cfg: SimHashConfig | None = None, id_col: str = "id", text_col: str = "text"):
@@ -438,18 +479,34 @@ def jaccard_pairs(
             }
         )
 
-    hits = inv.groupby("shingle").map_groups(pair_hits, batch_format="pandas")
+    from ray.data.aggregate import Count, Max
 
-    def reduce_pair(g):
-        c = len(g)
-        na = int(g["na"].iloc[0])
-        nb = int(g["nb"].iloc[0])
+    from ..functions.groups import grouped_on_survivors
+
+    hits = grouped_on_survivors(
+        inv.materialize(), ["shingle"], pair_hits, min_count=2
+    )
+
+    # vectorized pair reduction: c = co-occurrence count via aggregate (no
+    # per-pair Python), then compute/filter jaccard batch-wise
+    agg = hits.groupby(["a_id", "b_id"]).aggregate(
+        Count(), Max("na"), Max("nb")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = t["count()"].to_numpy().astype(np.float64)
+        na = t["max(na)"].to_numpy().astype(np.float64)
+        nb = t["max(nb)"].to_numpy().astype(np.float64)
         j = c / (na + nb - c)
-        if j < threshold:
-            return pa.Table.from_pylist([], schema=JACCARD_SCHEMA)
-        return pa.Table.from_pylist(
-            [{"a_id": g["a_id"].iloc[0], "b_id": g["b_id"].iloc[0], "jaccard": round(j, 6)}],
-            schema=JACCARD_SCHEMA,
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a_id": t["a_id"].filter(pa.array(keep)),
+                "b_id": t["b_id"].filter(pa.array(keep)),
+                "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+            }
         )
 
-    return hits.groupby(["a_id", "b_id"]).map_groups(reduce_pair, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pyarrow")

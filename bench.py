@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+    python bench.py                # $GRAFT_SF_DIR (default /root/testdata/sf0.1),
+                                   # $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling      # same pipeline at 8 and 32 CPUs in fresh
+                                   # processes; prints throughputs + efficiency
+
+Headline: end-to-end dedup (build -> Merkle tree -> minimal dup sets) plus
+MinHash clustering over a deterministic synthetic source-code corpus sized
+by sf (FIXTURES.md; generated distributed, cached as parquet under /tmp so
+repeated runs measure compute, not generation), and the text/embedding
+operators over the driver's documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _corpus_parquet(sf: float) -> str:
+    """Generate (once) and cache the bench corpus for this sf."""
+    import ray
+
+    from backupdeduplicator_ray.sources.corpus import synth_corpus_distributed
+
+    n_repos = max(8, int(10000 * sf))
+    cache = f"/tmp/bdr_bench_corpus_sf{sf}_r{n_repos}"
+    if not os.path.isfile(os.path.join(cache, "_DONE")):
+        ds = synth_corpus_distributed(n_repos, files_per_repo=100)
+        tmp = cache + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        shutil.rmtree(cache, ignore_errors=True)
+        os.replace(tmp, cache)
+    return cache
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from backupdeduplicator_ray.pipelines.dedup import build_nodes
+    from backupdeduplicator_ray.stages.analyze import dup_sets
+    from backupdeduplicator_ray.stages.neardup import minhash_clusters, simhash_fingerprints
+    from backupdeduplicator_ray.stages.textops import token_stats
+    from backupdeduplicator_ray.pipelines.queries import q_ann_topk
+
+    sf = _sf_from_dir(SF_DIR)
+    corpus_path = _corpus_parquet(sf)
+
+    # warm the page cache (one untimed scan) so we measure compute + shuffle
+    n_files = rd.read_parquet(corpus_path).count()
+
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    corpus = rd.read_parquet(corpus_path)
+    dupsets, dup_bytes = dup_sets(build_nodes(corpus))
+    n_sets = dupsets.count()
+    queries["dedup_e2e"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    corpus = rd.read_parquet(corpus_path, columns=["repo", "path", "content"])
+    docs = corpus.map_batches(
+        lambda t: pa.table(
+            {
+                "id": pa.array(
+                    [f"{r}|{p}" for r, p in zip(t["repo"].to_pylist(), t["path"].to_pylist())],
+                    pa.string(),
+                ),
+                "text": t["content"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    n_clustered = minhash_clusters(docs).count()
+    queries["minhash_clusters"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    corpus = rd.read_parquet(corpus_path, columns=["repo", "path", "content"])
+    simhash_fingerprints(corpus, id_col="path", text_col="content").count()
+    queries["simhash"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    docs_tbl = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    token_stats(docs_tbl).count()
+    queries["token_stats"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    q_ann_topk(SF_DIR)
+    queries["ann_topk"] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "end-to-end dedup + clustering wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_files": n_files,
+        "n_dup_sets": n_sets,
+        "dup_bytes": dup_bytes,
+        "n_cluster_rows": n_clustered,
+        "files_per_sec_dedup": round(n_files / queries["dedup_e2e"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    thr_lo = r_lo["n_files"] / r_lo["queries"]["dedup_e2e"]
+    thr_hi = r_hi["n_files"] / r_hi["queries"]["dedup_e2e"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (dedup_e2e files/sec)",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": r_lo["queries"]["dedup_e2e"],
+                "sec_hi": r_hi["queries"]["dedup_e2e"],
+                "files_per_sec_lo": round(thr_lo, 1),
+                "files_per_sec_hi": round(thr_hi, 1),
+                "scaling_efficiency": round(eff, 3),
+                "total_sec_lo": r_lo["value"],
+                "total_sec_hi": r_hi["value"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

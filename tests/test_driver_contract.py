@@ -1,0 +1,95 @@
+"""Mirror of the driver's correctness gate: every queries() entry runs at
+sf0.001 and (when an oracle exists) matches DuckDB on row count, schema
+and order-insensitive values."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_entry_smoke(entry_mod):
+    res = _to_pandas(entry_mod.entry())
+    assert res.shape[0] >= 0
+    assert list(res.columns)
+
+
+def test_oracle_keys_subset(entry_mod):
+    qs = entry_mod.queries()
+    sql = entry_mod.oracle_sql()
+    assert set(sql) <= set(qs)
+    assert len(qs) >= 15
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "file_hash", "exact_dup_groups", "tree_nodes", "dup_members",
+        "dup_total", "compact_latest", "archive_roundtrip", "token_stats",
+        "quality_flags", "lang_agg", "jaccard_pairs", "ann_topk",
+        "cosine_pairs",
+    ],
+)
+def test_query_matches_oracle(entry_mod, duck, name):
+    ray_df = _canon(_to_pandas(entry_mod.queries()[name](SF_DIR)))
+    sql_df = _canon(duck.sql(entry_mod.oracle_sql()[name]).df())
+    assert list(ray_df.columns) == list(sql_df.columns), name
+    assert len(ray_df) == len(sql_df), (name, len(ray_df), len(sql_df))
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False, atol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["minhash_clusters", "simhash_clusters", "simhash_fingerprints", "langid",
+     "fingerprints", "embedding_lsh_pairs", "media_features"],
+)
+def test_rows_only_queries_run(entry_mod, name):
+    df = _to_pandas(entry_mod.queries()[name](SF_DIR))
+    assert df.shape[0] >= 0 and list(df.columns)
