@@ -19,20 +19,72 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+_WORKER_CACHE: dict = {}
 
-def keys_with_count_between(ds, keys: list[str], min_count: int = 2, max_count: int | None = None):
-    """Vectorized count per key; returns a python set of key tuples whose
-    count is in [min_count, max_count]."""
-    # shuffle only the key columns — payload columns (signatures, texts)
-    # must not ride along in the counting exchange
-    counts = ds.select_columns(keys).groupby(keys[0] if len(keys) == 1 else keys).count()
-    rows = counts.take_all()
-    out = set()
-    for r in rows:
-        c = r["count()"]
-        if c >= min_count and (max_count is None or c <= max_count):
-            out.add(tuple(r[k] for k in keys))
-    return out
+
+def cached_get(ref):
+    """ray.get with a per-process memo — repeated ray.get of a non-zero-copy
+    broadcast (python set / dict of arrays) deserializes on every call."""
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _WORKER_CACHE:
+        if len(_WORKER_CACHE) > 4:
+            _WORKER_CACHE.clear()
+        _WORKER_CACHE[key] = ray.get(ref)
+    return _WORKER_CACHE[key]
+
+
+def keys_with_count_between(
+    ds,
+    keys: list[str],
+    min_count: int = 2,
+    max_count: int | None = None,
+    distributed: bool = False,
+):
+    """Count per key; returns a python set of keys (scalars for a single
+    key column, tuples otherwise) whose count is in [min_count, max_count].
+
+    Default path: per-block partial counts (vectorized pandas value_counts
+    inside map_batches, only the key columns scanned) merged on the driver
+    — no all-to-all exchange at all, cost O(distinct keys) driver memory.
+    `distributed=True` flips to `groupby().count()` (a sort shuffle) for
+    when distinct-key cardinality outgrows the driver; the call sites that
+    feed 10^12-scale key spaces pass it through their config.
+    """
+    single = len(keys) == 1
+    if distributed:
+        counts = ds.select_columns(keys).groupby(keys[0] if single else keys).count()
+        out = set()
+        for r in counts.take_all():
+            c = r["count()"]
+            if c >= min_count and (max_count is None or c <= max_count):
+                out.add(r[keys[0]] if single else tuple(r[k] for k in keys))
+        return out
+
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(keys, sort=False, as_index=False).size()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.select_columns(keys).map_batches(partial, batch_format="pyarrow")
+    frames = [
+        b.to_pandas()
+        for b in parts.iter_batches(batch_format="pyarrow", batch_size=262144)
+    ]
+    if not frames:
+        return set()
+    merged = (
+        pd.concat(frames, ignore_index=True)
+        .groupby(keys, sort=False)["size"]
+        .sum()
+    )
+    sel = merged[merged >= min_count]
+    if max_count is not None:
+        sel = sel[sel <= max_count]
+    return set(sel.index)
 
 
 def filter_by_key_set(ds, keys: list[str], key_set, keep: bool = True):
@@ -44,10 +96,16 @@ def filter_by_key_set(ds, keys: list[str], key_set, keep: bool = True):
 
     ref = ray.put(key_set)
 
+    single = len(keys) == 1
+
     def flt(t: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        cols = [t[k].to_pylist() for k in keys]
-        mask = [((tup in s) == keep) for tup in zip(*cols)] if len(t) else []
+        s = cached_get(ref)
+        if single:
+            vals = t[keys[0]].to_pylist()
+            mask = [((v in s) == keep) for v in vals]
+        else:
+            cols = [t[k].to_pylist() for k in keys]
+            mask = [((tup in s) == keep) for tup in zip(*cols)] if len(t) else []
         return t.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(flt, batch_format="pyarrow")

@@ -130,7 +130,9 @@ def dup_sets(nodes_ds):
     dup_dirs_ref = ray.put(dup_dirs)
 
     def finalize(batch: pa.Table) -> pa.Table:
-        s = ray.get(dup_dirs_ref)
+        from ..functions.groups import cached_get
+
+        s = cached_get(dup_dirs_ref)
         keep = []
         for row in batch.to_pylist():
             suppressed = [

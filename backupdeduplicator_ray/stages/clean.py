@@ -47,7 +47,9 @@ def liveness_filter(nodes_ds, snapshot_ds):
     snap_ref = ray.put(snap)
 
     def keep(batch: pa.Table) -> pa.Table:
-        s = ray.get(snap_ref)
+        from ..functions.groups import cached_get
+
+        s = cached_get(snap_ref)
         mask = [
             s.get((repo, path)) == ntype
             for repo, path, ntype in zip(

@@ -195,6 +195,12 @@ def _exact_prebucket(sig_ds):
 
 
 def _band_explode(cfg: MinHashConfig):
+    """(id, sig) rows → lean (bucket_key, id) band rows.
+
+    Signatures do NOT ride the band shuffle (a bands-x duplication of a
+    ~1 KiB signature dwarfed every other exchange); candidate signatures
+    are broadcast after bucket pruning instead (see minhash_edges)."""
+
     def explode(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
@@ -202,7 +208,6 @@ def _band_explode(cfg: MinHashConfig):
                 {
                     "bucket_key": pa.array([], pa.uint64()),
                     "id": pa.array([], pa.string()),
-                    "sig": pa.array([], pa.list_(pa.uint64())),
                 }
             )
         sigs = np.asarray(batch["sig"].to_pylist(), dtype=np.uint64)
@@ -216,62 +221,82 @@ def _band_explode(cfg: MinHashConfig):
             {
                 "bucket_key": pa.array(fused),
                 "id": pa.array(np.repeat(ids, cfg.bands), pa.string()),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.repeat(sigs, cfg.bands, axis=0).reshape(-1), pa.uint64()),
-                    cfg.num_perms,
-                ).cast(pa.list_(pa.uint64())),
             }
         )
 
     return explode
 
 
-def _bucket_edges(cfg: MinHashConfig):
+def _bucket_edges(cfg: MinHashConfig, sig_map_ref):
+    """Per-bucket verification against broadcast candidate signatures.
+
+    map_groups calls this once per bucket; the broadcast is read through
+    the per-process cache (groups.cached_get) — a raw ray.get would
+    re-deserialize the signature dict on every group call."""
+
     def per_bucket(g):
+        from ..functions.groups import cached_get
+
         n = len(g)
         if n < 2:
             return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
-        ids = list(g["id"])
-        sigs = np.asarray(list(g["sig"]), dtype=np.uint64)
-        order = sorted(range(n), key=lambda i: ids[i])
+        sig_map = cached_get(sig_map_ref)
+        ids = sorted(set(g["id"]))
+        n = len(ids)
+        if n < 2:
+            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
+        sigs = np.asarray([sig_map[i] for i in ids], dtype=np.uint64)
         edges = []
         if n <= cfg.bucket_cap:
             for ii in range(n):
-                i = order[ii]
-                # compare against all later ids at once (vectorized)
-                rest = order[ii + 1 :]
-                if len(rest) == 0:
-                    continue
-                est = (sigs[rest] == sigs[i]).mean(axis=1)
-                for j, e in zip(rest, est):
+                rest = slice(ii + 1, n)
+                est = (sigs[rest] == sigs[ii]).mean(axis=1)
+                for jj, e in enumerate(est, start=ii + 1):
                     if e >= cfg.verify_threshold:
-                        edges.append({"src": ids[i], "dst": ids[j]})
+                        edges.append({"src": ids[ii], "dst": ids[jj]})
         else:
             # star expansion against the bucket minimum (skew valve)
-            i = order[0]
-            rest = order[1:]
-            est = (sigs[rest] == sigs[i]).mean(axis=1)
-            for j, e in zip(rest, est):
+            est = (sigs[1:] == sigs[0]).mean(axis=1)
+            for jj, e in enumerate(est, start=1):
                 if e >= cfg.verify_threshold:
-                    edges.append({"src": ids[i], "dst": ids[j]})
+                    edges.append({"src": ids[0], "dst": ids[jj]})
         return pa.Table.from_pylist(edges, schema=EDGE_SCHEMA)
 
     return per_bucket
 
 
 def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text_col: str = "text"):
-    """Document Dataset → (exact ∪ verified-near) edge Dataset + signature count."""
-    from ..functions.groups import grouped_on_survivors
+    """Document Dataset → (exact ∪ verified-near) edge Dataset.
+
+    Band shuffle moves only (bucket_key, id).  After singleton-bucket
+    pruning, the surviving candidate ids' signatures (bounded by the actual
+    near-dup density, the small side by construction) are broadcast once
+    via ray.put and read inside the bucket groups for verification.  If the
+    candidate set ever outgrew a broadcast, the fallback is a partitioned
+    hash join of band rows with the signature table on id.
+    """
+    import ray
+
+    from ..functions.groups import filter_by_key_set, keys_with_count_between
 
     cfg = cfg or MinHashConfig()
     sig_ds = signatures(ds, cfg, id_col, text_col)
     exact_edges, reps = _exact_prebucket(sig_ds)
+    reps = reps.materialize()
     bands = reps.map_batches(_band_explode(cfg), batch_format="pyarrow").materialize()
     # prune singleton buckets with a vectorized count before the per-group
     # verification pass (the overwhelming majority of band buckets hold one
     # doc; without pruning each costs a Python group call)
-    near_edges = grouped_on_survivors(
-        bands, ["bucket_key"], _bucket_edges(cfg), min_count=2
+    survivors = keys_with_count_between(bands, ["bucket_key"], min_count=2)
+    cand_rows = filter_by_key_set(bands, ["bucket_key"], survivors, keep=True).materialize()
+    cand_ids = {r["id"] for r in cand_rows.select_columns(["id"]).take_all()}
+    sig_map = {
+        r["id"]: np.asarray(r["sig"], dtype=np.uint64)
+        for r in filter_by_key_set(reps, ["id"], cand_ids, keep=True).take_all()
+    }
+    sig_map_ref = ray.put(sig_map)
+    near_edges = cand_rows.groupby("bucket_key").map_groups(
+        _bucket_edges(cfg, sig_map_ref), batch_format="pandas"
     )
     return exact_edges.union(near_edges)
 

@@ -43,17 +43,29 @@ def checkpoint_dataset(ds, path: str, partition_cols: list[str] | None = None, l
     if partition_cols:
         kwargs["partition_cols"] = partition_cols
     ds.write_parquet(tmp, **kwargs)
-    n_rows = sum(
-        _parquet_rows(os.path.join(root, f))
-        for root, _, files in os.walk(tmp)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    # per-partition lineage records: one entry per written file with row
+    # count and bytes, so a resumed run (or an auditor) can account for
+    # every partition without re-reading the data (north-star: "every
+    # partition emits lineage + checkpoint records")
+    partitions = []
+    for root, _, files in os.walk(tmp):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                partitions.append(
+                    {
+                        "file": os.path.relpath(p, tmp),
+                        "rows": _parquet_rows(p),
+                        "bytes": os.path.getsize(p),
+                    }
+                )
+    n_rows = sum(p["rows"] for p in partitions)
     manifest = {
         "rows": n_rows,
         "partition_cols": partition_cols or [],
         "created_unix": int(time.time()),
         "lineage": lineage or {},
+        "partitions": partitions,
     }
     with open(os.path.join(tmp, MANIFEST), "w") as f:
         json.dump(manifest, f)

@@ -1,0 +1,27 @@
+"""The two tree strategies (per-repo local reduce vs level-synchronous
+groupby loop) must produce identical node tables."""
+
+import pytest
+
+from backupdeduplicator_ray.stages.build import build_file_nodes
+from backupdeduplicator_ray.stages.tree import build_tree
+
+
+def test_level_strategy_matches_repo_strategy(ray_session, small_corpus_ds):
+    files = build_file_nodes(small_corpus_ds)
+    repo_nodes = {
+        (r["repo"], r["path"]): (r["node_type"], r["size"], r["hash"])
+        for r in build_tree(files, strategy="repo").take_all()
+    }
+    files2 = build_file_nodes(small_corpus_ds)
+    level_nodes = {
+        (r["repo"], r["path"]): (r["node_type"], r["size"], r["hash"])
+        for r in build_tree(files2, strategy="level").take_all()
+    }
+    assert repo_nodes == level_nodes
+
+
+def test_unknown_strategy_raises(ray_session, small_corpus_ds):
+    files = build_file_nodes(small_corpus_ds)
+    with pytest.raises(ValueError):
+        build_tree(files, strategy="nope")
