@@ -62,17 +62,44 @@ def keys_with_count_between(
                 out.add(r[keys[0]] if single else tuple(r[k] for k in keys))
         return out
 
+    import numpy as np
     import pandas as pd
+    import pyarrow.compute as pc
 
-    def partial(t: pa.Table) -> pa.Table:
+    if single:
+        # fully vectorized: per-block pc.value_counts, numpy merge on the
+        # driver (block-sized batches, no re-chunking)
+        key = keys[0]
+
+        def partial(t: pa.Table) -> pa.Table:
+            vc = pc.value_counts(t[key].combine_chunks() if isinstance(t[key], pa.ChunkedArray) else t[key])
+            return pa.table({"k": vc.field("values"), "n": vc.field("counts")})
+
+        # block-sized batches (no batch_size => no re-chunking copies)
+        parts = ds.select_columns(keys).map_batches(partial, batch_format="pyarrow")
+        ks, ns = [], []
+        for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+            ks.append(b["k"].to_numpy(zero_copy_only=False))
+            ns.append(b["n"].to_numpy(zero_copy_only=False))
+        if not ks:
+            return set()
+        k = np.concatenate(ks)
+        n = np.concatenate(ns)
+        ser = pd.Series(n).groupby(pd.Series(k), sort=False).sum()
+        sel = ser[ser >= min_count]
+        if max_count is not None:
+            sel = sel[sel <= max_count]
+        return set(sel.index)
+
+    def partial2(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         g = df.groupby(keys, sort=False, as_index=False).size()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = ds.select_columns(keys).map_batches(partial, batch_format="pyarrow")
+    parts = ds.select_columns(keys).map_batches(partial2, batch_format="pyarrow")
     frames = [
         b.to_pandas()
-        for b in parts.iter_batches(batch_format="pyarrow", batch_size=262144)
+        for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)
     ]
     if not frames:
         return set()
@@ -88,25 +115,61 @@ def keys_with_count_between(
 
 
 def filter_by_key_set(ds, keys: list[str], key_set, keep: bool = True):
-    """map_batches filter: keep rows whose key tuple is (not) in key_set.
+    """map_batches filter: keep rows whose key (tuple) is (not) in key_set.
 
-    key_set is broadcast once via ray.put and read per batch.
+    Vectorized: the key set is broadcast ONCE as an Arrow array (zero-copy
+    out of the object store) and each batch is filtered with a C-speed
+    `pc.is_in`.  Multi-column keys are fused into a single `\\x00`-joined
+    string column on both sides.
     """
+    import pyarrow.compute as pc
     import ray
 
-    ref = ray.put(key_set)
-
     single = len(keys) == 1
+    if not key_set:
+        if keep:  # empty set: keep nothing / everything
+            return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+        return ds
+    if single:
+        vals = list(key_set)
+        first = vals[0]
+        if isinstance(first, str):
+            arr = pa.array(vals, pa.string())
+        elif isinstance(first, (int,)) or hasattr(first, "dtype"):
+            import numpy as np
+
+            # uint64 bucket keys overflow pyarrow's default int64 inference
+            ints = [int(v) for v in vals]
+            unsigned = min(ints) >= 0 and max(ints) > (2**63 - 1)
+            arr = pa.array(
+                np.array(ints, dtype=np.uint64 if unsigned else np.int64)
+            )
+        else:
+            arr = pa.array(vals)
+    else:
+        arr = pa.array(["\x00".join(map(str, tup)) for tup in sorted(key_set)])
+    ref = ray.put(arr)
 
     def flt(t: pa.Table) -> pa.Table:
         s = cached_get(ref)
         if single:
-            vals = t[keys[0]].to_pylist()
-            mask = [((v in s) == keep) for v in vals]
+            col = t[keys[0]]
+            col_type = col.type
+            if not s.type.equals(col_type):
+                s = s.cast(col_type)  # cast the (small) set, never the column
+            mask = pc.is_in(col, value_set=s)
         else:
-            cols = [t[k].to_pylist() for k in keys]
-            mask = [((tup in s) == keep) for tup in zip(*cols)] if len(t) else []
-        return t.filter(pa.array(mask, pa.bool_()))
+            parts = []
+            for k in keys:
+                c = t[k]
+                parts.append(c if pa.types.is_string(c.type) else pc.cast(c, pa.string()))
+            fused = pc.binary_join_element_wise(*parts, "\x00")
+            # binary_join_element_wise joins with the LAST arg as separator;
+            # with 2+ key columns that joins them pairwise correctly
+            mask = pc.is_in(fused, value_set=s)
+        if not keep:
+            mask = pc.invert(mask)
+        return t.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(flt, batch_format="pyarrow")
 

@@ -50,6 +50,16 @@ def _file_nodes_batch(batch: pa.Table, algorithm: str) -> pa.Table:
     node_type = pc.if_else(is_other, "other", "file")
     # 'other' rows: NULL hash, size 0 (reference worker/other.rs:20-45)
     sizes = pc.if_else(is_other, pa.scalar(0, pa.int64()), sizes)
+    if "target" in batch.column_names:
+        # symlink rows: null content + non-null target; hash = hash of the
+        # link-target path string (reference worker/symlink.rs:23-82 — the
+        # target *path bytes* are hashed when not following links)
+        target = batch["target"]
+        is_link = pc.and_(is_other, pc.is_valid(target))
+        link_hashes = hash_string_column(target, algorithm)
+        hashes = pc.if_else(is_link, link_hashes, hashes)
+        node_type = pc.if_else(is_link, "symlink", node_type)
+        sizes = pc.if_else(is_link, byte_length_column(target), sizes)
 
     paths = batch["path"].to_pylist()
     parents = pa.array([parent_of(p) for p in paths], pa.string())

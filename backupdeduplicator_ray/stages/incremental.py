@@ -1,0 +1,153 @@
+"""Incremental build: reuse hashes from a previous run's node table.
+
+Re-expresses the reference's build cache (SURVEY §2.3 ST1): build loads the
+previous hash-tree file into a path-keyed map and skips re-hashing entries
+whose (file_type, modified, size) still match (`build/cmd/cmd.rs:83-99`,
+hit checks `worker/file.rs:26-40`).  The corpus analogue of `modified` is
+the `commit` column: a row whose (repo, path) appeared in the previous node
+table with the same commit and byte size reuses the stored hash; everything
+else is hashed fresh.
+
+Implemented as the portable partitioned hash join (union + groupby on the
+join key) — both sides large, no broadcast: previous nodes are tagged
+'prev', corpus rows 'cur', co-grouped on (repo, path), and each group
+resolves to either a cache hit (emit prev hash, no content read) or a miss
+(hash the content).  At 10^12 scale this is ONE shuffle of (key, size,
+commit, hash) metadata plus content only for misses, exactly the win the
+reference's cache gives on re-runs.
+
+To keep content out of the join exchange entirely, the corpus side ships
+only (repo, path, commit, size); hits/misses are resolved first and misses
+are re-joined to content by a second pruned read using the miss key set
+(broadcast — misses are the delta, small on a resume).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import HashConfig
+from .build import build_file_nodes
+
+PREV_COLUMNS = ["repo", "path", "size", "hash", "commit"]
+
+
+def incremental_file_nodes(
+    corpus_ds,
+    prev_nodes_ds,
+    hash_config: HashConfig | None = None,
+):
+    """corpus + previous (repo, path, size, hash, commit) node table →
+    file-node Dataset, re-hashing only changed/new rows.
+
+    prev_nodes_ds must carry PREV_COLUMNS (a prior run's file-level nodes
+    written with their commit).  Returns the same schema as
+    build_file_nodes.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.groups import filter_by_key_set
+    from ..functions.hashing import byte_length_column
+
+    # metadata-only corpus side: (repo, path, commit, size)
+    meta = corpus_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "commit": t["commit"],
+                "size": byte_length_column(t["content"]),
+                "side": pa.array(["cur"] * len(t), pa.string()),
+                "hash": pa.nulls(len(t), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    prev = prev_nodes_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "commit": t["commit"],
+                "size": t["size"].cast(pa.int64()),
+                "side": pa.array(["prev"] * len(t), pa.string()),
+                "hash": t["hash"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def resolve(g):
+        cur = g[g["side"] == "cur"]
+        if cur.empty:
+            return pa.table(
+                {
+                    "repo": pa.array([], pa.string()),
+                    "path": pa.array([], pa.string()),
+                    "hash": pa.array([], pa.string()),
+                    "size": pa.array([], pa.int64()),
+                    "hit": pa.array([], pa.bool_()),
+                }
+            )
+        prevg = g[g["side"] == "prev"]
+        row = cur.iloc[0]
+        hit_hash = None
+        if not prevg.empty:
+            p = prevg.iloc[0]
+            # reference hit criteria: type+mtime+size match (file.rs:26-40);
+            # commit plays mtime's role for the corpus table
+            if p["commit"] == row["commit"] and int(p["size"]) == int(row["size"]):
+                hit_hash = p["hash"]
+        return pa.table(
+            {
+                "repo": pa.array([row["repo"]], pa.string()),
+                "path": pa.array([row["path"]], pa.string()),
+                "hash": pa.array([hit_hash], pa.string()),
+                "size": pa.array([int(row["size"])], pa.int64()),
+                "hit": pa.array([hit_hash is not None], pa.bool_()),
+            }
+        )
+
+    resolved = (
+        meta.union(prev)
+        .groupby(["repo", "path"])
+        .map_groups(resolve, batch_format="pandas")
+        .materialize()
+    )
+
+    hits = resolved.map_batches(
+        lambda t: t.filter(pc.equal(t["hit"], True)), batch_format="pyarrow"
+    )
+    miss_keys = {
+        (r["repo"], r["path"])
+        for r in resolved.map_batches(
+            lambda t: t.filter(pc.equal(t["hit"], False)).select(["repo", "path"]),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+
+    # misses: full build path over the (small on resume) changed subset
+    missed_corpus = filter_by_key_set(corpus_ds, ["repo", "path"], miss_keys, keep=True)
+    missed_nodes = build_file_nodes(missed_corpus, hash_config)
+
+    # hits: reconstruct node rows without touching content (size came
+    # through the resolution and equals the previous run's validated size)
+    def hit_nodes(t: pa.Table) -> pa.Table:
+        from ..functions.paths import depth_of, parent_of
+
+        paths = t["path"].to_pylist()
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "node_type": pa.array(["file"] * len(t), pa.string()),
+                "size": t["size"].cast(pa.int64()),
+                "hash": t["hash"],
+                "n_children": pa.array([0] * len(t), pa.int64()),
+                "parent": pa.array([parent_of(p) for p in paths], pa.string()),
+                "depth": pa.array([depth_of(p) for p in paths], pa.int64()),
+            }
+        )
+
+    hit_node_ds = hits.map_batches(hit_nodes, batch_format="pyarrow")
+    return missed_nodes.union(hit_node_ds)

@@ -99,9 +99,11 @@ class MinHashSignatureStage:
         )
 
 
-def default_concurrency(fraction: float = 0.5, cap: int = 16) -> int:
-    """Actor-pool size: a fraction of cluster CPUs, capped — leaves CPUs for
-    the read/shuffle stages so the pool doesn't starve the pipeline."""
+def default_concurrency(fraction: float = 0.85, cap: int = 28) -> int:
+    """Actor-pool size: most of the cluster's CPUs, minus headroom for the
+    read/write stages.  The signature/tokenize pools are the dominant
+    compute of their pipelines — undersizing them (an earlier 0.5 fraction)
+    left half the machine idle during the hottest stage."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
@@ -265,7 +267,7 @@ def _bucket_edges(cfg: MinHashConfig, sig_map_ref):
     return per_bucket
 
 
-def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text_col: str = "text"):
+def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text_col: str = "text", distributed: bool = False):
     """Document Dataset → (exact ∪ verified-near) edge Dataset.
 
     Band shuffle moves only (bucket_key, id).  After singleton-bucket
@@ -275,30 +277,130 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
     candidate set ever outgrew a broadcast, the fallback is a partitioned
     hash join of band rows with the signature table on id.
     """
+    import os
+    import time
+
     import ray
 
     from ..functions.groups import filter_by_key_set, keys_with_count_between
 
+    timing = os.environ.get("BDR_TIMING")
+    marks = [("start", time.time())]
+
+    def mark(name):
+        marks.append((name, time.time()))
+
     cfg = cfg or MinHashConfig()
     sig_ds = signatures(ds, cfg, id_col, text_col)
     exact_edges, reps = _exact_prebucket(sig_ds)
+    mark("prebucket")
     reps = reps.materialize()
+    mark("reps")
     bands = reps.map_batches(_band_explode(cfg), batch_format="pyarrow").materialize()
+    mark("bands")
     # prune singleton buckets with a vectorized count before the per-group
     # verification pass (the overwhelming majority of band buckets hold one
     # doc; without pruning each costs a Python group call)
     survivors = keys_with_count_between(bands, ["bucket_key"], min_count=2)
+    mark("count")
     cand_rows = filter_by_key_set(bands, ["bucket_key"], survivors, keep=True).materialize()
+    mark("cand")
     cand_ids = {r["id"] for r in cand_rows.select_columns(["id"]).take_all()}
     sig_map = {
         r["id"]: np.asarray(r["sig"], dtype=np.uint64)
         for r in filter_by_key_set(reps, ["id"], cand_ids, keep=True).take_all()
     }
-    sig_map_ref = ray.put(sig_map)
-    near_edges = cand_rows.groupby("bucket_key").map_groups(
-        _bucket_edges(cfg, sig_map_ref), batch_format="pandas"
-    )
+    mark("sigmap")
+    # Candidate rows and their signatures are bounded by the actual
+    # near-dup density (the small side by construction) and the signatures
+    # are already driver-resident for the broadcast — so pair generation +
+    # verification run vectorized on the driver: one (n_pairs x num_perms)
+    # equality reduction instead of one Python call per bucket.  The
+    # distributed per-bucket path (_bucket_edges + broadcast) remains for
+    # candidate sets that outgrow the driver (distributed=True).
+    if distributed:
+        sig_map_ref = ray.put(sig_map)
+        near_edges = cand_rows.groupby("bucket_key").map_groups(
+            _bucket_edges(cfg, sig_map_ref), batch_format="pandas"
+        )
+    else:
+        near_edges = _verify_candidates_driver(cand_rows, sig_map, cfg)
+    mark("verify")
+    if timing:
+        import sys
+
+        deltas = [
+            f"{n}={marks[i + 1][1] - marks[i][1]:.1f}s"
+            for i, (n, _) in enumerate(
+                [(m[0], None) for m in marks[1:]]
+            )
+        ]
+        print(f"[minhash_edges] {' '.join(deltas)}", file=sys.stderr)
     return exact_edges.union(near_edges)
+
+
+def _verify_candidates_driver(cand_rows, sig_map: dict, cfg: MinHashConfig):
+    """Vectorized candidate verification: build all bucket pairs, dedupe,
+    verify with one big signature-equality reduction.  Returns an edge
+    Dataset."""
+    import pandas as pd
+    import ray.data
+
+    frames = [
+        b.to_pandas()
+        for b in cand_rows.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    if not frames:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=EDGE_SCHEMA))
+    df = pd.concat(frames, ignore_index=True).sort_values(
+        ["bucket_key", "id"], kind="mergesort"
+    )
+    # codes assigned in LEXICOGRAPHIC id order so code order == id order
+    # (pair orientation and star-center choice stay deterministic)
+    uniq_ids = np.sort(pd.unique(df["id"]))
+    code_of = {i: c for c, i in enumerate(uniq_ids)}
+    codes = df["id"].map(code_of).to_numpy(dtype=np.int64)
+    bk = df["bucket_key"].to_numpy()
+    # bucket boundaries
+    change = np.nonzero(np.diff(bk))[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(bk)]])
+    a_list, b_list = [], []
+    cap = cfg.bucket_cap
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        seg = codes[s:e]
+        seg = np.unique(seg)  # same doc can land in a bucket via dup rows
+        m = len(seg)
+        if m < 2:
+            continue
+        if m <= cap:
+            ai, bi = np.triu_indices(m, k=1)
+            a_list.append(seg[ai])
+            b_list.append(seg[bi])
+        else:  # star expansion against the bucket minimum (skew valve)
+            a_list.append(np.full(m - 1, seg[0]))
+            b_list.append(seg[1:])
+    if not a_list:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=EDGE_SCHEMA))
+    a = np.concatenate(a_list)
+    b = np.concatenate(b_list)
+    # dedupe pairs proposed by multiple bands
+    pair_code = a * np.int64(len(uniq_ids)) + b
+    _, first = np.unique(pair_code, return_index=True)
+    a, b = a[first], b[first]
+    sigs = np.asarray([sig_map[i] for i in uniq_ids], dtype=np.uint64)
+    est = (sigs[a] == sigs[b]).mean(axis=1)
+    keep = est >= cfg.verify_threshold
+    table = pa.table(
+        {
+            "src": pa.array(uniq_ids[a[keep]], pa.string()),
+            "dst": pa.array(uniq_ids[b[keep]], pa.string()),
+        }
+    )
+    return ray.data.from_arrow(table)
 
 
 def minhash_clusters(

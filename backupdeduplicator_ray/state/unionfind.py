@@ -64,15 +64,17 @@ def connected_components(
     """
     import ray.data
 
+    edges_ds = edges_ds.materialize()  # count + iterate = ONE execution
     n_edges = edges_ds.count()
     if n_edges <= driver_limit:
         dsu = DSU()
-        for row in edges_ds.iter_rows():
-            dsu.union(row["src"], row["dst"])
+        for batch in edges_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+            for s, d in zip(batch["src"].to_pylist(), batch["dst"].to_pylist()):
+                dsu.union(s, d)
         ids = set(dsu.parent)
         if nodes_ds is not None:
-            for row in nodes_ds.iter_rows():
-                ids.add(row["id"])
+            for batch in nodes_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+                ids.update(batch["id"].to_pylist())
         labels = sorted(ids)
         table = pa.table(
             {

@@ -1,0 +1,90 @@
+"""Incremental build cache (reference ST1) + symlink nodes (M3)."""
+
+import pyarrow as pa
+import pytest
+
+
+def test_incremental_matches_full_build(ray_session, small_corpus_ds):
+    """Resume with an unchanged previous run -> identical node table, and
+    every row is a cache hit (no re-hash)."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.build import build_file_nodes
+    from backupdeduplicator_ray.stages.incremental import incremental_file_nodes
+
+    full = build_file_nodes(small_corpus_ds).materialize()
+    prev = full.map_batches(
+        lambda t: t.select(["repo", "path", "size", "hash"]).append_column(
+            "commit", pa.array(["X"] * len(t), pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    # same commit on the corpus side -> all hits
+    corpus_same = small_corpus_ds.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("commit"), "commit", pa.array(["X"] * len(t), pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    inc = incremental_file_nodes(corpus_same, prev)
+    got = {(r["repo"], r["path"]): (r["hash"], r["size"], r["node_type"]) for r in inc.take_all()}
+    want = {(r["repo"], r["path"]): (r["hash"], r["size"], r["node_type"]) for r in full.take_all()}
+    assert got == want
+
+
+def test_incremental_rehashes_changed_rows(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.functions.hashing import hash_text
+    from backupdeduplicator_ray.stages.incremental import incremental_file_nodes
+
+    corpus = pa.table(
+        {
+            "repo": ["r", "r", "r"],
+            "path": ["same.txt", "changed.txt", "new.txt"],
+            "commit": ["c2", "c2", "c2"],
+            "lang": ["txt"] * 3,
+            "content": pa.array(["aaa", "bbb-new", "ccc"], pa.large_string()),
+        }
+    )
+    prev = pa.table(
+        {
+            "repo": ["r", "r", "r"],
+            "path": ["same.txt", "changed.txt", "gone.txt"],
+            "size": pa.array([3, 3, 3], pa.int64()),
+            # stale hash for same.txt proves hits skip re-hashing
+            "hash": ["CACHED-HASH", hash_text("bbb-old"), hash_text("zzz")],
+            "commit": ["c2", "c1", "c1"],
+        }
+    )
+    inc = incremental_file_nodes(ray.data.from_arrow(corpus), ray.data.from_arrow(prev))
+    got = {r["path"]: r["hash"] for r in inc.take_all()}
+    assert set(got) == {"same.txt", "changed.txt", "new.txt"}  # gone.txt dropped
+    assert got["same.txt"] == "CACHED-HASH"  # commit+size matched -> cache hit
+    assert got["changed.txt"] == hash_text("bbb-new")  # commit changed -> re-hash
+    assert got["new.txt"] == hash_text("ccc")
+
+
+def test_symlink_nodes(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.functions.hashing import hash_text
+    from backupdeduplicator_ray.stages.build import build_file_nodes
+
+    corpus = pa.table(
+        {
+            "repo": ["r", "r", "r"],
+            "path": ["a.txt", "link", "broken.bin"],
+            "commit": ["c"] * 3,
+            "lang": ["txt"] * 3,
+            "content": pa.array(["hello", None, None], pa.large_string()),
+            "target": pa.array([None, "a.txt", None], pa.string()),
+        }
+    )
+    rows = {r["path"]: r for r in build_file_nodes(ray.data.from_arrow(corpus)).take_all()}
+    assert rows["a.txt"]["node_type"] == "file"
+    assert rows["link"]["node_type"] == "symlink"
+    # symlink hash = hash of the target path STRING (reference symlink.rs)
+    assert rows["link"]["hash"] == hash_text("a.txt")
+    assert rows["broken.bin"]["node_type"] == "other"
+    assert rows["broken.bin"]["hash"] is None
