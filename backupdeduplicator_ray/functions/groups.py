@@ -67,29 +67,49 @@ def keys_with_count_between(
     import pyarrow.compute as pc
 
     if single:
-        # fully vectorized: per-block pc.value_counts, numpy merge on the
-        # driver (block-sized batches, no re-chunking)
+        # fully vectorized: per-block pc.value_counts (parallel tasks),
+        # merged in a parallel reduction tree of Ray tasks — the driver only
+        # receives the final, already-filtered survivor keys, so the merge
+        # scales with CPUs instead of being a serial driver phase
+        import ray
+
         key = keys[0]
 
         def partial(t: pa.Table) -> pa.Table:
-            vc = pc.value_counts(t[key].combine_chunks() if isinstance(t[key], pa.ChunkedArray) else t[key])
+            col = t[key]
+            vc = pc.value_counts(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
             return pa.table({"k": vc.field("values"), "n": vc.field("counts")})
 
         # block-sized batches (no batch_size => no re-chunking copies)
         parts = ds.select_columns(keys).map_batches(partial, batch_format="pyarrow")
-        ks, ns = [], []
-        for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
-            ks.append(b["k"].to_numpy(zero_copy_only=False))
-            ns.append(b["n"].to_numpy(zero_copy_only=False))
-        if not ks:
+
+        @ray.remote
+        def merge(*tables):
+            ks = [t["k"].to_numpy(zero_copy_only=False) for t in tables if len(t)]
+            ns = [t["n"].to_numpy(zero_copy_only=False) for t in tables if len(t)]
+            if not ks:
+                return pa.table({"k": pa.array([]), "n": pa.array([], pa.int64())})
+            k = np.concatenate(ks)
+            n = np.concatenate(ns)
+            ser = pd.Series(n).groupby(pd.Series(k), sort=False).sum()
+            return pa.table(
+                {"k": pa.array(ser.index.to_numpy()), "n": pa.array(ser.to_numpy())}
+            )
+
+        # block refs, not driver pulls — merge tasks fetch blocks themselves
+        refs = list(parts.materialize().to_arrow_refs())
+        fanin = 8
+        while len(refs) > 1:
+            refs = [merge.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)]
+        final = ray.get(refs[0]) if refs else None
+        if final is None or len(final) == 0:
             return set()
-        k = np.concatenate(ks)
-        n = np.concatenate(ns)
-        ser = pd.Series(n).groupby(pd.Series(k), sort=False).sum()
-        sel = ser[ser >= min_count]
+        k = final["k"].to_numpy(zero_copy_only=False)
+        n = final["n"].to_numpy(zero_copy_only=False)
+        mask = n >= min_count
         if max_count is not None:
-            sel = sel[sel <= max_count]
-        return set(sel.index)
+            mask &= n <= max_count
+        return set(k[mask].tolist())
 
     def partial2(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

@@ -224,14 +224,16 @@ def _repo_rows(repo_idx: int, files_per_repo: int, seed: int) -> list[dict]:
         path = f"{d}/mod_{j:04d}.{lang}"
         if j < n_dup:
             crng = random.Random(f"{seed}:dup:{group}:{j}")
-            content = _gen_content(crng, lang, crng.randint(5, 40))
+            content = _gen_content(crng, lang, crng.randint(20, 120))
         elif j < n_dup + n_near:
             crng = random.Random(f"{seed}:near:{group}:{j}")
-            content = _gen_content(crng, lang, crng.randint(10, 40))
+            content = _gen_content(crng, lang, crng.randint(20, 120))
             if repo_idx % 2 == 1:
                 content = _edit_tokens(random.Random(f"{seed}:{repo_idx}:{j}"), content, 1)
         else:
-            content = _gen_content(rng, lang, rng.randint(3, 60))
+            # realistic source-file sizes (~0.5-4 KiB) so bench compute
+            # (hashing, tokenization) dominates fixed scheduling overhead
+            content = _gen_content(rng, lang, rng.randint(20, 160))
         rows.append(
             {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
         )

@@ -1,0 +1,73 @@
+"""Connected components: DSU vs distributed label propagation."""
+
+import pyarrow as pa
+import pytest
+
+from backupdeduplicator_ray.state.unionfind import (
+    DSU,
+    EDGE_SCHEMA,
+    connected_components,
+    _label_propagation,
+)
+
+
+def test_dsu_union_by_min():
+    d = DSU()
+    for a, b in [("b", "c"), ("a", "b"), ("x", "y")]:
+        d.union(a, b)
+    assert d.find("c") == "a"
+    assert d.find("y") == "x"
+    assert d.find("z") == "z"
+
+
+def _edges_ds(pairs):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in pairs], pa.string()),
+                "dst": pa.array([b for _, b in pairs], pa.string()),
+            }
+        )
+    )
+
+
+PAIRS = [("d2", "d3"), ("d1", "d2"), ("d9", "d8"), ("d5", "d5"), ("d3", "d4")]
+WANT = {"d1": "d1", "d2": "d1", "d3": "d1", "d4": "d1", "d5": "d5", "d8": "d8", "d9": "d8"}
+
+
+def test_connected_components_driver(ray_session):
+    labels = {
+        r["id"]: r["cluster_id"] for r in connected_components(_edges_ds(PAIRS)).take_all()
+    }
+    assert labels == WANT
+
+
+def test_label_propagation_matches_dsu(ray_session):
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in _label_propagation(_edges_ds(PAIRS), None, max_rounds=6).take_all()
+    }
+    assert labels == WANT
+
+
+def test_connected_components_forced_distributed(ray_session):
+    # driver_limit=0 forces the label-propagation path through the public API
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(_edges_ds(PAIRS), driver_limit=0).take_all()
+    }
+    assert labels == WANT
+
+
+def test_singleton_nodes_label_themselves(ray_session):
+    import ray.data
+
+    nodes = ray.data.from_arrow(pa.table({"id": pa.array(["lone", "d1"], pa.string())}))
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(_edges_ds(PAIRS), nodes_ds=nodes).take_all()
+    }
+    assert labels["lone"] == "lone"
+    assert labels["d1"] == "d1"
