@@ -146,11 +146,15 @@ def filter_by_key_set(ds, keys: list[str], key_set, keep: bool = True):
     import ray
 
     single = len(keys) == 1
-    if not key_set:
+    if isinstance(key_set, pa.ChunkedArray):
+        key_set = key_set.combine_chunks()
+    if len(key_set) == 0:
         if keep:  # empty set: keep nothing / everything
             return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
         return ds
-    if single:
+    if isinstance(key_set, pa.Array):
+        arr = key_set  # already arrow — broadcast as-is (zero-copy)
+    elif single:
         vals = list(key_set)
         first = vals[0]
         if isinstance(first, str):

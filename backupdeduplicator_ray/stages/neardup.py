@@ -298,14 +298,47 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
     mark("reps")
     bands = reps.map_batches(_band_explode(cfg), batch_format="pyarrow").materialize()
     mark("bands")
-    # prune singleton buckets with a vectorized count before the per-group
-    # verification pass (the overwhelming majority of band buckets hold one
-    # doc; without pruning each costs a Python group call)
-    survivors = keys_with_count_between(bands, ["bucket_key"], min_count=2)
-    mark("count")
-    cand_rows = filter_by_key_set(bands, ["bucket_key"], survivors, keep=True).materialize()
+    # prune singleton buckets before any per-bucket work (the overwhelming
+    # majority of band buckets hold one doc).  Adaptive: below the
+    # driver-pull threshold the lean (bucket_key, id) table streams to the
+    # driver once and numpy does the counting + candidate selection (a few
+    # seconds, no extra Ray passes); above it, a parallel tree-reduce of
+    # per-block value_counts finds survivors distributed (the 10^12-file
+    # path — band keys are O(corpus), never driver-pullable there).
+    n_band_rows = bands.count()
+    if n_band_rows <= _DRIVER_BANDS_LIMIT and not distributed:
+        # arrow-native pull: keys to numpy, ids STAY arrow (no python-string
+        # materialization of millions of ids); survivors via np.unique +
+        # isin; candidate rows filtered with a C-speed arrow kernel
+        import pyarrow.compute as pc
+
+        bk_parts, id_arrs = [], []
+        for b in bands.iter_batches(batch_format="pyarrow", batch_size=None):
+            bk_parts.append(b["bucket_key"].to_numpy(zero_copy_only=False))
+            arr = b["id"]
+            id_arrs.append(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+        bk = np.concatenate(bk_parts) if bk_parts else np.empty(0, np.uint64)
+        uniq, counts = np.unique(bk, return_counts=True)
+        survivors = uniq[counts >= 2]
+        keep_mask = np.isin(bk, survivors)
+        ids_arr = (
+            pa.concat_arrays(id_arrs) if id_arrs else pa.array([], pa.string())
+        )
+        mask_arr = pa.array(keep_mask)
+        cand_rows = pa.table(
+            {
+                "bucket_key": pa.array(bk[keep_mask]),
+                "id": ids_arr.filter(mask_arr),
+            }
+        )
+        cand_ids = pc.unique(cand_rows["id"])
+        mark("count")
+    else:
+        survivors = keys_with_count_between(bands, ["bucket_key"], min_count=2)
+        mark("count")
+        cand_rows = filter_by_key_set(bands, ["bucket_key"], survivors, keep=True).materialize()
+        cand_ids = {r["id"] for r in cand_rows.select_columns(["id"]).take_all()}
     mark("cand")
-    cand_ids = {r["id"] for r in cand_rows.select_columns(["id"]).take_all()}
     sig_map = {
         r["id"]: np.asarray(r["sig"], dtype=np.uint64)
         for r in filter_by_key_set(reps, ["id"], cand_ids, keep=True).take_all()
@@ -339,17 +372,23 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
     return exact_edges.union(near_edges)
 
 
+_DRIVER_BANDS_LIMIT = 50_000_000  # rows; above this, pruning stays distributed
+
+
 def _verify_candidates_driver(cand_rows, sig_map: dict, cfg: MinHashConfig):
     """Vectorized candidate verification: build all bucket pairs, dedupe,
     verify with one big signature-equality reduction.  Returns an edge
-    Dataset."""
+    Dataset.  cand_rows: Dataset or pa.Table of (bucket_key, id)."""
     import pandas as pd
     import ray.data
 
-    frames = [
-        b.to_pandas()
-        for b in cand_rows.iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
+    if isinstance(cand_rows, pa.Table):
+        frames = [cand_rows.to_pandas()] if len(cand_rows) else []
+    else:
+        frames = [
+            b.to_pandas()
+            for b in cand_rows.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
     if not frames:
         return ray.data.from_arrow(pa.Table.from_pylist([], schema=EDGE_SCHEMA))
     df = pd.concat(frames, ignore_index=True).sort_values(
@@ -367,12 +406,18 @@ def _verify_candidates_driver(cand_rows, sig_map: dict, cfg: MinHashConfig):
     ends = np.concatenate([change, [len(bk)]])
     a_list, b_list = [], []
     cap = cfg.bucket_cap
-    for s, e in zip(starts, ends):
-        m = e - s
-        if m < 2:
-            continue
-        seg = codes[s:e]
-        seg = np.unique(seg)  # same doc can land in a bucket via dup rows
+    sizes = ends - starts
+    # fast path: size-2 buckets are the overwhelming majority — handle them
+    # in one vectorized shot (rows are sorted by (bucket, id) so the pair
+    # is already id-ordered; equal codes = same doc twice, dropped)
+    s2 = starts[sizes == 2]
+    if len(s2):
+        a2, b2 = codes[s2], codes[s2 + 1]
+        valid = a2 != b2
+        a_list.append(a2[valid])
+        b_list.append(b2[valid])
+    for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
+        seg = np.unique(codes[s:e])  # same doc can land in a bucket twice
         m = len(seg)
         if m < 2:
             continue

@@ -58,9 +58,13 @@ def _corpus_parquet(sf: float) -> str:
     return cache
 
 
-def run_bench() -> dict:
+def _fresh_session():
+    """Restart Ray between queries: lingering object-store blocks and actor
+    teardown from one query otherwise contaminate the next one's timing."""
     import ray
 
+    if ray.is_initialized():
+        ray.shutdown()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -73,6 +77,12 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+
+
+def run_bench() -> dict:
+    import ray
+
+    _fresh_session()
 
     import pyarrow as pa
     import ray.data as rd
@@ -97,6 +107,7 @@ def run_bench() -> dict:
     n_sets = dupsets.count()
     queries["dedup_e2e"] = round(time.time() - t0, 3)
 
+    _fresh_session()
     t0 = time.time()
     corpus = rd.read_parquet(corpus_path, columns=["repo", "path", "content"])
     docs = corpus.map_batches(
@@ -114,6 +125,7 @@ def run_bench() -> dict:
     n_clustered = minhash_clusters(docs).count()
     queries["minhash_clusters"] = round(time.time() - t0, 3)
 
+    _fresh_session()
     t0 = time.time()
     corpus = rd.read_parquet(corpus_path, columns=["repo", "path", "content"])
     simhash_fingerprints(corpus, id_col="path", text_col="content").count()
