@@ -42,31 +42,53 @@ def _lang_of(member: str) -> str:
     return _LANG_BY_EXT.get(posixpath.splitext(member)[1], "txt")
 
 
-def expand_archive_bytes(data: bytes, kind: str | None = None) -> list[tuple[str, str | None]]:
+_ARCHIVE_EXTS = (".zip", ".tar")
+MAX_NESTING = 3  # zip-bomb guard: archives inside archives inside archives
+MAX_MEMBERS = 100_000  # per top-level blob
+
+
+def expand_archive_bytes(
+    data: bytes, kind: str | None = None, max_depth: int = MAX_NESTING
+) -> list[tuple[str, str | None]]:
     """Archive bytes → [(member_path, text_or_None)].  kind: 'zip'/'tar'/None
-    (sniff).  Raises ValueError for unrecognized bytes."""
+    (sniff).  Nested archives (a .zip/.tar member) are expanded recursively
+    with '!'-joined paths up to max_depth (reference FilePath was designed
+    for exactly this multi-component addressing, path.rs:36-55); an
+    unexpandable or too-deep nested archive degrades to a null-content
+    member.  Raises ValueError for unrecognized top-level bytes."""
     if kind is None:
         if data[:2] == b"PK":
             kind = "zip"
         else:
             kind = "tar"
-    out: list[tuple[str, str | None]] = []
+    raw_members: list[tuple[str, bytes]] = []
     if kind == "zip":
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
             for info in zf.infolist():
                 if info.is_dir():
                     continue
-                raw = zf.read(info)
-                out.append((info.filename, _decode(raw)))
+                raw_members.append((info.filename, zf.read(info)))
     elif kind == "tar":
         with tarfile.open(fileobj=io.BytesIO(data)) as tf:
             for info in tf.getmembers():
                 if not info.isfile():
                     continue
-                raw = tf.extractfile(info).read()
-                out.append((info.name, _decode(raw)))
+                raw_members.append((info.name, tf.extractfile(info).read()))
     else:
         raise ValueError(f"unknown archive kind: {kind}")
+
+    out: list[tuple[str, str | None]] = []
+    for name, raw in raw_members:
+        if len(out) >= MAX_MEMBERS:
+            break
+        if name.lower().endswith(_ARCHIVE_EXTS) and max_depth > 1:
+            try:
+                nested = expand_archive_bytes(raw, max_depth=max_depth - 1)
+                out.extend((f"{name}!{m}", text) for m, text in nested)
+                continue
+            except Exception:
+                pass  # not actually an archive -> fall through as a file
+        out.append((name, _decode(raw)))
     return out
 
 

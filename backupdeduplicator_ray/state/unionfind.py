@@ -11,10 +11,12 @@ edges.  Two paths:
 - **label propagation** (scale path): labels(node)=node; each round sends
   every node's current label across its edges and keeps the min
   (`groupby(node).min`) — two map_batches + one groupby per round, no
-  driver state.  Plain min-propagation converges in graph-diameter rounds;
-  verified near-dup clusters are dense (band buckets emit cliques/stars),
-  so the default round budget covers them.  For adversarial long chains
-  the BTS-style balanced DSU (PAPERS.md, ICDE 2024) is the upgrade path.
+  driver state.  Min-propagation needs graph-diameter rounds; convergence
+  is detected with a per-round order-insensitive checksum aggregate (one
+  cheap scan), so any diameter up to max_rounds terminates exactly.
+  Verified near-dup clusters are dense (band buckets emit cliques/stars),
+  so typical runs converge in 2-4 rounds; for adversarial long chains the
+  BTS-style balanced DSU (PAPERS.md, ICDE 2024) is the upgrade path.
 
 Labels are the min member id (string compare) — deterministic, matching
 the fixture oracle (tests/oracle.py connected_clusters).
@@ -55,7 +57,7 @@ def connected_components(
     edges_ds,
     nodes_ds=None,
     driver_limit: int = 2_000_000,
-    max_rounds: int = 8,
+    max_rounds: int = 64,
 ):
     """Edges (src, dst) → labels (id, cluster_id = min member of component).
 
@@ -123,6 +125,21 @@ def _label_propagation(edges_ds, nodes_ds, max_rounds: int):
         lambda t: t.rename_columns(["id", "cluster_id"]), batch_format="pyarrow"
     ).materialize()
 
+    def checksum(lab_ds) -> int:
+        """Order-insensitive fingerprint of the label assignment — one
+        cheap aggregate per round; propagation converged iff unchanged."""
+        import zlib
+
+        def per_batch(t: pa.Table) -> pa.Table:
+            s = sum(
+                zlib.crc32(f"{i}\x00{c}".encode())
+                for i, c in zip(t["id"].to_pylist(), t["cluster_id"].to_pylist())
+            )
+            return pa.table({"s": pa.array([s], pa.int64())})
+
+        return int(lab_ds.map_batches(per_batch, batch_format="pyarrow").sum("s") or 0)
+
+    prev_sum = checksum(labels)
     for _ in range(max_rounds):
         # message pass: join labels onto edges via union + groupby(key)
         # (portable partitioned hash join: tag sides, co-group, emit peer msgs)
@@ -167,4 +184,8 @@ def _label_propagation(edges_ds, nodes_ds, max_rounds: int):
             lambda t: t.rename_columns(["id", "cluster_id"]), batch_format="pyarrow"
         ).materialize()
         labels = new_labels
+        cur = checksum(labels)
+        if cur == prev_sum:  # fixpoint: min over 1-hop changed nothing
+            break
+        prev_sum = cur
     return labels

@@ -72,6 +72,22 @@ def test_archive_expansion_feeds_dedup(ray_session):
     assert nodes[("r2", "vendor/lib.zip")]["hash"] == nodes[("r1", "lib")]["hash"]
 
 
+def test_nested_archive_expansion():
+    from backupdeduplicator_ray.sources.archive import expand_archive_bytes
+
+    inner = _make_zip({"deep.py": b"x = 1\n"})
+    outer = _make_zip({"readme.md": b"# top\n", "vendor/inner.zip": inner})
+    got = dict(expand_archive_bytes(outer))
+    assert got["readme.md"] == "# top\n"
+    assert got["vendor/inner.zip!deep.py"] == "x = 1\n"
+    # nesting depth guard: a 4-deep chain stops expanding at MAX_NESTING
+    lvl = _make_zip({"leaf.txt": b"bottom"})
+    for i in range(3):
+        lvl = _make_zip({f"l{i}.zip": lvl})
+    names = [n for n, _ in expand_archive_bytes(lvl)]
+    assert all(n.count("!") <= 2 for n in names)
+
+
 def test_unreadable_archive_degrades(ray_session):
     import ray.data
 

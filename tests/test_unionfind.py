@@ -61,6 +61,17 @@ def test_connected_components_forced_distributed(ray_session):
     assert labels == WANT
 
 
+def test_label_propagation_long_chain(ray_session):
+    """A path graph of diameter 20 converges (checksum-driven rounds)."""
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(20)]
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in _label_propagation(_edges_ds(chain), None, max_rounds=64).take_all()
+    }
+    assert set(labels.values()) == {"n00"}
+    assert len(labels) == 21
+
+
 def test_singleton_nodes_label_themselves(ray_session):
     import ray.data
 
