@@ -329,6 +329,51 @@ FROM documents
 """
 
 
+def q_incremental_file_hash(sf_dir: str):
+    """Incremental build (reference ST1 cache): a previous run covers the
+    even doc_ids (same commit -> cache hits, hashes reused without reading
+    content); odd doc_ids are misses and re-hash.  The result must equal a
+    full rebuild — so the oracle is the plain file-hash SQL."""
+    import pyarrow.compute as pc
+
+    from ..stages.build import build_file_nodes
+    from ..stages.incremental import incremental_file_nodes
+
+    corpus = corpus_from_documents(sf_dir)
+    # previous run = full build restricted to even doc_ids (path carries
+    # doc_<id>.txt, so the filter is derivable from the path string)
+    def even_only(t: pa.Table) -> pa.Table:
+        keep = [
+            int(p.rsplit("_", 1)[1].split(".")[0]) % 2 == 0
+            for p in t["path"].to_pylist()
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    prev_nodes = build_file_nodes(corpus.map_batches(even_only, batch_format="pyarrow"))
+    prev = prev_nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "size": t["size"],
+                "hash": t["hash"],
+                "commit": pa.array(["deadbeef"] * len(t), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    inc = incremental_file_nodes(corpus, prev)
+    return inc.map_batches(
+        lambda t: t.filter(pc.not_equal(t["node_type"], "dir")).select(
+            ["repo", "path", "hash"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_INCREMENTAL_FILE_HASH = SQL_FILE_HASH  # cache-correct == full rebuild
+
+
 # --- text analysis ---------------------------------------------------------
 
 
@@ -605,6 +650,7 @@ QUERIES = {
     "dup_members": q_dup_members,
     "dup_total": q_dup_total,
     "compact_latest": q_compact_latest,
+    "incremental_file_hash": q_incremental_file_hash,
     "archive_roundtrip": q_archive_roundtrip,
     "token_stats": q_token_stats,
     "quality_flags": q_quality_flags,
@@ -628,6 +674,7 @@ ORACLE_SQL = {
     "dup_members": SQL_DUP_MEMBERS,
     "dup_total": SQL_DUP_TOTAL,
     "compact_latest": SQL_COMPACT_LATEST,
+    "incremental_file_hash": SQL_INCREMENTAL_FILE_HASH,
     "archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
     "token_stats": SQL_TOKEN_STATS,
     "quality_flags": SQL_QUALITY_FLAGS,
