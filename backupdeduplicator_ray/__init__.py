@@ -18,3 +18,19 @@ point at the reference behavior being re-expressed.
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "HashConfig",
+    "MinHashConfig",
+    "SimHashConfig",
+    "JaccardConfig",
+    "PipelineConfig",
+]
+
+from .config import (  # noqa: E402
+    HashConfig,
+    JaccardConfig,
+    MinHashConfig,
+    PipelineConfig,
+    SimHashConfig,
+)

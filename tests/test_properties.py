@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) + edge cases."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from backupdeduplicator_ray.config import MinHashConfig
+from backupdeduplicator_ray.functions import minhash as mh
+from backupdeduplicator_ray.functions.hashing import digest_of_children, hash_text
+from backupdeduplicator_ray.functions.paths import depth_of, parent_of
+from backupdeduplicator_ray.functions.shingles import shingle_hashes, tokenize
+
+paths = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4), min_size=1, max_size=5
+).map("/".join)
+
+
+@given(paths)
+@settings(max_examples=200, deadline=None)
+def test_parent_depth_consistency(path):
+    """parent is always exactly one level up; chain terminates at root."""
+    d = depth_of(path)
+    p = parent_of(path)
+    assert p is not None
+    if p == "":
+        assert d == 0
+    else:
+        assert depth_of(p) == d - 1
+    # walking up depth+1 times reaches the repo root then None
+    cur = path
+    for _ in range(d + 1):
+        cur = parent_of(cur)
+    assert cur == "" or cur is None
+    assert parent_of("") is None
+
+
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=0, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_dir_digest_permutation_invariant(contents):
+    hexes = [hash_text(c) for c in contents]
+    rng = np.random.default_rng(0)
+    perm = list(hexes)
+    rng.shuffle(perm)
+    assert digest_of_children(hexes) == digest_of_children(perm)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_shingles_deterministic_and_case_insensitive(text):
+    a = shingle_hashes(tokenize(text), 3)
+    b = shingle_hashes(tokenize(text.upper()), 3)
+    assert np.array_equal(a, b)
+    assert len(a) == len(np.unique(a))  # set semantics
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63), min_size=0, max_size=500)
+)
+@settings(max_examples=50, deadline=None)
+def test_minhash_merge_associativity(vals):
+    cfg = MinHashConfig(num_perms=32)
+    a, b = mh.perm_table(cfg)
+    x = np.array(vals, dtype=np.uint64)
+    full = mh.signature(x, a, b)
+    half = len(x) // 2
+    merged = mh.merge_signatures(
+        mh.signature(x[:half], a, b), mh.signature(x[half:], a, b)
+    )
+    assert np.array_equal(full, merged)
+
+
+def test_monster_doc_chunked_signature_matches():
+    """The stage's >8192-shingle chunked path equals the direct signature."""
+    from backupdeduplicator_ray.stages.neardup import MinHashSignatureStage
+
+    cfg = MinHashConfig()
+    text = " ".join(f"tok{i % 7919}x{i % 104729}" for i in range(12000))
+    stage = MinHashSignatureStage(cfg, "id", "text")
+    out = stage(pa.table({"id": ["big"], "text": pa.array([text], pa.large_string())}))
+    got = np.asarray(out["sig"].to_pylist()[0], dtype=np.uint64)
+    want = mh.signature(shingle_hashes(tokenize(text), cfg.shingle_k), stage.a, stage.b)
+    assert np.array_equal(got, want)
+    assert len(shingle_hashes(tokenize(text), cfg.shingle_k)) > 8192
+
+
+def test_empty_corpus_pipelines(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.pipelines.dedup import analyze
+    from backupdeduplicator_ray.stages.neardup import minhash_clusters
+
+    empty = pa.table(
+        {
+            "repo": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "commit": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "content": pa.array([], pa.large_string()),
+        }
+    )
+    ds = ray.data.from_arrow(empty)
+    dupsets, dup_bytes = analyze(ds)
+    assert dupsets.count() == 0 and dup_bytes == 0
+    docs = ray.data.from_arrow(pa.table({"id": pa.array([], pa.string()), "text": pa.array([], pa.large_string())}))
+    assert minhash_clusters(docs).count() == 0
