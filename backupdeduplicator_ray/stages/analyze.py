@@ -44,6 +44,7 @@ SETS_SCHEMA = pa.schema(
         ("hash", pa.string()),
         ("ftype", pa.string()),
         ("size", pa.int64()),
+        ("n_true", pa.int64()),  # true group size (member lists may be capped)
         ("repos", pa.list_(pa.string())),
         ("paths", pa.list_(pa.string())),
         ("parents", pa.list_(pa.string())),
@@ -67,6 +68,15 @@ def _sets_table(rows: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=SETS_SCHEMA)
 
 
+#: Skew valve for pathological exact-dup groups (the empty file duplicated
+#: everywhere): membership lists are capped; n_conflicts / dup_bytes stay
+#: exact (computed from the true count).  At 10^12-file scale a single
+#: hot hash would otherwise materialize an unbounded member list in one
+#: group task.  None disables the cap (sandbox default keeps it high
+#: enough to never trigger on the fixtures).
+MAX_MEMBERS_PER_SET = 1_000_000
+
+
 def _candidate_sets(group: pd.DataFrame) -> pa.Table:
     """One hash group → refined candidate-set rows (n>=2 only).
 
@@ -77,14 +87,18 @@ def _candidate_sets(group: pd.DataFrame) -> pa.Table:
         return _sets_table([])
     out = []
     for (size, ftype), sub in group.groupby(["size", "node_type"], sort=True):
-        if len(sub) < 2:
+        n_true = len(sub)
+        if n_true < 2:
             continue
         sub = sub.sort_values(["repo", "path"], kind="mergesort")
+        if MAX_MEMBERS_PER_SET is not None and n_true > MAX_MEMBERS_PER_SET:
+            sub = sub.head(MAX_MEMBERS_PER_SET)
         out.append(
             {
                 "hash": sub["hash"].iloc[0],
                 "ftype": ftype,
                 "size": int(size),
+                "n_true": n_true,
                 "repos": list(sub["repo"]),
                 "paths": list(sub["path"]),
                 "parents": [p if isinstance(p, str) else None for p in sub["parent"]],
@@ -141,7 +155,7 @@ def dup_sets(nodes_ds):
             ]
             if suppressed and all(suppressed):
                 continue
-            n = len(row["repos"])
+            n = int(row.get("n_true") or len(row["repos"]))
             keep.append(
                 {
                     "hash": row["hash"],
