@@ -107,22 +107,80 @@ def _candidate_sets(group: pd.DataFrame) -> pa.Table:
     return _sets_table(out)
 
 
-def candidate_sets(nodes_ds):
+#: Colliding-node rows below this stream to the driver for one vectorized
+#: pandas grouping (colliding rows are bounded by the ACTUAL duplicates —
+#: the small side by construction); above it, the distributed per-group
+#: path runs.  At 1.6M nodes the per-group Python overhead of 160k hash
+#: groups dominated the whole analyze stage (72s -> ~8s).
+DRIVER_CAND_LIMIT = 5_000_000
+
+
+def candidate_sets(nodes_ds, distributed: bool = False):
     """Node Dataset → refined candidate-set Dataset.
 
-    A vectorized `groupby(hash).count()` (block-level partial aggregation)
-    finds colliding hashes first; only those rows — the actual duplicates —
-    reach the per-group refinement pass.  Singleton hashes (the vast
-    majority) never cost a Python group call.
+    A vectorized count (block-level partial aggregation) finds colliding
+    hashes first; only those rows — the actual duplicates — reach the
+    refinement pass.  Singleton hashes (the vast majority) never cost a
+    Python group call.
     """
     import pyarrow.compute as pc
 
-    from ..functions.groups import grouped_on_survivors
+    from ..functions.groups import filter_by_key_set, keys_with_count_between
 
     hashed = nodes_ds.map_batches(
         lambda t: t.filter(pc.is_valid(t["hash"])), batch_format="pyarrow"
     ).materialize()
-    return grouped_on_survivors(hashed, ["hash"], _candidate_sets, min_count=2)
+    colliding = keys_with_count_between(hashed, ["hash"], min_count=2)
+    cand = filter_by_key_set(hashed, ["hash"], colliding, keep=True).materialize()
+    if distributed or cand.count() > DRIVER_CAND_LIMIT:
+        return cand.groupby("hash").map_groups(_candidate_sets, batch_format="pandas")
+    return _candidate_sets_driver(cand)
+
+
+def _candidate_sets_driver(cand_ds):
+    """Vectorized set construction on the driver (colliding rows only)."""
+    import pandas as pd
+    import ray.data
+
+    frames = [
+        b.to_pandas()
+        for b in cand_ds.select_columns(
+            ["hash", "node_type", "size", "repo", "path", "parent"]
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    if not frames:
+        return ray.data.from_arrow(_sets_table([]))
+    df = pd.concat(frames, ignore_index=True).sort_values(
+        ["hash", "size", "node_type", "repo", "path"], kind="mergesort"
+    )
+    grp = df.groupby(["hash", "size", "node_type"], sort=False)
+    sizes = grp["repo"].transform("size")
+    df = df[sizes >= 2]
+    if df.empty:
+        return ray.data.from_arrow(_sets_table([]))
+    grp = df.groupby(["hash", "size", "node_type"], sort=False)
+    agg = grp.agg(
+        repos=("repo", list), paths=("path", list), parents=("parent", list)
+    ).reset_index()
+    rows = []
+    for r in agg.itertuples(index=False):
+        n_true = len(r.repos)
+        cap = MAX_MEMBERS_PER_SET
+        repos, paths, parents = r.repos, r.paths, r.parents
+        if cap is not None and n_true > cap:
+            repos, paths, parents = repos[:cap], paths[:cap], parents[:cap]
+        rows.append(
+            {
+                "hash": r.hash,
+                "ftype": r.node_type,
+                "size": int(r.size),
+                "n_true": n_true,
+                "repos": repos,
+                "paths": paths,
+                "parents": [p if isinstance(p, str) else None for p in parents],
+            }
+        )
+    return ray.data.from_arrow(_sets_table(rows))
 
 
 def dup_sets(nodes_ds):

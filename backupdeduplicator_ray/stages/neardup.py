@@ -15,12 +15,13 @@ buckets (distinct-but-similar boilerplate) are capped: buckets above
 `bucket_cap` emit star edges against the bucket minimum instead of all
 pairs (connectivity preserved; pair verification still applies).
 
-Signatures ride along into the band shuffle (bands x sig duplication) so
-verification happens inside the bucket group — no second join back to a
-signature table.  With r=8 rows/band the duplication factor is 16x on a
-1 KiB signature; the alternative (join) is a second full shuffle — the
-ride-along wins until signatures dwarf content, which they don't for
-source files.
+The band shuffle moves only lean (bucket_key, id) rows — signatures never
+ride it.  Verification is adaptive: below _DRIVER_BANDS_LIMIT the pruned
+candidate set (bounded by actual near-dup density) is verified in one
+vectorized numpy reduction on the driver; above it, signatures reach the
+surviving candidate rows through a distributed union+groupby(id) hash
+join and per-bucket verification runs as a groupby — no driver state on
+the 10^12-file route.  Both paths are tested edge-set-identical.
 """
 
 from __future__ import annotations
@@ -176,24 +177,72 @@ def _exact_prebucket(sig_ds):
             }
         )
 
-    tagged = dup_rows.groupby("exact").map_groups(per_group, batch_format="pandas").materialize()
-    dup_reps = tagged.map_batches(
-        lambda t: t.filter(pc.equal(t["role"], "rep")).select(["id", "exact", "sig"]),
-        batch_format="pyarrow",
-    )
-    exact_edges = tagged.map_batches(
-        lambda t: pa.table(
-            {
-                "src": t.filter(pc.equal(t["role"], "edge"))["id"],
-                "dst": t.filter(pc.equal(t["role"], "edge"))["dst"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    dup_rows = dup_rows.materialize()
+    if dup_rows.count() <= _DRIVER_DUPROWS_LIMIT:
+        # vectorized driver path: dup rows are bounded by actual duplicates
+        # (the small side); one pandas grouping instead of a Python call
+        # per duplicated content
+        import pandas as pd
+        import ray.data
+
+        frames = [
+            b.to_pandas()
+            for b in dup_rows.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        df = (
+            pd.concat(frames, ignore_index=True).sort_values(
+                ["exact", "id"], kind="mergesort"
+            )
+            if frames
+            else None
+        )
+        if df is None or df.empty:
+            exact_edges = ray.data.from_arrow(pa.Table.from_pylist([], schema=EDGE_SCHEMA))
+            dup_reps = ray.data.from_arrow(pa.Table.from_pylist([], schema=SIG_SCHEMA))
+        else:
+            first = ~df["exact"].duplicated(keep="first")
+            rep_df = df[first]
+            rep_of = dict(zip(rep_df["exact"], rep_df["id"]))
+            others = df[~first]
+            edge_tbl = pa.table(
+                {
+                    "src": pa.array([rep_of[e] for e in others["exact"]], pa.string()),
+                    "dst": pa.array(list(others["id"]), pa.string()),
+                }
+            )
+            rep_tbl = pa.table(
+                {
+                    "id": pa.array(list(rep_df["id"]), pa.string()),
+                    "exact": pa.array(list(rep_df["exact"]), pa.string()),
+                    "sig": pa.array(
+                        [list(s) for s in rep_df["sig"]], pa.list_(pa.uint64())
+                    ),
+                }
+            )
+            exact_edges = ray.data.from_arrow(edge_tbl)
+            dup_reps = ray.data.from_arrow(rep_tbl)
+    else:
+        tagged = dup_rows.groupby("exact").map_groups(per_group, batch_format="pandas").materialize()
+        dup_reps = tagged.map_batches(
+            lambda t: t.filter(pc.equal(t["role"], "rep")).select(["id", "exact", "sig"]),
+            batch_format="pyarrow",
+        )
+        exact_edges = tagged.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.filter(pc.equal(t["role"], "edge"))["id"],
+                    "dst": t.filter(pc.equal(t["role"], "edge"))["dst"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
     reps = uniques.map_batches(
         lambda t: t.select(["id", "exact", "sig"]), batch_format="pyarrow"
     ).union(dup_reps)
     return exact_edges, reps
+
+
+_DRIVER_DUPROWS_LIMIT = 2_000_000  # duplicated-content rows; above -> distributed
 
 
 def _band_explode(cfg: MinHashConfig):
@@ -227,44 +276,6 @@ def _band_explode(cfg: MinHashConfig):
         )
 
     return explode
-
-
-def _bucket_edges(cfg: MinHashConfig, sig_map_ref):
-    """Per-bucket verification against broadcast candidate signatures.
-
-    map_groups calls this once per bucket; the broadcast is read through
-    the per-process cache (groups.cached_get) — a raw ray.get would
-    re-deserialize the signature dict on every group call."""
-
-    def per_bucket(g):
-        from ..functions.groups import cached_get
-
-        n = len(g)
-        if n < 2:
-            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
-        sig_map = cached_get(sig_map_ref)
-        ids = sorted(set(g["id"]))
-        n = len(ids)
-        if n < 2:
-            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
-        sigs = np.asarray([sig_map[i] for i in ids], dtype=np.uint64)
-        edges = []
-        if n <= cfg.bucket_cap:
-            for ii in range(n):
-                rest = slice(ii + 1, n)
-                est = (sigs[rest] == sigs[ii]).mean(axis=1)
-                for jj, e in enumerate(est, start=ii + 1):
-                    if e >= cfg.verify_threshold:
-                        edges.append({"src": ids[ii], "dst": ids[jj]})
-        else:
-            # star expansion against the bucket minimum (skew valve)
-            est = (sigs[1:] == sigs[0]).mean(axis=1)
-            for jj, e in enumerate(est, start=1):
-                if e >= cfg.verify_threshold:
-                    edges.append({"src": ids[0], "dst": ids[jj]})
-        return pa.Table.from_pylist(edges, schema=EDGE_SCHEMA)
-
-    return per_bucket
 
 
 def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text_col: str = "text", distributed: bool = False):
@@ -331,33 +342,28 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
                 "id": ids_arr.filter(mask_arr),
             }
         )
-        cand_ids = pc.unique(cand_rows["id"])
         mark("count")
+        # Candidate rows and their signatures are bounded by the actual
+        # near-dup density and already driver-resident — pair generation +
+        # verification run vectorized on the driver: one
+        # (n_pairs x num_perms) equality reduction.
+        cand_ids = pc.unique(cand_rows["id"]) if len(cand_rows) else pa.array([], pa.string())
+        sig_map = {
+            r["id"]: np.asarray(r["sig"], dtype=np.uint64)
+            for r in filter_by_key_set(reps, ["id"], cand_ids, keep=True).take_all()
+        }
+        mark("sigmap")
+        near_edges = _verify_candidates_driver(cand_rows, sig_map, cfg)
     else:
+        # fully distributed path (band rows outgrow the driver): tree-reduce
+        # counts -> prune -> ship signatures to candidate rows with ONE
+        # union+groupby(id) hash join -> per-bucket verify groupby.  No
+        # driver state anywhere; this is the 10^12-file route.
         survivors = keys_with_count_between(bands, ["bucket_key"], min_count=2)
         mark("count")
         cand_rows = filter_by_key_set(bands, ["bucket_key"], survivors, keep=True).materialize()
-        cand_ids = {r["id"] for r in cand_rows.select_columns(["id"]).take_all()}
-    mark("cand")
-    sig_map = {
-        r["id"]: np.asarray(r["sig"], dtype=np.uint64)
-        for r in filter_by_key_set(reps, ["id"], cand_ids, keep=True).take_all()
-    }
-    mark("sigmap")
-    # Candidate rows and their signatures are bounded by the actual
-    # near-dup density (the small side by construction) and the signatures
-    # are already driver-resident for the broadcast — so pair generation +
-    # verification run vectorized on the driver: one (n_pairs x num_perms)
-    # equality reduction instead of one Python call per bucket.  The
-    # distributed per-bucket path (_bucket_edges + broadcast) remains for
-    # candidate sets that outgrow the driver (distributed=True).
-    if distributed:
-        sig_map_ref = ray.put(sig_map)
-        near_edges = cand_rows.groupby("bucket_key").map_groups(
-            _bucket_edges(cfg, sig_map_ref), batch_format="pandas"
-        )
-    else:
-        near_edges = _verify_candidates_driver(cand_rows, sig_map, cfg)
+        mark("cand")
+        near_edges = _verify_candidates_distributed(cand_rows, reps, cfg)
     mark("verify")
     if timing:
         import sys
@@ -372,7 +378,91 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
     return exact_edges.union(near_edges)
 
 
-_DRIVER_BANDS_LIMIT = 50_000_000  # rows; above this, pruning stays distributed
+_DRIVER_BANDS_LIMIT = 8_000_000  # band rows; above this, prune + verify distributed
+
+
+def _verify_candidates_distributed(cand_rows, reps, cfg: MinHashConfig):
+    """Fully distributed verification: signatures reach candidate band rows
+    through one union+groupby(id) hash join (the portable partitioned-join
+    pattern), then per-bucket verification runs as a groupby over survivor
+    buckets only.  No driver state; every exchange is hash-partitioned."""
+
+    sig_side = reps.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["id"],
+                "bucket_key": pa.nulls(len(t), pa.uint64()),
+                "sig": t["sig"].cast(pa.list_(pa.uint64()))
+                if not t.schema.field("sig").type.equals(pa.list_(pa.uint64()))
+                else t["sig"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cand_side = cand_rows.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["id"],
+                "bucket_key": t["bucket_key"],
+                "sig": pa.nulls(len(t), pa.list_(pa.uint64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def attach_sig(g):
+        sig_rows = g[g["bucket_key"].isna()]
+        cand = g[~g["bucket_key"].isna()]
+        if cand.empty or sig_rows.empty:
+            return pa.table(
+                {
+                    "bucket_key": pa.array([], pa.uint64()),
+                    "id": pa.array([], pa.string()),
+                    "sig": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        sig = list(sig_rows["sig"].iloc[0])
+        return pa.table(
+            {
+                "bucket_key": pa.array(list(cand["bucket_key"]), pa.uint64()),
+                "id": pa.array(list(cand["id"]), pa.string()),
+                "sig": pa.array([sig] * len(cand), pa.list_(pa.uint64())),
+            }
+        )
+
+    joined = (
+        sig_side.union(cand_side)
+        .groupby("id")
+        .map_groups(attach_sig, batch_format="pandas")
+    )
+
+    def per_bucket(g):
+        n = len(g)
+        if n < 2:
+            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
+        rows = sorted(
+            {i: s for i, s in zip(g["id"], g["sig"])}.items()
+        )
+        if len(rows) < 2:
+            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
+        ids = [r[0] for r in rows]
+        sigs = np.asarray([np.asarray(r[1], dtype=np.uint64) for r in rows])
+        edges = []
+        m = len(ids)
+        if m <= cfg.bucket_cap:
+            for i in range(m):
+                est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                for j, e in enumerate(est, start=i + 1):
+                    if e >= cfg.verify_threshold:
+                        edges.append({"src": ids[i], "dst": ids[j]})
+        else:
+            est = (sigs[1:] == sigs[0]).mean(axis=1)
+            for j, e in enumerate(est, start=1):
+                if e >= cfg.verify_threshold:
+                    edges.append({"src": ids[0], "dst": ids[j]})
+        return pa.Table.from_pylist(edges, schema=EDGE_SCHEMA)
+
+    return joined.groupby("bucket_key").map_groups(per_bucket, batch_format="pandas")
 
 
 def _verify_candidates_driver(cand_rows, sig_map: dict, cfg: MinHashConfig):

@@ -1,0 +1,32 @@
+"""Driver vs fully-distributed minhash verification path parity."""
+
+import pyarrow as pa
+import pytest
+
+from backupdeduplicator_ray.config import MinHashConfig
+from backupdeduplicator_ray.stages.neardup import minhash_edges
+
+
+def test_verification_paths_edge_identical(ray_session, small_corpus):
+    import pyarrow.compute as pc
+    import ray.data
+
+    table, _ = small_corpus
+    docs_tbl = pa.table(
+        {
+            "id": pa.array(
+                [f"{r}|{p}" for r, p in zip(table["repo"].to_pylist(), table["path"].to_pylist())]
+            ),
+            "text": table["content"].cast(pa.large_string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs_tbl.filter(pc.is_valid(docs_tbl["text"])))
+    cfg = MinHashConfig()
+    driver = {
+        (r["src"], r["dst"]) for r in minhash_edges(ds, cfg, distributed=False).take_all()
+    }
+    dist = {
+        (r["src"], r["dst"]) for r in minhash_edges(ds, cfg, distributed=True).take_all()
+    }
+    assert driver == dist
+    assert driver  # fixtures contain near-dups
