@@ -316,38 +316,50 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
     # seconds, no extra Ray passes); above it, a parallel tree-reduce of
     # per-block value_counts finds survivors distributed (the 10^12-file
     # path — band keys are O(corpus), never driver-pullable there).
-    n_band_rows = bands.count()
-    if n_band_rows <= _DRIVER_BANDS_LIMIT and not distributed:
-        # arrow-native pull: keys to numpy, ids STAY arrow (no python-string
-        # materialization of millions of ids); survivors via np.unique +
-        # isin; candidate rows filtered with a C-speed arrow kernel
-        import pyarrow.compute as pc
+    import pyarrow.compute as pc
 
-        bk_parts, id_arrs = [], []
-        for b in bands.iter_batches(batch_format="pyarrow", batch_size=None):
-            bk_parts.append(b["bucket_key"].to_numpy(zero_copy_only=False))
-            arr = b["id"]
-            id_arrs.append(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+    n_band_rows = bands.count()
+    if n_band_rows <= _KEY_PULL_LIMIT and not distributed:
+        # counting needs only the u64 keys (8 B/row) — pull them, count
+        # with np.unique.  Ids never reach the driver here.
+        bk_parts = [
+            b["bucket_key"].to_numpy(zero_copy_only=False)
+            for b in bands.select_columns(["bucket_key"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
         bk = np.concatenate(bk_parts) if bk_parts else np.empty(0, np.uint64)
         uniq, counts = np.unique(bk, return_counts=True)
-        survivors = uniq[counts >= 2]
-        keep_mask = np.isin(bk, survivors)
-        ids_arr = (
-            pa.concat_arrays(id_arrs) if id_arrs else pa.array([], pa.string())
+        survivors = pa.array(uniq[counts >= 2])
+    else:
+        # key space outgrows the driver: parallel tree-reduce of per-block
+        # value_counts (the 10^12-file route)
+        surv_set = keys_with_count_between(bands, ["bucket_key"], min_count=2)
+        survivors = surv_set
+    mark("count")
+    # candidate filter is distributed either way (survivor keys are a small
+    # broadcast: u64 per actually-hot bucket)
+    cand_rows = filter_by_key_set(bands, ["bucket_key"], survivors, keep=True).materialize()
+    n_cand = cand_rows.count()
+    mark("cand")
+    if n_cand <= _DRIVER_CANDROWS_LIMIT and not distributed:
+        # candidates (duplicate-bounded minority) verify vectorized on the
+        # driver: one (n_pairs x num_perms) equality reduction
+        cand_ids_chunks = [
+            pc.unique(b["id"])
+            for b in cand_rows.select_columns(["id"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+        cand_ids = (
+            pc.unique(
+                pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cand_ids_chunks]
+                )
+            )
+            if cand_ids_chunks
+            else pa.array([], pa.string())
         )
-        mask_arr = pa.array(keep_mask)
-        cand_rows = pa.table(
-            {
-                "bucket_key": pa.array(bk[keep_mask]),
-                "id": ids_arr.filter(mask_arr),
-            }
-        )
-        mark("count")
-        # Candidate rows and their signatures are bounded by the actual
-        # near-dup density and already driver-resident — pair generation +
-        # verification run vectorized on the driver: one
-        # (n_pairs x num_perms) equality reduction.
-        cand_ids = pc.unique(cand_rows["id"]) if len(cand_rows) else pa.array([], pa.string())
         sig_map = {
             r["id"]: np.asarray(r["sig"], dtype=np.uint64)
             for r in filter_by_key_set(reps, ["id"], cand_ids, keep=True).take_all()
@@ -355,14 +367,8 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
         mark("sigmap")
         near_edges = _verify_candidates_driver(cand_rows, sig_map, cfg)
     else:
-        # fully distributed path (band rows outgrow the driver): tree-reduce
-        # counts -> prune -> ship signatures to candidate rows with ONE
-        # union+groupby(id) hash join -> per-bucket verify groupby.  No
-        # driver state anywhere; this is the 10^12-file route.
-        survivors = keys_with_count_between(bands, ["bucket_key"], min_count=2)
-        mark("count")
-        cand_rows = filter_by_key_set(bands, ["bucket_key"], survivors, keep=True).materialize()
-        mark("cand")
+        # candidates too big for the driver: signatures reach them via a
+        # coarse partitioned hash join; verification runs partition-grain
         near_edges = _verify_candidates_distributed(cand_rows, reps, cfg)
     mark("verify")
     if timing:
@@ -378,91 +384,80 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
     return exact_edges.union(near_edges)
 
 
-_DRIVER_BANDS_LIMIT = 8_000_000  # band rows; above this, prune + verify distributed
+_KEY_PULL_LIMIT = 200_000_000  # band rows whose u64 keys (8 B each) fit a driver pull
+_DRIVER_CANDROWS_LIMIT = 8_000_000  # candidate rows verified driver-side below this
 
 
-def _verify_candidates_distributed(cand_rows, reps, cfg: MinHashConfig):
+def _verify_candidates_distributed(cand_rows, reps, cfg: MinHashConfig, n_parts: int = 256):
     """Fully distributed verification: signatures reach candidate band rows
-    through one union+groupby(id) hash join (the portable partitioned-join
-    pattern), then per-bucket verification runs as a groupby over survivor
-    buckets only.  No driver state; every exchange is hash-partitioned."""
+    through a coarse partitioned hash join (B partitions, vectorized pandas
+    merge inside each — NOT one Python call per id), then verification runs
+    partition-grain: buckets are co-located by `bucket_key % B` and each
+    partition verifies its buckets with the numpy kernel locally.  No
+    driver state; every exchange is hash-partitioned."""
+    import pyarrow.compute as pc
 
-    sig_side = reps.map_batches(
+    from ..functions.groups import filter_by_key_set
+    from ..state.joins import partitioned_hash_join
+
+    # semi-join first: only candidate ids' signatures enter the join
+    # shuffle (candidates are the duplicate-bounded minority; shipping all
+    # representatives' signatures measured ~13x more exchange volume).
+    # The candidate-id list (ids only, no payload) is merged on the driver
+    # and broadcast for a C-speed is_in filter — O(candidates) driver
+    # memory, documented bound.
+    id_chunks = [
+        pc.unique(b["id"])
+        for b in cand_rows.select_columns(["id"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ]
+    cand_id_arr = (
+        pc.unique(pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in id_chunks]))
+        if id_chunks
+        else pa.array([], pa.string())
+    )
+    sig_side = filter_by_key_set(reps, ["id"], cand_id_arr, keep=True).map_batches(
         lambda t: pa.table(
-            {
-                "id": t["id"],
-                "bucket_key": pa.nulls(len(t), pa.uint64()),
-                "sig": t["sig"].cast(pa.list_(pa.uint64()))
-                if not t.schema.field("sig").type.equals(pa.list_(pa.uint64()))
-                else t["sig"],
-            }
+            {"id": t["id"], "sig": t["sig"].cast(pa.list_(pa.uint64()))}
         ),
         batch_format="pyarrow",
     )
-    cand_side = cand_rows.map_batches(
-        lambda t: pa.table(
-            {
-                "id": t["id"],
-                "bucket_key": t["bucket_key"],
-                "sig": pa.nulls(len(t), pa.list_(pa.uint64())),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    joined = partitioned_hash_join(cand_rows, sig_side, "id", n_parts=n_parts)
 
-    def attach_sig(g):
-        sig_rows = g[g["bucket_key"].isna()]
-        cand = g[~g["bucket_key"].isna()]
-        if cand.empty or sig_rows.empty:
-            return pa.table(
-                {
-                    "bucket_key": pa.array([], pa.uint64()),
-                    "id": pa.array([], pa.string()),
-                    "sig": pa.array([], pa.list_(pa.uint64())),
-                }
-            )
-        sig = list(sig_rows["sig"].iloc[0])
-        return pa.table(
-            {
-                "bucket_key": pa.array(list(cand["bucket_key"]), pa.uint64()),
-                "id": pa.array(list(cand["id"]), pa.string()),
-                "sig": pa.array([sig] * len(cand), pa.list_(pa.uint64())),
-            }
+    def add_bpart(t: pa.Table) -> pa.Table:
+        bk = t["bucket_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__bpart", pa.array((bk % np.uint64(n_parts)).astype(np.int32))
         )
 
-    joined = (
-        sig_side.union(cand_side)
-        .groupby("id")
-        .map_groups(attach_sig, batch_format="pandas")
-    )
-
-    def per_bucket(g):
-        n = len(g)
-        if n < 2:
-            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
-        rows = sorted(
-            {i: s for i, s in zip(g["id"], g["sig"])}.items()
-        )
-        if len(rows) < 2:
-            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
-        ids = [r[0] for r in rows]
-        sigs = np.asarray([np.asarray(r[1], dtype=np.uint64) for r in rows])
+    def verify_partition(g):
         edges = []
-        m = len(ids)
-        if m <= cfg.bucket_cap:
-            for i in range(m):
-                est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-                for j, e in enumerate(est, start=i + 1):
+        for _, bucket in g.groupby("bucket_key", sort=False):
+            rows = sorted({i: s for i, s in zip(bucket["id"], bucket["sig"])}.items())
+            m = len(rows)
+            if m < 2:
+                continue
+            ids = [r[0] for r in rows]
+            sigs = np.asarray([np.asarray(r[1], dtype=np.uint64) for r in rows])
+            if m <= cfg.bucket_cap:
+                for i in range(m):
+                    est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                    for j, e in enumerate(est, start=i + 1):
+                        if e >= cfg.verify_threshold:
+                            edges.append({"src": ids[i], "dst": ids[j]})
+            else:  # star expansion against the bucket minimum (skew valve)
+                est = (sigs[1:] == sigs[0]).mean(axis=1)
+                for j, e in enumerate(est, start=1):
                     if e >= cfg.verify_threshold:
-                        edges.append({"src": ids[i], "dst": ids[j]})
-        else:
-            est = (sigs[1:] == sigs[0]).mean(axis=1)
-            for j, e in enumerate(est, start=1):
-                if e >= cfg.verify_threshold:
-                    edges.append({"src": ids[0], "dst": ids[j]})
+                        edges.append({"src": ids[0], "dst": ids[j]})
         return pa.Table.from_pylist(edges, schema=EDGE_SCHEMA)
 
-    return joined.groupby("bucket_key").map_groups(per_bucket, batch_format="pandas")
+    return (
+        joined.map_batches(add_bpart, batch_format="pyarrow")
+        .groupby("__bpart")
+        .map_groups(verify_partition, batch_format="pandas")
+    )
 
 
 def _verify_candidates_driver(cand_rows, sig_map: dict, cfg: MinHashConfig):

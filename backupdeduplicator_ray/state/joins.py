@@ -1,0 +1,98 @@
+"""Partitioned hash join for Ray Datasets.
+
+The portable both-sides-large join (ray_guide pattern): each side gets a
+`__part` column = hash(key) % B, the union is grouped by `__part` (B groups
+— B Python calls total, NOT one per key), and a vectorized pandas merge
+runs inside each partition.  Skewed keys spread across partitions only as
+far as their row counts go; a genuinely hot key keeps its partition large,
+which is the join's irreducible cost — callers that can pre-aggregate the
+hot side should (see functions/groups.py).
+
+This is the coarse-grain replacement for `groupby(key).map_groups(...)`
+joins: per-key map_groups pays Ray's per-group machinery once per DISTINCT
+KEY (ruinous at millions of keys); this pays it once per partition.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _with_part(ds, key: str, n_parts: int, side: str):
+    def add(t: pa.Table) -> pa.Table:
+        col = t[key]
+        if pa.types.is_integer(col.type):
+            import numpy as np
+
+            vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            parts = (vals % np.uint64(n_parts)).astype(np.int32)
+            part_arr = pa.array(parts)
+        else:
+            part_arr = pa.array(
+                [zlib.crc32(str(v).encode()) % n_parts for v in col.to_pylist()],
+                pa.int32(),
+            )
+        t = t.append_column("__part", part_arr)
+        return t.append_column("__side", pa.array([side] * len(t), pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def partitioned_hash_join(
+    left_ds,
+    right_ds,
+    key: str,
+    n_parts: int = 256,
+    how: str = "inner",
+):
+    """Join two Datasets on `key`.  Column sets must be disjoint apart from
+    the key.  Returns a Dataset with left+right columns."""
+    left_cols = [c for c in left_ds.schema().names]
+    right_cols = [c for c in right_ds.schema().names]
+    overlap = (set(left_cols) & set(right_cols)) - {key}
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {overlap}")
+
+    # union needs matching schemas: pad each side with typed null columns
+    # for the other side's fields
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    type_of = dict(zip(l_schema.names, l_schema.types))
+    type_of.update(dict(zip(r_schema.names, r_schema.types)))
+    all_cols = [key] + [c for c in left_cols if c != key] + [
+        c for c in right_cols if c != key
+    ]
+
+    def pad(present):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for c in all_cols:
+                cols[c] = t[c] if c in present else pa.nulls(len(t), type_of[c])
+            for extra in ("__part", "__side"):
+                cols[extra] = t[extra]
+            return pa.table(cols)
+
+        return fn
+
+    tagged = (
+        _with_part(left_ds, key, n_parts, "l")
+        .map_batches(pad(set(left_cols)), batch_format="pyarrow")
+        .union(
+            _with_part(right_ds, key, n_parts, "r").map_batches(
+                pad(set(right_cols)), batch_format="pyarrow"
+            )
+        )
+    )
+
+    def merge_part(g: pd.DataFrame) -> pa.Table:
+        left = g[g["__side"] == "l"].drop(columns=["__part", "__side"])
+        right = g[g["__side"] == "r"].drop(columns=["__part", "__side"])
+        left = left.drop(columns=[c for c in left.columns if c not in left_cols])
+        right = right.drop(columns=[c for c in right.columns if c not in right_cols])
+        merged = left.merge(right, on=key, how=how)
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    return tagged.groupby("__part").map_groups(merge_part, batch_format="pandas")

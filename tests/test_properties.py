@@ -48,11 +48,21 @@ def test_dir_digest_permutation_invariant(contents):
 
 @given(st.text(max_size=300))
 @settings(max_examples=100, deadline=None)
-def test_shingles_deterministic_and_case_insensitive(text):
+def test_shingles_deterministic_set_semantics(text):
+    a = shingle_hashes(tokenize(text), 3)
+    b = shingle_hashes(tokenize(text), 3)
+    assert np.array_equal(a, b)  # deterministic
+    assert len(a) == len(np.unique(a))  # set semantics
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_shingles_ascii_case_insensitive(text):
+    # ASCII only: unicode case-folding can CHANGE tokenization
+    # ('ß'.upper() == 'SS' gains an ASCII token the lowercase lacks)
     a = shingle_hashes(tokenize(text), 3)
     b = shingle_hashes(tokenize(text.upper()), 3)
     assert np.array_equal(a, b)
-    assert len(a) == len(np.unique(a))  # set semantics
 
 
 @given(
