@@ -47,9 +47,20 @@ def partitioned_hash_join(
     key: str,
     n_parts: int = 256,
     how: str = "inner",
+    native: str = "auto",
 ):
     """Join two Datasets on `key`.  Column sets must be disjoint apart from
-    the key.  Returns a Dataset with left+right columns."""
+    the key.  Returns a Dataset with left+right columns.
+
+    native="auto" uses Ray's built-in hash-partitioned `Dataset.join`
+    when this Ray version ships it (2.49 does); the portable
+    union+groupby(__part) implementation below is the fallback and stays
+    tested for parity.
+    """
+    if native in ("auto", "always") and how == "inner" and hasattr(left_ds, "join"):
+        return left_ds.join(
+            right_ds, join_type="inner", num_partitions=n_parts, on=(key,)
+        )
     left_cols = [c for c in left_ds.schema().names]
     right_cols = [c for c in right_ds.schema().names]
     overlap = (set(left_cols) & set(right_cols)) - {key}

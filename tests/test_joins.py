@@ -1,0 +1,63 @@
+"""Partitioned hash join: native vs portable path parity."""
+
+import pyarrow as pa
+import pytest
+
+from backupdeduplicator_ray.state.joins import partitioned_hash_join
+
+
+@pytest.fixture()
+def sides(ray_session):
+    import ray.data
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(["a", "b", "c", "c", "d"], pa.string()),
+                "x": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(["b", "c", "e"], pa.string()),
+                "y": pa.array([20, 30, 50], pa.int64()),
+            }
+        )
+    )
+    return left, right
+
+
+def _norm(rows):
+    return sorted((r["id"], r["x"], r["y"]) for r in rows)
+
+
+def test_native_and_portable_join_agree(sides):
+    left, right = sides
+    native = _norm(partitioned_hash_join(left, right, "id", n_parts=4).take_all())
+    portable = _norm(
+        partitioned_hash_join(left, right, "id", n_parts=4, native="never").take_all()
+    )
+    want = [("b", 2, 20), ("c", 3, 30), ("c", 4, 30)]
+    assert native == want
+    assert portable == want
+
+
+def test_overlapping_columns_rejected(sides):
+    left, _ = sides
+    with pytest.raises(ValueError):
+        partitioned_hash_join(left, left, "id", native="never")
+
+
+def test_uint64_keys(ray_session):
+    import ray.data
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([2**63 + 5, 7], pa.uint64()), "x": pa.array([1, 2], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2**63 + 5], pa.uint64()), "y": pa.array([9], pa.int64())})
+    )
+    rows = partitioned_hash_join(left, right, "k", n_parts=2, native="never").take_all()
+    assert [(r["k"], r["x"], r["y"]) for r in rows] == [(2**63 + 5, 1, 9)]
