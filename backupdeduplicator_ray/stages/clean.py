@@ -9,11 +9,14 @@ Ray-Data form over a node table with a `file_index` (monotone write
 generation, the analogue of append order — the loader's last-write-wins,
 `hashtreefile.rs:229-239`):
 
-- compaction: `groupby(repo, path)` keep the max-file_index row (D1);
-- liveness: semi-join against the current corpus snapshot's (repo, path,
-  node_type) — dropped if missing or type changed (`clean/cmd.rs:58-96`).
-  The snapshot key set rides as a broadcast (ray.put) exactly like the
-  analyze stage's dup-dir set; flips to a shuffle join past broadcast size.
+- compaction: hash-partition on a fused (repo\\x00path) key, then ONE
+  vectorized sort + drop_duplicates(keep='last') per partition — a Python
+  call per partition, never per path (D1);
+- liveness: membership filter against the current corpus snapshot's fused
+  (repo, path, node_type) key — dropped if missing or type changed
+  (`clean/cmd.rs:58-96`).  The snapshot key set rides as ONE Arrow-array
+  broadcast (zero-copy `pc.is_in` per batch); past _SNAPSHOT_BROADCAST_LIMIT
+  it flips to the distributed partitioned semi-join.
 """
 
 from __future__ import annotations
@@ -21,44 +24,84 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
+_SNAPSHOT_BROADCAST_LIMIT = 5_000_000
 
-def compact_latest(nodes_ds, index_col: str = "file_index"):
-    """Keep the newest row per (repo, path) — reference last-write-wins."""
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.loc[[g[index_col].idxmax()]]
+def _fuse_cols(t: pa.Table, cols: list[str]) -> pa.Array:
+    import pyarrow.compute as pc
+
+    parts = [pc.cast(t[c], pa.string()) for c in cols]
+    return pc.binary_join_element_wise(*parts, "\x00")
+
+
+def compact_latest(nodes_ds, index_col: str = "file_index", n_parts: int = 64):
+    """Keep the newest row per (repo, path) — reference last-write-wins.
+
+    Partition-grain: rows are co-located by hash(repo\\x00path) % n_parts,
+    each partition sorts by (key, file_index) and keeps the last row per
+    key in one pandas kernel call.
+    """
+    base_names = list(nodes_ds.schema().names)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = _fuse_cols(t, ["repo", "path"]).to_numpy(zero_copy_only=False)
+        parts = (pd.util.hash_array(keys) % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("__part", pa.array(parts))
+
+    def latest_per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.sort_values(["repo", "path", index_col], kind="mergesort")
+            .drop_duplicates(subset=["repo", "path"], keep="last")
+        )
+        return out[base_names + ["__part"]]
 
     return (
-        nodes_ds.groupby(["repo", "path"])
-        .map_groups(latest, batch_format="pandas")
-        .map_batches(lambda t: t, batch_format="pyarrow")
+        nodes_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(latest_per_partition, batch_format="pandas")
+        .map_batches(lambda t: t.select(base_names), batch_format="pyarrow")
     )
 
 
 def liveness_filter(nodes_ds, snapshot_ds):
     """Drop node rows whose (repo, path) is absent from the snapshot or
     whose node_type changed (reference clean/cmd.rs:58-96)."""
+    import pyarrow.compute as pc
     import ray
 
-    snap = {
-        (r["repo"], r["path"]): r["node_type"]
-        for r in snapshot_ds.select_columns(["repo", "path", "node_type"]).take_all()
-    }
-    snap_ref = ray.put(snap)
+    key_cols = ["repo", "path", "node_type"]
+    snap_keys = snapshot_ds.select_columns(key_cols).map_batches(
+        lambda t: pa.table({"__livekey": _fuse_cols(t, key_cols)}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if snap_keys.count() > _SNAPSHOT_BROADCAST_LIMIT:
+        from ..state.joins import partitioned_semi_join
+
+        keyed = nodes_ds.map_batches(
+            lambda t: t.append_column("__livekey", _fuse_cols(t, key_cols)),
+            batch_format="pyarrow",
+        )
+        return partitioned_semi_join(keyed, snap_keys, "__livekey").map_batches(
+            lambda t: t.drop_columns(["__livekey"]), batch_format="pyarrow"
+        )
+
+    chunks = [
+        b["__livekey"].combine_chunks()
+        for b in snap_keys.iter_batches(batch_format="pyarrow", batch_size=None)
+        if len(b)
+    ]
+    arr = pc.unique(pa.concat_arrays(chunks)) if chunks else pa.array([], pa.string())
+    ref = ray.put(arr)
 
     def keep(batch: pa.Table) -> pa.Table:
         from ..functions.groups import cached_get
 
-        s = cached_get(snap_ref)
-        mask = [
-            s.get((repo, path)) == ntype
-            for repo, path, ntype in zip(
-                batch["repo"].to_pylist(),
-                batch["path"].to_pylist(),
-                batch["node_type"].to_pylist(),
-            )
-        ]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        s = cached_get(ref)
+        mask = pc.is_in(_fuse_cols(batch, key_cols), value_set=s)
+        return batch.filter(pc.fill_null(mask, False))
 
     return nodes_ds.map_batches(keep, batch_format="pyarrow")
 

@@ -8,18 +8,18 @@ the `commit` column: a row whose (repo, path) appeared in the previous node
 table with the same commit and byte size reuses the stored hash; everything
 else is hashed fresh.
 
-Implemented as the portable partitioned hash join (union + groupby on the
-join key) — both sides large, no broadcast: previous nodes are tagged
-'prev', corpus rows 'cur', co-grouped on (repo, path), and each group
-resolves to either a cache hit (emit prev hash, no content read) or a miss
-(hash the content).  At 10^12 scale this is ONE shuffle of (key, size,
-commit, hash) metadata plus content only for misses, exactly the win the
-reference's cache gives on re-runs.
-
-To keep content out of the join exchange entirely, the corpus side ships
-only (repo, path, commit, size); hits/misses are resolved first and misses
-are re-joined to content by a second pruned read using the miss key set
-(broadcast — misses are the delta, small on a resume).
+Shape (the 10^12-file route, no per-key Python anywhere):
+  1. metadata-only corpus side (repo, path, commit, size) — content never
+     enters the resolution join;
+  2. ONE partitioned hash join on a fused (repo\\x00path) key against the
+     previous nodes (lean: key, validation tag, hash), vectorized pandas
+     merge inside each of B partitions;
+  3. hit = (commit, size) tag equality, computed column-wise;
+  4. misses re-read content via an adaptive membership filter: broadcast
+     `pc.is_in` below _MISS_BROADCAST_LIMIT (misses are the delta — small
+     on a resume), a distributed partitioned semi-join above it (first
+     run / full invalidation: everything misses, key set is O(corpus) and
+     must never land on the driver).
 """
 
 from __future__ import annotations
@@ -31,6 +31,16 @@ from .build import build_file_nodes
 
 PREV_COLUMNS = ["repo", "path", "size", "hash", "commit"]
 
+_MISS_BROADCAST_LIMIT = 2_000_000  # miss keys broadcast below this, semi-join above
+
+
+def _fused_key(t: pa.Table) -> pa.Array:
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(
+        pc.cast(t["repo"], pa.string()), pc.cast(t["path"], pa.string()), "\x00"
+    )
+
 
 def incremental_file_nodes(
     corpus_ds,
@@ -40,94 +50,105 @@ def incremental_file_nodes(
     """corpus + previous (repo, path, size, hash, commit) node table →
     file-node Dataset, re-hashing only changed/new rows.
 
-    prev_nodes_ds must carry PREV_COLUMNS (a prior run's file-level nodes
-    written with their commit).  Returns the same schema as
-    build_file_nodes.
+    prev_nodes_ds must carry PREV_COLUMNS (a prior run's file-level nodes,
+    one row per (repo, path), written with their commit).  Returns the same
+    schema as build_file_nodes.
     """
     import pyarrow.compute as pc
 
     from ..functions.groups import filter_by_key_set
     from ..functions.hashing import byte_length_column
+    from ..state.joins import partitioned_hash_join, partitioned_semi_join
+    from .neardup import _parts_for_rows
 
-    # metadata-only corpus side: (repo, path, commit, size)
-    meta = corpus_ds.map_batches(
-        lambda t: pa.table(
-            {
-                "repo": t["repo"],
-                "path": t["path"],
-                "commit": t["commit"],
-                "size": byte_length_column(t["content"]),
-                "side": pa.array(["cur"] * len(t), pa.string()),
-                "hash": pa.nulls(len(t), pa.string()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    prev = prev_nodes_ds.map_batches(
-        lambda t: pa.table(
-            {
-                "repo": t["repo"],
-                "path": t["path"],
-                "commit": t["commit"],
-                "size": t["size"].cast(pa.int64()),
-                "side": pa.array(["prev"] * len(t), pa.string()),
-                "hash": t["hash"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
-
-    def resolve(g):
-        cur = g[g["side"] == "cur"]
-        if cur.empty:
-            return pa.table(
-                {
-                    "repo": pa.array([], pa.string()),
-                    "path": pa.array([], pa.string()),
-                    "hash": pa.array([], pa.string()),
-                    "size": pa.array([], pa.int64()),
-                    "hit": pa.array([], pa.bool_()),
-                }
-            )
-        prevg = g[g["side"] == "prev"]
-        row = cur.iloc[0]
-        hit_hash = None
-        if not prevg.empty:
-            p = prevg.iloc[0]
-            # reference hit criteria: type+mtime+size match (file.rs:26-40);
-            # commit plays mtime's role for the corpus table
-            if p["commit"] == row["commit"] and int(p["size"]) == int(row["size"]):
-                hit_hash = p["hash"]
+    def meta_side(t: pa.Table) -> pa.Table:
+        size = byte_length_column(t["content"])
+        tag = pc.binary_join_element_wise(
+            pc.cast(t["commit"], pa.string()), pc.cast(size, pa.string()), "\x00"
+        )
         return pa.table(
             {
-                "repo": pa.array([row["repo"]], pa.string()),
-                "path": pa.array([row["path"]], pa.string()),
-                "hash": pa.array([hit_hash], pa.string()),
-                "size": pa.array([int(row["size"])], pa.int64()),
-                "hit": pa.array([hit_hash is not None], pa.bool_()),
+                "__key": _fused_key(t),
+                "repo": t["repo"],
+                "path": t["path"],
+                "size": size.cast(pa.int64()),
+                "tag": tag,
             }
         )
 
-    resolved = (
-        meta.union(prev)
-        .groupby(["repo", "path"])
-        .map_groups(resolve, batch_format="pandas")
-        .materialize()
-    )
+    def prev_side(t: pa.Table) -> pa.Table:
+        # validation tag fuses the reference's hit criteria (commit stands
+        # in for mtime, plus size) into one string — the join then carries
+        # only strings, so partition schemas stay homogeneous even when a
+        # left-merge leaves prev columns null
+        tag = pc.binary_join_element_wise(
+            pc.cast(t["commit"], pa.string()),
+            pc.cast(t["size"].cast(pa.int64()), pa.string()),
+            "\x00",
+        )
+        return pa.table(
+            {
+                "__key": _fused_key(t),
+                "prev_tag": tag,
+                "prev_hash": t["hash"],
+            }
+        )
 
-    hits = resolved.map_batches(
-        lambda t: t.filter(pc.equal(t["hit"], True)), batch_format="pyarrow"
-    )
-    miss_keys = {
-        (r["repo"], r["path"])
-        for r in resolved.map_batches(
-            lambda t: t.filter(pc.equal(t["hit"], False)).select(["repo", "path"]),
-            batch_format="pyarrow",
-        ).take_all()
-    }
+    meta = corpus_ds.map_batches(meta_side, batch_format="pyarrow").materialize()
+    prev = prev_nodes_ds.map_batches(prev_side, batch_format="pyarrow")
+    n_parts = _parts_for_rows(meta.count())
+    resolved = partitioned_hash_join(
+        meta, prev, "__key", n_parts=n_parts, how="left"
+    ).materialize()
 
-    # misses: full build path over the (small on resume) changed subset
-    missed_corpus = filter_by_key_set(corpus_ds, ["repo", "path"], miss_keys, keep=True)
+    def _hit_mask(t: pa.Table):
+        # a hit needs tag equality AND a stored hash: unreadable/'other'
+        # rows carry a null hash in the previous table and must rebuild
+        # (they are cheap — no content hashing happens for them anyway)
+        return pc.and_(
+            pc.fill_null(pc.equal(t["tag"], t["prev_tag"]), False),
+            pc.is_valid(t["prev_hash"]),
+        )
+
+    def split_hits(t: pa.Table) -> pa.Table:
+        h = t.filter(_hit_mask(t))
+        return pa.table(
+            {
+                "repo": h["repo"],
+                "path": h["path"],
+                "hash": h["prev_hash"],
+                "size": h["size"].cast(pa.int64()),
+            }
+        )
+
+    hits = resolved.map_batches(split_hits, batch_format="pyarrow")
+
+    miss_keys_ds = resolved.map_batches(
+        lambda t: pa.table({"__key": t.filter(pc.invert(_hit_mask(t)))["__key"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    keyed_corpus = corpus_ds.map_batches(
+        lambda t: t.append_column("__key", _fused_key(t)), batch_format="pyarrow"
+    )
+    n_miss = miss_keys_ds.count()
+    if n_miss <= _MISS_BROADCAST_LIMIT:
+        chunks = [
+            b["__key"].combine_chunks()
+            for b in miss_keys_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+            if len(b)
+        ]
+        arr = (
+            pc.unique(pa.concat_arrays(chunks)) if chunks else pa.array([], pa.string())
+        )
+        missed_corpus = filter_by_key_set(keyed_corpus, ["__key"], arr, keep=True)
+    else:
+        missed_corpus = partitioned_semi_join(
+            keyed_corpus, miss_keys_ds, "__key", n_parts=n_parts, keep=True
+        )
+    missed_corpus = missed_corpus.map_batches(
+        lambda t: t.drop_columns(["__key"]), batch_format="pyarrow"
+    )
     missed_nodes = build_file_nodes(missed_corpus, hash_config)
 
     # hits: reconstruct node rows without touching content (size came

@@ -369,7 +369,9 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
     else:
         # candidates too big for the driver: signatures reach them via a
         # coarse partitioned hash join; verification runs partition-grain
-        near_edges = _verify_candidates_distributed(cand_rows, reps, cfg)
+        near_edges = _verify_candidates_distributed(
+            cand_rows, reps, cfg, n_parts=_parts_for_rows(n_cand)
+        )
     mark("verify")
     if timing:
         import sys
@@ -388,7 +390,15 @@ _KEY_PULL_LIMIT = 200_000_000  # band rows whose u64 keys (8 B each) fit a drive
 _DRIVER_CANDROWS_LIMIT = 8_000_000  # candidate rows verified driver-side below this
 
 
-def _verify_candidates_distributed(cand_rows, reps, cfg: MinHashConfig, n_parts: int = 256):
+def _parts_for_rows(n_rows: int, rows_per_part: int = 200_000, lo: int = 8, hi: int = 512) -> int:
+    """Partition count sized from the data, not a constant: ~rows_per_part
+    rows per partition keeps each vectorized merge cache-friendly without
+    drowning small joins in per-partition overhead (the old constant 256
+    also tripped Ray's native-join aggregator reservation on small boxes)."""
+    return max(lo, min(hi, -(-max(1, n_rows) // rows_per_part)))
+
+
+def _verify_candidates_distributed(cand_rows, reps, cfg: MinHashConfig, n_parts: int = 64):
     """Fully distributed verification: signatures reach candidate band rows
     through a coarse partitioned hash join (B partitions, vectorized pandas
     merge inside each — NOT one Python call per id), then verification runs

@@ -41,6 +41,46 @@ def _with_part(ds, key: str, n_parts: int, side: str):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+# Ray 2.49's hash-shuffle join RESERVES ~1.6 GiB of logical memory per
+# aggregator actor up front (measured in-sandbox: num_partitions=256 spawns
+# 64 aggregators demanding 104 GiB on an 87 GiB box, and the join then
+# waits forever for resources that can never free up).  Estimate that
+# reservation and refuse the native path when it doesn't comfortably fit.
+_NATIVE_AGG_BYTES = 1.7 * 2**30  # per-aggregator reservation, with margin
+
+
+def _native_join_fits(n_parts: int) -> bool:
+    import os
+
+    override = os.environ.get("BDR_NATIVE_JOIN", "").lower()
+    if override == "never":
+        return False
+    if override == "always":
+        return True
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return False
+        mem = float(ray.cluster_resources().get("memory", 0))
+    except Exception:
+        return False
+    n_aggregators = min(max(1, n_parts), 64)  # Ray caps aggregator count at 64
+    return n_aggregators * _NATIVE_AGG_BYTES <= 0.5 * mem
+
+
+def _has_nested_payload(left_ds, right_ds, key: str) -> bool:
+    """Acero's hash join (what Dataset.join finalizes with) rejects nested
+    non-key columns ("Data type list<...> is not supported in join non-key
+    field"), e.g. MinHash signature list<uint64> payloads."""
+    for ds in (left_ds, right_ds):
+        schema = ds.schema()
+        for name, typ in zip(schema.names, schema.types):
+            if name != key and pa.types.is_nested(typ):
+                return True
+    return False
+
+
 def partitioned_hash_join(
     left_ds,
     right_ds,
@@ -52,12 +92,20 @@ def partitioned_hash_join(
     """Join two Datasets on `key`.  Column sets must be disjoint apart from
     the key.  Returns a Dataset with left+right columns.
 
-    native="auto" uses Ray's built-in hash-partitioned `Dataset.join`
-    when this Ray version ships it (2.49 does); the portable
-    union+groupby(__part) implementation below is the fallback and stays
-    tested for parity.
+    native="auto" uses Ray's built-in hash-partitioned `Dataset.join` only
+    when (a) this Ray version ships it (2.49 does) AND (b) its up-front
+    aggregator memory reservation fits the cluster (see _native_join_fits —
+    on a small box the reservation can exceed total memory and the join
+    hangs forever waiting for resources).  `BDR_NATIVE_JOIN=always|never`
+    overrides.  The portable union+groupby(__part) implementation below is
+    the default in-sandbox path and stays tested for parity.
     """
-    if native in ("auto", "always") and how == "inner" and hasattr(left_ds, "join"):
+    if (
+        how == "inner"
+        and hasattr(left_ds, "join")
+        and (native == "always" or (native == "auto" and _native_join_fits(n_parts)))
+        and not _has_nested_payload(left_ds, right_ds, key)
+    ):
         return left_ds.join(
             right_ds, join_type="inner", num_partitions=n_parts, on=(key,)
         )
@@ -98,12 +146,62 @@ def partitioned_hash_join(
         )
     )
 
+    # explicit output schema: an all-miss partition of an outer/left merge
+    # yields all-None object columns that from_pandas would infer as `null`
+    # type, breaking block-schema homogeneity across partitions
+    out_schema = pa.schema([(c, type_of[c]) for c in all_cols])
+
     def merge_part(g: pd.DataFrame) -> pa.Table:
         left = g[g["__side"] == "l"].drop(columns=["__part", "__side"])
         right = g[g["__side"] == "r"].drop(columns=["__part", "__side"])
         left = left.drop(columns=[c for c in left.columns if c not in left_cols])
         right = right.drop(columns=[c for c in right.columns if c not in right_cols])
-        merged = left.merge(right, on=key, how=how)
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        merged = left.merge(right, on=key, how=how)[all_cols]
+        return pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
 
     return tagged.groupby("__part").map_groups(merge_part, batch_format="pandas")
+
+
+def partitioned_semi_join(left_ds, keys_ds, key: str, n_parts: int = 64, keep: bool = True):
+    """Semi/anti-join: rows of `left_ds` whose `key` is (not) present in
+    `keys_ds[key]` — both sides large, fully distributed, no driver key set.
+
+    Both sides are hash-partitioned on `key` and co-grouped; inside each
+    partition a C-speed `pc.is_in` filters the left rows against that
+    partition's key slice.  Use when the key set outgrows a `ray.put`
+    broadcast (`functions.groups.filter_by_key_set` is the cheap path for
+    small sets).  Payload columns ride the shuffle once — the irreducible
+    cost of a distributed membership filter.
+    """
+    import pyarrow.compute as pc
+
+    left_cols = list(left_ds.schema().names)
+
+    def pad_keys(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] if c == key else pa.nulls(len(t), typ) for c, typ in key_pad_types}
+        cols["__part"] = t["__part"]
+        cols["__side"] = t["__side"]
+        return pa.table(cols)
+
+    l_schema = left_ds.schema()
+    key_pad_types = list(zip(l_schema.names, l_schema.types))
+
+    tagged = (
+        _with_part(left_ds, key, n_parts, "l")
+        .union(
+            _with_part(keys_ds.select_columns([key]), key, n_parts, "r").map_batches(
+                pad_keys, batch_format="pyarrow"
+            )
+        )
+    )
+
+    def filter_part(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        left = g.filter(pc.equal(side, "l"))
+        keys = pc.unique(g.filter(pc.equal(side, "r"))[key].combine_chunks())
+        mask = pc.is_in(left[key], value_set=keys)
+        if not keep:
+            mask = pc.invert(mask)
+        return left.filter(pc.fill_null(mask, not keep)).select(left_cols)
+
+    return tagged.groupby("__part").map_groups(filter_part, batch_format="pyarrow")
