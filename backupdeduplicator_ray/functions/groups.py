@@ -113,7 +113,9 @@ def keys_with_count_between(
 
     def partial2(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        g = df.groupby(keys, sort=False, as_index=False).size()
+        # count column named __n: as_index=False .size() would insert a
+        # column literally called "size", colliding with a key of that name
+        g = df.groupby(keys, sort=False).size().rename("__n").reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = ds.select_columns(keys).map_batches(partial2, batch_format="pyarrow")
@@ -125,7 +127,7 @@ def keys_with_count_between(
         return set()
     merged = (
         pd.concat(frames, ignore_index=True)
-        .groupby(keys, sort=False)["size"]
+        .groupby(keys, sort=False)["__n"]
         .sum()
     )
     sel = merged[merged >= min_count]

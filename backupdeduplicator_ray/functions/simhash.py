@@ -33,3 +33,22 @@ def simhash_bands(fp: int, bands: int) -> list[int]:
 
 def hamming(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def simhash_bands_batch(fps: np.ndarray, bands: int) -> np.ndarray:
+    """(n,) uint64 fingerprints → (n, bands) band-value matrix (the batch
+    form of simhash_bands — one shift/mask broadcast, no per-row Python)."""
+    seg = _BITS // bands
+    mask = np.uint64((1 << seg) - 1)
+    shifts = np.arange(bands, dtype=np.uint64) * np.uint64(seg)
+    return (fps[:, None] >> shifts[None, :]) & mask
+
+
+def popcount64_batch(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array of any shape (numpy 1.x has
+    no bitwise_count; unpackbits over the byte view is the C-speed route)."""
+    flat = np.ascontiguousarray(x, dtype=np.uint64).reshape(-1)
+    if flat.size == 0:
+        return np.zeros(x.shape, dtype=np.int64)
+    bits = np.unpackbits(flat.view(np.uint8)).reshape(-1, _BITS).sum(axis=1)
+    return bits.reshape(x.shape).astype(np.int64)

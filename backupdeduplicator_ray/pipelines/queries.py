@@ -147,7 +147,13 @@ def q_exact_dup_groups(sf_dir: str):
             }
         )
 
-    return nodes.groupby(["hash", "size"]).map_groups(per_group, batch_format="pandas")
+    # count-prune first (repo doctrine): singleton hashes never reach the
+    # per-group Python call — only actual duplicate groups do
+    from ..functions.groups import grouped_on_survivors
+
+    return grouped_on_survivors(
+        nodes.materialize(), ["hash", "size"], per_group, min_count=2
+    )
 
 
 SQL_EXACT_DUP_GROUPS = f"""

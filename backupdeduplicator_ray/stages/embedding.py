@@ -158,6 +158,9 @@ def cosine_dup_pairs(
     return idx_ds.map_batches(block_pairs, batch_format="numpy")
 
 
+_DRIVER_LSH_CANDROWS_LIMIT = 4_000_000  # candidate band rows verified driver-side
+
+
 def embedding_neardup_lsh(
     ds,
     threshold: float = 0.95,
@@ -167,66 +170,189 @@ def embedding_neardup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int = 4096,
+    distributed: bool = False,
 ):
-    """Random-hyperplane LSH near-dup pairs: sign-bit bucket per table →
-    groupby(table, bucket) → exact cosine within bucket only.
+    """Random-hyperplane LSH near-dup pairs, minhash-shaped for scale:
+    sign-bit bucketing emits LEAN (bucket_key, vec_id) band rows only —
+    vectors never ride the band shuffle — singleton buckets are pruned
+    before any per-bucket work, and only the surviving candidates' vectors
+    are fetched for exact-cosine verification (driver-vectorized below
+    _DRIVER_LSH_CANDROWS_LIMIT, a partitioned hash join + partition-grain
+    numpy above it).  Pair dedup across tables is a vectorized unique
+    (driver path) / Max aggregate (distributed path) — no per-pair Python.
 
     Recall is probabilistic (tested >= 0.95 vs brute force on fixtures);
-    n_tables trades recall for shuffle volume.  Dim is inferred from the
-    first batch; the plane tensor is seeded so every task derives identical
-    planes without a broadcast.
+    n_tables trades recall for shuffle volume.  Dim is inferred per batch;
+    the plane tensor is seeded so every task derives identical planes
+    without a broadcast.
     """
+    import pyarrow.compute as pc
+
+    from ..functions.groups import filter_by_key_set, keys_with_count_between
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, vec_col))
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((n_tables, m.shape[1], n_planes))
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        out = {"table_id": [], "bucket": [], "vec_id": [], "vec": []}
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        keys = np.empty(n_tables * n, dtype=np.uint64)
         for t in range(n_tables):
             bits = (m @ planes[t]) >= 0  # (n, planes)
             bucket = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
-            out["table_id"].extend([t] * len(ids))
-            out["bucket"].extend(bucket.tolist())
-            out["vec_id"].extend(int(i) for i in ids)
-            out["vec"].extend(m.tolist())
+            # fuse (table_id, bucket) into ONE u64 key (cf. minhash bands);
+            # wraparound multiply done in Python ints to avoid warning spam
+            salt = np.uint64((t * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+            keys[t * n : (t + 1) * n] = bucket ^ salt
         return pa.table(
             {
-                "table_id": pa.array(out["table_id"], pa.int32()),
-                "bucket": pa.array(out["bucket"], pa.uint64()),
-                "vec_id": pa.array(out["vec_id"], pa.int64()),
-                "vec": pa.array(out["vec"], pa.list_(pa.float64())),
+                "bucket_key": pa.array(keys),
+                "vec_id": pa.array(np.tile(ids, n_tables)),
             }
         )
 
-    buckets = ds.map_batches(bucketize, batch_format="pyarrow")
+    bands = ds.map_batches(bucketize, batch_format="pyarrow").materialize()
+    survivors = keys_with_count_between(bands, ["bucket_key"], min_count=2)
+    cand = filter_by_key_set(bands, ["bucket_key"], survivors, keep=True).materialize()
+    n_cand = cand.count()
 
-    def per_bucket(g):
-        n = len(g)
-        if n < 2:
-            return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
-        ids = np.asarray(list(g["vec_id"]), dtype=np.int64)
-        m = np.asarray(list(g["vec"]), dtype=np.float64)
-        order = np.argsort(ids)
-        ids, m = ids[order], m[order]
-        if n > bucket_cap:
-            m, ids = m[:bucket_cap], ids[:bucket_cap]
-            n = bucket_cap
-        sims = m @ m.T
-        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pa.table(
-            {
-                "a_id": pa.array(ids[ai], pa.int64()),
-                "b_id": pa.array(ids[bi], pa.int64()),
-                "cos_sim": pa.array(np.round(sims[ai, bi], 6), pa.float64()),
-            }
+    # normalized-vector side, trimmed to candidate ids (the duplicate-
+    # bounded minority) before any exchange
+    id_chunks = [
+        pc.unique(b["vec_id"])
+        for b in cand.select_columns(["vec_id"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
         )
-
-    pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
-        per_bucket, batch_format="pandas"
+        if len(b)
+    ]
+    cand_ids = (
+        pc.unique(pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in id_chunks]))
+        if id_chunks
+        else pa.array([], pa.int64())
     )
-    # dedupe pairs found by multiple tables
-    return (
-        pairs.groupby(["a_id", "b_id"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+
+    def vec_side(t: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(t, vec_col))
+        return pa.table(
+            {
+                "vec_id": t[id_col].cast(pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.reshape(-1)), m.shape[1]
+                ).cast(pa.list_(pa.float64())),
+            }
+        )
+
+    vecs = filter_by_key_set(ds, [id_col], cand_ids, keep=True).map_batches(
+        vec_side, batch_format="pyarrow"
+    )
+
+    import ray.data
+
+    if n_cand == 0:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=PAIRS_SCHEMA))
+
+    if n_cand <= _DRIVER_LSH_CANDROWS_LIMIT and not distributed:
+        import pandas as pd
+
+        df = pd.concat(
+            [b.to_pandas() for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)],
+            ignore_index=True,
+        ).sort_values(["bucket_key", "vec_id"], kind="mergesort")
+        uniq_ids = np.sort(pd.unique(df["vec_id"]))
+        code_of = {int(i): c for c, i in enumerate(uniq_ids)}
+        codes = df["vec_id"].map(code_of).to_numpy(dtype=np.int64)
+        bk = df["bucket_key"].to_numpy()
+        change = np.nonzero(np.diff(bk))[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(bk)]])
+        a_list, b_list = [], []
+        for s, e in zip(starts, ends):
+            seg = np.unique(codes[s:e])[:bucket_cap]
+            m = len(seg)
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            a_list.append(seg[ai])
+            b_list.append(seg[bi])
+        if not a_list:
+            return ray.data.from_arrow(pa.Table.from_pylist([], schema=PAIRS_SCHEMA))
+        a = np.concatenate(a_list)
+        b = np.concatenate(b_list)
+        pair_code = a * np.int64(len(uniq_ids)) + b
+        _, first = np.unique(pair_code, return_index=True)
+        a, b = a[first], b[first]
+        vec_map = {
+            int(r["vec_id"]): np.asarray(r["vec"], dtype=np.float64)
+            for r in vecs.take_all()
+        }
+        mat = np.asarray([vec_map[int(i)] for i in uniq_ids])
+        sims = np.einsum("ij,ij->i", mat[a], mat[b])
+        keep = sims >= threshold
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a_id": pa.array(uniq_ids[a[keep]], pa.int64()),
+                    "b_id": pa.array(uniq_ids[b[keep]], pa.int64()),
+                    "cos_sim": pa.array(np.round(sims[keep], 6), pa.float64()),
+                }
+            )
+        )
+
+    # distributed: vectors reach candidate band rows via the portable
+    # partitioned hash join (nested vec payload — native join ineligible),
+    # verification is partition-grain with buckets co-located by key hash
+    from ray.data.aggregate import Max
+
+    from ..state.joins import partitioned_hash_join
+    from .neardup import _parts_for_rows
+
+    n_parts = _parts_for_rows(n_cand)
+    joined = partitioned_hash_join(cand, vecs, "vec_id", n_parts=n_parts)
+
+    def add_bpart(t: pa.Table) -> pa.Table:
+        bk = t["bucket_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__bpart", pa.array((bk % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def verify_partition(g):
+        a_out, b_out, s_out = [], [], []
+        for _, bucket in g.groupby("bucket_key", sort=False):
+            dedup = {int(i): v for i, v in zip(bucket["vec_id"], bucket["vec"])}
+            if len(dedup) < 2:
+                continue
+            ids = np.sort(np.fromiter(dedup.keys(), dtype=np.int64))[:bucket_cap]
+            m = np.asarray([dedup[int(i)] for i in ids])
+            sims = m @ m.T
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+            a_out.append(ids[ai])
+            b_out.append(ids[bi])
+            s_out.append(np.round(sims[ai, bi], 6))
+        if not a_out:
+            return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(a_out), pa.int64()),
+                "b_id": pa.array(np.concatenate(b_out), pa.int64()),
+                "cos_sim": pa.array(np.concatenate(s_out), pa.float64()),
+            }
+        )
+
+    pairs = (
+        joined.map_batches(add_bpart, batch_format="pyarrow")
+        .groupby("__bpart")
+        .map_groups(verify_partition, batch_format="pandas")
+    )
+    # dedupe pairs found by multiple tables: vectorized Max aggregate (the
+    # sim is identical wherever the pair is found) — no per-pair Python
+    deduped = pairs.groupby(["a_id", "b_id"]).aggregate(Max("cos_sim"))
+    return deduped.map_batches(
+        lambda t: pa.table(
+            {
+                "a_id": t["a_id"].cast(pa.int64()),
+                "b_id": t["b_id"].cast(pa.int64()),
+                "cos_sim": t["max(cos_sim)"],
+            }
+        ),
+        batch_format="pyarrow",
     )

@@ -261,7 +261,15 @@ def _band_explode(cfg: MinHashConfig):
                     "id": pa.array([], pa.string()),
                 }
             )
-        sigs = np.asarray(batch["sig"].to_pylist(), dtype=np.uint64)
+        # zero-copy-ish: flatten the list column's value buffer instead of
+        # round-tripping through Python lists
+        sig_col = batch["sig"].combine_chunks()
+        sigs = (
+            sig_col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64, copy=False)
+            .reshape(n, cfg.num_perms)
+        )
         bh = mh.band_hashes_batch(sigs, cfg.bands)  # (n, bands)
         ids = batch["id"].to_pylist()
         # fuse (band_id, band_hash) into ONE u64 key: a single-column
@@ -567,7 +575,14 @@ def minhash_clusters(
 
 
 class SimHashStage:
-    """Actor-pool stage: text → 64-bit SimHash fingerprint (+ band values)."""
+    """Actor-pool stage: text → 64-bit SimHash fingerprint.
+
+    Null text (unreadable content) → null fingerprint: mirroring the
+    minhash rule that unreadable content is never a dup of anything, null
+    rows are excluded from banding downstream instead of all colliding in
+    the fingerprint-0 bucket.  (Empty-but-readable text still fingerprints
+    to 0 and legitimately clusters with other empty docs.)
+    """
 
     def __init__(self, cfg: SimHashConfig, id_col: str, text_col: str):
         self.cfg = cfg
@@ -578,7 +593,7 @@ class SimHashStage:
         fps = []
         for t in batch[self.text_col].to_pylist():
             if t is None:
-                fps.append(0)
+                fps.append(None)
             else:
                 fps.append(sh.simhash(shingle_hashes(tokenize(t), self.cfg.shingle_k)))
         return pa.table(
@@ -601,46 +616,64 @@ def simhash_fingerprints(ds, cfg: SimHashConfig | None = None, id_col: str = "id
 
 
 def simhash_edges(ds, cfg: SimHashConfig | None = None, id_col: str = "id", text_col: str = "text"):
+    """Band rows are lean (u64 bucket_key, id, 8-B fingerprint) and the
+    explode/verify kernels are numpy-vectorized (mirrors the minhash band
+    path).  Over-cap buckets star-expand against the bucket minimum so
+    every member is examined once — connectivity-preserving skew valve,
+    not a silent truncation."""
     cfg = cfg or SimHashConfig()
     fps = simhash_fingerprints(ds, cfg, id_col, text_col)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, band_ids, vals, f = [], [], [], []
-        for i, fp in zip(batch["id"].to_pylist(), batch["fingerprint"].to_pylist()):
-            for bi, v in enumerate(sh.simhash_bands(int(fp), cfg.bands)):
-                ids.append(i)
-                band_ids.append(bi)
-                vals.append(v)
-                f.append(fp)
-        fused = [
-            (v ^ (bi * 0x9E3779B97F4A7C15)) & 0xFFFFFFFFFFFFFFFF
-            for bi, v in zip(band_ids, vals)
-        ]
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.is_valid(batch["fingerprint"]))
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {
+                    "bucket_key": pa.array([], pa.uint64()),
+                    "id": pa.array([], pa.string()),
+                    "fingerprint": pa.array([], pa.uint64()),
+                }
+            )
+        fp = t["fingerprint"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = sh.simhash_bands_batch(fp, cfg.bands)  # (n, bands)
+        band_ids = np.tile(np.arange(cfg.bands, dtype=np.uint64), n)
+        fused = bh.reshape(-1) ^ (band_ids * np.uint64(0x9E3779B97F4A7C15))
+        ids = t["id"].to_pylist()
         return pa.table(
             {
-                "bucket_key": pa.array(fused, pa.uint64()),
-                "id": pa.array(ids, pa.string()),
-                "fingerprint": pa.array(f, pa.uint64()),
+                "bucket_key": pa.array(fused),
+                "id": pa.array(np.repeat(ids, cfg.bands), pa.string()),
+                "fingerprint": pa.array(np.repeat(fp, cfg.bands)),
             }
         )
 
     bands = fps.map_batches(explode, batch_format="pyarrow")
 
     def per_bucket(g):
-        n = len(g)
-        if n < 2:
+        # dedupe (same doc can hit one fused key via two bands), sort by id
+        # for deterministic pair orientation / star center
+        uniq = sorted({(i, int(f)) for i, f in zip(g["id"], g["fingerprint"])})
+        m = len(uniq)
+        if m < 2:
             return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
-        rows = sorted(zip(g["id"], g["fingerprint"]))
-        edges = []
-        cap = min(n, cfg.bucket_cap)
-        for ii in range(cap if n > cfg.bucket_cap else n):
-            a_id, a_fp = rows[ii]
-            limit = range(ii + 1, n) if n <= cfg.bucket_cap else range(ii + 1, min(ii + 2, n))
-            for jj in limit:
-                b_id, b_fp = rows[jj]
-                if sh.hamming(int(a_fp), int(b_fp)) <= cfg.max_hamming:
-                    edges.append({"src": a_id, "dst": b_id})
-        return pa.Table.from_pylist(edges, schema=EDGE_SCHEMA)
+        ids = np.array([u[0] for u in uniq])
+        f = np.array([u[1] for u in uniq], dtype=np.uint64)
+        if m <= cfg.bucket_cap:
+            dist = sh.popcount64_batch(f[:, None] ^ f[None, :])
+            ai, bi = np.nonzero(np.triu(dist <= cfg.max_hamming, k=1))
+        else:  # star expansion against the bucket minimum (skew valve)
+            dist = sh.popcount64_batch(f[0] ^ f[1:])
+            bi = np.nonzero(dist <= cfg.max_hamming)[0] + 1
+            ai = np.zeros(len(bi), dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(ids[ai], pa.string()),
+                "dst": pa.array(ids[bi], pa.string()),
+            }
+        )
 
     from ..functions.groups import grouped_on_survivors
 

@@ -60,9 +60,22 @@ def checkpoint_dataset(ds, path: str, partition_cols: list[str] | None = None, l
                     }
                 )
     n_rows = sum(p["rows"] for p in partitions)
+    # record write-time partition-column types: hive partitioning
+    # stringifies values, and read_checkpoint must only un-stringify
+    # columns that actually were integers (a string partition column like
+    # 'repo' would otherwise fail the cast on read)
+    part_col_types = {}
+    try:
+        schema = ds.schema()
+        for c in partition_cols or []:
+            if c in schema.names:
+                part_col_types[c] = str(schema.types[schema.names.index(c)])
+    except Exception:
+        pass
     manifest = {
         "rows": n_rows,
         "partition_cols": partition_cols or [],
+        "partition_col_types": part_col_types,
         "created_unix": int(time.time()),
         "lineage": lineage or {},
         "partitions": partitions,
@@ -99,13 +112,24 @@ def read_checkpoint(path: str, columns: list[str] | None = None):
     manifest = read_manifest(path)
     ds = ray.data.read_parquet(path, columns=columns)
     part_cols = [c for c in manifest["partition_cols"] if columns is None or c in columns]
-    if part_cols:
+    # only un-stringify columns recorded as integer at write time (older
+    # manifests lack the record — keep the legacy assume-int64 behavior)
+    types = manifest.get("partition_col_types")
+    restore_types = {}
+    for c in part_cols:
+        recorded = types.get(c, "") if types is not None else "int64"
+        if recorded.startswith(("int", "uint")):
+            try:
+                restore_types[c] = pa.type_for_alias(recorded)
+            except Exception:
+                restore_types[c] = pa.int64()
+    if restore_types:
 
         def restore(t: pa.Table) -> pa.Table:
-            for c in part_cols:
+            for c, typ in restore_types.items():
                 if c in t.column_names and pa.types.is_string(t.schema.field(c).type):
                     t = t.set_column(
-                        t.column_names.index(c), c, pc.cast(t[c], pa.int64())
+                        t.column_names.index(c), c, pc.cast(t[c], typ)
                     )
             return t
 

@@ -12,8 +12,9 @@ edges.  Two paths:
   every node's current label across its edges and keeps the min
   (`groupby(node).min`) — two map_batches + one groupby per round, no
   driver state.  Min-propagation needs graph-diameter rounds; convergence
-  is detected with a per-round order-insensitive checksum aggregate (one
-  cheap scan), so any diameter up to max_rounds terminates exactly.
+  is detected EXACTLY (per-round count of ids whose label changed, via a
+  min/max aggregate over old∪new) and exhausting max_rounds raises
+  instead of silently returning unconverged labels.
   Verified near-dup clusters are dense (band buckets emit cliques/stars),
   so typical runs converge in 2-4 rounds; for adversarial long chains the
   BTS-style balanced DSU (PAPERS.md, ICDE 2024) is the upgrade path.
@@ -125,21 +126,29 @@ def _label_propagation(edges_ds, nodes_ds, max_rounds: int):
         lambda t: t.rename_columns(["id", "cluster_id"]), batch_format="pyarrow"
     ).materialize()
 
-    def checksum(lab_ds) -> int:
-        """Order-insensitive fingerprint of the label assignment — one
-        cheap aggregate per round; propagation converged iff unchanged."""
-        import zlib
+    def n_changed(old_ds, new_ds) -> int:
+        """EXACT fixpoint detection: number of ids whose label differs
+        between rounds, via one union + min/max aggregate (a checksum can
+        collide — changed labels, equal sum — and stop early with wrong
+        clusters).  Both inputs hold exactly one row per id."""
+        from ray.data.aggregate import Max, Min
 
-        def per_batch(t: pa.Table) -> pa.Table:
-            s = sum(
-                zlib.crc32(f"{i}\x00{c}".encode())
-                for i, c in zip(t["id"].to_pylist(), t["cluster_id"].to_pylist())
+        mm = old_ds.union(new_ds).groupby("id").aggregate(
+            Min("cluster_id"), Max("cluster_id")
+        )
+
+        def cnt(t: pa.Table) -> pa.Table:
+            neq = pc.sum(
+                pc.cast(
+                    pc.not_equal(t["min(cluster_id)"], t["max(cluster_id)"]),
+                    pa.int64(),
+                )
             )
-            return pa.table({"s": pa.array([s], pa.int64())})
+            return pa.table({"c": pa.array([neq.as_py() or 0], pa.int64())})
 
-        return int(lab_ds.map_batches(per_batch, batch_format="pyarrow").sum("s") or 0)
+        return int(mm.map_batches(cnt, batch_format="pyarrow").sum("c") or 0)
 
-    prev_sum = checksum(labels)
+    converged = False
     for _ in range(max_rounds):
         # message pass: join labels onto edges via union + groupby(key)
         # (portable partitioned hash join: tag sides, co-group, emit peer msgs)
@@ -183,9 +192,15 @@ def _label_propagation(edges_ds, nodes_ds, max_rounds: int):
         new_labels = new_labels.map_batches(
             lambda t: t.rename_columns(["id", "cluster_id"]), batch_format="pyarrow"
         ).materialize()
+        changed = n_changed(labels, new_labels)
         labels = new_labels
-        cur = checksum(labels)
-        if cur == prev_sum:  # fixpoint: min over 1-hop changed nothing
+        if changed == 0:  # exact fixpoint: min over 1-hop changed nothing
+            converged = True
             break
-        prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds max_rounds); raise max_rounds or use "
+            "the driver DSU path"
+        )
     return labels

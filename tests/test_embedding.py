@@ -77,3 +77,21 @@ def test_embedding_lsh_recall(ray_session, vec_table):
     assert got <= want or not want  # no false positives (exact verify in-bucket)
     recall = len(got & want) / len(want)
     assert recall >= 0.95, recall
+
+
+def test_embedding_lsh_paths_agree(ray_session, vec_table):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.embedding import embedding_neardup_lsh
+
+    ds = ray.data.from_arrow(vec_table).repartition(3)
+    kw = dict(threshold=0.95, n_planes=8, n_tables=6)
+    drv = {
+        (r["a_id"], r["b_id"], r["cos_sim"])
+        for r in embedding_neardup_lsh(ds, **kw, distributed=False).take_all()
+    }
+    dist = {
+        (r["a_id"], r["b_id"], r["cos_sim"])
+        for r in embedding_neardup_lsh(ds, **kw, distributed=True).take_all()
+    }
+    assert drv == dist and len(drv) >= 10
