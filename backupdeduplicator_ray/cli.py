@@ -42,7 +42,53 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--hash", default="sha256", help="hash algorithm (reference --hash)")
     p.add_argument("--threads", type=int, default=None, help="num_cpus for ray.init (reference --threads)")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument(
+        "--overwrite",
+        action="store_true",
+        help="recompute even if a completed output exists (reference build --overwrite)",
+    )
+    p.add_argument(
+        "--continue",
+        dest="resume",
+        action="store_true",
+        help="resume: a completed output is reused as-is, a partial (killed-"
+        "run) output is discarded and recomputed — the checkpoint layer's "
+        "torn-tail guarantee (reference build --continue, main.rs:210-227)",
+    )
+    p.add_argument(
+        "--noclean",
+        action="store_true",
+        help="reference parity (build --noclean skips the post-continue "
+        "compaction of stale appended entries); accepted as a no-op here — "
+        "atomic checkpoint outputs cannot contain stale entries",
+    )
+    p.add_argument(
+        "--follow-symlinks",
+        action="store_true",
+        help="reference parity (build --follow-symlinks); no-op for a "
+        "parquet corpus — symlink nodes derive from content markers, there "
+        "is no filesystem traversal to follow",
+    )
     args = p.parse_args(argv)
+
+    from .state.checkpoint import checkpoint_dataset, is_complete
+
+    # overwrite / resume semantics (reference main.rs:210-227): a COMPLETE
+    # output (manifest present) is an error without a flag, reused with
+    # --continue, recomputed with --overwrite; a partial output (killed run,
+    # no manifest) is always discarded and recomputed.  Decided before any
+    # Ray startup so refuse/skip paths are instant.
+    if is_complete(args.output):
+        if args.resume and not args.overwrite:
+            print(f"resume: {args.output} complete, skipping", file=sys.stderr)
+            return 0
+        if not args.overwrite:
+            print(
+                f"error: output {args.output} already complete; pass "
+                "--overwrite to recompute or --continue to reuse it",
+                file=sys.stderr,
+            )
+            return 1
 
     _init_ray(args.threads)
     import pyarrow as pa
@@ -56,15 +102,23 @@ def main(argv: list[str] | None = None) -> int:
     from .stages.neardup import minhash_clusters
 
     cfg = PipelineConfig(hash=HashConfig(args.hash), checkpoint_dir=args.checkpoint_dir)
-    os.makedirs(args.output, exist_ok=True)
+
+    def emit(ds):
+        """Atomic checkpointed write: tmp dir + manifest + rename, so a
+        killed run leaves a discardable partial, never a torn output."""
+        checkpoint_dataset(
+            ds, args.output, lineage={"command": args.command, "input": args.input}
+        )
 
     if args.command == "build":
-        build_nodes(read_corpus(args.input), cfg).write_parquet(args.output)
+        emit(build_nodes(read_corpus(args.input), cfg))
     elif args.command == "analyze":
         dupsets, dup_bytes = dup_sets(build_nodes(read_corpus(args.input), cfg))
-        dupsets.map_batches(
-            lambda t: t.drop_columns(["repos", "paths"]), batch_format="pyarrow"
-        ).write_parquet(args.output)
+        emit(
+            dupsets.map_batches(
+                lambda t: t.drop_columns(["repos", "paths"]), batch_format="pyarrow"
+            )
+        )
         # reference prints the duplicated-bytes total (analyze/cmd.rs:194)
         print(f"duplicated bytes: {dup_bytes}")
     elif args.command == "cluster":
@@ -81,11 +135,11 @@ def main(argv: list[str] | None = None) -> int:
             ),
             batch_format="pyarrow",
         )
-        minhash_clusters(docs).write_parquet(args.output)
+        emit(minhash_clusters(docs))
     elif args.command == "clean":
         from .stages.clean import clean as clean_stage
 
-        nodes = ray.data.read_parquet(args.input)
+        nodes = ray.data.read_parquet(args.input, file_extensions=["parquet"])
         snapshot = None
         if args.snapshot:
             snapshot = build_nodes(read_corpus(args.snapshot), cfg)
@@ -96,7 +150,7 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 batch_format="pyarrow",
             )
-        clean_stage(nodes, snapshot).write_parquet(args.output)
+        emit(clean_stage(nodes, snapshot))
     ray.shutdown()
     return 0
 

@@ -20,9 +20,10 @@ Re-expresses the reference's streaming file hash (`src/data/hash.rs:509-528`
   null hash.
 
 Hash algorithms are pluggable like the reference's GeneralHashType
-(hash.rs:53-66): any hashlib algorithm by name, plus "null" (skip hashing,
-sizes only — `worker/file.rs:48-51`) and xxh64/xxh32 gated behind an
-import-try (the xxhash package is absent here).
+(hash.rs:53-66): any hashlib algorithm by name, "null" (skip hashing,
+sizes only — `worker/file.rs:48-51`), and xxh64/xxh32 (the reference's
+default feature set, Cargo.toml:35-36 — C package when installed, else
+the vendored pure-Python implementation in functions/xxh.py).
 """
 
 from __future__ import annotations
@@ -50,13 +51,16 @@ def get_hasher_factory(algorithm: str) -> Callable | None:
         return None
     if algorithm in ("xxh64", "xxh32"):
         try:
-            import xxhash  # noqa: F401  — not installed in this environment
-        except ImportError as exc:  # pragma: no cover
-            raise NotImplementedError(
-                "xxh64/xxh32 need the 'xxhash' package, unavailable here; "
-                "use sha256/sha1/sha512/md5 or 'null'"
-            ) from exc
-        return xxhash.xxh64 if algorithm == "xxh64" else xxhash.xxh32  # pragma: no cover
+            import xxhash  # C implementation when available
+
+            return xxhash.xxh64 if algorithm == "xxh64" else xxhash.xxh32
+        except ImportError:
+            # vendored pure-Python implementation (known-answer tested
+            # against the published xxHash vectors) — reference default
+            # feature set includes xxh (Cargo.toml:27,35-36)
+            from .xxh import xxh32, xxh64
+
+            return xxh64 if algorithm == "xxh64" else xxh32
     if algorithm in hashlib.algorithms_available:
         return getattr(hashlib, algorithm, None) or (lambda d=b"": hashlib.new(algorithm, d))
     raise ValueError(f"unknown hash algorithm: {algorithm}")

@@ -1,0 +1,173 @@
+"""Pure-Python xxh64 / xxh32 (hashlib-style) — no external package.
+
+The reference ships xxh3/xxh64/xxh32 as *default-feature* hash algorithms
+(`Cargo.toml:27,35-36`, `src/data/hash/xxh.rs`); the `xxhash` wheel is
+absent in this environment, so the public xxHash algorithm (Yann Collet,
+BSD — spec at github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md) is
+implemented here directly.  Interface mirrors hashlib: construct with
+optional initial data, `update()`, `digest()`/`hexdigest()` (big-endian
+hex, matching the `xxhash` package and the reference's hex serialization).
+
+This is the correctness/parity path for the algorithm registry — sha256
+(C-speed via hashlib) remains the default for bulk hashing; per-byte tail
+processing in Python is documented as slower and only used when the user
+explicitly selects xxh64/xxh32.
+"""
+
+from __future__ import annotations
+
+_M64 = 0xFFFFFFFFFFFFFFFF
+_P64_1 = 0x9E3779B185EBCA87
+_P64_2 = 0xC2B2AE3D27D4EB4F
+_P64_3 = 0x165667B19E3779F9
+_P64_4 = 0x85EBCA77C2B2AE63
+_P64_5 = 0x27D4EB2F165667C5
+
+_M32 = 0xFFFFFFFF
+_P32_1 = 0x9E3779B1
+_P32_2 = 0x85EBCA77
+_P32_3 = 0xC2B2AE3D
+_P32_4 = 0x27D4EB2F
+_P32_5 = 0x165667B1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _round64(acc: int, lane: int) -> int:
+    return (_rotl64((acc + lane * _P64_2) & _M64, 31) * _P64_1) & _M64
+
+
+def _merge64(h: int, v: int) -> int:
+    h ^= _round64(0, v)
+    return (h * _P64_1 + _P64_4) & _M64
+
+
+def xxh64_intdigest(data: bytes, seed: int = 0) -> int:
+    data = bytes(data)
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P64_1 + _P64_2) & _M64
+        v2 = (seed + _P64_2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P64_1) & _M64
+        while i + 32 <= n:
+            v1 = _round64(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round64(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round64(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round64(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        h = _merge64(h, v1)
+        h = _merge64(h, v2)
+        h = _merge64(h, v3)
+        h = _merge64(h, v4)
+    else:
+        h = (seed + _P64_5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _round64(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl64(h, 27) * _P64_1 + _P64_4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P64_1) & _M64
+        h = (_rotl64(h, 23) * _P64_2 + _P64_3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P64_5) & _M64
+        h = (_rotl64(h, 11) * _P64_1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P64_2) & _M64
+    h ^= h >> 29
+    h = (h * _P64_3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _round32(acc: int, lane: int) -> int:
+    return (_rotl32((acc + lane * _P32_2) & _M32, 13) * _P32_1) & _M32
+
+
+def xxh32_intdigest(data: bytes, seed: int = 0) -> int:
+    data = bytes(data)
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _P32_1 + _P32_2) & _M32
+        v2 = (seed + _P32_2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _P32_1) & _M32
+        while i + 16 <= n:
+            v1 = _round32(v1, int.from_bytes(data[i : i + 4], "little"))
+            v2 = _round32(v2, int.from_bytes(data[i + 4 : i + 8], "little"))
+            v3 = _round32(v3, int.from_bytes(data[i + 8 : i + 12], "little"))
+            v4 = _round32(v4, int.from_bytes(data[i + 12 : i + 16], "little"))
+            i += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12) + _rotl32(v4, 18)) & _M32
+    else:
+        h = (seed + _P32_5) & _M32
+    h = (h + n) & _M32
+    while i + 4 <= n:
+        h = (h + int.from_bytes(data[i : i + 4], "little") * _P32_3) & _M32
+        h = (_rotl32(h, 17) * _P32_4) & _M32
+        i += 4
+    while i < n:
+        h = (h + data[i] * _P32_5) & _M32
+        h = (_rotl32(h, 11) * _P32_1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _P32_2) & _M32
+    h ^= h >> 13
+    h = (h * _P32_3) & _M32
+    h ^= h >> 16
+    return h
+
+
+class _XXH:
+    _width: int  # hex chars
+
+    def __init__(self, data: bytes = b"", seed: int = 0):
+        self._buf = bytearray(data)
+        self._seed = seed
+
+    def update(self, data: bytes) -> None:
+        self._buf.extend(data)
+
+    def copy(self):
+        c = type(self)(seed=self._seed)
+        c._buf = bytearray(self._buf)
+        return c
+
+    def intdigest(self) -> int:
+        raise NotImplementedError
+
+    def digest(self) -> bytes:
+        return self.intdigest().to_bytes(self._width // 2, "big")
+
+    def hexdigest(self) -> str:
+        return format(self.intdigest(), f"0{self._width}x")
+
+
+class xxh64(_XXH):
+    name = "xxh64"
+    digest_size = 8
+    _width = 16
+
+    def intdigest(self) -> int:
+        return xxh64_intdigest(bytes(self._buf), self._seed)
+
+
+class xxh32(_XXH):
+    name = "xxh32"
+    digest_size = 4
+    _width = 8
+
+    def intdigest(self) -> int:
+        return xxh32_intdigest(bytes(self._buf), self._seed)

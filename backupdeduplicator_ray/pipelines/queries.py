@@ -335,6 +335,152 @@ FROM documents
 """
 
 
+def q_archive_dedup_members(sf_dir: str):
+    """Nested archives through the FULL dedup pipeline (S5 + M5 + A3 + A4):
+    zip-in-zip bundles mirrored across two repos, plus plain files in one
+    repo only, → expand → Merkle tree → minimal dup sets.
+
+    Construction (deterministic from `documents`): docs bucket K=doc_id%5
+    becomes inner_K.zip, wrapped in vendor/bundle_K.zip, present in BOTH
+    repos arcA and arcB; docs with doc_id%7==0 additionally appear as plain
+    files src/doc_<id>.txt in arcA only.  Expected minimal sets: the
+    mirrored `vendor` dirs (roots differ because of src/), plus one set per
+    plain-file text (its archive copies are parent-suppressed but the plain
+    copy under the non-duplicated src/ is not).
+    """
+    import io
+    import zipfile
+
+    from ..pipelines.dedup import minimal_dup_members
+    from ..sources.archive import expand_archives
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def pack(g):
+        k = int(g["doc_id"].iloc[0]) % 5
+        rows = sorted(zip(g["doc_id"], g["text"]))
+        inner = io.BytesIO()
+        with zipfile.ZipFile(inner, "w") as zf:
+            for doc_id, text in rows:
+                zf.writestr(
+                    zipfile.ZipInfo(f"doc_{doc_id}.txt", (2020, 1, 1, 0, 0, 0)),
+                    (text or "").encode("utf-8"),
+                )
+        outer = io.BytesIO()
+        with zipfile.ZipFile(outer, "w") as zf:
+            zf.writestr(
+                zipfile.ZipInfo(f"inner_{k}.zip", (2020, 1, 1, 0, 0, 0)),
+                inner.getvalue(),
+            )
+        blob = outer.getvalue()
+        return pa.table(
+            {
+                "repo": pa.array(["arcA", "arcB"], pa.string()),
+                "path": pa.array([f"vendor/bundle_{k}.zip"] * 2, pa.string()),
+                "commit": pa.array(["c", "c"], pa.string()),
+                "blob": pa.array([blob, blob], pa.large_binary()),
+            }
+        )
+
+    blobs = (
+        docs.map_batches(
+            lambda t: t.append_column(
+                "bucket", pa.array((t["doc_id"].to_numpy() % 5).astype(np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pandas")
+    )
+    members = expand_archives(blobs)
+
+    def plain(t: pa.Table) -> pa.Table:
+        keep = t.filter(pa.array((t["doc_id"].to_numpy() % 7) == 0))
+        ids = keep["doc_id"].to_pylist()
+        texts = keep["text"].to_pylist()
+        return pa.table(
+            {
+                "repo": pa.array(["arcA"] * len(ids), pa.string()),
+                "path": pa.array([f"src/doc_{d}.txt" for d in ids], pa.string()),
+                "commit": pa.array(["c"] * len(ids), pa.string()),
+                "lang": pa.array(["txt"] * len(ids), pa.string()),
+                "content": pa.array([t or "" for t in texts], pa.large_string()),
+            }
+        )
+
+    corpus = members.union(docs.map_batches(plain, batch_format="pyarrow"))
+    return minimal_dup_members(corpus)
+
+
+_ARC_PARENT = "CASE WHEN regexp_matches(path, '[/!]') THEN regexp_replace(path, '[/!][^/!]*$', '') ELSE '' END"
+_ARC_DEPTH = "length(path) - length(regexp_replace(path, '[/!]', '', 'g'))"
+
+_ARC_NODES_CTE = f"""
+docs2 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+mfiles AS (
+  SELECT r.repo,
+         'vendor/bundle_' || (doc_id % 5) || '.zip!inner_' || (doc_id % 5)
+           || '.zip!doc_' || doc_id || '.txt' AS path,
+         'file' AS node_type,
+         CAST(strlen(text) AS BIGINT) AS size,
+         sha256(text) AS hash
+  FROM docs2 CROSS JOIN (VALUES ('arcA'), ('arcB')) AS r(repo)
+),
+pfiles AS (
+  SELECT 'arcA' AS repo, 'src/doc_' || doc_id || '.txt' AS path,
+         'file' AS node_type, CAST(strlen(text) AS BIGINT) AS size,
+         sha256(text) AS hash
+  FROM docs2 WHERE doc_id % 7 = 0
+),
+afiles AS (
+  SELECT *, {_ARC_PARENT} AS parent
+  FROM (SELECT * FROM mfiles UNION ALL SELECT * FROM pfiles)
+),
+ad2 AS (
+  SELECT repo, parent AS path, 'dir' AS node_type, CAST(count(*) AS BIGINT) AS size,
+         sha256(string_agg(hash, '' ORDER BY hash)) AS hash
+  FROM afiles WHERE {_ARC_DEPTH} = 3 GROUP BY repo, parent
+),
+ad2p AS (SELECT repo, path, node_type, size, hash, {_ARC_PARENT} AS parent FROM ad2),
+ad1 AS (
+  SELECT repo, parent AS path, 'dir' AS node_type, CAST(count(*) AS BIGINT) AS size,
+         sha256(string_agg(hash, '' ORDER BY hash)) AS hash
+  FROM ad2p GROUP BY repo, parent
+),
+an1 AS (
+  SELECT repo, path, node_type, size, hash, {_ARC_PARENT} AS parent FROM ad1
+  UNION ALL
+  SELECT repo, path, node_type, size, hash, parent FROM afiles WHERE {_ARC_DEPTH} = 1
+),
+ad0 AS (
+  SELECT repo, parent AS path, 'dir' AS node_type, CAST(count(*) AS BIGINT) AS size,
+         sha256(string_agg(hash, '' ORDER BY hash)) AS hash
+  FROM an1 GROUP BY repo, parent
+),
+ad0p AS (SELECT repo, path, node_type, size, hash, '' AS parent FROM ad0),
+aroot AS (
+  SELECT repo, '' AS path, 'dir' AS node_type, CAST(count(*) AS BIGINT) AS size,
+         sha256(string_agg(hash, '' ORDER BY hash)) AS hash,
+         CAST(NULL AS VARCHAR) AS parent
+  FROM ad0p GROUP BY repo
+),
+nodes AS (
+  SELECT repo, path, node_type, size, hash, parent FROM afiles
+  UNION ALL SELECT repo, path, node_type, size, hash, parent FROM ad2p
+  UNION ALL SELECT repo, path, node_type, size, hash, parent FROM an1
+    WHERE node_type = 'dir'
+  UNION ALL SELECT repo, path, node_type, size, hash, parent FROM ad0p
+  UNION ALL SELECT repo, path, node_type, size, hash, parent FROM aroot
+)
+"""
+
+SQL_ARCHIVE_DEDUP_MEMBERS = f"""
+WITH {_ARC_NODES_CTE}, {_SETS_CTE}
+SELECT m.hash, m.node_type AS ftype, m.size, m.repo, m.path
+FROM members m JOIN sets s ON m.hash = s.hash AND m.node_type = s.ftype AND m.size = s.size
+"""
+
+
 def q_incremental_file_hash(sf_dir: str):
     """Incremental build (reference ST1 cache): a previous run covers the
     even doc_ids (same commit -> cache hits, hashes reused without reading
@@ -658,6 +804,7 @@ QUERIES = {
     "compact_latest": q_compact_latest,
     "incremental_file_hash": q_incremental_file_hash,
     "archive_roundtrip": q_archive_roundtrip,
+    "archive_dedup_members": q_archive_dedup_members,
     "token_stats": q_token_stats,
     "quality_flags": q_quality_flags,
     "lang_agg": q_lang_agg,
@@ -682,6 +829,7 @@ ORACLE_SQL = {
     "compact_latest": SQL_COMPACT_LATEST,
     "incremental_file_hash": SQL_INCREMENTAL_FILE_HASH,
     "archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
+    "archive_dedup_members": SQL_ARCHIVE_DEDUP_MEMBERS,
     "token_stats": SQL_TOKEN_STATS,
     "quality_flags": SQL_QUALITY_FLAGS,
     "lang_agg": SQL_LANG_AGG,

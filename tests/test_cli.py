@@ -1,0 +1,58 @@
+"""CLI overwrite / resume semantics (reference main.rs:210-227) driven
+through real subprocesses — each run owns its Ray session like a user
+invocation would."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+from backupdeduplicator_ray.sources.corpus import synth_corpus
+
+
+def _run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "backupdeduplicator_ray.cli", *args, "--threads", "2"],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+
+@pytest.mark.slow
+def test_cli_build_overwrite_resume(tmp_path):
+    table, _ = synth_corpus(3, 12)
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(table, corpus)
+    out = str(tmp_path / "nodes")
+
+    r1 = _run_cli("build", "--input", str(corpus), "--output", out)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert os.path.isfile(os.path.join(out, "_MANIFEST.json"))
+    rows1 = json.load(open(os.path.join(out, "_MANIFEST.json")))["rows"]
+    assert rows1 > 0
+
+    # complete output without a flag → refuse
+    r2 = _run_cli("build", "--input", str(corpus), "--output", out)
+    assert r2.returncode == 1 and "already complete" in r2.stderr
+
+    # --continue on a complete output → fast skip, bytes untouched
+    mtime = os.path.getmtime(os.path.join(out, "_MANIFEST.json"))
+    r3 = _run_cli("build", "--input", str(corpus), "--output", out, "--continue")
+    assert r3.returncode == 0 and "skipping" in r3.stderr
+    assert os.path.getmtime(os.path.join(out, "_MANIFEST.json")) == mtime
+
+    # killed-run simulation: manifest gone → --continue recomputes
+    os.remove(os.path.join(out, "_MANIFEST.json"))
+    r4 = _run_cli("build", "--input", str(corpus), "--output", out, "--continue")
+    assert r4.returncode == 0
+    assert json.load(open(os.path.join(out, "_MANIFEST.json")))["rows"] == rows1
+
+    # --overwrite recomputes a complete output
+    r5 = _run_cli("build", "--input", str(corpus), "--output", out, "--overwrite")
+    assert r5.returncode == 0
+    assert json.load(open(os.path.join(out, "_MANIFEST.json")))["rows"] == rows1

@@ -73,7 +73,7 @@ def test_oracle_keys_subset(entry_mod):
     [
         "file_hash", "exact_dup_groups", "tree_nodes", "dup_members",
         "dup_total", "compact_latest", "incremental_file_hash",
-        "archive_roundtrip", "token_stats",
+        "archive_roundtrip", "archive_dedup_members", "token_stats",
         "quality_flags", "lang_agg", "jaccard_pairs", "ann_topk",
         "cosine_pairs",
     ],

@@ -67,8 +67,56 @@ def test_hasher_registry():
     assert get_hasher_factory("null") is None
     with pytest.raises(ValueError):
         get_hasher_factory("nope")
-    with pytest.raises(NotImplementedError):
-        get_hasher_factory("xxh64")  # xxhash package absent in this env
+
+
+def test_xxh_known_answers():
+    """Published xxHash vectors (spec + the xxhash package README)."""
+    x64 = get_hasher_factory("xxh64")
+    x32 = get_hasher_factory("xxh32")
+    assert x64(b"").hexdigest() == "ef46db3751d8e999"
+    assert x64(b"a").hexdigest() == "d24ec4f1a98c6e5b"
+    assert x64(b"abc").hexdigest() == "44bc2cf5ad770999"
+    assert x64(b"xxhash", seed=20141025).hexdigest() == "b559b98d844e0635"
+    # 63-byte spec example exercises the 32-byte stripe + 8/4/1-byte tails
+    assert (
+        x64(b"Call me Ishmael. Some years ago--never mind how long precisely-").hexdigest()
+        == "02a2e85470d6fd96"
+    )
+    assert x32(b"").hexdigest() == "02cc5d05"
+    assert x32(b"abc").hexdigest() == "32d153ff"
+    # streaming == one-shot
+    h = x64()
+    h.update(b"ab")
+    h.update(b"c")
+    assert h.hexdigest() == x64(b"abc").hexdigest()
+
+
+def test_xxh64_column_and_build(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.config import HashConfig
+    from backupdeduplicator_ray.stages.build import build_file_nodes
+
+    col = pa.array(["abc", None, ""])
+    assert hash_string_column(col, "xxh64").to_pylist() == [
+        "44bc2cf5ad770999",
+        None,
+        "ef46db3751d8e999",
+    ]
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": ["r1", "r1"],
+                "path": ["a.py", "b.py"],
+                "commit": ["c", "c"],
+                "lang": ["py", "py"],
+                "content": ["abc", "abc"],
+            }
+        )
+    )
+    nodes = build_file_nodes(corpus, HashConfig(algorithm="xxh64")).take_all()
+    hashes = {r["path"]: r["hash"] for r in nodes}
+    assert hashes == {"a.py": "44bc2cf5ad770999", "b.py": "44bc2cf5ad770999"}
 
 
 def test_null_algorithm_column():
