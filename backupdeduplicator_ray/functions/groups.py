@@ -68,9 +68,13 @@ def keys_with_count_between(
 
     if single:
         # fully vectorized: per-block pc.value_counts (parallel tasks),
-        # merged in a parallel reduction tree of Ray tasks — the driver only
-        # receives the final, already-filtered survivor keys, so the merge
-        # scales with CPUs instead of being a serial driver phase
+        # merged by P parallel key-hash SHARD tasks — each shard touches
+        # ~1/P of the keys, so no task (and not the driver) ever sorts the
+        # full key space in one shot.  The driver only receives the final,
+        # already-filtered survivor keys per shard.  (This host slows to a
+        # crawl on single-threaded numpy over tens of MB — a 6M-row
+        # argsort measured 13 s — so the shard width is the lever that
+        # keeps the merge both parallel AND per-task cache-sized.)
         import ray
 
         key = keys[0]
@@ -82,34 +86,55 @@ def keys_with_count_between(
 
         # block-sized batches (no batch_size => no re-chunking copies)
         parts = ds.select_columns(keys).map_batches(partial, batch_format="pyarrow")
+        # block refs, not driver pulls — shard tasks fetch blocks themselves
+        refs = list(parts.materialize().to_arrow_refs())
+        if not refs:
+            return set()
+        first = ray.get(refs[0])
+        numeric = len(first) == 0 or first["k"].to_numpy(zero_copy_only=False).dtype != object
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_shards = max(8, min(64, cpus * 2))
 
         @ray.remote
-        def merge(*tables):
-            ks = [t["k"].to_numpy(zero_copy_only=False) for t in tables if len(t)]
-            ns = [t["n"].to_numpy(zero_copy_only=False) for t in tables if len(t)]
+        def shard_surv(p, *tables):
+            ks, ns = [], []
+            for t in tables:
+                if not len(t):
+                    continue
+                k = t["k"].to_numpy(zero_copy_only=False)
+                n = t["n"].to_numpy(zero_copy_only=False)
+                if numeric:
+                    m = (k.astype(np.uint64, copy=False) % np.uint64(n_shards)) == p
+                else:
+                    m = (pd.util.hash_array(k) % np.uint64(n_shards)) == p
+                if m.any():
+                    ks.append(k[m])
+                    ns.append(n[m])
             if not ks:
-                return pa.table({"k": pa.array([]), "n": pa.array([], pa.int64())})
+                return pa.table({"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
             k = np.concatenate(ks)
-            n = np.concatenate(ns)
-            ser = pd.Series(n).groupby(pd.Series(k), sort=False).sum()
-            return pa.table(
-                {"k": pa.array(ser.index.to_numpy()), "n": pa.array(ser.to_numpy())}
-            )
+            n = np.concatenate(ns).astype(np.int64)
+            if numeric:
+                order = np.argsort(k, kind="stable")
+                k, n = k[order], n[order]
+                change = np.nonzero(np.diff(k))[0] + 1
+                starts = np.concatenate([[0], change])
+                sums = np.add.reduceat(n, starts)
+                k = k[starts]
+            else:
+                ser = pd.Series(n).groupby(pd.Series(k), sort=False).sum()
+                k, sums = ser.index.to_numpy(), ser.to_numpy()
+            mask = sums >= min_count
+            if max_count is not None:
+                mask &= sums <= max_count
+            return pa.table({"k": pa.array(k[mask]), "n": pa.array(sums[mask])})
 
-        # block refs, not driver pulls — merge tasks fetch blocks themselves
-        refs = list(parts.materialize().to_arrow_refs())
-        fanin = 8
-        while len(refs) > 1:
-            refs = [merge.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)]
-        final = ray.get(refs[0]) if refs else None
-        if final is None or len(final) == 0:
-            return set()
-        k = final["k"].to_numpy(zero_copy_only=False)
-        n = final["n"].to_numpy(zero_copy_only=False)
-        mask = n >= min_count
-        if max_count is not None:
-            mask &= n <= max_count
-        return set(k[mask].tolist())
+        shards = ray.get([shard_surv.remote(p, *refs) for p in range(n_shards)])
+        out: set = set()
+        for t in shards:
+            if len(t):
+                out.update(t["k"].to_pylist())
+        return out
 
     def partial2(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

@@ -131,15 +131,25 @@ def _exact_prebucket(sig_ds):
     pass (star edges from the min id + rep selection).  Unique-content rows
     are their own representatives and never hit a Python group call.
     """
+    import os
+    import sys
+    import time
+
     import pyarrow.compute as pc
 
     from ..functions.groups import filter_by_key_set, keys_with_count_between
 
+    timing = os.environ.get("BDR_TIMING")
+    t0 = time.time()
     # null exact hash == unreadable content: never a dup of anything
     sig_ds = sig_ds.map_batches(
         lambda t: t.filter(pc.is_valid(t["exact"])), batch_format="pyarrow"
     ).materialize()
+    t1 = time.time()
     dup_hashes = keys_with_count_between(sig_ds, ["exact"], min_count=2)
+    t2 = time.time()
+    if timing:
+        print(f"[prebucket] signatures={t1 - t0:.1f}s dupcount={t2 - t1:.1f}s", file=sys.stderr)
 
     uniques = filter_by_key_set(sig_ds, ["exact"], dup_hashes, keep=False)
     dup_rows = filter_by_key_set(sig_ds, ["exact"], dup_hashes, keep=True)
@@ -317,33 +327,16 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
     mark("reps")
     bands = reps.map_batches(_band_explode(cfg), batch_format="pyarrow").materialize()
     mark("bands")
-    # prune singleton buckets before any per-bucket work (the overwhelming
-    # majority of band buckets hold one doc).  Adaptive: below the
-    # driver-pull threshold the lean (bucket_key, id) table streams to the
-    # driver once and numpy does the counting + candidate selection (a few
-    # seconds, no extra Ray passes); above it, a parallel tree-reduce of
-    # per-block value_counts finds survivors distributed (the 10^12-file
-    # path — band keys are O(corpus), never driver-pullable there).
     import pyarrow.compute as pc
 
-    n_band_rows = bands.count()
-    if n_band_rows <= _KEY_PULL_LIMIT and not distributed:
-        # counting needs only the u64 keys (8 B/row) — pull them, count
-        # with np.unique.  Ids never reach the driver here.
-        bk_parts = [
-            b["bucket_key"].to_numpy(zero_copy_only=False)
-            for b in bands.select_columns(["bucket_key"]).iter_batches(
-                batch_format="pyarrow", batch_size=None
-            )
-        ]
-        bk = np.concatenate(bk_parts) if bk_parts else np.empty(0, np.uint64)
-        uniq, counts = np.unique(bk, return_counts=True)
-        survivors = pa.array(uniq[counts >= 2])
-    else:
-        # key space outgrows the driver: parallel tree-reduce of per-block
-        # value_counts (the 10^12-file route)
-        surv_set = keys_with_count_between(bands, ["bucket_key"], min_count=2)
-        survivors = surv_set
+    # prune singleton buckets before any per-bucket work (the overwhelming
+    # majority of band buckets hold one doc) via the
+    # parallel sharded value_counts (functions/groups.py): per-block
+    # partials + P key-hash shard merges — the same path at every scale;
+    # no serial driver sort ever touches the full key space (this host
+    # crawls on single-threaded numpy past ~10 MB, and at 10^12 files the
+    # keys wouldn't fit a driver anyway)
+    survivors = keys_with_count_between(bands, ["bucket_key"], min_count=2)
     mark("count")
     # candidate filter is distributed either way (survivor keys are a small
     # broadcast: u64 per actually-hot bucket)
@@ -375,10 +368,10 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
         mark("sigmap")
         near_edges = _verify_candidates_driver(cand_rows, sig_map, cfg)
     else:
-        # candidates too big for the driver: signatures reach them via a
-        # coarse partitioned hash join; verification runs partition-grain
+        # candidates too big for the driver: verification runs partition-
+        # grain with signatures re-derived per surviving band row
         near_edges = _verify_candidates_distributed(
-            cand_rows, reps, cfg, n_parts=_parts_for_rows(n_cand)
+            reps, survivors, cfg, n_parts=_parts_for_rows(n_cand)
         )
     mark("verify")
     if timing:
@@ -394,7 +387,6 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
     return exact_edges.union(near_edges)
 
 
-_KEY_PULL_LIMIT = 200_000_000  # band rows whose u64 keys (8 B each) fit a driver pull
 _DRIVER_CANDROWS_LIMIT = 8_000_000  # candidate rows verified driver-side below this
 
 
@@ -406,73 +398,127 @@ def _parts_for_rows(n_rows: int, rows_per_part: int = 200_000, lo: int = 8, hi: 
     return max(lo, min(hi, -(-max(1, n_rows) // rows_per_part)))
 
 
-def _verify_candidates_distributed(cand_rows, reps, cfg: MinHashConfig, n_parts: int = 64):
-    """Fully distributed verification: signatures reach candidate band rows
-    through a coarse partitioned hash join (B partitions, vectorized pandas
-    merge inside each — NOT one Python call per id), then verification runs
-    partition-grain: buckets are co-located by `bucket_key % B` and each
-    partition verifies its buckets with the numpy kernel locally.  No
-    driver state; every exchange is hash-partitioned."""
-    import pyarrow.compute as pc
+def _bucket_pairs(bk: np.ndarray, codes: np.ndarray, cap: int):
+    """Sorted-by-(bucket, code) arrays → deduped candidate pair code arrays.
 
-    from ..functions.groups import filter_by_key_set
-    from ..state.joins import partitioned_hash_join
+    Vectorized: size-2 buckets (the overwhelming majority) are one shot;
+    bigger buckets loop (bounded by cap via star expansion against the
+    bucket minimum — the connectivity-preserving skew valve).  Shared by
+    the driver and distributed verification paths."""
+    if len(bk) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.nonzero(np.diff(bk))[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(bk)]])
+    sizes = ends - starts
+    a_list, b_list = [], []
+    s2 = starts[sizes == 2]
+    if len(s2):
+        a2, b2 = codes[s2], codes[s2 + 1]
+        valid = a2 != b2  # same doc landing in one bucket via two bands
+        a_list.append(a2[valid])
+        b_list.append(b2[valid])
+    for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
+        seg = np.unique(codes[s:e])
+        m = len(seg)
+        if m < 2:
+            continue
+        if m <= cap:
+            ai, bi = np.triu_indices(m, k=1)
+            a_list.append(seg[ai])
+            b_list.append(seg[bi])
+        else:  # star expansion against the bucket minimum (skew valve)
+            a_list.append(np.full(m - 1, seg[0]))
+            b_list.append(seg[1:])
+    if not a_list:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a = np.concatenate(a_list).astype(np.int64)
+    b = np.concatenate(b_list).astype(np.int64)
+    # dedupe pairs proposed by multiple bands (within this scope)
+    pair_code = a * np.int64(max(a.max(), b.max()) + 1) + b
+    _, first = np.unique(pair_code, return_index=True)
+    return a[first], b[first]
 
-    # semi-join first: only candidate ids' signatures enter the join
-    # shuffle (candidates are the duplicate-bounded minority; shipping all
-    # representatives' signatures measured ~13x more exchange volume).
-    # The candidate-id list (ids only, no payload) is merged on the driver
-    # and broadcast for a C-speed is_in filter — O(candidates) driver
-    # memory, documented bound.
-    id_chunks = [
-        pc.unique(b["id"])
-        for b in cand_rows.select_columns(["id"]).iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
-    ]
-    cand_id_arr = (
-        pc.unique(pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in id_chunks]))
-        if id_chunks
-        else pa.array([], pa.string())
-    )
-    sig_side = filter_by_key_set(reps, ["id"], cand_id_arr, keep=True).map_batches(
-        lambda t: pa.table(
-            {"id": t["id"], "sig": t["sig"].cast(pa.list_(pa.uint64()))}
-        ),
-        batch_format="pyarrow",
-    )
-    joined = partitioned_hash_join(cand_rows, sig_side, "id", n_parts=n_parts)
 
-    def add_bpart(t: pa.Table) -> pa.Table:
-        bk = t["bucket_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.append_column(
-            "__bpart", pa.array((bk % np.uint64(n_parts)).astype(np.int32))
+def _verify_candidates_distributed(reps, survivors, cfg: MinHashConfig, n_parts: int = 64):
+    """Fully distributed verification — ONE shuffle, no hash join.
+
+    The surviving bucket-key set (bounded by actual near-dup density plus
+    the bucket caps — the small side by construction) is broadcast once;
+    representatives re-derive their band keys and emit (bucket_key, id,
+    sig) rows ONLY for surviving buckets, so signatures ride exactly one
+    bucket-partitioned exchange.  Each partition co-locates whole buckets
+    (`bucket_key % B`) and verifies them with the same vectorized kernel
+    as the driver path (size-2 fast path, star-capped hot buckets) — no
+    per-bucket Python.  The earlier join-based variant (signatures joined
+    to candidate rows on id: two sort shuffles with ~1 KiB payloads plus a
+    Python loop per bucket) measured ~200 s on 408k docs; this one is
+    seconds.  If the survivor set ever outgrew a broadcast, fall back to
+    `state.joins.partitioned_hash_join` of lean band rows with signatures
+    on id."""
+    import ray
+
+    from ..functions.groups import cached_get
+
+    if isinstance(survivors, pa.Array):
+        surv_np = survivors.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        surv_np = np.fromiter((int(s) for s in survivors), dtype=np.uint64)
+    surv_np = np.sort(surv_np)
+    surv_ref = ray.put(surv_np)
+    explode = _band_explode(cfg)
+
+    def explode_surviving(batch: pa.Table) -> pa.Table:
+        surv = cached_get(surv_ref)
+        band_tbl = explode(batch)  # (bucket_key, id) in row-major band order
+        fused = band_tbl["bucket_key"].to_numpy(zero_copy_only=False)
+        mask = np.isin(fused, surv)
+        if not mask.any():
+            return pa.table(
+                {
+                    "bucket_key": pa.array([], pa.uint64()),
+                    "id": pa.array([], pa.string()),
+                    "sig": pa.array([], pa.list_(pa.uint64())),
+                    "__bpart": pa.array([], pa.int32()),
+                }
+            )
+        idx = np.nonzero(mask)[0]
+        row_of = idx // cfg.bands  # source rep row per band row
+        kept = band_tbl.take(pa.array(idx))
+        sig_col = batch["sig"].cast(pa.list_(pa.uint64())).take(pa.array(row_of))
+        bpart = (kept["bucket_key"].to_numpy(zero_copy_only=False) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket_key": kept["bucket_key"],
+                "id": kept["id"],
+                "sig": sig_col,
+                "__bpart": pa.array(bpart),
+            }
         )
 
     def verify_partition(g):
-        edges = []
-        for _, bucket in g.groupby("bucket_key", sort=False):
-            rows = sorted({i: s for i, s in zip(bucket["id"], bucket["sig"])}.items())
-            m = len(rows)
-            if m < 2:
-                continue
-            ids = [r[0] for r in rows]
-            sigs = np.asarray([np.asarray(r[1], dtype=np.uint64) for r in rows])
-            if m <= cfg.bucket_cap:
-                for i in range(m):
-                    est = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-                    for j, e in enumerate(est, start=i + 1):
-                        if e >= cfg.verify_threshold:
-                            edges.append({"src": ids[i], "dst": ids[j]})
-            else:  # star expansion against the bucket minimum (skew valve)
-                est = (sigs[1:] == sigs[0]).mean(axis=1)
-                for j, e in enumerate(est, start=1):
-                    if e >= cfg.verify_threshold:
-                        edges.append({"src": ids[0], "dst": ids[j]})
-        return pa.Table.from_pylist(edges, schema=EDGE_SCHEMA)
+        ids_raw = g["id"].to_numpy()
+        bk = g["bucket_key"].to_numpy()
+        # codes in lexicographic id order: pair orientation and star-center
+        # choice stay deterministic and match the driver path
+        uniq_ids, first_idx, inv = np.unique(ids_raw, return_index=True, return_inverse=True)
+        sig_vals = g["sig"].to_numpy()
+        sigs = np.asarray([np.asarray(sig_vals[i], dtype=np.uint64) for i in first_idx])
+        order = np.lexsort((inv, bk))
+        a, b = _bucket_pairs(bk[order], inv[order], cfg.bucket_cap)
+        if len(a) == 0:
+            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
+        est = (sigs[a] == sigs[b]).mean(axis=1)
+        keep = est >= cfg.verify_threshold
+        return pa.table(
+            {
+                "src": pa.array(uniq_ids[a[keep]], pa.string()),
+                "dst": pa.array(uniq_ids[b[keep]], pa.string()),
+            }
+        )
 
     return (
-        joined.map_batches(add_bpart, batch_format="pyarrow")
+        reps.map_batches(explode_surviving, batch_format="pyarrow")
         .groupby("__bpart")
         .map_groups(verify_partition, batch_format="pandas")
     )
@@ -503,42 +549,9 @@ def _verify_candidates_driver(cand_rows, sig_map: dict, cfg: MinHashConfig):
     code_of = {i: c for c, i in enumerate(uniq_ids)}
     codes = df["id"].map(code_of).to_numpy(dtype=np.int64)
     bk = df["bucket_key"].to_numpy()
-    # bucket boundaries
-    change = np.nonzero(np.diff(bk))[0] + 1
-    starts = np.concatenate([[0], change])
-    ends = np.concatenate([change, [len(bk)]])
-    a_list, b_list = [], []
-    cap = cfg.bucket_cap
-    sizes = ends - starts
-    # fast path: size-2 buckets are the overwhelming majority — handle them
-    # in one vectorized shot (rows are sorted by (bucket, id) so the pair
-    # is already id-ordered; equal codes = same doc twice, dropped)
-    s2 = starts[sizes == 2]
-    if len(s2):
-        a2, b2 = codes[s2], codes[s2 + 1]
-        valid = a2 != b2
-        a_list.append(a2[valid])
-        b_list.append(b2[valid])
-    for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
-        seg = np.unique(codes[s:e])  # same doc can land in a bucket twice
-        m = len(seg)
-        if m < 2:
-            continue
-        if m <= cap:
-            ai, bi = np.triu_indices(m, k=1)
-            a_list.append(seg[ai])
-            b_list.append(seg[bi])
-        else:  # star expansion against the bucket minimum (skew valve)
-            a_list.append(np.full(m - 1, seg[0]))
-            b_list.append(seg[1:])
-    if not a_list:
+    a, b = _bucket_pairs(bk, codes, cfg.bucket_cap)  # df sorted by (bucket, id)
+    if len(a) == 0:
         return ray.data.from_arrow(pa.Table.from_pylist([], schema=EDGE_SCHEMA))
-    a = np.concatenate(a_list)
-    b = np.concatenate(b_list)
-    # dedupe pairs proposed by multiple bands
-    pair_code = a * np.int64(len(uniq_ids)) + b
-    _, first = np.unique(pair_code, return_index=True)
-    a, b = a[first], b[first]
     sigs = np.asarray([sig_map[i] for i in uniq_ids], dtype=np.uint64)
     est = (sigs[a] == sigs[b]).mean(axis=1)
     keep = est >= cfg.verify_threshold
