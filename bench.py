@@ -58,6 +58,16 @@ def _corpus_parquet(sf: float) -> str:
     return cache
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-min load averages — logged per run so residual scaling loss
+    can be attributed to host throttle (identical runs vary ±50-100%)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
 def _fresh_session():
     """Restart Ray between queries: lingering object-store blocks and actor
     teardown from one query otherwise contaminate the next one's timing."""
@@ -153,9 +163,155 @@ def run_bench() -> dict:
         "dup_bytes": dup_bytes,
         "n_cluster_rows": n_clustered,
         "files_per_sec_dedup": round(n_files / queries["dedup_e2e"], 1),
+        "loadavg_end": _loadavg(),
     }
     ray.shutdown()
     return result
+
+
+def run_sig_stage() -> dict:
+    """MinHash signature stage only (the pipeline's dominant compute) —
+    the CPU-bound scaling probe.  Prints one JSON line."""
+    import ray
+
+    _fresh_session()
+    import pyarrow as pa
+    import ray.data as rd
+
+    from backupdeduplicator_ray.config import MinHashConfig
+    from backupdeduplicator_ray.stages.neardup import signatures
+
+    sf = _sf_from_dir(SF_DIR)
+    corpus_path = _corpus_parquet(sf)
+    n_files = rd.read_parquet(corpus_path).count()  # warm page cache
+    t0 = time.time()
+    corpus = rd.read_parquet(corpus_path, columns=["repo", "path", "content"])
+    docs = corpus.map_batches(
+        lambda t: pa.table(
+            {
+                "id": pa.array(
+                    [f"{r}|{p}" for r, p in zip(t["repo"].to_pylist(), t["path"].to_pylist())],
+                    pa.string(),
+                ),
+                "text": t["content"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    n = signatures(docs, MinHashConfig()).count()
+    dt = time.time() - t0
+    ray.shutdown()
+    return {
+        "sec": round(dt, 3),
+        "docs": n,
+        "docs_per_sec": round(n / dt, 1),
+        "num_cpus": NUM_CPUS,
+        "loadavg_end": _loadavg(),
+    }
+
+
+def run_probes() -> dict:
+    """Host-capability probes: aggregate memory bandwidth and pure-CPU
+    (cache-resident sha256) throughput at 1/8/32 processes.  Demonstrates
+    whether the sandbox's two-parallelism-level substitute for two cluster
+    sizes is valid per stage class: this VM's aggregate DRAM bandwidth
+    saturates by ~8 processes (one shared bandwidth domain), while a real
+    N -> 4N node cluster multiplies bandwidth by 4."""
+    import hashlib
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def bw_worker(q):
+        a = np.ones(64 * 131072, dtype=np.float64)  # 64 MB
+        t0 = time.time()
+        s = 0.0
+        for _ in range(10):
+            b = a * 1.0000001
+            s += b[0]
+        q.put((64 * 10 * 2) / (time.time() - t0))
+
+    def cpu_worker(q):
+        h = hashlib.sha256()
+        block = b"x" * 65536
+        t0 = time.time()
+        for _ in range(2000):
+            h.update(block)
+        q.put(128 / (time.time() - t0))
+
+    def agg(fn, nproc):
+        q = mp.Queue()
+        ps = [mp.Process(target=fn, args=(q,)) for _ in range(nproc)]
+        [p.start() for p in ps]
+        vals = [q.get() for _ in ps]
+        [p.join() for p in ps]
+        return round(sum(vals), 1)
+
+    out = {}
+    for name, fn in (("membw_mb_s", bw_worker), ("sha256_mb_s", cpu_worker)):
+        for n in (1, 8, 32):
+            out[f"{name}_{n}p"] = agg(fn, n)
+            time.sleep(3)
+    out["membw_eff_8_to_32"] = round(
+        (out["membw_mb_s_32p"] / out["membw_mb_s_8p"]) / 4, 3
+    )
+    out["sha256_eff_8_to_32"] = round(
+        (out["sha256_mb_s_32p"] / out["sha256_mb_s_8p"]) / 4, 3
+    )
+    return out
+
+
+def run_scaling_compute() -> None:
+    """CPU-bound scaling evidence: the signature stage (dominant pipeline
+    compute) at 8 vs 32 CPUs, best-of-2 interleaved, plus the host probes.
+    Writes BENCH_SCALING_COMPUTE.json."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SCALE_MULT=os.environ.get("GRAFT_SCALE_MULT", "16"),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sig-stage"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    runs = {lo: [], hi: []}
+    for ncpu in (lo, hi, lo, hi):
+        runs[ncpu].append(run(ncpu))
+        time.sleep(45)
+    r_lo = min(runs[lo], key=lambda r: r["sec"])
+    r_hi = min(runs[hi], key=lambda r: r["sec"])
+    probes = run_probes()
+    out = json.dumps(
+        {
+            "metric": "CPU-bound scaling: signature stage 8 -> 32 cpus + host probes",
+            "docs": r_lo["docs"],
+            "sig_sec_lo": r_lo["sec"],
+            "sig_sec_hi": r_hi["sec"],
+            "sig_docs_per_sec_lo": r_lo["docs_per_sec"],
+            "sig_docs_per_sec_hi": r_hi["docs_per_sec"],
+            "sig_scaling_efficiency": round(
+                (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo), 3
+            ),
+            "loadavg_lo": r_lo.get("loadavg_end"),
+            "loadavg_hi": r_hi.get("loadavg_end"),
+            "probes": probes,
+        }
+    )
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING_COMPUTE.json"),
+        "w",
+    ) as f:
+        f.write(out + "\n")
+    print(out)
 
 
 def run_scaling() -> None:
@@ -215,6 +371,8 @@ def run_scaling() -> None:
                 "cluster_scaling_efficiency": round(c_eff, 3),
                 "total_sec_lo": r_lo["value"],
                 "total_sec_hi": r_hi["value"],
+                "loadavg_lo": r_lo.get("loadavg_end"),
+                "loadavg_hi": r_hi.get("loadavg_end"),
             }
     )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"), "w") as f:
@@ -223,7 +381,11 @@ def run_scaling() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-compute" in sys.argv:
+        run_scaling_compute()
+    elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--sig-stage" in sys.argv:
+        print(json.dumps(run_sig_stage()))
     else:
         print(json.dumps(run_bench()))

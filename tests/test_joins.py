@@ -61,3 +61,44 @@ def test_uint64_keys(ray_session):
     )
     rows = partitioned_hash_join(left, right, "k", n_parts=2, native="never").take_all()
     assert [(r["k"], r["x"], r["y"]) for r in rows] == [(2**63 + 5, 1, 9)]
+
+
+def test_left_join_schema_stable(sides):
+    """All-miss partitions of a left join must keep typed (not null-typed)
+    right columns — block schemas stay homogeneous."""
+    left, right = sides
+    rows = partitioned_hash_join(left, right, "id", n_parts=4, how="left").take_all()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append((r["x"], r["y"]))
+    assert by_id["a"] == [(1, None)]
+    assert by_id["b"] == [(2, 20)]
+    assert sorted(by_id["c"]) == [(3, 30), (4, 30)]
+    assert by_id["d"] == [(5, None)]
+
+
+def test_partitioned_semi_join(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.state.joins import partitioned_semi_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", "b", "c", "d", "b"], pa.string()),
+                "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    keys = ray.data.from_arrow(
+        pa.table({"k": pa.array(["b", "d", "zz"], pa.string())})
+    ).repartition(2)
+    semi = sorted(
+        (r["k"], r["v"]) for r in partitioned_semi_join(left, keys, "k", n_parts=4).take_all()
+    )
+    assert semi == [("b", 2), ("b", 5), ("d", 4)]
+    anti = sorted(
+        (r["k"], r["v"])
+        for r in partitioned_semi_join(left, keys, "k", n_parts=4, keep=False).take_all()
+    )
+    assert anti == [("a", 1), ("c", 3)]
