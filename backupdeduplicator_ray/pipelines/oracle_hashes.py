@@ -1,0 +1,318 @@
+"""DuckDB-SQL generators reproducing the engine's deterministic hash chain.
+
+The text pipelines hash tokens with zlib.crc32 widened by a splitmix64
+finalizer, then combine k-token shingles with an FNV polynomial roll in
+uint64 overflow arithmetic (functions/shingles.py).  DuckDB v1.0 has no
+crc32 and raises on UBIGINT overflow, so the oracles rebuild the chain from
+first principles:
+
+- crc32: byte-at-a-time table algorithm as a recursive CTE, the 256-entry
+  table inlined as literals (tokens are `[a-z0-9_]+`, i.e. single-byte
+  ASCII, so `ord(substring(...))` IS the byte);
+- mod-2^64 multiply: operands split at 2^32 and recombined in HUGEINT so
+  no intermediate exceeds 2^96;
+- xor/shift: routed through UBIGINT (values < 2^64 by construction).
+
+Every fragment is validated against the Python kernels by the driver's
+correctness gate and tests/test_driver_contract.py — an independent
+re-implementation, not a translation (the SQL never sees numpy).
+
+These oracles run at driver-verification scale (sf0.01).  The winnowing
+oracle additionally assumes documents under 2^20 tokens (position encoding
+in the rightmost-min key) — true of the test tables by construction.
+"""
+
+from __future__ import annotations
+
+M64 = 1 << 64
+M32 = 1 << 32
+FNV_POLY = 1099511628211  # functions/shingles._POLY
+
+
+def crc_table_values() -> str:
+    """The 256-entry reflected CRC-32 table (poly 0xEDB88320) as a SQL
+    VALUES list — matches zlib.crc32 byte-at-a-time."""
+    out = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        out.append(f"({i},{c})")
+    return ", ".join(out)
+
+
+def mulmod(a: str, b: int | str) -> str:
+    """(a * b) mod 2^64 with HUGEINT-safe intermediates (split at 2^32)."""
+    return (
+        f"(((({a}) % {M32}) * {b} + "
+        f"((((({a}) // {M32}) * {b}) % {M32}) * {M32})) % {M64})"
+    )
+
+
+def xor64(a: str, b: str) -> str:
+    """XOR of two < 2^64 values, via UBIGINT (HUGEINT has no xor)."""
+    return f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT)) AS HUGEINT)"
+
+
+def splitmix64(x: str) -> str:
+    """The splitmix64 finalizer (shingles._splitmix64) as a SQL expression."""
+    s = f"((({x}) + 11400714819323198485) % {M64})"  # + 0x9E3779B97F4A7C15
+    s = xor64(s, f"({s}) // 1073741824")  # ^= x >> 30
+    s = mulmod(s, 13787848793156543929)  # *= 0xBF58476D1CE4E5B9
+    s = xor64(s, f"({s}) // 134217728")  # ^= x >> 27
+    s = mulmod(s, 10723151780598845931)  # *= 0x94D049BB133111EB
+    s = xor64(s, f"({s}) // 2147483648")  # ^= x >> 31
+    return s
+
+
+def token_hash_ctes(doc_table: str = "documents", text_expr: str = "lower(text)") -> str:
+    """CTE block (use inside WITH RECURSIVE, after a `crctbl(ti, tv)` CTE):
+
+    - pos(doc_id, i, tok): 1-based token positions per document
+    - th(tok, h): uint64 hash per DISTINCT token (crc32 -> splitmix64);
+      hashing distinct tokens once keeps the recursive CTE proportional to
+      vocabulary size, not corpus size
+    - poshash(doc_id, i, h), doclen(doc_id, n)
+    """
+    return f"""
+toks AS (
+  SELECT doc_id, regexp_extract_all({text_expr}, '[a-z0-9_]+') AS tk
+  FROM {doc_table} WHERE text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, CAST(r.i AS BIGINT) AS i, tk[r.i] AS tok
+  FROM toks CROSS JOIN UNNEST(range(1, len(tk) + 1)) AS r(i)
+),
+dtok AS (SELECT DISTINCT tok FROM pos),
+crc AS (
+  SELECT tok, 1 AS p, CAST(4294967295 AS HUGEINT) AS c FROM dtok
+  UNION ALL
+  SELECT crc.tok, p + 1, {xor64("t.tv", "c // 256")}
+  FROM crc JOIN crctbl t
+    ON t.ti = CAST(xor(CAST(c % 256 AS UBIGINT), CAST(ord(substring(crc.tok, p, 1)) AS UBIGINT)) AS HUGEINT)
+  WHERE p <= length(crc.tok)
+),
+th AS (
+  SELECT tok, {splitmix64(xor64("c", "4294967295"))} AS h
+  FROM crc WHERE p = length(tok) + 1
+),
+poshash AS (SELECT pos.doc_id, pos.i, th.h FROM pos JOIN th ON pos.tok = th.tok),
+doclen AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM toks)
+"""
+
+
+def shingle_cte(k: int) -> str:
+    """CTE `shd(doc_id, s)`: DISTINCT k-token shingle hashes per document
+    (shingles.shingle_hashes semantics: documents with 0 < n < k yield ONE
+    shingle over all n tokens).  Full-length shingles come from k-way
+    position self-joins; the fold is the FNV polynomial roll mod 2^64."""
+    joins = " ".join(
+        f"JOIN poshash p{j} ON p{j}.doc_id = p0.doc_id AND p{j}.i = p0.i + {j}"
+        for j in range(1, k)
+    )
+    acc = "p0.h"
+    for j in range(1, k):
+        acc = f"(({mulmod(acc, FNV_POLY)} + p{j}.h) % {M64})"
+    short_branches = []
+    for kk in range(1, k):  # n == kk < k: one shingle over all kk tokens
+        sj = " ".join(
+            f"JOIN poshash q{j} ON q{j}.doc_id = q0.doc_id AND q{j}.i = {j + 1}"
+            for j in range(1, kk)
+        )
+        sacc = "q0.h"
+        for j in range(1, kk):
+            sacc = f"(({mulmod(sacc, FNV_POLY)} + q{j}.h) % {M64})"
+        short_branches.append(
+            f"SELECT q0.doc_id, {sacc} AS s FROM poshash q0 {sj} "
+            f"JOIN doclen d ON d.doc_id = q0.doc_id AND d.n = {kk} WHERE q0.i = 1"
+        )
+    shorts = (
+        " UNION ALL ".join(short_branches)
+        or "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS HUGEINT) AS s WHERE FALSE"
+    )
+    return f"""
+shfull AS (
+  SELECT p0.doc_id, {acc} AS s
+  FROM poshash p0 {joins}
+),
+shshort AS ({shorts}),
+shd AS (SELECT DISTINCT doc_id, s FROM (SELECT * FROM shfull UNION ALL SELECT * FROM shshort))
+"""
+
+
+def hex16(expr: str) -> str:
+    """016x lowercase hex of a < 2^64 value (engine emits f'{v:016x}')."""
+    return f"lpad(lower(hex(CAST(({expr}) AS UBIGINT))), 16, '0')"
+
+
+def simhash_fingerprints_sql(shingle_k: int) -> str:
+    """Full simhash oracle: 64 bit-votes over the distinct shingle hashes,
+    bit set when the vote sum is >= 0 (functions/simhash.simhash); docs with
+    no shingles fingerprint to 0; null text stays NULL."""
+    return f"""
+WITH RECURSIVE
+crctbl(ti, tv) AS (VALUES {crc_table_values()}),
+{token_hash_ctes()},
+{shingle_cte(shingle_k)},
+bits(j) AS (SELECT CAST(r.j AS BIGINT) FROM UNNEST(range(0, 64)) AS r(j)),
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (s // (CAST(1 AS HUGEINT) << CAST(j AS INTEGER))) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM shd CROSS JOIN bits GROUP BY 1, 2
+),
+fps AS (
+  SELECT doc_id,
+         sum(CASE WHEN v >= 0 THEN (CAST(1 AS HUGEINT) << CAST(j AS INTEGER)) ELSE 0 END) AS fp
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE {hex16("COALESCE(f.fp, 0)")} END AS fingerprint_hex
+FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
+"""
+
+
+def winnow_fingerprints_sql(k: int, window: int) -> str:
+    """Winnowing oracle (textops.FingerprintStage/winnow): k-token rolling
+    hashes IN SEQUENCE (raw token hashes when n < k), then per sliding
+    window the RIGHTMOST minimum, consecutive same-position selections
+    collapsed.  Rightmost-min-in-window is one `min` window function over
+    the encoded key `a * 2^20 + (2^20 - i)` (ties on `a` resolve to the
+    LARGEST position i); docs are < 2^20 tokens by assumption."""
+    joins = " ".join(
+        f"JOIN poshash p{j} ON p{j}.doc_id = p0.doc_id AND p{j}.i = p0.i + {j}"
+        for j in range(1, k)
+    )
+    acc = "p0.h"
+    for j in range(1, k):
+        acc = f"(({mulmod(acc, FNV_POLY)} + p{j}.h) % {M64})"
+    return f"""
+WITH RECURSIVE
+crctbl(ti, tv) AS (VALUES {crc_table_values()}),
+{token_hash_ctes(text_expr="lower(coalesce(text, ''))")},
+accl AS (SELECT p0.doc_id, p0.i, {acc} AS a FROM poshash p0 {joins}),
+accs AS (
+  SELECT a.* FROM accl a JOIN doclen d USING (doc_id) WHERE d.n >= {k}
+  UNION ALL
+  SELECT p.doc_id, p.i, p.h AS a FROM poshash p JOIN doclen d USING (doc_id) WHERE d.n < {k}
+),
+keyed AS (SELECT doc_id, i, (a * 1048576 + (1048576 - i)) AS ky FROM accs),
+wmin AS (
+  SELECT doc_id, i AS wstart,
+         min(ky) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS kw,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM keyed
+),
+longs AS (
+  SELECT doc_id, wstart, kw // 1048576 AS mn, 1048576 - (kw % 1048576) AS gpos
+  FROM wmin WHERE m > {window} AND wstart <= m - {window} + 1
+),
+kept AS (
+  SELECT doc_id, mn, gpos, lag(gpos) OVER (PARTITION BY doc_id ORDER BY wstart) AS pg
+  FROM longs
+),
+fpl AS (SELECT doc_id, mn FROM kept WHERE pg IS NULL OR gpos != pg),
+fpshort AS (
+  SELECT a.doc_id, min(a.a) AS mn FROM accs a
+  JOIN (SELECT doc_id, count(*) AS m FROM accs GROUP BY doc_id) c USING (doc_id)
+  WHERE c.m <= {window} GROUP BY a.doc_id
+),
+fpall AS (SELECT * FROM fpl UNION ALL SELECT * FROM fpshort),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(mn) AS mnf, max(mn) AS mxf
+  FROM fpall GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_fp, 0) AS n_fingerprints,
+       {hex16("COALESCE(a.mnf, 0)")} AS min_fp_hex,
+       {hex16("COALESCE(a.mxf, 0)")} AS max_fp_hex
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+def minhash_signatures_sql(shingle_k: int, a, b) -> str:
+    """MinHash signature oracle: sig_j = min over distinct shingle hashes s
+    of (s * a_j + b_j) mod 2^64 (functions/minhash.signature); documents
+    with no shingles get the all-ones sentinel.  The seeded permutation
+    coefficients are inlined as literals."""
+    perm_vals = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(len(a)))
+    return f"""
+WITH RECURSIVE
+crctbl(ti, tv) AS (VALUES {crc_table_values()}),
+perms(j, pa, pb) AS (VALUES {perm_vals}),
+{token_hash_ctes()},
+{shingle_cte(shingle_k)},
+sigs AS (
+  SELECT shd.doc_id, perms.j,
+         min(({mulmod("shd.s", "perms.pa")} + perms.pb) % {M64}) AS sig
+  FROM shd CROSS JOIN perms GROUP BY 1, 2
+)
+SELECT d.doc_id, CAST(p.j AS BIGINT) AS perm,
+       {hex16("COALESCE(s.sig, 18446744073709551615)")} AS sig_hex
+FROM documents d CROSS JOIN perms p
+LEFT JOIN sigs s ON s.doc_id = d.doc_id AND s.j = p.j
+"""
+
+
+def langid_sql(markers: dict[str, set[str]]) -> str:
+    """Language-ID oracle for Latin-script corpora (textops.LangIdStage):
+    stopword votes over the first 4000 characters, alphabetical tie-break,
+    zero hits -> 'unknown'.  The script-range shortcut never fires on the
+    ASCII test tables (documented assumption), so the vote IS the result."""
+    langs = sorted(markers)
+    score_cols = ", ".join(
+        f"len(list_filter(tk, x -> x IN ({', '.join(chr(39) + w + chr(39) for w in sorted(markers[lg]))}))) AS s_{lg}"
+        for lg in langs
+    )
+    case = (
+        "CASE WHEN g = 0 OR g IS NULL THEN 'unknown' "
+        + " ".join(f"WHEN s_{lg} = g THEN '{lg}'" for lg in langs)
+        + " END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(substring(text, 1, 4000)), '[a-z]+') AS tk
+  FROM documents
+),
+scores AS (SELECT doc_id, {score_cols} FROM toks),
+best AS (SELECT *, greatest({', '.join('s_' + lg for lg in langs)}) AS g FROM scores)
+SELECT d.doc_id, COALESCE({case}, 'unknown') AS lang_pred
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+
+def embedding_lsh_sql(planes, threshold: float) -> str:
+    """Random-hyperplane LSH oracle (embedding.embedding_neardup_lsh): the
+    seeded plane tensor is inlined as DOUBLE[] literals; buckets are
+    sign-bit codes per table (sign of the RAW dot product — scale-invariant,
+    so normalization is unnecessary); candidate pairs share any
+    (table, bucket); verification is exact cosine >= threshold.
+
+    Grouping by (table, bucket) is equivalent to the engine's fused
+    `bucket ^ salt_t` u64 keys: buckets are < 2^n_planes and the
+    golden-ratio salts differ in high bits, so fused keys never collide
+    across tables."""
+    n_tables, dim, n_planes = planes.shape
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            arr = ", ".join(repr(float(x)) for x in planes[t, :, p])
+            rows.append(f"({t}, {p}, [{arr}]::DOUBLE[])")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pl(t, p, plane) AS (VALUES {", ".join(rows)}),
+proj AS (
+  SELECT v.vec_id, pl.t, pl.p,
+         CASE WHEN list_inner_product(v.e, pl.plane) >= 0 THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END AS bit
+  FROM v CROSS JOIN pl
+),
+b AS (SELECT vec_id, t, sum(bit) AS bucket FROM proj GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM b x JOIN b y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.a_id, c.b_id,
+       round(list_cosine_similarity(va.e, vb.e), 6) AS cos_sim
+FROM cand c JOIN v va ON va.vec_id = c.a_id JOIN v vb ON vb.vec_id = c.b_id
+WHERE list_cosine_similarity(va.e, vb.e) >= {threshold}
+"""

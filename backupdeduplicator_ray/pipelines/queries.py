@@ -711,6 +711,37 @@ def q_minhash_clusters(sf_dir: str):
     )
 
 
+_MINSIG_CFG_KW = dict(num_perms=32, bands=8)  # 32 perms keeps the SQL oracle fast
+
+
+def q_minhash_signatures(sf_dir: str):
+    """MinHash signatures exploded to (doc_id, perm, sig_hex) — ORACLE-
+    verified: the SQL rebuilds crc32→splitmix64→shingle-roll→min-over-perms
+    from first principles, so this query pins down the exact signature math
+    the clustering pipelines rest on (clustering itself stays rows-only:
+    union-find is not SQL-expressible)."""
+    from ..config import MinHashConfig
+    from ..stages.neardup import signatures
+
+    cfg = MinHashConfig(**_MINSIG_CFG_KW)
+    sig_ds = signatures(_docs(sf_dir, ["doc_id", "text"]), cfg, id_col="doc_id", text_col="text")
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = len(t)
+        num_perms = cfg.num_perms
+        ids = np.repeat(t["id"].cast(pa.int64()).to_numpy(zero_copy_only=False), num_perms)
+        flat = t["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "perm": pa.array(np.tile(np.arange(num_perms, dtype=np.int64), n)),
+                "sig_hex": pa.array([f"{int(v):016x}" for v in flat], pa.string()),
+            }
+        )
+
+    return sig_ds.map_batches(explode, batch_format="pyarrow")
+
+
 def q_simhash_clusters(sf_dir: str):
     from ..stages.neardup import simhash_clusters
 
@@ -793,6 +824,29 @@ def q_media_features(sf_dir: str):
     )
 
 
+# --- generated hash-chain oracles ------------------------------------------
+# (see oracle_hashes.py: crc32 + splitmix64 + FNV shingle roll rebuilt in
+# DuckDB SQL, validated against the numpy kernels by the driver gate)
+
+
+def _gen_hash_oracles() -> dict[str, str]:
+    from ..config import MinHashConfig, SimHashConfig
+    from ..functions.minhash import perm_table
+    from ..stages.textops import _MARKERS
+    from . import oracle_hashes as oh
+
+    a, b = perm_table(MinHashConfig(**_MINSIG_CFG_KW))
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((6, 64, 8))  # q_embedding_lsh_pairs params
+    return {
+        "simhash_fingerprints": oh.simhash_fingerprints_sql(SimHashConfig().shingle_k),
+        "fingerprints": oh.winnow_fingerprints_sql(k=5, window=4),
+        "minhash_signatures": oh.minhash_signatures_sql(MinHashConfig().shingle_k, a, b),
+        "langid": oh.langid_sql(_MARKERS),
+        "embedding_lsh_pairs": oh.embedding_lsh_sql(planes, threshold=0.35),
+    }
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES = {
@@ -812,6 +866,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "cosine_pairs": q_cosine_pairs,
     "minhash_clusters": q_minhash_clusters,
+    "minhash_signatures": q_minhash_signatures,
     "simhash_clusters": q_simhash_clusters,
     "simhash_fingerprints": q_simhash_fingerprints,
     "langid": q_langid,
@@ -836,7 +891,12 @@ ORACLE_SQL = {
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "cosine_pairs": SQL_COSINE_PAIRS,
-    # minhash/simhash/langid/fingerprints/embedding-LSH/media: stateful or
-    # model-like semantics SQL can't express -> rows-only driver check;
-    # pytest covers them against brute-force oracles instead.
+    # generated oracles: simhash_fingerprints, fingerprints (winnowing),
+    # minhash_signatures, langid, embedding_lsh_pairs — the hash chain and
+    # LSH planes rebuilt in SQL (oracle_hashes.py)
+    **_gen_hash_oracles(),
+    # minhash_clusters / simhash_clusters: iterative connected components —
+    # not SQL-expressible -> rows-only driver check (pytest covers recall
+    # and cluster correctness against brute force); media_features: stubbed
+    # decode (environment has no media libs) -> rows-only.
 }

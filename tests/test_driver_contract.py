@@ -75,7 +75,8 @@ def test_oracle_keys_subset(entry_mod):
         "dup_total", "compact_latest", "incremental_file_hash",
         "archive_roundtrip", "archive_dedup_members", "token_stats",
         "quality_flags", "lang_agg", "jaccard_pairs", "ann_topk",
-        "cosine_pairs",
+        "cosine_pairs", "simhash_fingerprints", "fingerprints",
+        "minhash_signatures", "langid", "embedding_lsh_pairs",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):
@@ -88,8 +89,7 @@ def test_query_matches_oracle(entry_mod, duck, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["minhash_clusters", "simhash_clusters", "simhash_fingerprints", "langid",
-     "fingerprints", "embedding_lsh_pairs", "media_features"],
+    ["minhash_clusters", "simhash_clusters", "media_features"],
 )
 def test_rows_only_queries_run(entry_mod, name):
     df = _to_pandas(entry_mod.queries()[name](SF_DIR))
