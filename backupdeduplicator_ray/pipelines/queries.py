@@ -684,6 +684,51 @@ SELECT query_id, vec_id, cos_sim FROM (
 """
 
 
+_IVF_QUERIES = 4  # query vectors vec_id 4..7 (distinct from ann_topk's 0..3)
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF ANN top-10 with FULL probing (nprobe = n_lists): must equal
+    brute-force cosine top-k exactly — the oracle-checked invariant that
+    exercises the whole IVF path (centroid training, list assignment,
+    probe masking, partial-top-k merge).  Approximate-probe recall is
+    covered by tests/test_embedding.py."""
+    import pyarrow.compute as pc
+
+    from ..stages.embedding import ivf_topk
+
+    emb = _embeddings(sf_dir)
+    qrows = sorted(
+        emb.map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.greater_equal(t["vec_id"], _IVF_QUERIES), pc.less(t["vec_id"], 2 * _IVF_QUERIES))
+            ),
+            batch_format="pyarrow",
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    return ivf_topk(
+        emb, queries, [r["vec_id"] for r in qrows], k=_TOP_K,
+        n_lists=16, nprobe=16, train_sample=4096,
+    )
+
+
+SQL_IVF_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id >= {_IVF_QUERIES} AND vec_id < {2 * _IVF_QUERIES})
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+         ) AS rk
+  FROM embeddings e CROSS JOIN q
+) WHERE rk <= {_TOP_K}
+"""
+
+
 def q_cosine_pairs(sf_dir: str):
     """All embedding pairs with cosine >= 0.35 (exact, oracle-checked)."""
     from ..stages.embedding import cosine_dup_pairs
@@ -864,6 +909,7 @@ QUERIES = {
     "lang_agg": q_lang_agg,
     "jaccard_pairs": q_jaccard_pairs,
     "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
     "cosine_pairs": q_cosine_pairs,
     "minhash_clusters": q_minhash_clusters,
     "minhash_signatures": q_minhash_signatures,
@@ -890,6 +936,7 @@ ORACLE_SQL = {
     "lang_agg": SQL_LANG_AGG,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
+    "ivf_topk": SQL_IVF_TOPK,
     "cosine_pairs": SQL_COSINE_PAIRS,
     # generated oracles: simhash_fingerprints, fingerprints (winnowing),
     # minhash_signatures, langid, embedding_lsh_pairs — the hash chain and

@@ -82,6 +82,13 @@ def cosine_topk(
         )
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    return _merge_topk(partials, k, round_to)
+
+
+def _merge_topk(partials, k: int, round_to: int | None) -> pa.Table:
+    """Heap-merge tiny per-batch top-k partials into the global top-k per
+    query (ties: higher cos_sim first, then lower vec_id — matches the SQL
+    oracle's ORDER BY)."""
     best: dict[int, list] = {}
     for r in partials:
         heapq.heappush(
@@ -356,3 +363,139 @@ def embedding_neardup_lsh(
         ),
         batch_format="pyarrow",
     )
+
+
+# --- IVF (inverted-file) approximate nearest neighbor ----------------------
+
+
+def train_centroids(
+    ds,
+    n_lists: int = 64,
+    train_sample: int = 65536,
+    n_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids from a BOUNDED deterministic sample.
+
+    The training set is the `train_sample` lowest-id vectors (a cheap
+    deterministic bound — at 100 TB the sample is a limit over a sorted-id
+    scan, never the full corpus on the driver); Lloyd iterations run in
+    numpy on the driver (n_lists x dim work, trivially small), assigning to
+    the max-dot centroid and renormalizing means.  Empty lists are reseeded
+    from the farthest-assigned points, so every centroid survives.
+    Returns (n_lists, dim) float64, rows L2-normalized.
+    """
+    sample = ds.sort(id_col).limit(train_sample).map_batches(
+        lambda t: pa.table({"v": t[vec_col]}), batch_format="pyarrow"
+    ).take_all()
+    m = _normalize(np.asarray([r["v"] for r in sample], dtype=np.float64))
+    n = len(m)
+    k = min(n_lists, n)
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(n, size=k, replace=False)]
+    for _ in range(n_iters):
+        sims = m @ cents.T  # (n, k)
+        assign = sims.argmax(axis=1)
+        new = np.zeros_like(cents)
+        np.add.at(new, assign, m)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        if empty.any():
+            # reseed dead lists from the worst-fit points
+            worst = np.argsort(sims.max(axis=1))[: int(empty.sum())]
+            new[empty] = m[worst]
+            counts[empty] = 1
+        cents = _normalize(new / counts[:, None])
+    return cents
+
+
+def ivf_assign(ds, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Add a `list_id` column: index of the max-dot centroid per vector.
+    Centroids are broadcast once (ray.put); assignment is one matmul per
+    batch.  At scale, write the result partitioned by list_id so searches
+    only read probed partitions."""
+    import ray
+
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        return batch.append_column(
+            "list_id", pa.array((m @ cents.T).argmax(axis=1).astype(np.int32))
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_lists: int = 64,
+    nprobe: int = 8,
+    train_sample: int = 65536,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+    centroids: np.ndarray | None = None,
+):
+    """IVF approximate top-k: the scale path for similarity search.
+
+    Each query probes its `nprobe` nearest centroid lists; per batch, only
+    rows assigned to a query's probed lists are scored (one masked matmul),
+    so compute drops to ~nprobe/n_lists of brute force while the candidate
+    flow stays a streaming partial-top-k aggregate (never materializing
+    scores).  With nprobe >= n_lists the probe mask passes everything and
+    the result EQUALS brute-force cosine_topk exactly — the oracle-checked
+    invariant; recall at nprobe < n_lists is covered by pytest fixtures.
+    Pass precomputed `centroids` to amortize training across query batches.
+    """
+    import ray
+
+    if centroids is None:
+        centroids = train_centroids(
+            ds, n_lists=n_lists, train_sample=train_sample, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    nprobe_eff = min(nprobe, len(centroids))
+    # (q, nprobe) probed list ids per query
+    probes = np.argsort(-(qn @ centroids.T), axis=1, kind="stable")[:, :nprobe_eff]
+    probe_mask = np.zeros((len(qn), len(centroids)), dtype=bool)
+    np.put_along_axis(probe_mask, probes, True, axis=1)
+    state_ref = ray.put((qn, probe_mask, np.asarray(centroids, dtype=np.float64)))
+    qids = list(query_ids)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q, mask, cents = ray.get(state_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        lists = (m @ cents.T).argmax(axis=1)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q)):
+            sel = mask[qi, lists]
+            if not sel.any():
+                continue
+            col = m[sel] @ q[qi]
+            sel_ids = ids[sel]
+            kk = min(k, len(col))
+            top = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+            for j in top:
+                out_q.append(qids[qi])
+                out_v.append(int(sel_ids[j]))
+                out_s.append(float(col[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    return _merge_topk(partials, k, round_to)

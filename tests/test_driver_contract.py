@@ -75,7 +75,7 @@ def test_oracle_keys_subset(entry_mod):
         "dup_total", "compact_latest", "incremental_file_hash",
         "archive_roundtrip", "archive_dedup_members", "token_stats",
         "quality_flags", "lang_agg", "jaccard_pairs", "ann_topk",
-        "cosine_pairs", "simhash_fingerprints", "fingerprints",
+        "cosine_pairs", "ivf_topk", "simhash_fingerprints", "fingerprints",
         "minhash_signatures", "langid", "embedding_lsh_pairs",
     ],
 )

@@ -95,3 +95,64 @@ def test_embedding_lsh_paths_agree(ray_session, vec_table):
         for r in embedding_neardup_lsh(ds, **kw, distributed=True).take_all()
     }
     assert drv == dist and len(drv) >= 10
+
+
+def test_ivf_fullprobe_equals_brute_force(ray_session, vec_table):
+    """nprobe = n_lists passes every list -> IVF must EQUAL cosine_topk
+    (the oracle-checked invariant), including tie order and rounding."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.embedding import cosine_topk, ivf_topk
+
+    queries = np.asarray(vec_table["embedding"].to_pylist()[:3], dtype=np.float64)
+    ds = ray.data.from_arrow(vec_table).repartition(4)
+    brute = cosine_topk(ds, queries, [0, 1, 2], k=5).to_pylist()
+    ivf = ivf_topk(
+        ds, queries, [0, 1, 2], k=5, n_lists=8, nprobe=8, train_sample=64
+    ).to_pylist()
+    assert ivf == brute
+
+
+def test_ivf_recall_and_exactness_of_scores(ray_session, vec_table):
+    """Approximate probing: recall@5 over the noisy-copy queries stays high
+    and every returned score is the TRUE cosine (IVF prunes candidates, it
+    never approximates the metric)."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.embedding import ivf_topk
+
+    sims = _brute_cosine(vec_table)
+    qids = list(range(10))  # rows 0..9 have planted near-dups at 50..59
+    queries = np.asarray(vec_table["embedding"].to_pylist()[:10], dtype=np.float64)
+    ds = ray.data.from_arrow(vec_table).repartition(4)
+    out = ivf_topk(
+        ds, queries, qids, k=5, n_lists=8, nprobe=4, train_sample=64
+    ).to_pylist()
+    got = {}
+    for r in out.to_pylist() if hasattr(out, "to_pylist") else out:
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+        assert abs(r["cos_sim"] - round(float(sims[r["query_id"], r["vec_id"]]), 6)) < 1e-9
+    hits = total = 0
+    for q in qids:
+        want = set(np.argsort(-sims[q])[:5])
+        hits += len(want & set(got.get(q, [])))
+        total += 5
+    assert hits / total >= 0.6  # half the lists probed on spread-out data
+    # the planted near-dup must be found: its vector lands in the same list
+    for q in range(10):
+        assert q + 50 in got.get(q, []), (q, got.get(q))
+
+
+def test_ivf_assign_partitions_everything(ray_session, vec_table):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.embedding import ivf_assign, train_centroids
+
+    ds = ray.data.from_arrow(vec_table).repartition(3)
+    cents = train_centroids(ds, n_lists=8, train_sample=60)
+    assert cents.shape == (8, 16)
+    assigned = ivf_assign(ds, cents)
+    rows = assigned.take_all()
+    assert len(rows) == 60
+    lists = {r["list_id"] for r in rows}
+    assert lists <= set(range(8)) and len(lists) >= 2
