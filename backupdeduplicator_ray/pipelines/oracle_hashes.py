@@ -191,7 +191,7 @@ WITH RECURSIVE
 crctbl(ti, tv) AS (VALUES {crc_table_values()}),
 {token_hash_ctes(text_expr="lower(coalesce(text, ''))")},
 accl AS (SELECT p0.doc_id, p0.i, {acc} AS a FROM poshash p0 {joins}),
-accs AS (
+accs AS MATERIALIZED (
   SELECT a.* FROM accl a JOIN doclen d USING (doc_id) WHERE d.n >= {k}
   UNION ALL
   SELECT p.doc_id, p.i, p.h AS a FROM poshash p JOIN doclen d USING (doc_id) WHERE d.n < {k}
@@ -250,6 +250,145 @@ SELECT d.doc_id, CAST(p.j AS BIGINT) AS perm,
        {hex16("COALESCE(s.sig, 18446744073709551615)")} AS sig_hex
 FROM documents d CROSS JOIN perms p
 LEFT JOIN sigs s ON s.doc_id = d.doc_id AND s.j = p.j
+"""
+
+
+GOLD = 11400714819323198485  # 0x9E3779B97F4A7C15 — band-id salt in fused keys
+
+_CLOSURE_TAIL = """
+bi(x, y) AS (SELECT src, dst FROM alle UNION SELECT dst, src FROM alle),
+nodes(nid) AS (SELECT DISTINCT x FROM bi),
+lab(nid, c) AS (
+  SELECT nid, nid FROM nodes
+  UNION
+  SELECT bi.x, l.c FROM bi JOIN lab l ON l.nid = bi.y
+)
+SELECT nid AS id, min(c) AS cluster_id, '{method}' AS method FROM lab GROUP BY nid
+"""
+
+
+def simhash_clusters_sql(shingle_k: int, bands: int, max_hamming: int) -> str:
+    """SimHash cluster oracle: fingerprints (same chain as
+    simhash_fingerprints_sql), banded into 64/bands-bit contiguous segments,
+    candidate pairs sharing any segment verified by bit_count(xor) <=
+    max_hamming, then connected components as a recursive transitive
+    closure labeled with each component's min id (state/unionfind.py
+    semantics).  Assumes no band bucket exceeds the engine's bucket_cap
+    (true at oracle scale; the engine's star-expansion valve never fires)."""
+    width = 64 // bands
+    size = 1 << width
+    return f"""
+WITH RECURSIVE
+crctbl(ti, tv) AS (VALUES {crc_table_values()}),
+{token_hash_ctes()},
+{shingle_cte(shingle_k)},
+bits(j) AS (SELECT CAST(r.j AS BIGINT) FROM UNNEST(range(0, 64)) AS r(j)),
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (s // (CAST(1 AS HUGEINT) << CAST(j AS INTEGER))) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM shd CROSS JOIN bits GROUP BY 1, 2
+),
+fpv AS (
+  SELECT doc_id,
+         sum(CASE WHEN v >= 0 THEN (CAST(1 AS HUGEINT) << CAST(j AS INTEGER)) ELSE 0 END) AS fp
+  FROM votes GROUP BY doc_id
+),
+fpn AS (
+  SELECT d.doc_id, CAST(d.doc_id AS VARCHAR) AS sid, COALESCE(f.fp, 0) AS fp
+  FROM documents d LEFT JOIN fpv f ON d.doc_id = f.doc_id
+  WHERE d.text IS NOT NULL
+),
+bnd AS MATERIALIZED (
+  SELECT sid, fp, CAST(r.b AS BIGINT) AS b,
+         (fp // (CAST(1 AS HUGEINT) << CAST({width} * r.b AS INTEGER))) % {size} AS bucket
+  FROM fpn CROSS JOIN UNNEST(range(0, {bands})) AS r(b)
+),
+alle AS (
+  SELECT DISTINCT x.sid AS src, y.sid AS dst
+  FROM bnd x JOIN bnd y ON x.b = y.b AND x.bucket = y.bucket AND x.sid < y.sid
+  WHERE bit_count(xor(CAST(x.fp AS UBIGINT), CAST(y.fp AS UBIGINT))) <= {max_hamming}
+),
+{_CLOSURE_TAIL.format(method="simhash")}
+"""
+
+
+def minhash_clusters_sql(shingle_k: int, a, b, bands: int, verify_threshold: float) -> str:
+    """MinHash+LSH cluster oracle, end-to-end (stages/neardup.minhash_edges
+    → minhash_clusters):
+
+    - signatures with sentinel for shingle-less docs (minhash_signatures_sql
+      chain);
+    - exact pre-bucket: identical-content groups edge to their min-id rep,
+      and ONLY reps enter LSH (null text excluded entirely);
+    - band hashes: FNV-polynomial fold of each band's rows, fused with
+      band_id * golden-ratio salt via xor (functions/minhash.band_hashes /
+      stages/neardup._band_explode);
+    - candidate pairs share a fused bucket key; verified by estimated
+      Jaccard = mean signature equality >= verify_threshold;
+    - connected components over exact ∪ near edges, min-id labels.
+
+    Assumes no fused bucket exceeds the engine's bucket_cap at oracle scale
+    (star expansion never fires)."""
+    num_perms = len(a)
+    rows = num_perms // bands
+    perm_vals = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(num_perms))
+    sig_joins = " ".join(
+        f"JOIN sigs s{r} ON s{r}.doc_id = s0.doc_id AND s{r}.j = bb.bb * {rows} + {r}"
+        for r in range(1, rows)
+    )
+    acc = "s0.sig"
+    for r in range(1, rows):
+        acc = f"(({mulmod(acc, FNV_POLY)} + s{r}.sig) % {M64})"
+    return f"""
+WITH RECURSIVE
+crctbl(ti, tv) AS (VALUES {crc_table_values()}),
+perms(j, pa, pb) AS (VALUES {perm_vals}),
+{token_hash_ctes()},
+{shingle_cte(shingle_k)},
+docs AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, text FROM documents WHERE text IS NOT NULL),
+sigs0 AS (
+  SELECT shd.doc_id, perms.j,
+         min(({mulmod("shd.s", "perms.pa")} + perms.pb) % {M64}) AS sig
+  FROM shd CROSS JOIN perms GROUP BY 1, 2
+),
+-- MATERIALIZED: referenced 6x (banding joins + pairwise verify); DuckDB
+-- would otherwise inline and recompute the whole hash chain each time
+sigs AS MATERIALIZED (
+  SELECT d.doc_id, p.j, COALESCE(s.sig, 18446744073709551615) AS sig
+  FROM docs d CROSS JOIN perms p
+  LEFT JOIN sigs0 s ON s.doc_id = d.doc_id AND s.j = p.j
+),
+grp AS (SELECT text, min(id) AS rep FROM docs GROUP BY text),
+exact_edges AS (
+  SELECT g.rep AS src, d.id AS dst
+  FROM docs d JOIN grp g ON d.text = g.text
+  WHERE d.id <> g.rep
+),
+reps AS (SELECT d.doc_id, d.id FROM docs d JOIN grp g ON d.text = g.text AND d.id = g.rep),
+bandsl(bb) AS (SELECT CAST(r.b AS BIGINT) FROM UNNEST(range(0, {bands})) AS r(b)),
+bh AS (
+  SELECT s0.doc_id, bb.bb, {acc} AS h
+  FROM bandsl bb JOIN sigs s0 ON s0.j = bb.bb * {rows}
+  {sig_joins}
+),
+bkt AS (
+  SELECT r.id, r.doc_id, {xor64("bh.h", mulmod("bh.bb", GOLD))} AS fused
+  FROM bh JOIN reps r ON r.doc_id = bh.doc_id
+),
+cand AS (
+  SELECT DISTINCT x.id AS a_id, x.doc_id AS a_doc, y.id AS b_id, y.doc_id AS b_doc
+  FROM bkt x JOIN bkt y ON x.fused = y.fused AND x.id < y.id
+),
+near AS (
+  SELECT c.a_id AS src, c.b_id AS dst
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.a_doc
+  JOIN sigs sb ON sb.doc_id = c.b_doc AND sb.j = sa.j
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) * 1.0 / {num_perms} >= {verify_threshold}
+),
+alle AS (SELECT src, dst FROM exact_edges UNION SELECT src, dst FROM near),
+{_CLOSURE_TAIL.format(method="minhash")}
 """
 
 

@@ -747,16 +747,26 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 # --- non-SQL-expressible (rows-only checks) -------------------------------
 
 
+_MINSIG_CFG_KW = dict(num_perms=32, bands=8)  # 32 perms keeps the SQL oracle fast
+
+
 def q_minhash_clusters(sf_dir: str):
-    """MinHash+LSH near-dup clusters over documents (D4)."""
+    """MinHash+LSH near-dup clusters over documents (D4) — ORACLE-verified
+    end-to-end: the SQL rebuilds signatures, exact pre-bucket, band fusion,
+    estimated-Jaccard verification AND the connected components (recursive
+    transitive closure) from first principles.  Runs the 32-perm/8-band
+    driver config so the oracle's recursive CTEs stay fast; the engine path
+    is the identical code at any config (recall tests use the 128-perm
+    default)."""
+    from ..config import MinHashConfig
     from ..stages.neardup import minhash_clusters
 
     return minhash_clusters(
-        _docs(sf_dir, ["doc_id", "text"]), id_col="doc_id", text_col="text"
+        _docs(sf_dir, ["doc_id", "text"]),
+        cfg=MinHashConfig(**_MINSIG_CFG_KW),
+        id_col="doc_id",
+        text_col="text",
     )
-
-
-_MINSIG_CFG_KW = dict(num_perms=32, bands=8)  # 32 perms keeps the SQL oracle fast
 
 
 def q_minhash_signatures(sf_dir: str):
@@ -883,12 +893,20 @@ def _gen_hash_oracles() -> dict[str, str]:
     a, b = perm_table(MinHashConfig(**_MINSIG_CFG_KW))
     rng = np.random.default_rng(42)
     planes = rng.standard_normal((6, 64, 8))  # q_embedding_lsh_pairs params
+    sim_cfg = SimHashConfig()
+    mh_cfg = MinHashConfig(**_MINSIG_CFG_KW)
     return {
-        "simhash_fingerprints": oh.simhash_fingerprints_sql(SimHashConfig().shingle_k),
+        "simhash_fingerprints": oh.simhash_fingerprints_sql(sim_cfg.shingle_k),
         "fingerprints": oh.winnow_fingerprints_sql(k=5, window=4),
         "minhash_signatures": oh.minhash_signatures_sql(MinHashConfig().shingle_k, a, b),
         "langid": oh.langid_sql(_MARKERS),
         "embedding_lsh_pairs": oh.embedding_lsh_sql(planes, threshold=0.35),
+        "simhash_clusters": oh.simhash_clusters_sql(
+            sim_cfg.shingle_k, sim_cfg.bands, sim_cfg.max_hamming
+        ),
+        "minhash_clusters": oh.minhash_clusters_sql(
+            mh_cfg.shingle_k, a, b, mh_cfg.bands, mh_cfg.verify_threshold
+        ),
     }
 
 
@@ -938,12 +956,12 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "cosine_pairs": SQL_COSINE_PAIRS,
-    # generated oracles: simhash_fingerprints, fingerprints (winnowing),
-    # minhash_signatures, langid, embedding_lsh_pairs — the hash chain and
-    # LSH planes rebuilt in SQL (oracle_hashes.py)
+    # generated oracles (oracle_hashes.py): the crc32→splitmix64→shingle
+    # chain, LSH planes, band fusion and even connected components
+    # (recursive transitive closure) rebuilt in SQL — simhash_fingerprints,
+    # fingerprints (winnowing), minhash_signatures, langid,
+    # embedding_lsh_pairs, simhash_clusters, minhash_clusters
     **_gen_hash_oracles(),
-    # minhash_clusters / simhash_clusters: iterative connected components —
-    # not SQL-expressible -> rows-only driver check (pytest covers recall
-    # and cluster correctness against brute force); media_features: stubbed
-    # decode (environment has no media libs) -> rows-only.
+    # media_features: stubbed decode (environment has no media libs)
+    # -> rows-only.
 }

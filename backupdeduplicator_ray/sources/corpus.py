@@ -195,7 +195,9 @@ def synth_corpus(
 # --- distributed bench-scale generator ------------------------------------
 
 
-def _repo_rows(repo_idx: int, files_per_repo: int, seed: int) -> list[dict]:
+def _repo_rows(
+    repo_idx: int, files_per_repo: int, seed: int, content_scale: int = 1
+) -> list[dict]:
     """Deterministic rows for one repo — safe to generate in any worker.
 
     Dup structure without cross-worker coordination: content is seeded by
@@ -203,6 +205,13 @@ def _repo_rows(repo_idx: int, files_per_repo: int, seed: int) -> list[dict]:
     (2i, 2i+1) independently generate identical content for the first 10%
     of files (exact cross-repo dups) and near-identical (one token edit)
     for the next 5%.  The empty-file hot key appears in every repo.
+
+    `content_scale` multiplies every file's line count (seeding unchanged,
+    so the dup/near-dup structure is preserved at any scale): scale 1 gives
+    ~0.5-4 KiB files; scale S gives S× that, approximating corpora whose
+    mean file size is larger — used by the scaling bench so per-file
+    compute (tokenize/shingle/minhash) dominates per-row shuffle constants
+    the way it does on real source trees.
     """
     rng = random.Random(f"{seed}:{repo_idx}")
     repo = f"org{repo_idx % 7}/repo{repo_idx:06d}"
@@ -224,16 +233,16 @@ def _repo_rows(repo_idx: int, files_per_repo: int, seed: int) -> list[dict]:
         path = f"{d}/mod_{j:04d}.{lang}"
         if j < n_dup:
             crng = random.Random(f"{seed}:dup:{group}:{j}")
-            content = _gen_content(crng, lang, crng.randint(20, 120))
+            content = _gen_content(crng, lang, crng.randint(20, 120) * content_scale)
         elif j < n_dup + n_near:
             crng = random.Random(f"{seed}:near:{group}:{j}")
-            content = _gen_content(crng, lang, crng.randint(20, 120))
+            content = _gen_content(crng, lang, crng.randint(20, 120) * content_scale)
             if repo_idx % 2 == 1:
                 content = _edit_tokens(random.Random(f"{seed}:{repo_idx}:{j}"), content, 1)
         else:
-            # realistic source-file sizes (~0.5-4 KiB) so bench compute
-            # (hashing, tokenization) dominates fixed scheduling overhead
-            content = _gen_content(rng, lang, rng.randint(20, 160))
+            # realistic source-file sizes (~0.5-4 KiB at scale 1) so bench
+            # compute (hashing, tokenization) dominates scheduling overhead
+            content = _gen_content(rng, lang, rng.randint(20, 160) * content_scale)
         rows.append(
             {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
         )
@@ -246,13 +255,15 @@ def _repo_rows(repo_idx: int, files_per_repo: int, seed: int) -> list[dict]:
             "path": "src/generated_bundle.txt",
             "commit": commit,
             "lang": "txt",
-            "content": _gen_content(rng, "txt", 1200),
+            "content": _gen_content(rng, "txt", 1200 * content_scale),
         }
     )
     return rows
 
 
-def synth_corpus_distributed(n_repos: int, files_per_repo: int = 100, seed: int = 42):
+def synth_corpus_distributed(
+    n_repos: int, files_per_repo: int = 100, seed: int = 42, content_scale: int = 1
+):
     """Bench-scale corpus as a Ray Dataset: repos generated in parallel
     workers, deterministic regardless of parallelism (per-repo seeding)."""
     import ray.data
@@ -270,7 +281,7 @@ def synth_corpus_distributed(n_repos: int, files_per_repo: int = 100, seed: int 
     def gen(batch) -> pa.Table:
         rows = []
         for idx in batch["id"]:
-            rows.extend(_repo_rows(int(idx), files_per_repo, seed))
+            rows.extend(_repo_rows(int(idx), files_per_repo, seed, content_scale))
         return pa.Table.from_pylist(rows, schema=schema)
 
     n_blocks = max(8, min(256, n_repos // 4 or 1))

@@ -77,6 +77,7 @@ def test_oracle_keys_subset(entry_mod):
         "quality_flags", "lang_agg", "jaccard_pairs", "ann_topk",
         "cosine_pairs", "ivf_topk", "simhash_fingerprints", "fingerprints",
         "minhash_signatures", "langid", "embedding_lsh_pairs",
+        "minhash_clusters", "simhash_clusters",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):
@@ -89,7 +90,7 @@ def test_query_matches_oracle(entry_mod, duck, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["minhash_clusters", "simhash_clusters", "media_features"],
+    ["media_features"],
 )
 def test_rows_only_queries_run(entry_mod, name):
     df = _to_pandas(entry_mod.queries()[name](SF_DIR))
