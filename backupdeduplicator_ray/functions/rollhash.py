@@ -1,0 +1,57 @@
+"""Position-independent rolling hashes of fixed-length byte windows.
+
+Kernel for the suffix/substring near-dup operator (stages/substring.py):
+every length-L window of a document's UTF-8 bytes is reduced to
+
+    h(s) = sum_{k=0}^{L-1} byte[s+k] * B^k   (mod 2^64, B odd)
+
+computed for ALL positions in one vectorized pass via prefix sums: with
+P[i] = B^i and S[i] = sum_{j<i} byte[j]*B^j,
+
+    h(s) = (S[s+L] - S[s]) * B^{-s}          (mod 2^64)
+
+B is odd, so B^{-1} exists mod 2^64 and the normalization makes equal
+window CONTENT hash equally at any offset in any document.  numpy uint64
+arithmetic wraps mod 2^64 natively, so the whole computation is three
+vector ops per document — the scalable substitute for suffix-array
+construction (which needs a corpus-global sort).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_B_INT = 0x100000001B3  # odd polynomial base (same constant family as bands)
+_B = np.uint64(_B_INT)
+_INV_B = np.uint64(pow(_B_INT, -1, 1 << 64))
+
+
+def window_hashes(data: bytes | np.ndarray, length: int) -> np.ndarray:
+    """uint64 rolling hash per window start (len(data) - length + 1 values).
+
+    Empty result when the input is shorter than `length`.
+    """
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64) if isinstance(
+        data, (bytes, bytearray, memoryview)
+    ) else data.astype(np.uint64, copy=False)
+    n = len(b)
+    if n < length:
+        return np.empty(0, dtype=np.uint64)
+    pw = np.full(n, _B, dtype=np.uint64)
+    pw[0] = np.uint64(1)
+    np.cumprod(pw, out=pw)  # pw[i] = B^i mod 2^64
+    inv_pw = np.full(n - length + 1, _INV_B, dtype=np.uint64)
+    inv_pw[0] = np.uint64(1)
+    np.cumprod(inv_pw, out=inv_pw)  # inv_pw[s] = B^-s mod 2^64
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(b * pw, out=s[1:])  # S[i] = sum_{j<i} byte[j] * B^j
+    return (s[length:] - s[: n - length + 1]) * inv_pw
+
+
+def window_hash_one(data: bytes, length: int | None = None) -> int:
+    """Reference scalar hash of one window (tests / oracle pinning)."""
+    length = len(data) if length is None else length
+    acc = 0
+    for k in range(length):
+        acc = (acc + data[k] * pow(_B_INT, k, 1 << 64)) % (1 << 64)
+    return acc

@@ -608,6 +608,40 @@ FROM documents GROUP BY lang
 """
 
 
+_SUBSTR_LEN = 40  # window length for the substring near-dup driver query
+
+
+def q_substring_pairs(sf_dir: str):
+    """Suffix-window substring near-dup pairs (north-rule 'suffix-array
+    substring' variant): docs sharing any length-40 byte window, with the
+    count of distinct shared windows.  ORACLE-verified: the SQL enumerates
+    every length-40 substring literally and intersects them — an exact,
+    hash-free restatement (documents are ASCII, so SQL's char windows ARE
+    the engine's byte windows)."""
+    from ..stages.substring import substring_dup_pairs
+
+    return substring_dup_pairs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        min_len=_SUBSTR_LEN,
+        id_col="doc_id",
+        text_col="text",
+    )
+
+
+SQL_SUBSTRING_PAIRS = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         substring(text, CAST(r.i AS INTEGER), {_SUBSTR_LEN}) AS sub
+  FROM documents CROSS JOIN UNNEST(range(1, length(text) - {_SUBSTR_LEN} + 2)) AS r(i)
+  WHERE text IS NOT NULL AND length(text) >= {_SUBSTR_LEN}
+),
+dw AS (SELECT DISTINCT id, sub FROM w)
+SELECT x.id AS a_id, y.id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM dw x JOIN dw y ON x.sub = y.sub AND x.id < y.id
+GROUP BY 1, 2
+"""
+
+
 def q_jaccard_pairs(sf_dir: str):
     """EXACT n-gram Jaccard pairs >= 0.5 (string shingles — oracle path)."""
     from ..stages.neardup import jaccard_pairs
@@ -926,6 +960,7 @@ QUERIES = {
     "quality_flags": q_quality_flags,
     "lang_agg": q_lang_agg,
     "jaccard_pairs": q_jaccard_pairs,
+    "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "cosine_pairs": q_cosine_pairs,
@@ -953,6 +988,7 @@ ORACLE_SQL = {
     "quality_flags": SQL_QUALITY_FLAGS,
     "lang_agg": SQL_LANG_AGG,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "cosine_pairs": SQL_COSINE_PAIRS,

@@ -1,0 +1,128 @@
+"""Substring (suffix-window) near-duplicate detection.
+
+The north star names three near-dup families: MinHash, SimHash and
+"suffix-array substring".  A suffix-array engine finds documents sharing a
+long literal substring by sorting every suffix of the corpus — a single
+global sort no distributed engine should attempt verbatim.  The Ray-Data
+re-expression replaces the suffix sort with a content-keyed shuffle:
+
+  1. map_batches: every length-L byte window of each document → one
+     position-independent rolling hash (functions/rollhash.py; all-numpy,
+     three vector ops per doc), deduped per doc;
+  2. the (window_hash → doc) inverted index is a groupby — two docs land
+     in one group exactly when they share a length-L substring (hash
+     collision odds ~n_windows² / 2^64, documented);
+  3. count-pruned pair emission (functions/groups.grouped_on_survivors —
+     singleton windows never reach Python) + a Count aggregate yields
+     (a_id, b_id, n_shared_windows).
+
+Not in the reference (its dedup is whole-file hashing; SURVEY §2.7 D4
+near-dup extension mandated by BASELINE.json north_rule 'suffix-array
+substring').
+
+Scale valves, same doctrine as jaccard_pairs (stages/neardup.py):
+`max_doc_freq` drops boilerplate windows shared by more than N docs
+(licence headers, generated preambles) before they explode into pairs;
+window hashes are u64, so the shuffle moves 8 B per window — and `stride`
+subsamples CONTENT-keyed (keep windows with hash % stride == 0, so equal
+content is sampled identically in every document regardless of offset; a
+shared substring of length L + m - 1 contains m windows and is detected
+with probability 1 - (1 - 1/stride)^m).  Position-strided sampling would
+NOT work: two docs holding the same substring at offsets that differ
+mod stride sample disjoint window sets.  stride 1 is exact for length
+>= L and is what the DuckDB oracle reproduces.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.rollhash import window_hashes
+
+PAIR_SCHEMA = pa.schema(
+    [("a_id", pa.string()), ("b_id", pa.string()), ("n_shared", pa.int64())]
+)
+
+
+def substring_windows(ds, min_len: int = 40, stride: int = 1, id_col: str = "id", text_col: str = "text"):
+    """Document Dataset → (win u64, id string) inverted-index rows.
+
+    Hashes are deduped per doc, so a pair shares k rows of one `win` value
+    iff both docs contain that window content (k is 0 or 1 per doc).
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        h_out: list[np.ndarray] = []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            if t is None:
+                continue
+            hs = window_hashes(t.encode("utf-8"), min_len)
+            if stride > 1:
+                hs = hs[hs % np.uint64(stride) == 0]
+            if len(hs) == 0:
+                continue
+            hs = np.unique(hs)
+            h_out.append(hs)
+            ids_out.append(np.full(len(hs), str(i), dtype=object))
+        if not h_out:
+            return pa.table(
+                {"win": pa.array([], pa.uint64()), "id": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {
+                "win": pa.array(np.concatenate(h_out)),
+                "id": pa.array(np.concatenate(ids_out), pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def substring_dup_pairs(
+    ds,
+    min_len: int = 40,
+    min_shared: int = 1,
+    stride: int = 1,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+):
+    """(a_id, b_id, n_shared) for documents sharing >= min_shared distinct
+    length-`min_len` byte windows (a_id < b_id lexicographically)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.groups import grouped_on_survivors
+
+    inv = substring_windows(ds, min_len, stride, id_col, text_col)
+
+    def pair_hits(g):
+        n = len(g)
+        if n < 2 or (max_doc_freq is not None and n > max_doc_freq):
+            return pa.table(
+                {"a_id": pa.array([], pa.string()), "b_id": pa.array([], pa.string())}
+            )
+        ids = sorted(g["id"])
+        a_ids, b_ids = [], []
+        for x in range(n):
+            for y in range(x + 1, n):
+                a_ids.append(ids[x])
+                b_ids.append(ids[y])
+        return pa.table(
+            {"a_id": pa.array(a_ids, pa.string()), "b_id": pa.array(b_ids, pa.string())}
+        )
+
+    hits = grouped_on_survivors(inv.materialize(), ["win"], pair_hits, min_count=2)
+    agg = hits.groupby(["a_id", "b_id"]).aggregate(Count())
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["count()"].cast(pa.int64())
+        tbl = pa.table({"a_id": t["a_id"], "b_id": t["b_id"], "n_shared": c})
+        if min_shared > 1:
+            import pyarrow.compute as pc
+
+            tbl = tbl.filter(pc.greater_equal(tbl["n_shared"], min_shared))
+        return tbl
+
+    return agg.map_batches(finish, batch_format="pyarrow")

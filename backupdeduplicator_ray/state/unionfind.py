@@ -8,16 +8,18 @@ edges.  Two paths:
   edges are a tiny fraction of the corpus, so `take_all` + an in-memory
   union-by-min DSU is exact and fast.  The size guard keeps this honest:
   above `driver_limit` edges it refuses and uses label propagation.
-- **label propagation** (scale path): labels(node)=node; each round sends
-  every node's current label across its edges and keeps the min
-  (`groupby(node).min`) — two map_batches + one groupby per round, no
-  driver state.  Min-propagation needs graph-diameter rounds; convergence
-  is detected EXACTLY (per-round count of ids whose label changed, via a
-  min/max aggregate over old∪new) and exhausting max_rounds raises
-  instead of silently returning unconverged labels.
-  Verified near-dup clusters are dense (band buckets emit cliques/stars),
-  so typical runs converge in 2-4 rounds; for adversarial long chains the
-  BTS-style balanced DSU (PAPERS.md, ICDE 2024) is the upgrade path.
+- **star contraction** (default scale path): alternating large-star /
+  small-star rounds (Kiveris et al., SoCC 2014) — O(log n) rounds on any
+  graph shape, vectorized partition-grain kernels, exact set-difference
+  convergence.  Handles adversarial long chains that would cost
+  label propagation O(diameter) rounds.
+- **label propagation** (`method="labelprop"`): labels(node)=node; each
+  round sends every node's current label across its edges and keeps the
+  min (`groupby(node).min`).  Convergence is detected EXACTLY (per-round
+  count of ids whose label changed, via a min/max aggregate over old∪new)
+  and exhausting max_rounds raises instead of silently returning
+  unconverged labels.  Kept for parity testing (near-dup graphs are
+  shallow: band buckets emit cliques/stars that converge in 2-4 rounds).
 
 Labels are the min member id (string compare) — deterministic, matching
 the fixture oracle (tests/oracle.py connected_clusters).
@@ -59,11 +61,19 @@ def connected_components(
     nodes_ds=None,
     driver_limit: int = 2_000_000,
     max_rounds: int = 64,
+    method: str = "star",
 ):
     """Edges (src, dst) → labels (id, cluster_id = min member of component).
 
     nodes_ds: optional (id) Dataset of ALL nodes; nodes without edges label
     themselves.  Returns a Ray Dataset with LABEL_SCHEMA.
+
+    Above `driver_limit` edges the distributed path is `method`:
+    - "star" (default): alternating large-star/small-star contraction —
+      O(log n) rounds on ANY graph shape, vectorized partition kernels;
+    - "labelprop": min-label propagation — O(diameter) rounds; kept for
+      parity testing (near-dup graphs are shallow) and as the simpler
+      fallback.
     """
     import ray.data
 
@@ -86,7 +96,192 @@ def connected_components(
             }
         )
         return ray.data.from_arrow(table)
+    if method == "star":
+        return _star_contraction(edges_ds, nodes_ds, max_rounds)
     return _label_propagation(edges_ds, nodes_ds, max_rounds)
+
+
+def _star_contraction(edges_ds, nodes_ds, max_rounds: int, n_parts: int = 64):
+    """Alternating large-star / small-star contraction — the classic
+    MapReduce connected-components algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014; PAPERS.md): converges
+    in O(log n) rounds on ANY graph shape, unlike min-label propagation's
+    O(diameter).  Ray-Data-first: every operation is a hash-partitioned
+    `groupby("__part").map_groups` whose kernel is vectorized pandas/numpy
+    over the WHOLE partition (one Python call per partition, never per
+    node), and convergence is an EXACT per-partition set comparison (no
+    collidable checksums).
+
+    Invariant: the edge list is kept canonical (parent < child as strings,
+    the cluster-label order).  large-star hangs every node's
+    larger neighbors onto its minimum; small-star re-hangs each child's
+    smaller parents onto the child's minimum.  At the joint fixpoint the
+    graph is a forest of depth-1 stars whose centers are component minima,
+    so labels read directly off the edges.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    def canon(t: pa.Table) -> pa.Table:
+        src = t["src"].to_pandas().to_numpy(dtype=object)
+        dst = t["dst"].to_pandas().to_numpy(dtype=object)
+        lo = np.where(src < dst, src, dst)
+        hi = np.where(src < dst, dst, src)
+        keep = lo != hi
+        return pa.table(
+            {
+                "child": pa.array(hi[keep], pa.string()),
+                "parent": pa.array(lo[keep], pa.string()),
+            }
+        )
+
+    def with_part(key: str):
+        def add(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t.append_column("__part", pa.array([], pa.int32()))
+            h = pd.util.hash_array(t[key].to_pandas().to_numpy(dtype=object))
+            return t.append_column(
+                "__part", pa.array((h % n_parts).astype(np.int32))
+            )
+
+        return add
+
+    _EMPTY = pa.table(
+        {"child": pa.array([], pa.string()), "parent": pa.array([], pa.string())}
+    )
+
+    def large_star(E):
+        def bidir(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [t["child"].combine_chunks(), t["parent"].combine_chunks()]
+                    ),
+                    "peer": pa.concat_arrays(
+                        [t["parent"].combine_chunks(), t["child"].combine_chunks()]
+                    ),
+                }
+            )
+
+        rows = E.map_batches(bidir, batch_format="pyarrow").map_batches(
+            with_part("node"), batch_format="pyarrow"
+        )
+
+        def kern(g: pd.DataFrame) -> pa.Table:
+            g = g.drop_duplicates(["node", "peer"])
+            mn = g.groupby("node")["peer"].transform("min").to_numpy(dtype=object)
+            node = g["node"].to_numpy(dtype=object)
+            peer = g["peer"].to_numpy(dtype=object)
+            m = np.where(mn < node, mn, node)
+            sel = peer > node  # only larger neighbors re-hang (large-star)
+            if not sel.any():
+                return _EMPTY
+            return pa.table(
+                {
+                    "child": pa.array(peer[sel], pa.string()),
+                    "parent": pa.array(m[sel], pa.string()),
+                }
+            )
+
+        return rows.groupby("__part").map_groups(kern, batch_format="pandas")
+
+    def small_star(E):
+        rows = E.map_batches(with_part("child"), batch_format="pyarrow")
+
+        def kern(g: pd.DataFrame) -> pa.Table:
+            g = g.drop_duplicates(["child", "parent"])
+            mn = g.groupby("child")["parent"].transform("min").to_numpy(dtype=object)
+            child = g["child"].to_numpy(dtype=object)
+            parent = g["parent"].to_numpy(dtype=object)
+            first = ~g["child"].duplicated().to_numpy()
+            other = parent != mn  # non-min parents re-hang onto the min
+            return pa.table(
+                {
+                    "child": pa.array(
+                        np.concatenate([child[first], parent[other]]), pa.string()
+                    ),
+                    "parent": pa.array(
+                        np.concatenate([mn[first], mn[other]]), pa.string()
+                    ),
+                }
+            )
+
+        return rows.groupby("__part").map_groups(kern, batch_format="pandas")
+
+    def diff_count(E_old, E_new) -> int:
+        """EXACT symmetric-difference size of the two edge SETS: tagged
+        union, partition by child (identical pairs co-locate), per-partition
+        outer merge with indicator."""
+
+        def tag(side: str):
+            def fn(t: pa.Table) -> pa.Table:
+                return t.append_column("__side", pa.array([side] * len(t), pa.string()))
+
+            return fn
+
+        both = (
+            E_old.map_batches(tag("o"), batch_format="pyarrow")
+            .union(E_new.map_batches(tag("n"), batch_format="pyarrow"))
+            .map_batches(with_part("child"), batch_format="pyarrow")
+        )
+
+        def kern(g: pd.DataFrame) -> pa.Table:
+            o = g[g["__side"] == "o"].drop_duplicates(["child", "parent"])
+            n = g[g["__side"] == "n"].drop_duplicates(["child", "parent"])
+            m = o.merge(n, on=["child", "parent"], how="outer", indicator=True)
+            d = int((m["_merge"] != "both").sum())
+            return pa.table({"d": pa.array([d], pa.int64())})
+
+        return int(
+            both.groupby("__part").map_groups(kern, batch_format="pandas").sum("d") or 0
+        )
+
+    E = edges_ds.map_batches(canon, batch_format="pyarrow").materialize()
+    converged = E.count() == 0
+    rounds = 0
+    while not converged and rounds < max_rounds:
+        E_new = small_star(large_star(E)).materialize()
+        converged = diff_count(E, E_new) == 0
+        E = E_new
+        rounds += 1
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds "
+            "(theoretical bound is O(log n) — this indicates a bug, not a "
+            "pathological input)"
+        )
+
+    # self-loop inputs (src == dst) are dropped by canon() but still name a
+    # node — label it with itself, matching the DSU path
+    def self_loops(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.equal(t["src"], t["dst"])
+        return pa.table({"id": t["src"].filter(m), "cluster_id": t["dst"].filter(m)})
+
+    selfloops = edges_ds.map_batches(self_loops, batch_format="pyarrow")
+    labels = E.map_batches(
+        lambda t: pa.table({"id": t["child"], "cluster_id": t["parent"]}),
+        batch_format="pyarrow",
+    ).union(
+        E.map_batches(
+            lambda t: pa.table({"id": t["parent"], "cluster_id": t["parent"]}),
+            batch_format="pyarrow",
+        ),
+        selfloops,
+    )
+    if nodes_ds is not None:
+        labels = labels.union(
+            nodes_ds.map_batches(
+                lambda t: pa.table({"id": t["id"], "cluster_id": t["id"]}),
+                batch_format="pyarrow",
+            )
+        )
+    labels = labels.groupby("id").min("cluster_id")
+    return labels.map_batches(
+        lambda t: t.rename_columns(["id", "cluster_id"]), batch_format="pyarrow"
+    )
 
 
 def _label_propagation(edges_ds, nodes_ds, max_rounds: int):

@@ -77,7 +77,7 @@ def test_oracle_keys_subset(entry_mod):
         "quality_flags", "lang_agg", "jaccard_pairs", "ann_topk",
         "cosine_pairs", "ivf_topk", "simhash_fingerprints", "fingerprints",
         "minhash_signatures", "langid", "embedding_lsh_pairs",
-        "minhash_clusters", "simhash_clusters",
+        "minhash_clusters", "simhash_clusters", "substring_pairs",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):

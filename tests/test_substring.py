@@ -1,0 +1,121 @@
+"""Substring (suffix-window) near-dup: kernel + pipeline vs brute force."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from backupdeduplicator_ray.functions.rollhash import window_hash_one, window_hashes
+from backupdeduplicator_ray.stages.substring import substring_dup_pairs
+
+
+def test_window_hashes_match_scalar_reference():
+    rng = np.random.default_rng(7)
+    data = bytes(rng.integers(0, 256, size=200, dtype=np.uint8))
+    L = 17
+    hs = window_hashes(data, L)
+    assert len(hs) == 200 - L + 1
+    for s in (0, 1, 50, 183):
+        assert int(hs[s]) == window_hash_one(data[s : s + L])
+
+
+def test_window_hashes_position_independent():
+    core = b"the quick brown fox jumps over the lazy dog!"
+    a = b"XXXX" + core + b"YY"
+    b = b"completely different prefix material " + core
+    L = len(core)
+    ha, hb = window_hashes(a, L), window_hashes(b, L)
+    # the shared core hashes identically at different offsets
+    assert int(ha[4]) == int(hb[-1])  # core starts at b's offset 37 (last window)
+    # and differing windows do not collide here
+    assert len(np.intersect1d(ha, hb)) == 1
+
+
+def test_window_hashes_short_input_empty():
+    assert len(window_hashes(b"abc", 4)) == 0
+    assert len(window_hashes(b"", 1)) == 0
+
+
+def _brute_pairs(docs: dict[str, str], L: int) -> dict[tuple[str, str], int]:
+    subs = {
+        k: {v[i : i + L] for i in range(len(v) - L + 1)}
+        for k, v in docs.items()
+        if v is not None and len(v) >= L
+    }
+    out = {}
+    keys = sorted(subs)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            c = len(subs[a] & subs[b])
+            if c:
+                out[(a, b)] = c
+    return out
+
+
+@pytest.fixture
+def docs_ds(ray_session):
+    import ray.data
+
+    base = "def process(stream):\n    for item in stream:\n        yield transform(item)\n"
+    docs = {
+        "d01": base + "# trailing comment one\n",
+        "d02": "HEADER\n" + base + "something else entirely here\n",
+        "d03": "no overlap with anything, short and unique text body",
+        "d04": base,  # exact copy of the shared core
+        "d05": None,
+        "d06": "x" * 10,  # shorter than any window
+    }
+    tbl = pa.table(
+        {
+            "id": pa.array(list(docs), pa.string()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    return ray.data.from_arrow(tbl), docs
+
+
+def test_substring_pairs_match_brute_force(docs_ds):
+    ds, docs = docs_ds
+    L = 40
+    got = {
+        (r["a_id"], r["b_id"]): r["n_shared"]
+        for r in substring_dup_pairs(ds, min_len=L).take_all()
+    }
+    assert got == _brute_pairs(docs, L)
+
+
+def test_substring_pairs_max_doc_freq_valve(docs_ds):
+    ds, docs = docs_ds
+    # every window here is shared by d01/d02/d04 (3 docs) — a cap of 2
+    # suppresses them all
+    got = substring_dup_pairs(ds, min_len=40, max_doc_freq=2).take_all()
+    assert got == []
+
+
+def test_substring_stride_content_keyed(ray_session):
+    """stride subsampling keeps windows by hash % stride == 0 — equal
+    content is sampled identically in both docs even though the shared
+    core sits at offsets that differ mod stride (position-strided sampling
+    would sample disjoint sets here and find nothing)."""
+    import ray.data
+
+    L, w = 20, 4
+    core = "shared-core-" + "abcdefghij" * 8  # long run => sampled windows exist
+    texts = {"a": "prefix1 " + core, "b": "other " + core + " sfx"}
+    # confirm with the kernel that the content-keyed sample intersects
+    sampled = {
+        k: set(
+            h
+            for h in window_hashes(v.encode(), L)
+            if int(h) % w == 0
+        )
+        for k, v in texts.items()
+    }
+    assert sampled["a"] & sampled["b"], "fixture core too short for stride"
+    tbl = pa.table(
+        {
+            "id": pa.array(list(texts), pa.string()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+    got = substring_dup_pairs(ray.data.from_arrow(tbl), min_len=L, stride=w).take_all()
+    assert [(r["a_id"], r["b_id"]) for r in got] == [("a", "b")]

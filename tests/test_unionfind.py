@@ -1,4 +1,5 @@
-"""Connected components: DSU vs distributed label propagation."""
+"""Connected components: DSU vs distributed label propagation vs star
+contraction."""
 
 import pyarrow as pa
 import pytest
@@ -8,6 +9,7 @@ from backupdeduplicator_ray.state.unionfind import (
     EDGE_SCHEMA,
     connected_components,
     _label_propagation,
+    _star_contraction,
 )
 
 
@@ -70,6 +72,44 @@ def test_label_propagation_long_chain(ray_session):
     }
     assert set(labels.values()) == {"n00"}
     assert len(labels) == 21
+
+
+def test_star_contraction_matches_dsu(ray_session):
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in _star_contraction(_edges_ds(PAIRS), None, max_rounds=20).take_all()
+    }
+    assert labels == WANT
+
+
+def test_star_contraction_long_chain(ray_session):
+    """A path graph of diameter 200: label propagation would need ~200
+    rounds; star contraction must finish in O(log n)."""
+    chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(200)]
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in _star_contraction(_edges_ds(chain), None, max_rounds=16).take_all()
+    }
+    assert set(labels.values()) == {"n000"}
+    assert len(labels) == 201
+
+
+def test_star_contraction_random_parity(ray_session):
+    """Random multigraph: star labels == driver DSU labels exactly."""
+    import random
+
+    rng = random.Random(5)
+    nodes = [f"v{i:03d}" for i in range(120)]
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(300)]
+    dsu = DSU()
+    for a, b in pairs:
+        dsu.union(a, b)
+    want = {n: dsu.find(n) for n in dsu.parent}
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in _star_contraction(_edges_ds(pairs), None, max_rounds=20).take_all()
+    }
+    assert got == want
 
 
 def test_singleton_nodes_label_themselves(ray_session):
