@@ -45,11 +45,73 @@ SIG_SCHEMA = pa.schema(
 )
 
 
+def _sig_batch(batch: pa.Table, cfg: MinHashConfig, a: np.ndarray, b: np.ndarray, id_col: str, text_col: str) -> pa.Table:
+    """Shared signature kernel: text batch → (id, exact, sig) table."""
+    texts = batch[text_col]
+    exact = hash_string_column(texts)
+    n = len(batch)
+    num_perms = cfg.num_perms
+    # tokenize + shingle per doc (regex and hashing are C-speed), then
+    # minhash each doc with one (n_shingles x perms) broadcast + min —
+    # NB np.minimum.reduceat over doc segments benchmarks ~100x SLOWER
+    # than this per-doc loop for uint64, don't "optimize"
+    shingle_arrays: list[np.ndarray] = []
+    for t in texts.to_pylist():
+        if t is None:
+            shingle_arrays.append(np.empty(0, dtype=np.uint64))
+        else:
+            shingle_arrays.append(shingle_hashes(tokenize(t), cfg.shingle_k))
+    sigs = np.full((n, num_perms), np.iinfo(np.uint64).max, dtype=np.uint64)
+    a, b = a[None, :], b[None, :]
+    # shingle axis chunked at 512 with preallocated work buffers: the
+    # (chunk x perms) transient stays L2-resident per core instead of
+    # spilling into the SHARED L3/DRAM (measured 2x single-core, and the
+    # contention relief is what lets 32 concurrent workers scale)
+    _CHUNK = 512
+    work = np.empty((_CHUNK, num_perms), dtype=np.uint64)
+    for i, sh_arr in enumerate(shingle_arrays):
+        if len(sh_arr) == 0:
+            continue
+        for s0 in range(0, len(sh_arr), _CHUNK):
+            seg = sh_arr[s0 : s0 + _CHUNK]
+            w = work[: len(seg)]
+            np.multiply(seg[:, None], a, out=w)
+            np.add(w, b, out=w)
+            np.minimum(sigs[i], w.min(axis=0), out=sigs[i])
+    sig_arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(sigs.reshape(-1)), num_perms
+    ).cast(pa.list_(pa.uint64()))
+    return pa.table(
+        {
+            "id": batch[id_col].cast(pa.string()),
+            "exact": exact,
+            "sig": sig_arr,
+        }
+    )
+
+
+# per-worker-process perm-table cache for the task-pool signature path:
+# Ray reuses worker processes across map_batches tasks, so this amortizes
+# exactly like actor __init__ state — without spawning a fresh actor pool
+# (N processes x package imports) per pipeline run
+_PERM_CACHE: dict = {}
+
+
+def _perms_cached(cfg: MinHashConfig):
+    key = (cfg.num_perms, cfg.seed)
+    if key not in _PERM_CACHE:
+        _PERM_CACHE[key] = mh.perm_table(cfg)
+    return _PERM_CACHE[key]
+
+
 class MinHashSignatureStage:
     """Actor-pool map_batches stage: text → (exact hash, MinHash signature).
 
     Per-actor state built once in __init__ (perm table, tokenizer regex) —
-    SURVEY §2.3 ST3 actor-pool guidance.
+    SURVEY §2.3 ST3 actor-pool guidance.  Used when `signatures(...,
+    use_actors=True)`; the default task path amortizes the (cheap,
+    deterministic) perm table via a per-worker-process cache instead,
+    avoiding an actor-pool spin-up (see `signatures`).
     """
 
     def __init__(self, cfg: MinHashConfig, id_col: str, text_col: str):
@@ -59,45 +121,7 @@ class MinHashSignatureStage:
         self.a, self.b = mh.perm_table(cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col]
-        exact = hash_string_column(texts)
-        n = len(batch)
-        num_perms = self.cfg.num_perms
-        # tokenize + shingle per doc (regex and hashing are C-speed), then
-        # vectorize the minhash across ALL docs of the batch at once with
-        # np.minimum.reduceat over the concatenated shingle array —
-        # per-doc numpy-call overhead was the hot spot before.
-        shingle_arrays: list[np.ndarray] = []
-        for t in texts.to_pylist():
-            if t is None:
-                shingle_arrays.append(np.empty(0, dtype=np.uint64))
-            else:
-                shingle_arrays.append(shingle_hashes(tokenize(t), self.cfg.shingle_k))
-        sigs = np.full((n, num_perms), np.iinfo(np.uint64).max, dtype=np.uint64)
-        a, b = self.a[None, :], self.b[None, :]
-        for i, sh in enumerate(shingle_arrays):
-            if len(sh) == 0:
-                continue
-            if len(sh) <= 8192:
-                # (n_shingles x perms) broadcast + min — C-speed; NB
-                # np.minimum.reduceat over doc segments benchmarks ~100x
-                # SLOWER than this per-doc loop for uint64, don't "optimize"
-                sigs[i] = (sh[:, None] * a + b).min(axis=0)
-            else:
-                # monster doc: chunk the shingle axis (bounded transient)
-                for s0 in range(0, len(sh), 8192):
-                    block = (sh[s0 : s0 + 8192, None] * a + b).min(axis=0)
-                    np.minimum(sigs[i], block, out=sigs[i])
-        sig_arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(sigs.reshape(-1)), num_perms
-        ).cast(pa.list_(pa.uint64()))
-        return pa.table(
-            {
-                "id": batch[self.id_col].cast(pa.string()),
-                "exact": exact,
-                "sig": sig_arr,
-            }
-        )
+        return _sig_batch(batch, self.cfg, self.a, self.b, self.id_col, self.text_col)
 
 
 def default_concurrency(fraction: float = 0.85, cap: int = 28) -> int:
@@ -111,15 +135,42 @@ def default_concurrency(fraction: float = 0.85, cap: int = 28) -> int:
     return max(1, min(cap, int(cpus * fraction)))
 
 
-def signatures(ds, cfg: MinHashConfig, id_col: str = "id", text_col: str = "text", concurrency: int | None = None):
-    """Dataset → (id, exact, sig) signature Dataset via an actor pool."""
-    return ds.map_batches(
-        MinHashSignatureStage,
-        fn_constructor_args=(cfg, id_col, text_col),
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=concurrency or default_concurrency(),
-    )
+def signatures(
+    ds,
+    cfg: MinHashConfig,
+    id_col: str = "id",
+    text_col: str = "text",
+    concurrency: int | None = None,
+    use_actors: bool = False,
+):
+    """Dataset → (id, exact, sig) signature Dataset.
+
+    Default is a TASK pool: the per-worker state (128-perm table) is cheap
+    and deterministic, so a per-process module cache (`_perms_cached`)
+    amortizes it exactly like actor ``__init__`` — while reusing the
+    already-warm Ray worker processes instead of spawning a fresh actor
+    pool (N processes x package imports, a fixed ~10 s ramp per run at 32
+    CPUs that an hours-long 100 TB job wouldn't notice but a minutes-long
+    bench leg does).  Tasks also let the streaming executor size the stage
+    dynamically instead of pinning a pool.  `use_actors=True` keeps the
+    actor-pool stage (the right shape when per-worker state is heavy —
+    models, compiled indexes; SURVEY §2.3 ST3): both paths share the same
+    kernel (`_sig_batch`) and are parity-tested.
+    """
+    if use_actors:
+        return ds.map_batches(
+            MinHashSignatureStage,
+            fn_constructor_args=(cfg, id_col, text_col),
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=concurrency or default_concurrency(),
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        a, b = _perms_cached(cfg)
+        return _sig_batch(batch, cfg, a, b, id_col, text_col)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
 
 
 def _exact_prebucket(sig_ds):
@@ -345,28 +396,53 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
     mark("cand")
     if n_cand <= _DRIVER_CANDROWS_LIMIT and not distributed:
         # candidates (duplicate-bounded minority) verify vectorized on the
-        # driver: one (n_pairs x num_perms) equality reduction
-        cand_ids_chunks = [
-            pc.unique(b["id"])
-            for b in cand_rows.select_columns(["id"]).iter_batches(
-                batch_format="pyarrow", batch_size=None
+        # driver: one (n_pairs x num_perms) equality reduction.  All pulls
+        # are Arrow-block ray.get (zero-copy column buffers) — the earlier
+        # take_all() per-row dict build cost ~6 s of pure Python conversion
+        # at 408k files and scaled with candidates, not CPUs.
+        _CAND_SCHEMA = pa.schema([("bucket_key", pa.uint64()), ("id", pa.string())])
+        cand_tbl = (
+            pa.concat_tables(
+                [t.cast(_CAND_SCHEMA) for t in ray.get(cand_rows.to_arrow_refs()) if t.num_rows],
+                promote_options="default",
             )
-        ]
-        cand_ids = (
-            pc.unique(
-                pa.concat_arrays(
-                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cand_ids_chunks]
-                )
-            )
-            if cand_ids_chunks
-            else pa.array([], pa.string())
+            if n_cand
+            else pa.Table.from_pylist([], schema=_CAND_SCHEMA)
         )
-        sig_map = {
-            r["id"]: np.asarray(r["sig"], dtype=np.uint64)
-            for r in filter_by_key_set(reps, ["id"], cand_ids, keep=True).take_all()
-        }
+        cand_ids = pc.unique(cand_tbl["id"].combine_chunks())
+        sig_blocks = (
+            [
+                t
+                for t in ray.get(
+                    filter_by_key_set(reps, ["id"], cand_ids, keep=True)
+                    .materialize()
+                    .to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+            if len(cand_ids)
+            else []
+        )
+        sig_tbl = (
+            pa.concat_tables(sig_blocks, promote_options="default")
+            if sig_blocks
+            else pa.Table.from_pylist([], schema=SIG_SCHEMA)
+        )
+        sig_ids = sig_tbl["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        sig_col = sig_tbl["sig"].cast(pa.list_(pa.uint64())).combine_chunks()
+        sig_mat = (
+            sig_col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64, copy=False)
+            .reshape(len(sig_tbl), cfg.num_perms)
+            if len(sig_tbl)
+            else np.empty((0, cfg.num_perms), np.uint64)
+        )
+        s_order = np.argsort(sig_ids, kind="stable")
         mark("sigmap")
-        near_edges = _verify_candidates_driver(cand_rows, sig_map, cfg)
+        near_edges = _verify_candidates_driver(
+            cand_tbl, (sig_ids[s_order], sig_mat[s_order]), cfg
+        )
     else:
         # candidates too big for the driver: verification runs partition-
         # grain with signatures re-derived per surviving band row
@@ -524,35 +600,48 @@ def _verify_candidates_distributed(reps, survivors, cfg: MinHashConfig, n_parts:
     )
 
 
-def _verify_candidates_driver(cand_rows, sig_map: dict, cfg: MinHashConfig):
+def _verify_candidates_driver(cand_rows, sig_lookup, cfg: MinHashConfig):
     """Vectorized candidate verification: build all bucket pairs, dedupe,
     verify with one big signature-equality reduction.  Returns an edge
-    Dataset.  cand_rows: Dataset or pa.Table of (bucket_key, id)."""
-    import pandas as pd
+    Dataset.
+
+    cand_rows: Dataset or pa.Table of (bucket_key, id).
+    sig_lookup: dict id -> uint64[num_perms], or a tuple
+    (ids_sorted: np.ndarray, sig_mat: (m, num_perms) np.ndarray) with rows
+    aligned to ids_sorted — the Arrow-native zero-Python-per-row form.
+    """
     import ray.data
 
     if isinstance(cand_rows, pa.Table):
-        frames = [cand_rows.to_pandas()] if len(cand_rows) else []
+        cand_tbl = cand_rows
     else:
-        frames = [
-            b.to_pandas()
-            for b in cand_rows.iter_batches(batch_format="pyarrow", batch_size=None)
-        ]
-    if not frames:
+        import ray
+
+        cand_tbl = pa.concat_tables(
+            ray.get(cand_rows.materialize().to_arrow_refs()),
+            promote_options="default",
+        )
+    if len(cand_tbl) == 0:
         return ray.data.from_arrow(pa.Table.from_pylist([], schema=EDGE_SCHEMA))
-    df = pd.concat(frames, ignore_index=True).sort_values(
-        ["bucket_key", "id"], kind="mergesort"
-    )
+    ids_raw = cand_tbl["id"].combine_chunks().to_numpy(zero_copy_only=False)
+    bk_raw = cand_tbl["bucket_key"].combine_chunks().to_numpy(zero_copy_only=False)
     # codes assigned in LEXICOGRAPHIC id order so code order == id order
     # (pair orientation and star-center choice stay deterministic)
-    uniq_ids = np.sort(pd.unique(df["id"]))
-    code_of = {i: c for c, i in enumerate(uniq_ids)}
-    codes = df["id"].map(code_of).to_numpy(dtype=np.int64)
-    bk = df["bucket_key"].to_numpy()
-    a, b = _bucket_pairs(bk, codes, cfg.bucket_cap)  # df sorted by (bucket, id)
+    uniq_ids, codes_raw = np.unique(ids_raw, return_inverse=True)
+    # sort rows by (bucket_key, code) — code order == id order, so this is
+    # the same (bucket, id) order the kernel requires
+    order = np.lexsort((codes_raw, bk_raw))
+    bk = bk_raw[order]
+    codes = codes_raw[order].astype(np.int64)
+    a, b = _bucket_pairs(bk, codes, cfg.bucket_cap)
     if len(a) == 0:
         return ray.data.from_arrow(pa.Table.from_pylist([], schema=EDGE_SCHEMA))
-    sigs = np.asarray([sig_map[i] for i in uniq_ids], dtype=np.uint64)
+    if isinstance(sig_lookup, dict):
+        sigs = np.asarray([sig_lookup[i] for i in uniq_ids], dtype=np.uint64)
+    else:
+        s_ids, s_mat = sig_lookup
+        rows = np.searchsorted(s_ids, uniq_ids)
+        sigs = s_mat[rows]
     est = (sigs[a] == sigs[b]).mean(axis=1)
     keep = est >= cfg.verify_threshold
     table = pa.table(
@@ -617,15 +706,29 @@ class SimHashStage:
         )
 
 
-def simhash_fingerprints(ds, cfg: SimHashConfig | None = None, id_col: str = "id", text_col: str = "text", concurrency: int | None = None):
+def simhash_fingerprints(
+    ds,
+    cfg: SimHashConfig | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+    concurrency: int | None = None,
+    use_actors: bool = False,
+):
+    """Task-pool by default — the stage holds no per-worker state beyond
+    the (tiny) config, so an actor pool buys nothing and costs a fresh
+    N-process spin-up per run; `use_actors=True` keeps the pool shape for
+    parity with heavy-state stages (SURVEY §2.3 ST3)."""
     cfg = cfg or SimHashConfig()
-    return ds.map_batches(
-        SimHashStage,
-        fn_constructor_args=(cfg, id_col, text_col),
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=concurrency or default_concurrency(),
-    )
+    if use_actors:
+        return ds.map_batches(
+            SimHashStage,
+            fn_constructor_args=(cfg, id_col, text_col),
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=concurrency or default_concurrency(),
+        )
+    stage = SimHashStage(cfg, id_col, text_col)
+    return ds.map_batches(stage.__call__, batch_format="pyarrow", batch_size=2048)
 
 
 def simhash_edges(ds, cfg: SimHashConfig | None = None, id_col: str = "id", text_col: str = "text"):

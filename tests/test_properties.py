@@ -95,6 +95,34 @@ def test_monster_doc_chunked_signature_matches():
     assert len(shingle_hashes(tokenize(text), cfg.shingle_k)) > 8192
 
 
+def test_signature_task_and_actor_paths_identical(ray_session):
+    """signatures() default task path == use_actors=True actor path,
+    row for row (shared kernel, per-process perm cache vs actor state)."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.neardup import signatures
+
+    cfg = MinHashConfig(num_perms=32)
+    tbl = pa.table(
+        {
+            "id": pa.array([f"d{i}" for i in range(40)], pa.string()),
+            "text": pa.array(
+                [None if i % 13 == 0 else f"alpha beta{i % 5} gamma delta tok{i}" for i in range(40)],
+                pa.large_string(),
+            ),
+        }
+    )
+    def pull(use_actors):
+        rows = signatures(
+            ray.data.from_arrow(tbl), cfg, use_actors=use_actors, concurrency=2
+        ).take_all()
+        return sorted(
+            ((r["id"], r["exact"], tuple(r["sig"])) for r in rows)
+        )
+
+    assert pull(False) == pull(True)
+
+
 def test_empty_corpus_pipelines(ray_session):
     import ray.data
 
