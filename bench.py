@@ -242,7 +242,8 @@ def run_sig_stage() -> dict:
     n_files = rd.read_parquet(corpus_path).count()  # warm page cache
     t0 = time.time()
     corpus = rd.read_parquet(corpus_path, columns=["repo", "path", "content"])
-    n = signatures(_as_docs(corpus), MinHashConfig()).count()
+    use_actors = os.environ.get("BDR_SIG_ACTORS") == "1"
+    n = signatures(_as_docs(corpus), MinHashConfig(), use_actors=use_actors).count()
     dt = time.time() - t0
     ray.shutdown()
     return {
