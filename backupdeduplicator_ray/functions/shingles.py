@@ -64,3 +64,243 @@ def shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
     for j in range(1, k):
         acc = acc * _POLY + th[j : n - k + 1 + j]
     return np.unique(acc)
+
+
+# ---------------------------------------------------------------------------
+# Batch (whole-Arrow-column) kernels.
+#
+# The per-doc path above pays Python-object costs per TOKEN (str slice,
+# .encode, a zlib.crc32 call inside a generator): profiling the signature
+# stage showed ~70% of kernel time there.  The batch kernels below compute
+# the SAME values (same crc32 -> splitmix64 -> polynomial shingle) with no
+# per-token Python: tokens are found by a byte-class scan over the
+# column's UTF-8 buffer, and crc32 runs over all tokens in lockstep (one
+# table-lookup vector op per byte position, tokens length-sorted so each
+# iteration touches only still-active tokens => total work O(total bytes)).
+#
+# Lowercasing uses pc.utf8_lower (utf8proc — the same library DuckDB
+# vendors, so the oracle's lower() agrees).  Tokens are ASCII [a-z0-9_]
+# runs; multi-byte UTF-8 sequences are all >= 0x80 and therefore
+# separators byte-wise exactly as they are codepoint-wise.
+# ---------------------------------------------------------------------------
+
+_TOKEN_BYTE = np.zeros(256, dtype=bool)
+for _c in b"abcdefghijklmnopqrstuvwxyz0123456789_":
+    _TOKEN_BYTE[_c] = True
+
+
+def _crc32_table() -> np.ndarray:
+    t = np.arange(256, dtype=np.uint32)
+    for _ in range(8):
+        t = np.where(t & 1, np.uint32(0xEDB88320) ^ (t >> 1), t >> 1)
+    return t
+
+
+_CRC_TABLE = _crc32_table()
+
+
+def _column_tokens(col) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow string column → (data bytes, token starts, token lengths,
+    tok_offsets[ndocs+1]) with tokens in document order.  Null == empty."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.fill_null(pc.utf8_lower(col), "").cast(pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    ndocs = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], np.int64, ndocs + 1, offset=arr.offset * 8)
+    lo, hi = int(offs[0]), int(offs[-1])
+    d = np.frombuffer(arr.buffers()[2], np.uint8, hi - lo, offset=lo) if hi > lo else np.empty(0, np.uint8)
+    rel = (offs - lo).astype(np.int64)
+    if len(d) == 0:
+        empty = np.empty(0, np.int64)
+        return d, empty, empty, np.zeros(ndocs + 1, np.int64)
+    m = _TOKEN_BYTE[d]
+    # token starts: in-class byte whose predecessor is out-of-class — with a
+    # forced break at every document boundary so tokens never span docs
+    prev = np.empty_like(m)
+    prev[0] = False
+    prev[1:] = m[:-1]
+    nxt = np.empty_like(m)
+    nxt[-1:] = False
+    nxt[:-1] = m[1:]
+    bounds = rel[1:-1]
+    bounds = bounds[(bounds > 0) & (bounds < len(m))]
+    prev[bounds] = False
+    nxt[bounds - 1] = False
+    starts = np.flatnonzero(m & ~prev)
+    ends = np.flatnonzero(m & ~nxt) + 1
+    lens = ends - starts
+    doc_of = np.searchsorted(rel, starts, side="right") - 1
+    tok_counts = np.bincount(doc_of, minlength=ndocs) if len(starts) else np.zeros(ndocs, np.int64)
+    tok_offsets = np.zeros(ndocs + 1, np.int64)
+    np.cumsum(tok_counts, out=tok_offsets[1:])
+    return d, starts, lens, tok_offsets
+
+
+def _crc32_many(d: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """zlib.crc32 of each (start, len) byte run — lockstep over tokens."""
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, np.uint32)
+    order = np.argsort(lens, kind="stable")
+    s_s, l_s = starts[order], lens[order]
+    crc = np.full(n, 0xFFFFFFFF, np.uint32)
+    lmax = int(l_s[-1])
+    for j in range(lmax):
+        pos = np.searchsorted(l_s, j, side="right")
+        byte = d[s_s[pos:] + j]
+        c = crc[pos:]
+        crc[pos:] = _CRC_TABLE[(c ^ byte) & np.uint32(0xFF)] ^ (c >> np.uint32(8))
+    crc ^= np.uint32(0xFFFFFFFF)
+    out = np.empty(n, np.uint32)
+    out[order] = crc
+    return out
+
+
+# Working-set valve: the kernels run over ~this many TEXT BYTES at a time
+# so every intermediate (byte mask, token starts, crc lanes, shingle sort)
+# stays cache-resident.  Whole-block arrays (tens of MB) fall off the
+# shared-cache cliff: measured 64 s vs 1.8 s for the SAME 27 MB batch
+# split at ~1 MB — and the contention relief is what lets 32 concurrent
+# workers scale.
+_SUB_BATCH_BYTES = 1_500_000
+
+
+def _sub_slices(col) -> list:
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ndocs = len(col)
+    if ndocs == 0:
+        return [col]
+    total = col.nbytes
+    per_slice = max(16, min(4096, int(_SUB_BATCH_BYTES / max(1.0, total / ndocs))))
+    if per_slice >= ndocs:
+        return [col]
+    return [col.slice(i, per_slice) for i in range(0, ndocs, per_slice)]
+
+
+def iter_token_parts(col):
+    """Yield (doc_base, n_docs, token_hashes, tok_offsets) per cache-sized
+    sub-slice — the no-copy form of batch_token_hashes for hot stages
+    (stitching parts into one array re-pays the big-array wall)."""
+    base = 0
+    for p in _sub_slices(col):
+        vals, offs = _token_hashes_core(p)
+        yield base, len(p), vals, offs
+        base += len(p)
+
+
+def iter_shingle_parts(col, k: int, short_docs: bool = True, unique: bool = True):
+    """Per-part form of batch_shingle_hashes — see iter_token_parts.
+    `unique=False` yields each doc's shingle MULTISET in window order
+    (valid for minhash, where duplicates can't change the min; skips the
+    segmented sort)."""
+    base = 0
+    for p in _sub_slices(col):
+        vals, offs = _shingle_hashes_core(p, k, short_docs, unique)
+        yield base, len(p), vals, offs
+        base += len(p)
+
+
+def batch_token_hashes(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string column → (uint64 token hashes in doc order,
+    tok_offsets[ndocs+1]).  Values identical to
+    `token_hashes(tokenize(text))` per doc."""
+    parts = _sub_slices(col)
+    if len(parts) == 1:
+        return _token_hashes_core(parts[0])
+    vals, offs = zip(*(_token_hashes_core(p) for p in parts))
+    return _stitch(vals, offs)
+
+
+def _stitch(vals, offs) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate per-slice (values, offsets[n+1]) into one pair."""
+    out_offs = [offs[0]]
+    base = offs[0][-1]
+    for o in offs[1:]:
+        out_offs.append(o[1:] + base)
+        base += o[-1]
+    return np.concatenate(vals), np.concatenate(out_offs)
+
+
+def _token_hashes_core(col) -> tuple[np.ndarray, np.ndarray]:
+    d, starts, lens, tok_offsets = _column_tokens(col)
+    crc = _crc32_many(d, starts, lens)
+    return _splitmix64(crc.astype(np.uint64)), tok_offsets
+
+
+def batch_shingle_hashes(col, k: int, short_docs: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string column → (uint64 shingle hashes, offsets[ndocs+1]);
+    each doc's slice is sorted-unique — identical to
+    `shingle_hashes(tokenize(text), k)` per doc.  `short_docs=False`
+    instead drops documents with fewer than k tokens entirely (the
+    jaccard_pairs convention), matching `len(tokenize(t)) < k → skip`."""
+    parts = _sub_slices(col)
+    if len(parts) > 1:
+        vals, offs = zip(*(_shingle_hashes_core(p, k, short_docs) for p in parts))
+        return _stitch(vals, offs)
+    return _shingle_hashes_core(parts[0], k, short_docs)
+
+
+def _shingle_hashes_core(
+    col, k: int, short_docs: bool = True, unique: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    th, tok_offsets = _token_hashes_core(col)
+    ndocs = len(tok_offsets) - 1
+    tok_counts = np.diff(tok_offsets)
+    n = len(th)
+    # per-doc shingle counts (pre-dedup): full windows, plus one short-doc
+    # shingle when enabled
+    win_counts = np.maximum(tok_counts - (k - 1), 0)
+    out_counts = win_counts.copy()
+    if short_docs:
+        out_counts[(tok_counts > 0) & (tok_counts < k)] = 1
+    offsets = np.zeros(ndocs + 1, np.int64)
+    np.cumsum(out_counts, out=offsets[1:])
+    vals = np.empty(int(offsets[-1]), np.uint64)
+    if n >= k:
+        acc = th[: n - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * _POLY + th[j : n - k + 1 + j]
+        # windows fully inside one document, scattered doc-major: window
+        # starting at global token t belongs to doc d iff both endpoints
+        # fall in d; its in-doc index is t - tok_offsets[d]
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), tok_counts)
+        valid = doc_of[: n - k + 1] == doc_of[k - 1 :]
+        w_idx = np.flatnonzero(valid)
+        w_doc = doc_of[w_idx]
+        vals[offsets[w_doc] + (w_idx - tok_offsets[w_doc])] = acc[w_idx]
+    # docs with 0 < count < k: ONE shingle over all their tokens (k'=count)
+    if short_docs:
+        for kk in range(1, k):
+            sel = np.flatnonzero(tok_counts == kk)
+            if len(sel) == 0:
+                continue
+            st = tok_offsets[sel]
+            acc2 = th[st].copy()
+            for j in range(1, kk):
+                acc2 = acc2 * _POLY + th[st + j]
+            vals[offsets[sel]] = acc2
+    if not unique or len(vals) == 0:
+        # multiset in window order — enough for minhash (min is idempotent
+        # under duplicates); skips the sort below entirely
+        return vals, offsets
+    # segmented sorted-unique (shingle SET semantics: jaccard set sizes,
+    # simhash votes): sort by (doc, value), drop equal neighbours
+    docs = np.repeat(np.arange(ndocs, dtype=np.int64), out_counts)
+    order = np.lexsort((vals, docs))
+    vals, docs = vals[order], docs[order]
+    keep = np.empty(len(vals), bool)
+    keep[0] = True
+    np.logical_or(docs[1:] != docs[:-1], vals[1:] != vals[:-1], out=keep[1:])
+    vals, docs = vals[keep], docs[keep]
+    counts = np.bincount(docs, minlength=ndocs)
+    offsets = np.zeros(ndocs + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return vals, offsets

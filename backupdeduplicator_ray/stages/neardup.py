@@ -33,7 +33,7 @@ from ..config import MinHashConfig, SimHashConfig
 from ..functions import minhash as mh
 from ..functions import simhash as sh
 from ..functions.hashing import hash_string_column
-from ..functions.shingles import shingle_hashes, tokenize
+from ..functions.shingles import iter_shingle_parts, shingle_hashes, tokenize
 from ..state.unionfind import EDGE_SCHEMA, connected_components
 
 SIG_SCHEMA = pa.schema(
@@ -51,16 +51,12 @@ def _sig_batch(batch: pa.Table, cfg: MinHashConfig, a: np.ndarray, b: np.ndarray
     exact = hash_string_column(texts)
     n = len(batch)
     num_perms = cfg.num_perms
-    # tokenize + shingle per doc (regex and hashing are C-speed), then
+    # whole-column tokenize + shingle (no per-token Python: lockstep crc32
+    # over the Arrow UTF-8 buffer — shingles.py batch kernels; the old
+    # per-doc zlib.crc32 generator was ~70% of this stage's profile), then
     # minhash each doc with one (n_shingles x perms) broadcast + min —
     # NB np.minimum.reduceat over doc segments benchmarks ~100x SLOWER
     # than this per-doc loop for uint64, don't "optimize"
-    shingle_arrays: list[np.ndarray] = []
-    for t in texts.to_pylist():
-        if t is None:
-            shingle_arrays.append(np.empty(0, dtype=np.uint64))
-        else:
-            shingle_arrays.append(shingle_hashes(tokenize(t), cfg.shingle_k))
     sigs = np.full((n, num_perms), np.iinfo(np.uint64).max, dtype=np.uint64)
     a, b = a[None, :], b[None, :]
     # shingle axis chunked at 512 with preallocated work buffers: the
@@ -69,15 +65,20 @@ def _sig_batch(batch: pa.Table, cfg: MinHashConfig, a: np.ndarray, b: np.ndarray
     # contention relief is what lets 32 concurrent workers scale)
     _CHUNK = 512
     work = np.empty((_CHUNK, num_perms), dtype=np.uint64)
-    for i, sh_arr in enumerate(shingle_arrays):
-        if len(sh_arr) == 0:
-            continue
-        for s0 in range(0, len(sh_arr), _CHUNK):
-            seg = sh_arr[s0 : s0 + _CHUNK]
-            w = work[: len(seg)]
-            np.multiply(seg[:, None], a, out=w)
-            np.add(w, b, out=w)
-            np.minimum(sigs[i], w.min(axis=0), out=sigs[i])
+    for base, nd, sh_vals, sh_offs in iter_shingle_parts(
+        texts, cfg.shingle_k, unique=False
+    ):
+        for ii in range(nd):
+            sh_arr = sh_vals[sh_offs[ii] : sh_offs[ii + 1]]
+            if len(sh_arr) == 0:
+                continue
+            i = base + ii
+            for s0 in range(0, len(sh_arr), _CHUNK):
+                seg = sh_arr[s0 : s0 + _CHUNK]
+                w = work[: len(seg)]
+                np.multiply(seg[:, None], a, out=w)
+                np.add(w, b, out=w)
+                np.minimum(sigs[i], w.min(axis=0), out=sigs[i])
     sig_arr = pa.FixedSizeListArray.from_arrays(
         pa.array(sigs.reshape(-1)), num_perms
     ).cast(pa.list_(pa.uint64()))
@@ -692,12 +693,15 @@ class SimHashStage:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = []
-        for t in batch[self.text_col].to_pylist():
-            if t is None:
-                fps.append(None)
-            else:
-                fps.append(sh.simhash(shingle_hashes(tokenize(t), self.cfg.shingle_k)))
+        import pyarrow.compute as pc
+
+        texts = batch[self.text_col]
+        valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        fps: list = [None] * len(batch)
+        for base, nd, sh_vals, sh_offs in iter_shingle_parts(texts, self.cfg.shingle_k):
+            for ii in range(nd):
+                if valid[base + ii]:
+                    fps[base + ii] = sh.simhash(sh_vals[sh_offs[ii] : sh_offs[ii + 1]])
         return pa.table(
             {
                 "id": batch[self.id_col].cast(pa.string()),
@@ -839,6 +843,38 @@ def jaccard_pairs(
     """
 
     def explode(batch: pa.Table) -> pa.Table:
+        if hashed:
+            # vectorized: batch shingle kernel (short docs dropped — the
+            # strict len(tokens) >= k convention), ids/sizes via np.repeat;
+            # per cache-sized part, emitted as chunks (no big-array concat)
+            ids_arr = batch[id_col].cast(pa.string())
+            sh_chunks, id_chunks, sz_chunks = [], [], []
+            for base, nd, vals, offs in iter_shingle_parts(
+                batch[text_col], k, short_docs=False
+            ):
+                if len(vals) == 0:
+                    continue
+                counts = np.diff(offs)
+                sh_chunks.append(pa.array(vals, pa.uint64()))
+                id_chunks.append(
+                    ids_arr.take(pa.array(base + np.repeat(np.arange(nd), counts)))
+                )
+                sz_chunks.append(pa.array(np.repeat(counts, counts), pa.int64()))
+            if not sh_chunks:
+                return pa.table(
+                    {
+                        "shingle": pa.array([], pa.uint64()),
+                        "id": pa.array([], pa.string()),
+                        "set_size": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "shingle": pa.chunked_array(sh_chunks),
+                    "id": pa.chunked_array(id_chunks),
+                    "set_size": pa.chunked_array(sz_chunks),
+                }
+            )
         ids_out, sh_out, size_out = [], [], []
         for i, t in zip(
             batch[id_col].to_pylist(), batch[text_col].to_pylist()
@@ -848,10 +884,7 @@ def jaccard_pairs(
             toks = tokenize(t)
             if len(toks) < k:
                 continue
-            if hashed:
-                shingles = [int(x) for x in shingle_hashes(toks, k)]
-            else:
-                shingles = sorted({" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)})
+            shingles = sorted({" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)})
             sid = str(i)
             for s in shingles:
                 ids_out.append(sid)
@@ -859,7 +892,7 @@ def jaccard_pairs(
                 size_out.append(len(shingles))
         return pa.table(
             {
-                "shingle": pa.array(sh_out, pa.uint64() if hashed else pa.string()),
+                "shingle": pa.array(sh_out, pa.string()),
                 "id": pa.array(ids_out, pa.string()),
                 "set_size": pa.array(size_out, pa.int64()),
             }

@@ -221,27 +221,34 @@ class FingerprintStage:
         self.token_re = TOKEN_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.shingles import token_hashes
+        from ..functions.shingles import iter_token_parts
 
-        ids, n_fp, min_fp, max_fp = [], [], [], []
         poly = np.uint64(1099511628211)
-        for i, t in zip(batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()):
-            ids.append(i)
-            toks = self.token_re.findall((t or "").lower())
-            th = token_hashes(toks)
-            if len(th) >= self.k:
-                acc = th[: len(th) - self.k + 1].copy()
+        # ordered (non-unique) window hashes from the batch token kernel:
+        # per cache-sized part, poly windows over the part's token hashes,
+        # sliced per doc (windows never cross doc boundaries because each
+        # doc's slice stops k-1 short of its end)
+        n_fp, min_fp, max_fp = [], [], []
+        for _base, nd, th, toff in iter_token_parts(batch[self.text_col]):
+            n = len(th)
+            acc_g = None
+            if n >= self.k:
+                acc_g = th[: n - self.k + 1].copy()
                 for j in range(1, self.k):
-                    acc = acc * poly + th[j : len(th) - self.k + 1 + j]
-            else:
-                acc = th
-            fps = winnow(acc, self.window)
-            n_fp.append(len(fps))
-            min_fp.append(int(fps.min()) if len(fps) else 0)
-            max_fp.append(int(fps.max()) if len(fps) else 0)
+                    acc_g = acc_g * poly + th[j : n - self.k + 1 + j]
+            for i in range(nd):
+                s, e = int(toff[i]), int(toff[i + 1])
+                if e - s >= self.k:
+                    acc = acc_g[s : e - self.k + 1]
+                else:
+                    acc = th[s:e]
+                fps = winnow(acc, self.window)
+                n_fp.append(len(fps))
+                min_fp.append(int(fps.min()) if len(fps) else 0)
+                max_fp.append(int(fps.max()) if len(fps) else 0)
         return pa.table(
             {
-                self.id_col: pa.array(ids),
+                self.id_col: batch[self.id_col],
                 "n_fingerprints": pa.array(n_fp, pa.int64()),
                 "min_fingerprint": pa.array(min_fp, pa.uint64()),
                 "max_fingerprint": pa.array(max_fp, pa.uint64()),

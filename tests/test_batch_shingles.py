@@ -1,0 +1,128 @@
+"""Batch (whole-Arrow-column) tokenize/shingle kernels vs the per-doc
+reference path.
+
+The batch kernels (shingles.batch_token_hashes / batch_shingle_hashes)
+must produce value-identical hashes to `token_hashes(tokenize(t))` /
+`shingle_hashes(tokenize(t), k)` — the lockstep crc32 reproduces
+zlib.crc32 exactly and the segmented unique reproduces np.unique per doc.
+
+Lowering note: the batch path lowers via pyarrow's utf8proc (same library
+DuckDB vendors for its lower(), so batch == oracle); CPython's str.lower
+disagrees on a handful of exotic codepoints (e.g. U+0130 İ) which never
+produce ASCII [a-z0-9_] token bytes in our corpora — the hypothesis
+alphabet below sticks to codepoints where all three agree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import zlib
+
+from hypothesis import given, settings, strategies as st
+
+from backupdeduplicator_ray.functions.shingles import (
+    batch_shingle_hashes,
+    batch_token_hashes,
+    shingle_hashes,
+    token_hashes,
+    tokenize,
+    _crc32_many,
+)
+
+ALPHABET = "abz XYZ019_ \t\n.,;!?-/\\'\"()[]{}éßΩ中λ→"
+
+
+def _ref_tokens(text):
+    return token_hashes(tokenize(text)) if text else np.empty(0, np.uint64)
+
+
+def _ref_shingles(text, k):
+    return shingle_hashes(tokenize(text), k) if text else np.empty(0, np.uint64)
+
+
+def _assert_batch_matches(texts: list, k: int = 3):
+    col = pa.array(texts, pa.string())
+    th, toff = batch_token_hashes(col)
+    sv, soff = batch_shingle_hashes(col, k)
+    assert len(toff) == len(texts) + 1 and len(soff) == len(texts) + 1
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(th[toff[i] : toff[i + 1]], _ref_tokens(t))
+        np.testing.assert_array_equal(sv[soff[i] : soff[i + 1]], _ref_shingles(t, k))
+
+
+def test_batch_kernels_fixed_cases():
+    _assert_batch_matches(
+        [
+            None,
+            "",
+            "a",
+            "a b",
+            "a b c d e f g h",
+            "same same same same",
+            "  \t\n ",
+            "x" * 5000,
+            "word_1 word_2 word_3 word_4",
+            "MiXeD CaSe TOKENS_9",
+            "héllo wörld code élan",
+            "unicode 中文 between ascii tokens",
+            "a" + "é" * 40 + "b",
+        ],
+        k=3,
+    )
+
+
+def test_batch_kernels_various_k():
+    texts = ["one two three four five six", "a b", None, "solo", ""]
+    for k in (1, 2, 3, 5, 9):
+        _assert_batch_matches(texts, k=k)
+
+
+def test_crc32_many_matches_zlib():
+    toks = [b"a", b"hello_world", b"0123456789" * 7, b"_", b"zz" * 300]
+    data = np.frombuffer(b"".join(toks), np.uint8)
+    lens = np.array([len(t) for t in toks], np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    got = _crc32_many(data, starts, lens)
+    want = np.array([zlib.crc32(t) for t in toks], np.uint32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batch_short_docs_flag():
+    texts = ["a b", "one two three four", None, "x"]
+    col = pa.array(texts, pa.string())
+    sv, soff = batch_shingle_hashes(col, 3, short_docs=False)
+    # docs with < 3 tokens contribute nothing
+    assert soff[1] - soff[0] == 0  # "a b"
+    assert soff[2] - soff[1] == 2  # 4 tokens -> 2 shingles
+    assert soff[3] - soff[2] == 0  # null
+    assert soff[4] - soff[3] == 0  # "x"
+    np.testing.assert_array_equal(
+        np.sort(sv[soff[1] : soff[2]]), _ref_shingles("one two three four", 3)
+    )
+
+
+def test_batch_chunked_and_sliced_input():
+    texts = ["alpha beta gamma delta", "beta gamma", None, "gamma delta epsilon"]
+    chunked = pa.chunked_array([pa.array(texts[:2], pa.string()), pa.array(texts[2:], pa.string())])
+    th_c, toff_c = batch_token_hashes(chunked)
+    th_f, toff_f = batch_token_hashes(pa.array(texts, pa.string()))
+    np.testing.assert_array_equal(th_c, th_f)
+    np.testing.assert_array_equal(toff_c, toff_f)
+    sliced = pa.array(["pad pad"] + texts, pa.string()).slice(1)
+    th_s, toff_s = batch_token_hashes(sliced)
+    np.testing.assert_array_equal(th_s, th_f)
+    np.testing.assert_array_equal(toff_s, toff_f)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet=ALPHABET, max_size=120)),
+        min_size=0,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_batch_kernels_property(texts, k):
+    _assert_batch_matches(texts, k=k)
