@@ -573,16 +573,29 @@ def _verify_candidates_distributed(reps, survivors, cfg: MinHashConfig, n_parts:
             }
         )
 
-    def verify_partition(g):
-        ids_raw = g["id"].to_numpy()
-        bk = g["bucket_key"].to_numpy()
+    def verify_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
+        ids_raw = g["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        bk = g["bucket_key"].combine_chunks().to_numpy(zero_copy_only=False)
+        # signatures flatten zero-copy from the Arrow list column (the
+        # earlier pandas map_groups paid a Python object conversion per
+        # ROW here — the whole reason this path lost to the driver path)
+        sig_mat = (
+            g["sig"]
+            .combine_chunks()
+            .cast(pa.list_(pa.uint64()))
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64, copy=False)
+            .reshape(g.num_rows, cfg.num_perms)
+        )
         # codes in lexicographic id order: pair orientation and star-center
         # choice stay deterministic and match the driver path
         uniq_ids, first_idx, inv = np.unique(ids_raw, return_index=True, return_inverse=True)
-        sig_vals = g["sig"].to_numpy()
-        sigs = np.asarray([np.asarray(sig_vals[i], dtype=np.uint64) for i in first_idx])
+        sigs = sig_mat[first_idx]
         order = np.lexsort((inv, bk))
-        a, b = _bucket_pairs(bk[order], inv[order], cfg.bucket_cap)
+        a, b = _bucket_pairs(bk[order], inv[order].astype(np.int64), cfg.bucket_cap)
         if len(a) == 0:
             return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
         est = (sigs[a] == sigs[b]).mean(axis=1)
@@ -597,7 +610,7 @@ def _verify_candidates_distributed(reps, survivors, cfg: MinHashConfig, n_parts:
     return (
         reps.map_batches(explode_surviving, batch_format="pyarrow")
         .groupby("__bpart")
-        .map_groups(verify_partition, batch_format="pandas")
+        .map_groups(verify_partition, batch_format="pyarrow")
     )
 
 

@@ -41,18 +41,21 @@ def _sf_from_dir(path: str) -> float:
         return 0.1
 
 
-def _corpus_parquet(sf: float) -> str:
+def _corpus_parquet(sf: float, n_repos: int | None = None, content_scale: int | None = None) -> str:
     """Generate (once) and cache the bench corpus for this sf."""
     import ray
 
     from backupdeduplicator_ray.sources.corpus import synth_corpus_distributed
 
-    n_repos = max(8, int(10000 * sf * SCALE_MULT))
-    suffix = f"_c{CONTENT_SCALE}" if CONTENT_SCALE != 1 else ""
+    if n_repos is None:
+        n_repos = max(8, int(10000 * sf * SCALE_MULT))
+    if content_scale is None:
+        content_scale = CONTENT_SCALE
+    suffix = f"_c{content_scale}" if content_scale != 1 else ""
     cache = f"/tmp/bdr_bench_corpus_v2_sf{sf}_r{n_repos}{suffix}"
     if not os.path.isfile(os.path.join(cache, "_DONE")):
         ds = synth_corpus_distributed(
-            n_repos, files_per_repo=100, content_scale=CONTENT_SCALE
+            n_repos, files_per_repo=100, content_scale=content_scale
         )
         tmp = cache + ".tmp"
         import shutil
@@ -293,10 +296,15 @@ def run_probes() -> dict:
         return round(sum(vals), 1)
 
     out = {}
-    for name, fn in (("membw_mb_s", bw_worker), ("sha256_mb_s", cpu_worker)):
-        for n in (1, 8, 32):
-            out[f"{name}_{n}p"] = agg(fn, n)
-            time.sleep(3)
+    # two interleaved passes, max per point: a single throttled window
+    # otherwise lands on one point and fabricates sub/super-linear ratios
+    for _ in range(2):
+        for name, fn in (("membw_mb_s", bw_worker), ("sha256_mb_s", cpu_worker)):
+            for n in (1, 8, 32):
+                v = agg(fn, n)
+                key = f"{name}_{n}p"
+                out[key] = max(out.get(key, 0.0), v)
+                time.sleep(3)
     out["membw_eff_8_to_32"] = round(
         (out["membw_mb_s_32p"] / out["membw_mb_s_8p"]) / 4, 3
     )
@@ -317,20 +325,25 @@ def run_kernel_probe() -> dict:
     compute-dominant and scales; residual e2e gaps are host variance)."""
     import multiprocessing as mp
 
-    sf = _sf_from_dir(SF_DIR)
-    corpus = _corpus_parquet(sf)
+    # pinned to the realistic-file-size corpus (4000 repos x 100 files,
+    # content_scale=4, same as --scaling) regardless of env: compute per
+    # file must dominate per-file overhead for the probe to measure
+    # kernel scaling rather than table-construction constants
+    corpus = _corpus_parquet(0.1, n_repos=4000, content_scale=4)
     files = sorted(
         os.path.join(corpus, f) for f in os.listdir(corpus) if f.endswith(".parquet")
     )[:56]
     lo_p, hi_p = 8, 28  # hi leaves headroom for the parent process
     out = {}
-    for nproc in (lo_p, hi_p):
-        t0 = time.time()
-        with mp.Pool(nproc) as pool:
-            ns = pool.map(_kernel_probe_worker, files)
-        dt = time.time() - t0
-        out[f"pipeline_kernel_docs_s_{nproc}p"] = round(sum(ns) / dt, 1)
-        time.sleep(10)
+    for _ in range(2):  # interleaved best-of-2 (host throttle windows)
+        for nproc in (lo_p, hi_p):
+            t0 = time.time()
+            with mp.Pool(nproc) as pool:
+                ns = pool.map(_kernel_probe_worker, files)
+            dt = time.time() - t0
+            key = f"pipeline_kernel_docs_s_{nproc}p"
+            out[key] = max(out.get(key, 0.0), round(sum(ns) / dt, 1))
+            time.sleep(10)
     out["pipeline_kernel_eff"] = round(
         (out[f"pipeline_kernel_docs_s_{hi_p}p"] / out[f"pipeline_kernel_docs_s_{lo_p}p"])
         / (hi_p / lo_p),
