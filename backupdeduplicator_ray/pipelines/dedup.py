@@ -5,7 +5,13 @@ SURVEY.md §3).
 from __future__ import annotations
 
 from ..config import PipelineConfig
-from ..stages.analyze import dup_members, dup_sets, exact_clusters
+from ..stages.analyze import (
+    dedup_execute,
+    dedup_plan,
+    dup_members,
+    dup_sets,
+    exact_clusters,
+)
 from ..stages.build import build_file_nodes
 from ..stages.tree import build_tree
 
@@ -37,3 +43,18 @@ def minimal_dup_members(corpus_ds, config: PipelineConfig | None = None):
 def exact_file_clusters(corpus_ds, config: PipelineConfig | None = None):
     """corpus → (repo, path, cluster_id, method='exact') file clusters."""
     return exact_clusters(build_nodes(corpus_ds, config))
+
+
+def plan(corpus_ds, config: PipelineConfig | None = None):
+    """corpus → dedup action plan (the reference's stubbed `dedup` stage,
+    src/lib.md:94-107, made real): keep the first member of each minimal
+    dup set, drop the rest, with per-row reclaimable bytes."""
+    return dedup_plan(build_nodes(corpus_ds, config))
+
+
+def execute(corpus_ds, config: PipelineConfig | None = None):
+    """corpus → surviving file-level rows after applying the dedup plan
+    (the reference's stubbed `execute` stage): dropped files removed,
+    dropped directories cascading to everything beneath them."""
+    nodes = build_nodes(corpus_ds, config)
+    return dedup_execute(nodes)

@@ -214,6 +214,62 @@ FROM sets
 """
 
 
+def q_dedup_plan(sf_dir: str):
+    """Deterministic dedup action plan (the reference's stubbed `dedup`
+    stage made real): keep first member per minimal set, drop the rest."""
+    from ..pipelines.dedup import plan
+
+    return plan(corpus_from_documents(sf_dir))
+
+
+_PLAN_CTE = """
+plan AS (
+  SELECT m.hash, m.node_type AS ftype, m.size, m.repo, m.path,
+         CASE WHEN row_number() OVER (
+                PARTITION BY m.hash, m.node_type, m.size ORDER BY m.repo, m.path
+              ) = 1 THEN 'keep' ELSE 'drop' END AS action
+  FROM members m
+  JOIN sets s ON m.hash = s.hash AND m.node_type = s.ftype AND m.size = s.size
+)
+"""
+
+SQL_DEDUP_PLAN = f"""
+WITH {_NODES_CTE}, {_SETS_CTE}, {_PLAN_CTE}
+SELECT hash, ftype, size, repo, path, action,
+       CAST(CASE WHEN action = 'drop' AND ftype = 'file' THEN size ELSE 0 END AS BIGINT) AS reclaim_bytes
+FROM plan
+"""
+
+
+def q_dedup_execute(sf_dir: str):
+    """Surviving file-level rows after applying the dedup plan (the
+    reference's stubbed `execute` stage): dropped files removed, dropped
+    dirs cascading to everything beneath them."""
+    from ..pipelines.dedup import execute
+
+    return execute(corpus_from_documents(sf_dir))
+
+
+SQL_DEDUP_EXECUTE = f"""
+WITH {_NODES_CTE}, {_SETS_CTE}, {_PLAN_CTE},
+dropped_files AS (SELECT repo, path FROM plan WHERE action = 'drop' AND ftype = 'file'),
+dropped_dirs AS (SELECT repo, path FROM plan WHERE action = 'drop' AND ftype = 'dir')
+SELECT f.repo, f.path, f.size, f.hash
+FROM files f
+WHERE NOT EXISTS (SELECT 1 FROM dropped_files d WHERE d.repo = f.repo AND d.path = f.path)
+  AND NOT EXISTS (
+    -- ancestor rule (functions/paths.parent_of): d is an ancestor of f iff
+    -- f.path starts with d.path followed by a level separator ('/' or the
+    -- archive boundary '!'), or d is the repo root ('')
+    SELECT 1 FROM dropped_dirs d
+    WHERE d.repo = f.repo
+      AND (d.path = ''
+           OR starts_with(f.path, d.path || '/')
+           OR starts_with(f.path, d.path || '!'))
+  )
+"""
+
+
 def q_compact_latest(sf_dir: str):
     """Latest-wins compaction (D1/clean): two write generations of the same
     paths, keep the newest row's hash."""
@@ -952,6 +1008,8 @@ QUERIES = {
     "tree_nodes": q_tree_nodes,
     "dup_members": q_dup_members,
     "dup_total": q_dup_total,
+    "dedup_plan": q_dedup_plan,
+    "dedup_execute": q_dedup_execute,
     "compact_latest": q_compact_latest,
     "incremental_file_hash": q_incremental_file_hash,
     "archive_roundtrip": q_archive_roundtrip,
@@ -980,6 +1038,8 @@ ORACLE_SQL = {
     "tree_nodes": SQL_TREE_NODES,
     "dup_members": SQL_DUP_MEMBERS,
     "dup_total": SQL_DUP_TOTAL,
+    "dedup_plan": SQL_DEDUP_PLAN,
+    "dedup_execute": SQL_DEDUP_EXECUTE,
     "compact_latest": SQL_COMPACT_LATEST,
     "incremental_file_hash": SQL_INCREMENTAL_FILE_HASH,
     "archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,

@@ -280,6 +280,136 @@ def dup_members(nodes_ds):
     return dupsets.map_batches(explode, batch_format="pyarrow")
 
 
+PLAN_SCHEMA = pa.schema(
+    [
+        ("hash", pa.string()),
+        ("ftype", pa.string()),
+        ("size", pa.int64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("action", pa.string()),  # 'keep' | 'drop'
+        ("reclaim_bytes", pa.int64()),
+    ]
+)
+
+
+def dedup_plan(nodes_ds):
+    """Minimal dup sets → deterministic action plan: keep the first member
+    (sorted by (repo, path) — the reference's DupSetEntry ordering made
+    deterministic), drop the rest.
+
+    The reference DESIGNED but never implemented this ("dedup" and
+    "execute" stages are stubs, src/lib.md:94-107); this is the Ray-Data
+    realization.  reclaim_bytes = size for dropped files; 0 for dirs (a
+    dir's `size` is its child count — reference quirk, hashtreefile.rs:56 —
+    its reclaimable bytes are counted on the files inside when the drop
+    cascades at execute time).  Member lists may be capped
+    (MAX_MEMBERS_PER_SET): the plan covers the listed members; n_conflicts
+    stays exact on the emitted set.
+    """
+    dupsets, _ = dup_sets(nodes_ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            for i, (repo, path) in enumerate(zip(row["repos"], row["paths"])):
+                drop = i > 0
+                rows.append(
+                    {
+                        "hash": row["hash"],
+                        "ftype": row["ftype"],
+                        "size": row["size"],
+                        "repo": repo,
+                        "path": path,
+                        "action": "drop" if drop else "keep",
+                        "reclaim_bytes": int(row["size"])
+                        if (drop and row["ftype"] == "file")
+                        else 0,
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=PLAN_SCHEMA)
+
+    return dupsets.map_batches(explode, batch_format="pyarrow")
+
+
+def dedup_execute(nodes_ds, plan_ds=None):
+    """Apply a dedup plan: file-level node rows that SURVIVE the plan —
+    rows not dropped directly and not under any dropped directory (a
+    dropped dir cascades to everything beneath it; its kept twin holds an
+    identical copy of every cascaded file, so no content is lost).
+
+    The dropped-file and dropped-dir key sets are the plan's 'drop' rows —
+    bounded by actual duplicates, the small side by construction — and are
+    broadcast once via ray.put (the same valve as dup_sets' dup-dir set;
+    flips to `state.joins.partitioned_semi_join(keep=False)` if a plan
+    ever outgrew a broadcast).  Ancestor checks are vectorized per PATH
+    DEPTH LEVEL (one pc.is_in per level), never per row.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.groups import cached_get
+
+    if plan_ds is None:
+        plan_ds = dedup_plan(nodes_ds)
+    plan_ds = plan_ds.materialize()
+
+    def dropped(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["action"], "drop")
+        return pa.table(
+            {
+                "ftype": t["ftype"].filter(m),
+                "key": pc.binary_join_element_wise(
+                    t["repo"].filter(m), t["path"].filter(m), "\x00"
+                ),
+            }
+        )
+
+    drop_tbl = pa.concat_tables(
+        [t for t in ray.get(plan_ds.map_batches(dropped, batch_format="pyarrow").materialize().to_arrow_refs()) if t.num_rows]
+        or [pa.table({"ftype": pa.array([], pa.string()), "key": pa.array([], pa.string())})],
+        promote_options="default",
+    )
+    file_mask = pc.equal(drop_tbl["ftype"], "file")
+    dropped_files = drop_tbl["key"].filter(file_mask).combine_chunks()
+    dropped_dirs = drop_tbl["key"].filter(pc.invert(file_mask)).combine_chunks()
+    files_ref = ray.put(dropped_files)
+    dirs_ref = ray.put(dropped_dirs)
+
+    def survive(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["node_type"], value_set=pa.array(["file", "other"]))
+        t = t.filter(m)
+        if len(t) == 0:
+            return t.select(["repo", "path", "size", "hash"])
+        dfiles = cached_get(files_ref)
+        ddirs = cached_get(dirs_ref)
+        key = pc.binary_join_element_wise(t["repo"], t["path"], "\x00")
+        drop = pc.is_in(key, value_set=dfiles) if len(dfiles) else pa.array([False] * len(t))
+        if len(ddirs):
+            # ancestor cascade: strip one path component per ROUND (regex
+            # over the whole column), membership-test the prefix — O(depth)
+            # vectorized kernel passes, no per-row Python.  Mirrors
+            # functions.paths.parent_of: '/' and '!' both separate levels,
+            # a separator-less path's parent is '' (the repo root).
+            def vparent(col):
+                stripped = pc.replace_substring_regex(col, "[/!][^/!]*$", "")
+                return pc.if_else(
+                    pc.equal(stripped, col), pa.scalar("", pa.string()), stripped
+                )
+
+            prefix = vparent(t["path"])
+            while True:
+                anc_key = pc.binary_join_element_wise(t["repo"], prefix, "\x00")
+                drop = pc.or_(drop, pc.is_in(anc_key, value_set=ddirs))
+                if pc.all(pc.equal(prefix, "")).as_py():
+                    break
+                prefix = vparent(prefix)
+        keep = pc.invert(pc.fill_null(drop, False))
+        return t.filter(keep).select(["repo", "path", "size", "hash"])
+
+    return nodes_ds.map_batches(survive, batch_format="pyarrow")
+
+
 CLUSTERS_SCHEMA = pa.schema(
     [
         ("repo", pa.string()),

@@ -114,3 +114,45 @@ def test_exact_clusters_cover_truth_pairs(ray_session, small_corpus_ds, small_co
     for a, b in truth.exact_pairs:
         assert a in cluster_of and b in cluster_of, (a, b)
         assert cluster_of[a] == cluster_of[b], (a, b)
+
+
+def test_dedup_plan_and_execute(ray_session, small_corpus, small_corpus_ds):
+    """Plan keeps exactly one member per set; execute removes dropped files
+    (incl. dir cascades) but never loses the last copy of any content."""
+    import hashlib
+
+    from backupdeduplicator_ray.stages.analyze import dedup_execute, dedup_plan
+
+    nodes = build_nodes(small_corpus_ds).materialize()
+    plan = dedup_plan(nodes).materialize().to_pandas()
+    assert set(plan["action"]) == {"keep", "drop"}
+    keeps = plan.groupby(["hash", "ftype", "size"])["action"].apply(
+        lambda s: (s == "keep").sum()
+    )
+    assert (keeps == 1).all()
+    # the kept member is the (repo, path)-minimum of each set
+    first = plan.sort_values(["repo", "path"]).groupby(
+        ["hash", "ftype", "size"], sort=False
+    ).head(1)
+    assert (first["action"] == "keep").all()
+    # reclaim accounting: dropped files reclaim their size, dirs reclaim 0
+    dropped_files = plan[(plan["action"] == "drop") & (plan["ftype"] == "file")]
+    assert (dropped_files["reclaim_bytes"] == dropped_files["size"]).all()
+    assert (plan.loc[plan["ftype"] == "dir", "reclaim_bytes"] == 0).all()
+
+    surv = dedup_execute(nodes).materialize().to_pandas()
+    table, _ = small_corpus
+    n_files = table.num_rows
+    assert 0 < len(surv) < n_files
+    # safety: every distinct content hash survives somewhere
+    before = {
+        hashlib.sha256(c.encode()).hexdigest()
+        for c in table.column("content").to_pylist()
+        if c is not None
+    }
+    after = set(surv[surv["hash"].notna()]["hash"])
+    assert before <= after
+    # dropped FILE plan rows are gone from the survivors
+    surv_keys = set(zip(surv["repo"], surv["path"]))
+    for r in dropped_files.itertuples(index=False):
+        assert (r.repo, r.path) not in surv_keys
