@@ -673,13 +673,17 @@ def minhash_clusters(
     id_col: str = "id",
     text_col: str = "text",
     include_singletons: bool = False,
+    distributed: bool = False,
 ):
-    """Document Dataset → (id, cluster_id, method='minhash') cluster table."""
+    """Document Dataset → (id, cluster_id, method='minhash') cluster table.
+
+    distributed=True forces the fully-distributed candidate-verification
+    route (the 10^12-file path) regardless of candidate-set size."""
     cfg = cfg or MinHashConfig()
     all_ids = ds.map_batches(
         lambda t: pa.table({"id": t[id_col].cast(pa.string())}), batch_format="pyarrow"
     ) if include_singletons else None
-    edges = minhash_edges(ds, cfg, id_col, text_col)
+    edges = minhash_edges(ds, cfg, id_col, text_col, distributed=distributed)
     labels = connected_components(edges, nodes_ds=all_ids)
     return labels.map_batches(
         lambda t: t.append_column("method", pa.array(["minhash"] * len(t), pa.string())),

@@ -144,7 +144,9 @@ def run_cluster_only() -> dict:
     _fresh_session()
     t0 = time.time()
     corpus = rd.read_parquet(corpus_path, columns=["repo", "path", "content"])
-    n_clustered = minhash_clusters(_as_docs(corpus)).count()
+    n_clustered = minhash_clusters(
+        _as_docs(corpus), distributed=os.environ.get("BDR_DISTRIBUTED") == "1"
+    ).count()
     cluster_sec = round(time.time() - t0, 3)
     ray.shutdown()
     return {
@@ -468,7 +470,13 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # CPU levels: 8→32 by default; overridable because this VM has ONE
+    # shared DRAM-bandwidth domain that saturates near ~8-10 active cores
+    # (BENCH_SCALING_COMPUTE.json membw probes), while a real N→4N cluster
+    # adds bandwidth with every node.  4→16 keeps BOTH points inside the
+    # core-bound regime — the closer analogue of two cluster sizes.
+    lo = int(os.environ.get("GRAFT_SCALING_CPUS_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_CPUS_HI", "32"))
     m_small = int(os.environ.get("GRAFT_SCALING_MULT_SMALL", "1"))
     m_big = int(os.environ.get("GRAFT_SCALING_MULT_BIG", "4"))
     sweeps = int(os.environ.get("GRAFT_SCALING_SWEEPS", "2"))
