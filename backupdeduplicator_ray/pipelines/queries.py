@@ -97,6 +97,12 @@ def _embeddings(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
 # --- corpus / dedup queries ------------------------------------------------
 
 
@@ -1000,6 +1006,117 @@ def _gen_hash_oracles() -> dict[str, str]:
     }
 
 
+# --- event-stream operators (stages/events.py) -----------------------------
+
+
+def q_window_agg(sf_dir: str):
+    """Tumbling 1-hour window aggregate over events: row count + fixed-point
+    value sum per (window, event_type)."""
+    from ..stages.events import windowed_agg
+
+    return windowed_agg(
+        _events(sf_dir, ["ts", "event_type", "value"]), window_sec=3600
+    )
+
+
+SQL_WINDOW_AGG = """
+SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessions (30-min gap): one row per (user, session ordinal)
+    with count, time span, and fixed-point value sum."""
+    from ..stages.events import sessionize
+
+    return sessionize(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]), gap_sec=1800
+    )
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value, event_id
+  FROM events
+),
+g AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT user_id, ts_us, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(ts_us) AS t_start_us,
+       max(ts_us) AS t_end_us,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+def q_asof_lag(sf_dir: str):
+    """As-of join: each purchase matched to the user's latest prior-or-equal
+    view event (left semantics — unmatched purchases keep nulls)."""
+    import pyarrow.compute as pc
+
+    from ..stages.events import asof_join
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def side(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            return pa.table(
+                {
+                    "event_id": t["event_id"],
+                    "user_id": t["user_id"],
+                    "ts_us": t["ts"].cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    left = ev.map_batches(side("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(side("view"), batch_format="pyarrow")
+    joined = asof_join(left, right, on="ts_us", by="user_id", right_cols=("event_id",))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": t["ts_us"],
+                "prior_event_id": t["r_event_id"],
+                "lag_us": pc.subtract(t["ts_us"], t["r_ts_us"]),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_ASOF_LAG = """
+SELECT l.event_id, l.user_id, CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+       r.event_id AS prior_event_id,
+       CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES = {
@@ -1030,6 +1147,9 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "media_features": q_media_features,
+    "window_agg": q_window_agg,
+    "sessionize": q_sessionize,
+    "asof_lag": q_asof_lag,
 }
 
 ORACLE_SQL = {
@@ -1060,4 +1180,7 @@ ORACLE_SQL = {
     **_gen_hash_oracles(),
     # media_features: stubbed decode (environment has no media libs)
     # -> rows-only.
+    "window_agg": SQL_WINDOW_AGG,
+    "sessionize": SQL_SESSIONIZE,
+    "asof_lag": SQL_ASOF_LAG,
 }

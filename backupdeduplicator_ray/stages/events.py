@@ -1,0 +1,290 @@
+"""Event-stream operators over the `events` table: tumbling-window
+aggregate, gap-based sessionization, and an as-of join.
+
+These are the custom operators a training-data pipeline needs that Ray Data
+has no built-in for (windowed aggregate, as-of join); each is expressed as
+a composition of vectorized `map_batches` + one hash-partitioned exchange,
+per the repo's partitioning doctrine (state/joins.py):
+
+- `windowed_agg`: per-batch PARTIAL aggregation (pandas groupby inside the
+  batch — thousands of rows collapse to a handful of (window, type) partial
+  rows) followed by one small multi-key Ray groupby over partials.  The
+  shuffle moves partials, never events — at 100 TB the exchange is
+  O(windows × types × blocks), not O(rows).
+- `sessionize` / `asof_join`: hash-partition by the `by` key (user), then
+  ONE vectorized pandas kernel per partition (sort + diff + cumsum /
+  `pd.merge_asof`) — B Python calls total, never one per user
+  (`groupby(user).map_groups` would pay Ray's per-group machinery per
+  DISTINCT USER; see state/joins.py docstring).  Partitioning assumption:
+  a single user's events fit one partition — true by construction for
+  session/as-of semantics, which are per-user sequential.
+
+Timestamps travel as int64 epoch-microseconds from the first map_batches
+on: cheap fixed-width shuffle keys, and no engine-specific timestamp-type
+round-trip in oracle comparison.  Float `value` sums are made deterministic
+(and oracle-exact) by fixed-point conversion: floor(value*1000) as int64 —
+IEEE multiply+floor is bit-identical in any engine reading the same
+parquet doubles, while float summation order is not.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+US = 1_000_000  # microseconds per second
+
+
+def _events_us(ds, ts_col: str, cols: dict[str, str]):
+    """Project events to int64 epoch-us + requested columns (pruned early:
+    only what the operator needs rides the shuffle)."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        out = {"ts_us": t[ts_col].cast(pa.int64())}
+        for name, col in cols.items():
+            out[name] = t[col]
+        return pa.table(out)
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def windowed_agg(
+    ds,
+    window_sec: int = 3600,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Tumbling-window aggregate: (window_start_us, key) → row count +
+    fixed-point value sum.
+
+    Partial-combine pattern: each input batch is pre-aggregated with a
+    vectorized pandas groupby (rows → per-batch partials), then a single
+    Ray multi-key groupby sums partials.  No raw event ever crosses the
+    exchange.
+    """
+    from ray.data.aggregate import Sum
+
+    win_us = window_sec * US
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "window_start_us": (
+                    t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // win_us
+                )
+                * win_us,
+                key_col: t[key_col].to_pandas(),
+                "v_milli": np.floor(
+                    t[value_col].to_numpy(zero_copy_only=False) * 1000.0
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["window_start_us", key_col], sort=False, observed=True).agg(
+            n_events=("v_milli", "size"), sum_value_milli=("v_milli", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False).cast(
+            _WINDOW_SCHEMA_PARTIAL(key_col)
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["window_start_us", key_col]).aggregate(
+        Sum("n_events"), Sum("sum_value_milli")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start_us": t["window_start_us"].cast(pa.int64()),
+                key_col: t[key_col],
+                "n_events": t["sum(n_events)"].cast(pa.int64()),
+                "sum_value_milli": t["sum(sum_value_milli)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _WINDOW_SCHEMA_PARTIAL(key_col: str) -> pa.Schema:
+    return pa.schema(
+        [
+            ("window_start_us", pa.int64()),
+            (key_col, pa.string()),
+            ("n_events", pa.int64()),
+            ("sum_value_milli", pa.int64()),
+        ]
+    )
+
+
+SESSION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("t_start_us", pa.int64()),
+        ("t_end_us", pa.int64()),
+        ("sum_value_milli", pa.int64()),
+    ]
+)
+
+
+def sessionize(
+    ds,
+    gap_sec: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    n_parts: int = 32,
+):
+    """Gap-based sessionization: a user's events ordered by (ts, order_col)
+    start a new session whenever the gap to the previous event exceeds
+    `gap_sec`.  Returns one row per (user, session): count, span, value sum.
+
+    One hash exchange on the user key, then one vectorized kernel per
+    partition (sort → per-user diff → cumsum).  session_id is the 1-based
+    ordinal of the session within the user — deterministic and
+    SQL-reproducible (a windowed running sum of session starts).
+    """
+    gap_us = gap_sec * US
+
+    ev = _events_us(
+        ds, ts_col, {"user_id": user_col, "value": value_col, "order": order_col}
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__part", pa.array((u % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "order"], kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        new_sess = new_user | (gap > gap_us)
+        # session ordinal within user: cumulative session starts minus the
+        # cumulative count at the user's first row, +1
+        starts = np.cumsum(new_sess)
+        first_of_user = np.zeros(len(g), dtype=np.int64)
+        user_first_idx = np.flatnonzero(new_user)
+        first_of_user = starts[user_first_idx][np.cumsum(new_user) - 1]
+        sess = starts - first_of_user + 1
+        df = pd.DataFrame(
+            {
+                "user_id": uid,
+                "session_id": sess,
+                "ts_us": ts,
+                "v_milli": np.floor(g["value"].to_numpy() * 1000.0).astype(np.int64),
+            }
+        )
+        out = (
+            df.groupby(["user_id", "session_id"], sort=False)
+            .agg(
+                n_events=("v_milli", "size"),
+                t_start_us=("ts_us", "min"),
+                t_end_us=("ts_us", "max"),
+                sum_value_milli=("v_milli", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(SESSION_SCHEMA)
+
+    return (
+        ev.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    on: str = "ts_us",
+    by: str = "user_id",
+    right_cols: tuple[str, ...] = (),
+    n_parts: int = 32,
+):
+    """As-of (backward) join: for each left row, the latest right row of the
+    same `by` key with right.on <= left.on — Ray Data has no built-in for
+    this.  Left-join semantics: unmatched left rows keep nulls.
+
+    Both sides are hash-partitioned on `by` (co-partitioned exchange), then
+    ONE `pd.merge_asof` per partition — the canonical vectorized as-of
+    kernel.  Right columns are carried with an `r_` prefix.  Assumes
+    left/right (by, on) pairs are unique per side (true for event streams
+    with unique event ids; pre-aggregate otherwise).
+    """
+    l_schema = left_ds.schema()
+    l_names = list(l_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_schema = right_ds.schema()
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    r_keep = [c for c in (right_cols or r_schema.names) if c not in (on, by)]
+
+    out_fields = [(c, l_types[c]) for c in l_names]
+    out_fields += [(f"r_{on}", r_types[on])]
+    out_fields += [(f"r_{c}", r_types[c]) for c in r_keep]
+    out_schema = pa.schema(out_fields)
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            u = t[by].to_numpy(zero_copy_only=False).astype(np.uint64)
+            cols = {}
+            for name, typ in out_fields:
+                if side == "l":
+                    cols[name] = t[name] if name in l_names else pa.nulls(len(t), typ)
+                else:
+                    if name == f"r_{on}":
+                        cols[name] = t[on]
+                    elif name.startswith("r_") and name[2:] in r_keep:
+                        cols[name] = t[name[2:]]
+                    elif name == by:
+                        cols[name] = t[by]
+                    else:
+                        cols[name] = pa.nulls(len(t), typ)
+            cols["__part"] = pa.array((u % np.uint64(n_parts)).astype(np.int32))
+            cols["__side"] = pa.array([side] * len(t), pa.string())
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left_ds.map_batches(tag("l"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    def merge_part(g: pd.DataFrame) -> pa.Table:
+        # pandas materializes int64-with-nulls as float64, and which columns
+        # carry nulls varies by partition (side-padding) — coerce the merge
+        # keys back to int64 (side-restricted slices are never null there)
+        # and carry unmatched int results as nullable Int64.
+        left = g[g["__side"] == "l"][l_names].sort_values(on, kind="mergesort")
+        left[on] = left[on].astype("int64")
+        rnames = [by, f"r_{on}"] + [f"r_{c}" for c in r_keep]
+        right = g[g["__side"] == "r"][rnames].sort_values(f"r_{on}", kind="mergesort")
+        right[f"r_{on}"] = right[f"r_{on}"].astype("int64")
+        right[by] = right[by].astype(left[by].dtype)
+        merged = pd.merge_asof(
+            left,
+            right,
+            left_on=on,
+            right_on=f"r_{on}",
+            by=by,
+            direction="backward",
+            allow_exact_matches=True,
+        )[[n for n, _ in out_fields]]
+        for name, typ in out_fields:
+            if pa.types.is_integer(typ) and merged[name].dtype.kind == "f":
+                merged[name] = merged[name].astype("Int64")
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(out_schema)
+
+    return tagged.groupby("__part").map_groups(merge_part, batch_format="pandas")

@@ -398,7 +398,8 @@ def run_scaling_compute() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALING_CPUS_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_CPUS_HI", "32"))
     runs = {lo: [], hi: []}
     for ncpu in (lo, hi, lo, hi):
         runs[ncpu].append(run(ncpu))
@@ -408,7 +409,9 @@ def run_scaling_compute() -> None:
     probes = run_probes()
     out = json.dumps(
         {
-            "metric": "CPU-bound scaling: signature stage 8 -> 32 cpus + host probes",
+            "metric": f"CPU-bound scaling: signature stage {lo} -> {hi} cpus + host probes",
+            "cpus_lo": lo,
+            "cpus_hi": hi,
             "docs": r_lo["docs"],
             "sig_sec_lo": r_lo["sec"],
             "sig_sec_hi": r_hi["sec"],
@@ -517,7 +520,7 @@ def run_scaling() -> None:
 
     out = json.dumps(
         {
-            "metric": "scaling efficiency, 8 -> 32 cpus (fresh processes; "
+            "metric": f"scaling efficiency, {lo} -> {hi} cpus (fresh processes; "
             "realistic file sizes; raw + fixed-ramp-corrected marginal)",
             "cpus_lo": lo,
             "cpus_hi": hi,

@@ -78,7 +78,8 @@ def test_oracle_keys_subset(entry_mod):
         "cosine_pairs", "ivf_topk", "simhash_fingerprints", "fingerprints",
         "minhash_signatures", "langid", "embedding_lsh_pairs",
         "minhash_clusters", "simhash_clusters", "substring_pairs",
-        "dedup_plan", "dedup_execute",
+        "dedup_plan", "dedup_execute", "window_agg", "sessionize",
+        "asof_lag",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):

@@ -1,0 +1,109 @@
+"""Event-stream operators (stages/events.py): edge semantics the oracle
+corpus doesn't exercise — exact gap boundaries, unmatched as-of rows,
+partition-count invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(table):
+    import ray.data
+
+    return ray.data.from_arrow(table)
+
+
+@pytest.fixture(scope="module")
+def events_tbl():
+    # user 1: events at 0s, 10s, 10s+gap (exact gap -> SAME session),
+    #         then +gap+1us (-> new session)
+    # user 2: single event
+    gap = 1800 * 1_000_000
+    ts = [0, 10_000_000, 10_000_000 + gap, 10_000_000 + 2 * gap + 1, 5_000_000]
+    return pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(
+                ["view", "purchase", "view", "purchase", "purchase"], pa.string()
+            ),
+            "value": pa.array([1.25, 2.5, 3.0, 4.0, 0.5], pa.float64()),
+        }
+    )
+
+
+def test_sessionize_gap_boundary(ray_session, events_tbl):
+    from backupdeduplicator_ray.stages.events import sessionize
+
+    out = sessionize(_ds(events_tbl), gap_sec=1800).to_pandas()
+    u1 = out[out.user_id == 1].sort_values("session_id")
+    # exact-gap event stays in session 1; +gap+1us starts session 2
+    assert list(u1.session_id) == [1, 2]
+    assert list(u1.n_events) == [3, 1]
+    assert u1.iloc[0].t_start_us == 0
+    u2 = out[out.user_id == 2]
+    assert list(u2.n_events) == [1]
+    # fixed-point sums: floor(v*1000)
+    assert u1.iloc[0].sum_value_milli == 1250 + 2500 + 3000
+
+
+def test_windowed_agg_counts(ray_session, events_tbl):
+    from backupdeduplicator_ray.stages.events import windowed_agg
+
+    out = windowed_agg(_ds(events_tbl), window_sec=3600).to_pandas()
+    total = out.n_events.sum()
+    assert total == 5
+    # window starts are aligned to the hour
+    assert (out.window_start_us % (3600 * 1_000_000) == 0).all()
+
+
+def test_asof_unmatched_left_rows(ray_session, events_tbl):
+    import pyarrow.compute as pc
+
+    from backupdeduplicator_ray.stages.events import asof_join
+
+    ev = _ds(events_tbl)
+
+    def side(kind):
+        def fn(t):
+            t = t.filter(pc.equal(t["event_type"], kind))
+            return pa.table(
+                {
+                    "event_id": t["event_id"],
+                    "user_id": t["user_id"],
+                    "ts_us": t["ts"].cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    left = ev.map_batches(side("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(side("view"), batch_format="pyarrow")
+    out = asof_join(left, right, on="ts_us", by="user_id").to_pandas()
+    out = out.set_index("event_id")
+    # purchase 2 (user 1, 10s) -> view 1 (0s); purchase 4 -> view 3
+    assert out.loc[2].r_event_id == 1
+    assert out.loc[4].r_event_id == 3
+    # user 2 has no view: left row kept with null match
+    assert np.isnan(out.loc[5].r_event_id)
+
+
+def test_sessionize_partition_invariance(ray_session, events_tbl):
+    from backupdeduplicator_ray.stages.events import sessionize
+
+    a = (
+        sessionize(_ds(events_tbl), gap_sec=1800, n_parts=1)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        sessionize(_ds(events_tbl).repartition(3), gap_sec=1800, n_parts=7)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
