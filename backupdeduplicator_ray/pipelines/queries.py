@@ -1117,6 +1117,48 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+# --- selection operators (stages/select.py) --------------------------------
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic 20% Bernoulli sample of documents keyed on
+    sha256(doc_id) — reproducible across runs/engines/shardings."""
+    from ..stages.select import deterministic_sample
+
+    return deterministic_sample(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]), key_col="doc_id", rate=0.2
+    )
+
+
+# threshold '33333333' == sample_threshold_hex(0.2): floor(0.2 * 16^8) in hex
+SQL_DOC_SAMPLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+"""
+
+
+def q_lang_topk(sf_dir: str):
+    """Per-group quota selection: the 5 longest documents per language
+    (ties broken on doc_id)."""
+    from ..stages.select import topk_per_group
+
+    return topk_per_group(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        group_col="lang",
+        order_col="n_chars",
+        k=5,
+        id_col="doc_id",
+    )
+
+
+SQL_LANG_TOPK = """
+SELECT doc_id, lang, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 5
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES = {
@@ -1150,6 +1192,8 @@ QUERIES = {
     "window_agg": q_window_agg,
     "sessionize": q_sessionize,
     "asof_lag": q_asof_lag,
+    "doc_sample": q_doc_sample,
+    "lang_topk": q_lang_topk,
 }
 
 ORACLE_SQL = {
@@ -1183,4 +1227,6 @@ ORACLE_SQL = {
     "window_agg": SQL_WINDOW_AGG,
     "sessionize": SQL_SESSIONIZE,
     "asof_lag": SQL_ASOF_LAG,
+    "doc_sample": SQL_DOC_SAMPLE,
+    "lang_topk": SQL_LANG_TOPK,
 }

@@ -1,0 +1,112 @@
+"""Row-selection operators for training-data curation: deterministic
+hash sampling and per-group quota selection (top-k per group).
+
+Both are embarrassingly parallel or single-exchange:
+
+- `deterministic_sample` is a pure per-batch filter — no shuffle at all;
+  the sampling decision is a function of sha256(key), so it is stable
+  across runs, partitionings and engines (the DuckDB oracle reproduces it
+  with the same hex-prefix comparison).  This is how a 100 TB corpus is
+  subsampled reproducibly: re-running the pipeline, or running it on a
+  differently-sharded copy of the data, selects the SAME rows.
+- `topk_per_group` hash-partitions on the group key (one exchange of a
+  PRE-PRUNED candidate set: each input batch is first cut to its own local
+  top-k per group — at most k rows per (group, batch) survive, so the
+  shuffle moves O(groups × k × blocks), not O(rows)), then one vectorized
+  sort + groupby-head kernel per partition.  Skew-safe: a group's shuffle
+  footprint is bounded by k × blocks regardless of its row count.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash_string_column
+
+
+def sample_threshold_hex(rate: float) -> str:
+    """8-hex-char threshold so that P(sha256_prefix < threshold) == rate
+    (up to 1/16^8).  Fixed-length lowercase hex compares lexicographically
+    exactly like the number it encodes — the oracle uses the same string
+    comparison."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+def deterministic_sample(ds, key_col: str, rate: float):
+    """Keep each row iff sha256(str(key))'s first 8 hex chars compare below
+    the rate threshold — a reproducible, engine-independent Bernoulli
+    sample keyed on row identity (null keys are never selected)."""
+    thresh = sample_threshold_hex(rate)
+
+    def flt(t: pa.Table) -> pa.Table:
+        digests = hash_string_column(t[key_col].cast(pa.string()))
+        prefix = pc.utf8_slice_codeunits(digests, 0, 8)
+        return t.filter(pc.fill_null(pc.less(prefix, thresh), False))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def topk_per_group(
+    ds,
+    group_col: str,
+    order_col: str,
+    k: int,
+    id_col: str,
+    descending: bool = True,
+    n_parts: int = 32,
+):
+    """At most `k` rows per group, ranked by (order_col, id_col) — the
+    quota-sampling primitive (e.g. cap documents per language/domain).
+    Ties break on ascending `id_col`, making the selection deterministic
+    and SQL-reproducible (row_number() OVER (PARTITION BY g ORDER BY o
+    DESC, id) <= k).
+
+    Two-level: a local per-batch top-k prune (combiner) bounds what the
+    group-key exchange carries, then the per-partition kernel finalizes.
+    """
+    sort_cols = [group_col, order_col, id_col]
+    ascending = [True, not descending, True]
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False, dropna=False).head(k), preserve_index=False
+        ).cast(t.schema)
+
+    import zlib
+
+    import numpy as np
+
+    def add_part(t: pa.Table) -> pa.Table:
+        col = t[group_col]
+        if pa.types.is_integer(col.type):
+            u = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            parts = (u % np.uint64(n_parts)).astype(np.int32)
+        else:
+            parts = np.array(
+                [zlib.crc32(str(v).encode()) % n_parts for v in col.to_pylist()],
+                dtype=np.int32,
+            )
+        return t.append_column("__part", pa.array(parts))
+
+    schema = ds.schema()
+    out_schema = pa.schema(list(zip(schema.names, schema.types)))
+
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__part").sort_values(
+            sort_cols, ascending=ascending, kind="mergesort"
+        )
+        return pa.Table.from_pandas(
+            g.groupby(group_col, sort=False, dropna=False).head(k), preserve_index=False
+        ).cast(out_schema)
+
+    return (
+        ds.map_batches(local_prune, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(finalize, batch_format="pandas")
+    )

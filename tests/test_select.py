@@ -1,0 +1,61 @@
+"""Selection operators (stages/select.py): local-prune correctness when a
+group spans many blocks, sampling determinism and rate."""
+
+import pyarrow as pa
+
+
+def _ds(table, parts=1):
+    import ray.data
+
+    ds = ray.data.from_arrow(table)
+    return ds.repartition(parts) if parts > 1 else ds
+
+
+def test_topk_per_group_spanning_blocks(ray_session):
+    # one hot group with 200 rows spread over 8 blocks: the global top-3
+    # must survive the per-batch prune regardless of which block holds them
+    n = 200
+    t = pa.table(
+        {
+            "id": pa.array(list(range(n)), pa.int64()),
+            "g": pa.array(["hot"] * n, pa.string()),
+            "score": pa.array([i * 7 % n for i in range(n)], pa.int64()),
+        }
+    )
+    from backupdeduplicator_ray.stages.select import topk_per_group
+
+    out = (
+        topk_per_group(_ds(t, parts=8), "g", "score", 3, "id")
+        .to_pandas()
+        .sort_values("score", ascending=False)
+    )
+    expect = (
+        t.to_pandas().sort_values(["score", "id"], ascending=[False, True]).head(3)
+    )
+    assert list(out["id"]) == list(expect["id"])
+
+
+def test_topk_tie_break_deterministic(ray_session):
+    t = pa.table(
+        {
+            "id": pa.array([5, 3, 1, 4, 2], pa.int64()),
+            "g": pa.array(["a"] * 5, pa.string()),
+            "score": pa.array([9, 9, 9, 9, 9], pa.int64()),
+        }
+    )
+    from backupdeduplicator_ray.stages.select import topk_per_group
+
+    out = topk_per_group(_ds(t, parts=2), "g", "score", 2, "id").to_pandas()
+    assert sorted(out["id"]) == [1, 2]  # smallest ids win ties
+
+
+def test_deterministic_sample_stability_and_rate(ray_session):
+    ids = pa.table({"k": pa.array([str(i) for i in range(5000)], pa.string())})
+    from backupdeduplicator_ray.stages.select import deterministic_sample
+
+    a = set(deterministic_sample(_ds(ids), "k", 0.2).to_pandas()["k"])
+    b = set(deterministic_sample(_ds(ids, parts=7), "k", 0.2).to_pandas()["k"])
+    assert a == b  # partitioning-independent
+    assert 0.15 < len(a) / 5000 < 0.25  # Bernoulli(0.2) at n=5000
+    bigger = set(deterministic_sample(_ds(ids), "k", 0.5).to_pandas()["k"])
+    assert a <= bigger  # nested samples: raising the rate only adds rows
