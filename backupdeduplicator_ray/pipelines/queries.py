@@ -1159,6 +1159,26 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 5
 """
 
 
+def q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary: 100 most frequent tokens with counts (partial
+    per-batch counts -> token groupby -> pruned global top-k)."""
+    from ..stages.textops import vocab_topk
+
+    return vocab_topk(_docs(sf_dir, ["text"]), text_col="text", k=100)
+
+
+SQL_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT token, count(*) AS n
+FROM toks GROUP BY token
+ORDER BY n DESC, token
+LIMIT 100
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES = {
@@ -1194,6 +1214,7 @@ QUERIES = {
     "asof_lag": q_asof_lag,
     "doc_sample": q_doc_sample,
     "lang_topk": q_lang_topk,
+    "vocab_topk": q_vocab_topk,
 }
 
 ORACLE_SQL = {
@@ -1229,4 +1250,5 @@ ORACLE_SQL = {
     "asof_lag": SQL_ASOF_LAG,
     "doc_sample": SQL_DOC_SAMPLE,
     "lang_topk": SQL_LANG_TOPK,
+    "vocab_topk": SQL_VOCAB_TOPK,
 }

@@ -266,3 +266,54 @@ def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 5,
         batch_size=2048,
         concurrency=concurrency or default_concurrency(),
     )
+
+
+def vocab_topk(ds, text_col: str = "text", k: int = 100):
+    """Corpus vocabulary: the k most frequent tokens (TOKEN_PATTERN words),
+    ties broken on ascending token — the vocabulary-building primitive.
+
+    Shuffle discipline: each batch collapses to per-batch PARTIAL counts
+    (Arrow split + value_counts — thousands of rows of text become at most
+    |batch vocabulary| partial rows) before the token-key groupby, so the
+    exchange moves partial counts, never tokens-per-occurrence.  The summed
+    counts then pre-prune to a per-block local top-k (bounded candidate
+    set: global top-k is a subset of the union of block top-ks) before one
+    tiny global sort+limit.
+    """
+    import pyarrow.compute as pc
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        text = pc.drop_null(t[text_col].combine_chunks())
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(text, "[^A-Za-z0-9_]+")
+        )
+        toks = pc.drop_null(toks)
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n"))
+    )
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        t = pa.table({"token": t["token"], "n": t["sum(n)"].cast(pa.int64())})
+        order = pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("token", "ascending")]
+        )
+        return t.take(order[: min(k, len(t))])
+
+    return (
+        counts.map_batches(local_prune, batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
