@@ -1159,6 +1159,23 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 5
 """
 
 
+def q_len_quantiles(sf_dir: str):
+    """Exact discrete quantiles of document length via distributed
+    histogram aggregation (no global sort; exchange is O(distinct))."""
+    from ..stages.stats import column_quantiles
+
+    return column_quantiles(
+        _docs(sf_dir, ["n_chars"]), "n_chars", [0.25, 0.5, 0.9, 0.99]
+    )
+
+
+SQL_LEN_QUANTILES = """
+SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE) AS q,
+       unnest(quantile_disc(n_chars, [0.25, 0.5, 0.9, 0.99])) AS value
+FROM documents
+"""
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus vocabulary: 100 most frequent tokens with counts (partial
     per-batch counts -> token groupby -> pruned global top-k)."""
@@ -1215,6 +1232,7 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "lang_topk": q_lang_topk,
     "vocab_topk": q_vocab_topk,
+    "len_quantiles": q_len_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1251,4 +1269,5 @@ ORACLE_SQL = {
     "doc_sample": SQL_DOC_SAMPLE,
     "lang_topk": SQL_LANG_TOPK,
     "vocab_topk": SQL_VOCAB_TOPK,
+    "len_quantiles": SQL_LEN_QUANTILES,
 }

@@ -1,0 +1,76 @@
+"""Distributed column statistics: exact discrete quantiles via histogram
+aggregation.
+
+`column_quantiles` computes EXACT quantile_disc values without a global
+sort: each batch collapses to (value, count) partials (value_counts — a
+batch of millions of rows becomes at most |batch distinct| partial rows),
+one groupby sums the partials into the full histogram, and the quantile
+indices are read off the cumulative histogram.  The exchange and the final
+pull are O(distinct values), not O(rows) — the right shape for bounded-
+cardinality metrics (lengths, scores, counts) at 100 TB.  For genuinely
+high-cardinality float columns, pre-bucket (round/scale) first; the
+histogram itself is still computed distributed either way.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def column_quantiles(ds, col: str, qs: list[float]):
+    """Exact discrete quantiles of a column: for each q, the element at
+    index max(ceil(q*n)-1, 0) of the ascending-sorted values — DuckDB
+    `quantile_disc` semantics exactly (nulls excluded from n).
+
+    Returns a small pyarrow Table (q double, value as the column's type),
+    one row per requested quantile.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.drop_null(t[col].combine_chunks()).value_counts()
+        return pa.table(
+            {"value": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("n"))
+        .sort("value")
+    )
+    # the histogram is O(distinct values) — small by assumption (see module
+    # docstring); pulling it to the driver is the final k-row reduce, the
+    # same envelope as any top-k/aggregate result
+    import ray
+
+    blocks = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    tbl = (
+        pa.concat_tables(blocks, promote_options="default")
+        if blocks
+        else pa.table({"value": pa.array([], pa.int64()), "sum(n)": pa.array([], pa.int64())})
+    )
+    values = tbl["value"].combine_chunks()
+    counts = tbl["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            out_q.append(float(q))
+            out_v.append(None)
+            continue
+        idx = max(math.ceil(q * n) - 1, 0)
+        pos = int(np.searchsorted(cum, idx + 1))
+        out_q.append(float(q))
+        out_v.append(values[pos].as_py())
+    return pa.table(
+        {
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, values.type if len(values) else pa.int64()),
+        }
+    )

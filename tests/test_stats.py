@@ -1,0 +1,36 @@
+"""column_quantiles: exact quantile_disc semantics vs brute force."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+def _brute(vals, q):
+    s = np.sort(vals)
+    return int(s[max(math.ceil(q * len(s)) - 1, 0)])
+
+
+def test_column_quantiles_exact(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 50, size=4000)  # heavy duplication: real histogram
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    from backupdeduplicator_ray.stages.stats import column_quantiles
+
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    out = column_quantiles(ray.data.from_arrow(t).repartition(9), "x", qs)
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    for q in qs:
+        assert got[q] == _brute(vals, q), q
+
+
+def test_column_quantiles_nulls_excluded(ray_session):
+    import ray.data
+
+    t = pa.table({"x": pa.array([1, None, 3, None, 5], pa.int64())})
+    from backupdeduplicator_ray.stages.stats import column_quantiles
+
+    out = column_quantiles(ray.data.from_arrow(t), "x", [0.5])
+    assert out["value"].to_pylist() == [3]
