@@ -1,0 +1,87 @@
+"""Composed corpus-curation pipeline: quality gate → exact dedup
+(keep-first) → deterministic subsample.
+
+The realistic end-to-end flow a training-data pipeline runs over a raw
+document corpus, built purely by composing the engine's stages — and
+shaped for 100 TB:
+
+1. quality gate — per-batch vectorized filter (pc.count_substring_regex),
+   no shuffle; rows that fail never leave the read stage.
+2. exact dedup — ONE hash-partitioned exchange on sha256(text): inside
+   each partition a vectorized sort + drop_duplicates keeps the
+   minimum-id representative of every distinct content.  No driver state,
+   no per-key Python; a partition's cost is bounded by its row share.
+3. deterministic sample — shuffle-free sha256-keyed Bernoulli filter
+   (stages/select.deterministic_sample): reproducible across runs,
+   partitionings and engines.
+
+Order matters at scale: the quality gate runs FIRST (cheapest, biggest
+reduction before the only exchange), the sample runs LAST so the sampled
+population is the deduplicated corpus (sampling before dedup would bias
+survivor choice toward sampled members).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash_string_column
+from ..stages.select import deterministic_sample
+from ..stages.textops import TOKEN_PATTERN
+
+
+def curate_documents(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    sample_rate: float = 0.5,
+    keep_cols: tuple[str, ...] = ("lang", "n_chars"),
+    n_parts: int = 64,
+):
+    """documents → curated (id + keep_cols) table: quality-gated,
+    exact-deduplicated (min-id representative per distinct text), then
+    deterministically subsampled."""
+
+    out_cols = [id_col, *keep_cols]
+
+    def gate(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        ok = pc.and_(
+            text.combine_chunks().is_valid(),
+            pc.greater_equal(
+                pc.count_substring_regex(text, TOKEN_PATTERN), min_tokens
+            ),
+        )
+        t = t.filter(pc.fill_null(ok, False))
+        cols = {c: t[c] for c in out_cols}
+        cols["__h"] = hash_string_column(t[text_col])
+        h = cols["__h"]
+        parts = np.array(
+            [zlib.crc32(v.encode()) % n_parts for v in h.to_pylist()],
+            dtype=np.int32,
+        )
+        cols["__part"] = pa.array(parts)
+        return pa.table(cols)
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    out_schema = pa.schema([(c, types[c]) for c in out_cols])
+
+    def dedup_part(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([ "__h", id_col], kind="mergesort").drop_duplicates(
+            subset="__h", keep="first"
+        )
+        return pa.Table.from_pandas(g[out_cols], preserve_index=False).cast(out_schema)
+
+    deduped = (
+        ds.map_batches(gate, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(dedup_part, batch_format="pandas")
+    )
+    return deterministic_sample(deduped, id_col, sample_rate)

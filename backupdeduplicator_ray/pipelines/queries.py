@@ -1176,6 +1176,36 @@ FROM documents
 """
 
 
+def q_curate(sf_dir: str):
+    """Composed curation pipeline: quality gate (>=10 tokens) -> exact
+    dedup keep-min-id per distinct text -> deterministic 50% sample."""
+    from .curate import curate_documents
+
+    return curate_documents(
+        _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"]),
+        min_tokens=10,
+        sample_rate=0.5,
+    )
+
+
+# sample threshold '80000000' == sample_threshold_hex(0.5)
+SQL_CURATE = """
+WITH q AS (
+  SELECT doc_id, lang, n_chars, text FROM documents
+  WHERE text IS NOT NULL
+    AND len(regexp_extract_all(text, '[A-Za-z0-9_]+')) >= 10
+),
+d AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM q
+)
+SELECT doc_id, lang, n_chars FROM d
+WHERE rn = 1
+  AND substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+"""
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus vocabulary: 100 most frequent tokens with counts (partial
     per-batch counts -> token groupby -> pruned global top-k)."""
@@ -1233,6 +1263,7 @@ QUERIES = {
     "lang_topk": q_lang_topk,
     "vocab_topk": q_vocab_topk,
     "len_quantiles": q_len_quantiles,
+    "curate": q_curate,
 }
 
 ORACLE_SQL = {
@@ -1270,4 +1301,5 @@ ORACLE_SQL = {
     "lang_topk": SQL_LANG_TOPK,
     "vocab_topk": SQL_VOCAB_TOPK,
     "len_quantiles": SQL_LEN_QUANTILES,
+    "curate": SQL_CURATE,
 }
