@@ -304,3 +304,33 @@ def _shingle_hashes_core(
     offsets = np.zeros(ndocs + 1, np.int64)
     np.cumsum(counts, out=offsets[1:])
     return vals, offsets
+
+
+def crc32_column(col) -> np.ndarray:
+    """Vectorized zlib.crc32 of each STRING VALUE in an Arrow column
+    (uint32 per row; null hashes as "").  The partition-assignment
+    companion of the token kernels above: hash-partitioning a string key
+    column (state/joins, stages/select, pipelines/curate) runs one
+    lockstep pass over the column's UTF-8 buffer instead of a per-row
+    Python loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.fill_null(col, "").cast(pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint32)
+    offs = np.frombuffer(arr.buffers()[1], np.int64, n + 1, offset=arr.offset * 8)
+    lo, hi = int(offs[0]), int(offs[-1])
+    d = (
+        np.frombuffer(arr.buffers()[2], np.uint8, hi - lo, offset=lo)
+        if hi > lo
+        else np.empty(0, np.uint8)
+    )
+    starts = (offs[:-1] - lo).astype(np.int64)
+    lens = np.diff(offs).astype(np.int64)
+    return _crc32_many(d, starts, lens)

@@ -23,14 +23,13 @@ survivor choice toward sampled members).
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import hash_string_column
+from ..functions.shingles import crc32_column
 from ..stages.select import deterministic_sample
 from ..stages.textops import TOKEN_PATTERN
 
@@ -61,11 +60,7 @@ def curate_documents(
         t = t.filter(pc.fill_null(ok, False))
         cols = {c: t[c] for c in out_cols}
         cols["__h"] = hash_string_column(t[text_col])
-        h = cols["__h"]
-        parts = np.array(
-            [zlib.crc32(v.encode()) % n_parts for v in h.to_pylist()],
-            dtype=np.int32,
-        )
+        parts = (crc32_column(cols["__h"]) % np.uint32(n_parts)).astype(np.int32)
         cols["__part"] = pa.array(parts)
         return pa.table(cols)
 

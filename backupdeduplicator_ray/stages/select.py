@@ -77,8 +77,6 @@ def topk_per_group(
             df.groupby(group_col, sort=False, dropna=False).head(k), preserve_index=False
         ).cast(t.schema)
 
-    import zlib
-
     import numpy as np
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -87,9 +85,10 @@ def topk_per_group(
             u = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             parts = (u % np.uint64(n_parts)).astype(np.int32)
         else:
-            parts = np.array(
-                [zlib.crc32(str(v).encode()) % n_parts for v in col.to_pylist()],
-                dtype=np.int32,
+            from ..functions.shingles import crc32_column
+
+            parts = (crc32_column(col.cast(pa.string())) % np.uint32(n_parts)).astype(
+                np.int32
             )
         return t.append_column("__part", pa.array(parts))
 

@@ -23,18 +23,18 @@ import pyarrow as pa
 
 def _with_part(ds, key: str, n_parts: int, side: str):
     def add(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         col = t[key]
         if pa.types.is_integer(col.type):
-            import numpy as np
-
             vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             parts = (vals % np.uint64(n_parts)).astype(np.int32)
             part_arr = pa.array(parts)
         else:
-            part_arr = pa.array(
-                [zlib.crc32(str(v).encode()) % n_parts for v in col.to_pylist()],
-                pa.int32(),
-            )
+            from ..functions.shingles import crc32_column
+
+            crc = crc32_column(col.cast(pa.string()))
+            part_arr = pa.array((crc % np.uint32(n_parts)).astype(np.int32))
         t = t.append_column("__part", part_arr)
         return t.append_column("__side", pa.array([side] * len(t), pa.string()))
 
