@@ -137,3 +137,17 @@ def test_path_algebra():
     assert depth_of("a.py") == 0
     assert normalize("a/b/../c") == "a/c"
     assert normalize("./a//b") == "a/b"
+
+
+def test_crc32_column_matches_zlib():
+    """Vectorized partition-key crc32 == zlib.crc32 per value (nulls as '')."""
+    import zlib
+
+    import pyarrow as pa
+
+    from backupdeduplicator_ray.functions.shingles import crc32_column
+
+    vals = ["", "a", "hello world", "x" * 4097, None, "ünïcødé", "a\x00b"]
+    got = list(crc32_column(pa.array(vals, pa.string())))
+    want = [zlib.crc32(("" if v is None else v).encode()) for v in vals]
+    assert got == want
