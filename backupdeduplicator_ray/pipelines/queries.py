@@ -1176,6 +1176,22 @@ FROM documents
 """
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact distinct users per event type (pair-dedup partials; the wide
+    exchange is O(distinct pairs), never raw events)."""
+    from ..stages.stats import distinct_count
+
+    return distinct_count(
+        _events(sf_dir, ["event_type", "user_id"]), "event_type", "user_id"
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
 def q_curate(sf_dir: str):
     """Composed curation pipeline: quality gate (>=10 tokens) -> exact
     dedup keep-min-id per distinct text -> deterministic 50% sample."""
@@ -1264,6 +1280,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "len_quantiles": q_len_quantiles,
     "curate": q_curate,
+    "distinct_users": q_distinct_users,
 }
 
 ORACLE_SQL = {
@@ -1302,4 +1319,5 @@ ORACLE_SQL = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "len_quantiles": SQL_LEN_QUANTILES,
     "curate": SQL_CURATE,
+    "distinct_users": SQL_DISTINCT_USERS,
 }

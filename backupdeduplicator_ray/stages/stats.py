@@ -74,3 +74,63 @@ def column_quantiles(ds, col: str, qs: list[float]):
             "value": pa.array(out_v, values.type if len(values) else pa.int64()),
         }
     )
+
+
+def distinct_count(ds, key_col: str, value_col: str):
+    """Exact count(DISTINCT value) per key — two-level dedup so the
+    exchange never carries raw rows: each batch first collapses to its
+    distinct (key, value) pairs (vectorized drop_duplicates — a batch's
+    repeats vanish locally), one groupby dedups pairs globally, then
+    per-block partial counts of keys feed a final tiny key groupby.
+    The wide exchange is O(distinct pairs), the second is O(keys x blocks).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        t = pa.table({key_col: t[key_col], value_col: t[value_col]})
+        # null values ride along as one (key, null) pair so the key itself
+        # survives to the output (SQL: GROUP BY k keeps a key whose values
+        # are all null, with count(DISTINCT v) = 0)
+        return t.group_by([key_col, value_col]).aggregate([])
+
+    pairs = (
+        ds.map_batches(local_pairs, batch_format="pyarrow")
+        .groupby([key_col, value_col])
+        .count()
+    )
+
+    def partial_key_counts(t: pa.Table) -> pa.Table:
+        valid = t[value_col].combine_chunks().is_valid()
+        vc = t[key_col].combine_chunks().filter(valid).value_counts()
+        # zero-count markers for keys whose pair in this block is the null
+        # one — summing zeros is a no-op for keys counted elsewhere, and
+        # keeps all-null keys in the output with n_distinct = 0
+        zero_keys = pc.unique(t[key_col].combine_chunks().filter(pc.invert(valid)))
+        return pa.table(
+            {
+                key_col: pa.concat_arrays(
+                    [vc.field("values").combine_chunks(), zero_keys.combine_chunks()]
+                    if isinstance(zero_keys, pa.ChunkedArray)
+                    else [vc.field("values"), zero_keys]
+                ),
+                "n_distinct": pa.concat_arrays(
+                    [
+                        vc.field("counts").cast(pa.int64()),
+                        pa.nulls(len(zero_keys), pa.int64()).fill_null(0),
+                    ]
+                ),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(partial_key_counts, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n_distinct"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {key_col: t[key_col], "n_distinct": t["sum(n_distinct)"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )

@@ -34,3 +34,24 @@ def test_column_quantiles_nulls_excluded(ray_session):
 
     out = column_quantiles(ray.data.from_arrow(t), "x", [0.5])
     assert out["value"].to_pylist() == [3]
+
+
+def test_distinct_count_null_and_partition_semantics(ray_session):
+    """count(DISTINCT v): null values never count, but an all-null key
+    still appears with 0 (SQL GROUP BY semantics); partition-invariant."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "a", "b", "c", "c"],
+            "v": pa.array([1, 1, None, None, 2, 3], pa.int64()),
+        }
+    )
+    from backupdeduplicator_ray.stages.stats import distinct_count
+
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = distinct_count(ds, "k", "v").to_pandas()
+        assert out.set_index("k")["n_distinct"].to_dict() == {"a": 1, "b": 0, "c": 2}
