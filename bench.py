@@ -211,6 +211,15 @@ def run_bench() -> dict:
     q_ann_topk(SF_DIR)
     queries["ann_topk"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    from backupdeduplicator_ray.pipelines.curate import curate_documents
+
+    corpus = rd.read_parquet(corpus_path, columns=["repo", "path", "content"])
+    curate_documents(
+        _as_docs(corpus), id_col="id", text_col="text", keep_cols=()
+    ).count()
+    queries["curate"] = round(time.time() - t0, 3)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "end-to-end dedup + clustering wall time",
