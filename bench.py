@@ -3,8 +3,9 @@
 
     python bench.py                # $GRAFT_SF_DIR (default /root/testdata/sf0.1),
                                    # $RAY_GRAFT_CPUS (default 32)
-    python bench.py --scaling      # same pipeline at 8 and 32 CPUs in fresh
-                                   # processes; prints throughputs + efficiency
+    python bench.py --scaling      # same pipeline at 4 and 16 CPUs in fresh
+                                   # processes (GRAFT_SCALING_CPUS_LO/HI to
+                                   # override); prints throughputs + efficiency
 
 Headline: end-to-end dedup (build -> Merkle tree -> minimal dup sets) plus
 MinHash clustering over a deterministic synthetic source-code corpus sized
