@@ -333,15 +333,17 @@ def _band_explode(cfg: MinHashConfig):
             .reshape(n, cfg.num_perms)
         )
         bh = mh.band_hashes_batch(sigs, cfg.bands)  # (n, bands)
-        ids = batch["id"].to_pylist()
         # fuse (band_id, band_hash) into ONE u64 key: a single-column
         # groupby halves the sort/count shuffle cost vs a two-key exchange
         band_ids = np.tile(np.arange(cfg.bands, dtype=np.uint64), n)
         fused = bh.reshape(-1) ^ (band_ids * np.uint64(0x9E3779B97F4A7C15))
+        # Arrow take with a repeated index replicates ids without
+        # materializing n*bands Python strings
+        rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), cfg.bands))
         return pa.table(
             {
                 "bucket_key": pa.array(fused),
-                "id": pa.array(np.repeat(ids, cfg.bands), pa.string()),
+                "id": batch["id"].combine_chunks().take(rep_idx),
             }
         )
 
@@ -778,11 +780,11 @@ def simhash_edges(ds, cfg: SimHashConfig | None = None, id_col: str = "id", text
         bh = sh.simhash_bands_batch(fp, cfg.bands)  # (n, bands)
         band_ids = np.tile(np.arange(cfg.bands, dtype=np.uint64), n)
         fused = bh.reshape(-1) ^ (band_ids * np.uint64(0x9E3779B97F4A7C15))
-        ids = t["id"].to_pylist()
+        rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), cfg.bands))
         return pa.table(
             {
                 "bucket_key": pa.array(fused),
-                "id": pa.array(np.repeat(ids, cfg.bands), pa.string()),
+                "id": t["id"].combine_chunks().take(rep_idx),
                 "fingerprint": pa.array(np.repeat(fp, cfg.bands)),
             }
         )
