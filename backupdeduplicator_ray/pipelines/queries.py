@@ -1176,6 +1176,103 @@ FROM documents
 """
 
 
+def q_order_revenue(sf_dir: str):
+    """Relational join + aggregate over the TPC-H-ish tables: revenue per
+    order priority through `state.joins.partitioned_hash_join` (both sides
+    large, hash-co-partitioned, vectorized per-partition merge).  Columns
+    are pruned at the read and the revenue is fixed-point cents computed
+    per row BEFORE the join, so the exchange carries (orderkey, cents) and
+    (orderkey, priority) only."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..state.joins import partitioned_hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "orderkey": t["l_orderkey"].cast(pa.int64()),
+                "cents": pa.compute.cast(
+                    pa.compute.floor(
+                        pa.compute.multiply(
+                            pa.compute.multiply(
+                                t["l_extendedprice"],
+                                pa.compute.subtract(
+                                    pa.scalar(1.0), t["l_discount"]
+                                ),
+                            ),
+                            pa.scalar(100.0),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "orderkey": t["o_orderkey"].cast(pa.int64()),
+                "priority": t["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = partitioned_hash_join(li, orders, "orderkey", n_parts=32)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            pd.DataFrame(
+                {"priority": t["priority"].to_pandas(), "cents": t["cents"].to_pandas()}
+            )
+            .groupby("priority", sort=False)
+            .agg(n_items=("cents", "size"), revenue_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("priority", pa.string()),
+                    ("n_items", pa.int64()),
+                    ("revenue_cents", pa.int64()),
+                ]
+            )
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("priority")
+        .aggregate(Sum("n_items"), Sum("revenue_cents"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "priority": t["priority"],
+                "n_items": t["sum(n_items)"].cast(pa.int64()),
+                "revenue_cents": t["sum(revenue_cents)"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ORDER_REVENUE = """
+SELECT o.o_orderpriority AS priority,
+       count(*) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact distinct users per event type (pair-dedup partials; the wide
     exchange is O(distinct pairs), never raw events)."""
@@ -1281,6 +1378,7 @@ QUERIES = {
     "len_quantiles": q_len_quantiles,
     "curate": q_curate,
     "distinct_users": q_distinct_users,
+    "order_revenue": q_order_revenue,
 }
 
 ORACLE_SQL = {
@@ -1320,4 +1418,5 @@ ORACLE_SQL = {
     "len_quantiles": SQL_LEN_QUANTILES,
     "curate": SQL_CURATE,
     "distinct_users": SQL_DISTINCT_USERS,
+    "order_revenue": SQL_ORDER_REVENUE,
 }

@@ -80,7 +80,7 @@ def test_oracle_keys_subset(entry_mod):
         "minhash_clusters", "simhash_clusters", "substring_pairs",
         "dedup_plan", "dedup_execute", "window_agg", "sessionize",
         "asof_lag", "doc_sample", "lang_topk", "vocab_topk",
-        "len_quantiles", "curate", "distinct_users",
+        "len_quantiles", "curate", "distinct_users", "order_revenue",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):
