@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..sources.corpus import corpus_from_documents, derive_corpus_sql
 
@@ -954,25 +955,70 @@ def q_embedding_lsh_pairs(sf_dir: str):
     return embedding_neardup_lsh(_embeddings(sf_dir), threshold=0.35, n_planes=8, n_tables=6)
 
 
-def q_media_features(sf_dir: str):
-    """Multimodal plumbing demo: deterministic fake media -> features."""
-    import ray.data
+_MEDIA_DIM = 16
 
-    from ..stages.multimodal import media_features, synth_media_table
 
-    ds = ray.data.from_arrow(synth_media_table(64))
-    feats = media_features(ds, dim=16)
-    return feats.map_batches(
-        lambda t: pa.table(
+def _media_from_documents(sf_dir: str):
+    """Media rows derived deterministically from the documents table (so a
+    DuckDB oracle can reproduce the bytes): media = utf-8 text bytes, kind
+    cycles by doc_id % 3."""
+    kinds = np.array(["image", "audio", "video"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                "media_id": t["media_id"],
-                "kind": t["kind"],
-                "n_bytes": t["n_bytes"],
-                "dim": pa.array([len(f) for f in t["feature"].to_pylist()], pa.int64()),
+                "media_id": t["doc_id"],
+                "kind": pa.array(kinds[doc_id % 3]),
+                "media": pc.cast(t["text"], pa.large_binary()),
             }
-        ),
-        batch_format="pyarrow",
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow"
     )
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal feature extraction (actor-pool decode stage) with the
+    deterministic hex-slice fake feature, emitted long-format as exact
+    fixed-point ints so DuckDB can reproduce every value (VERDICT r2 #1)."""
+    from ..stages.multimodal import media_features
+
+    feats = media_features(_media_from_documents(sf_dir), dim=_MEDIA_DIM)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        comp = t["feature"].combine_chunks()
+        flat = comp.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.tile(np.arange(_MEDIA_DIM, dtype=np.int64), n)
+        idx = np.repeat(np.arange(n), _MEDIA_DIM)
+        return pa.table(
+            {
+                "media_id": t["media_id"].take(pa.array(idx)),
+                "kind": t["kind"].take(pa.array(idx)),
+                "n_bytes": t["n_bytes"].take(pa.array(idx)),
+                "j": pa.array(j),
+                "component": pa.array(flat),
+            }
+        )
+
+    return feats.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_MEDIA_FEATURES = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS hex
+  FROM documents
+)
+SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes, j,
+       CAST(CAST('0x' || substr(hex, 1 + 4 * j, 4) AS INTEGER) AS BIGINT) AS component
+FROM m, range({_MEDIA_DIM}) t(j)
+ORDER BY media_id, j
+"""
 
 
 # --- generated hash-chain oracles ------------------------------------------
@@ -1407,8 +1453,10 @@ ORACLE_SQL = {
     # fingerprints (winnowing), minhash_signatures, langid,
     # embedding_lsh_pairs, simhash_clusters, minhash_clusters
     **_gen_hash_oracles(),
-    # media_features: stubbed decode (environment has no media libs)
-    # -> rows-only.
+    # media_features: real decode is still environment-gated (strict mode
+    # raises), but the deterministic fake feature is sha256-hex fixed-point
+    # and therefore fully SQL-derivable.
+    "media_features": SQL_MEDIA_FEATURES,
     "window_agg": SQL_WINDOW_AGG,
     "sessionize": SQL_SESSIONIZE,
     "asof_lag": SQL_ASOF_LAG,

@@ -67,9 +67,27 @@ class MediaFeatureStage:
         )
 
     def _decode_fake(self, data: bytes) -> np.ndarray:
-        seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
-        rng = np.random.default_rng(seed)
-        return rng.standard_normal(self.dim).astype(np.float32)
+        """Deterministic SQL-expressible pseudo-feature.
+
+        Component j is the 16-bit integer parsed from 4 hex chars of a
+        sha256 hex-digest chain: digest 0 = sha256(media bytes), digest
+        k+1 = sha256(ascii hexdigest of digest k). Each digest yields 16
+        components; values are exact integers in [0, 65535], which float32
+        represents exactly — so a DuckDB oracle
+        (CAST('0x' || substr(sha256(...), 1+4*j, 4) AS INTEGER)) reproduces
+        them bit-for-bit (VERDICT r2 item 1: fixed-point, not seeded noise).
+        """
+        out = np.empty(self.dim, np.float32)
+        hexd = hashlib.sha256(data).hexdigest()
+        j = 0
+        while j < self.dim:
+            take = min(16, self.dim - j)
+            for s in range(take):
+                out[j + s] = int(hexd[4 * s : 4 * s + 4], 16)
+            j += take
+            if j < self.dim:
+                hexd = hashlib.sha256(hexd.encode("ascii")).hexdigest()
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, n_bytes = [], []

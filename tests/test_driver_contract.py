@@ -81,6 +81,7 @@ def test_oracle_keys_subset(entry_mod):
         "dedup_plan", "dedup_execute", "window_agg", "sessionize",
         "asof_lag", "doc_sample", "lang_topk", "vocab_topk",
         "len_quantiles", "curate", "distinct_users", "order_revenue",
+        "media_features",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):
@@ -89,12 +90,3 @@ def test_query_matches_oracle(entry_mod, duck, name):
     assert list(ray_df.columns) == list(sql_df.columns), name
     assert len(ray_df) == len(sql_df), (name, len(ray_df), len(sql_df))
     pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False, atol=1e-9)
-
-
-@pytest.mark.parametrize(
-    "name",
-    ["media_features"],
-)
-def test_rows_only_queries_run(entry_mod, name):
-    df = _to_pandas(entry_mod.queries()[name](SF_DIR))
-    assert df.shape[0] >= 0 and list(df.columns)
