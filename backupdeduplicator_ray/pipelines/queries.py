@@ -673,6 +673,8 @@ FROM documents GROUP BY lang
 
 _SUBSTR_LEN = 40  # window length for the substring near-dup driver query
 
+from ..stages.neardup import DEFAULT_MAX_DOC_FREQ as _MAX_DOC_FREQ  # noqa: E402
+
 
 def q_substring_pairs(sf_dir: str):
     """Suffix-window substring near-dup pairs (north-rule 'suffix-array
@@ -698,7 +700,13 @@ WITH w AS (
   FROM documents CROSS JOIN UNNEST(range(1, length(text) - {_SUBSTR_LEN} + 2)) AS r(i)
   WHERE text IS NOT NULL AND length(text) >= {_SUBSTR_LEN}
 ),
-dw AS (SELECT DISTINCT id, sub FROM w)
+dw0 AS (SELECT DISTINCT id, sub FROM w),
+-- doc-freq valve: windows shared by more than DEFAULT_MAX_DOC_FREQ docs
+-- are dropped before pair expansion (matches the engine's max_doc_freq)
+dw AS (
+  SELECT * FROM dw0
+  QUALIFY count(*) OVER (PARTITION BY sub) <= {_MAX_DOC_FREQ}
+)
 SELECT x.id AS a_id, y.id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM dw x JOIN dw y ON x.sub = y.sub AND x.id < y.id
 GROUP BY 1, 2
@@ -719,7 +727,7 @@ def q_jaccard_pairs(sf_dir: str):
     )
 
 
-SQL_JACCARD_PAIRS = """
+SQL_JACCARD_PAIRS = f"""
 WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
@@ -727,11 +735,18 @@ sh AS (
   WHERE len(tk) >= 3
 ),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+-- doc-freq valve: shingles in more than DEFAULT_MAX_DOC_FREQ docs never
+-- reach pair expansion (matches the engine's max_doc_freq default).
+-- Set sizes above still count ALL shingles — only co-occurrence does not.
+shf AS (
+  SELECT * FROM sh
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {_MAX_DOC_FREQ}
+),
 hits AS (
   -- VARCHAR comparison: the engine orders pair ids lexicographically
   -- (generic string ids), so the oracle must orient pairs the same way
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
-  FROM sh a JOIN sh b
+  FROM shf a JOIN shf b
     ON a.shingle = b.shingle
    AND CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
   GROUP BY 1, 2

@@ -519,6 +519,114 @@ def _bucket_pairs(bk: np.ndarray, codes: np.ndarray, cap: int):
     return a[first], b[first]
 
 
+def _pair_expand(bk_sorted: np.ndarray):
+    """Sorted key array → row-index pair arrays (ia, ib), one pair per
+    (key, row_x, row_y) with MULTIPLICITY preserved — the counting kernel
+    behind jaccard/substring co-occurrence (unlike `_bucket_pairs`, which
+    dedupes across buckets and star-caps: fine for candidate generation,
+    wrong for counting shared keys).  Size-2 groups (the overwhelming
+    majority) expand in one vectorized shot; larger groups loop, bounded by
+    the `max_doc_freq` valve upstream."""
+    if len(bk_sorted) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.nonzero(bk_sorted[1:] != bk_sorted[:-1])[0] + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    ends = np.concatenate([change, [len(bk_sorted)]]).astype(np.int64)
+    sizes = ends - starts
+    ia_list, ib_list = [], []
+    s2 = starts[sizes == 2]
+    if len(s2):
+        ia_list.append(s2)
+        ib_list.append(s2 + 1)
+    for gi in np.nonzero(sizes > 2)[0]:
+        s, m = int(starts[gi]), int(sizes[gi])
+        xi, yi = np.triu_indices(m, k=1)
+        ia_list.append(s + xi)
+        ib_list.append(s + yi)
+    if not ia_list:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(ia_list), np.concatenate(ib_list)
+
+
+DEFAULT_MAX_DOC_FREQ = 256
+
+
+def cooccur_pair_hits(
+    inv,
+    key_col: str,
+    id_col: str = "id",
+    size_col: str | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+):
+    """Inverted-index rows (key, id[, size]) → co-occurrence hit rows
+    (a_id, b_id[, na, nb]), one row per key the pair shares.
+
+    Partition-grain (VERDICT r2 item 3): count-prune surviving keys
+    (2 <= doc-freq <= max_doc_freq — the stopword/boilerplate valve; pair
+    emission is quadratic in doc-freq), co-locate whole keys by
+    hash(key) % B, then ONE vectorized pair-expansion kernel per partition
+    — no `map_groups` Python call per key.  Pair orientation is ascending
+    lexicographic id, matching the SQL oracles' `a_id < b_id`.
+    """
+    import pandas as pd
+    import ray.data
+
+    from ..functions.groups import filter_by_key_set, keys_with_count_between
+
+    fields = [("a_id", pa.string()), ("b_id", pa.string())]
+    if size_col is not None:
+        fields += [("na", pa.int64()), ("nb", pa.int64())]
+    hit_schema = pa.schema(fields)
+
+    survivors = keys_with_count_between(
+        inv, [key_col], min_count=2, max_count=max_doc_freq
+    )
+    cand = filter_by_key_set(inv, [key_col], survivors, keep=True).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=hit_schema))
+    n_parts = _parts_for_rows(n_cand)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        k = (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col).to_numpy(
+            zero_copy_only=False
+        )
+        if k.dtype == object:
+            part = (pd.util.hash_array(k) % np.uint64(n_parts)).astype(np.int32)
+        else:
+            part = (k.astype(np.uint64, copy=False) % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("__part", pa.array(part))
+
+    def emit(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pa.Table.from_pylist([], schema=hit_schema)
+        keys = g[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        _, kcodes = np.unique(keys, return_inverse=True)
+        _, icodes = np.unique(ids, return_inverse=True)
+        order = np.lexsort((icodes, kcodes))
+        ia, ib = _pair_expand(kcodes[order])
+        if len(ia) == 0:
+            return pa.Table.from_pylist([], schema=hit_schema)
+        ra, rb = order[ia], order[ib]
+        cols = {
+            "a_id": pa.array(ids[ra], pa.string()),
+            "b_id": pa.array(ids[rb], pa.string()),
+        }
+        if size_col is not None:
+            sizes = g[size_col].combine_chunks().to_numpy(zero_copy_only=False)
+            cols["na"] = pa.array(sizes[ra].astype(np.int64))
+            cols["nb"] = pa.array(sizes[rb].astype(np.int64))
+        return pa.table(cols)
+
+    return (
+        cand.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+
+
 def _verify_candidates_distributed(reps, survivors, cfg: MinHashConfig, n_parts: int = 64):
     """Fully distributed verification — ONE shuffle, no hash join.
 
@@ -716,15 +824,15 @@ class SimHashStage:
 
         texts = batch[self.text_col]
         valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
-        fps: list = [None] * len(batch)
+        fps = np.zeros(len(batch), dtype=np.uint64)
         for base, nd, sh_vals, sh_offs in iter_shingle_parts(texts, self.cfg.shingle_k):
-            for ii in range(nd):
-                if valid[base + ii]:
-                    fps[base + ii] = sh.simhash(sh_vals[sh_offs[ii] : sh_offs[ii + 1]])
+            # whole-part batch kernel (functions/simhash.simhash_batch):
+            # one unpackbits + one reduceat per part, no per-doc Python
+            fps[base : base + nd] = sh.simhash_batch(sh_vals, sh_offs)
         return pa.table(
             {
                 "id": batch[self.id_col].cast(pa.string()),
-                "fingerprint": pa.array(fps, pa.uint64()),
+                "fingerprint": pa.array(fps, mask=~valid),
             }
         )
 
@@ -789,35 +897,60 @@ def simhash_edges(ds, cfg: SimHashConfig | None = None, id_col: str = "id", text
             }
         )
 
-    bands = fps.map_batches(explode, batch_format="pyarrow")
+    bands = fps.map_batches(explode, batch_format="pyarrow").materialize()
 
-    def per_bucket(g):
-        # dedupe (same doc can hit one fused key via two bands), sort by id
-        # for deterministic pair orientation / star center
-        uniq = sorted({(i, int(f)) for i, f in zip(g["id"], g["fingerprint"])})
-        m = len(uniq)
-        if m < 2:
+    # partition-grain verification (VERDICT r2 item 4): count-pruned
+    # surviving buckets are co-located by bucket_key % B and each partition
+    # runs ONE vectorized kernel — the same candidate-pair shape as the
+    # minhash `_verify_candidates_distributed` path (size-2 fast path,
+    # star-capped hot buckets via `_bucket_pairs`), with a numpy popcount
+    # as the verify step.  No per-bucket Python `map_groups` calls.
+    import ray.data
+
+    from ..functions.groups import filter_by_key_set, keys_with_count_between
+
+    survivors = keys_with_count_between(bands, ["bucket_key"], min_count=2)
+    cand = filter_by_key_set(bands, ["bucket_key"], survivors, keep=True).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=EDGE_SCHEMA))
+    n_parts = _parts_for_rows(n_cand)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        bk = t["bucket_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__part", pa.array((bk % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def verify_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
             return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
-        ids = np.array([u[0] for u in uniq])
-        f = np.array([u[1] for u in uniq], dtype=np.uint64)
-        if m <= cfg.bucket_cap:
-            dist = sh.popcount64_batch(f[:, None] ^ f[None, :])
-            ai, bi = np.nonzero(np.triu(dist <= cfg.max_hamming, k=1))
-        else:  # star expansion against the bucket minimum (skew valve)
-            dist = sh.popcount64_batch(f[0] ^ f[1:])
-            bi = np.nonzero(dist <= cfg.max_hamming)[0] + 1
-            ai = np.zeros(len(bi), dtype=np.int64)
+        ids_raw = g["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        bk = g["bucket_key"].combine_chunks().to_numpy(zero_copy_only=False)
+        fp = g["fingerprint"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        # codes in lexicographic id order: pair orientation and star-center
+        # choice match the old per-bucket sorted() semantics
+        uniq_ids, first_idx, icodes = np.unique(
+            ids_raw, return_index=True, return_inverse=True
+        )
+        fps_u = fp[first_idx]
+        order = np.lexsort((icodes, bk))
+        a, b = _bucket_pairs(bk[order], icodes[order].astype(np.int64), cfg.bucket_cap)
+        if len(a) == 0:
+            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
+        dist = sh.popcount64_batch(fps_u[a] ^ fps_u[b])
+        keep = dist <= cfg.max_hamming
         return pa.table(
             {
-                "src": pa.array(ids[ai], pa.string()),
-                "dst": pa.array(ids[bi], pa.string()),
+                "src": pa.array(uniq_ids[a[keep]], pa.string()),
+                "dst": pa.array(uniq_ids[b[keep]], pa.string()),
             }
         )
 
-    from ..functions.groups import grouped_on_survivors
-
-    return grouped_on_survivors(
-        bands.materialize(), ["bucket_key"], per_bucket, min_count=2
+    return (
+        cand.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(verify_partition, batch_format="pyarrow")
     )
 
 
@@ -843,7 +976,7 @@ def jaccard_pairs(
     k: int = 3,
     id_col: str = "id",
     text_col: str = "text",
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     hashed: bool = True,
 ):
     """EXACT n-gram-Jaccard pairs >= threshold via an inverted shingle index.
@@ -857,8 +990,11 @@ def jaccard_pairs(
     ~n²/2^64).  `hashed=False` ships shingle strings — bit-identical to the
     DuckDB oracle's string shingles (oracle-checked path).  Strict
     k-shingles only: docs with < k tokens have an empty set (no pairs).
-    `max_doc_freq` drops shingles shared by more docs (stopword-shingle
-    pair-explosion valve at scale; off by default = exact).
+    `max_doc_freq` drops shingles shared by more docs (the stopword-shingle
+    pair-explosion valve — ON by default at DEFAULT_MAX_DOC_FREQ; the SQL
+    oracle encodes the same doc-freq cut; pass None for exact-at-any-freq).
+    Pair emission runs at partition grain via `cooccur_pair_hits` — one
+    vectorized kernel per key-hash partition, never per-shingle Python.
     """
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -919,40 +1055,11 @@ def jaccard_pairs(
 
     inv = ds.map_batches(explode, batch_format="pyarrow")
 
-    def pair_hits(g):
-        n = len(g)
-        if n < 2 or (max_doc_freq is not None and n > max_doc_freq):
-            return pa.table(
-                {
-                    "a_id": pa.array([], pa.string()),
-                    "b_id": pa.array([], pa.string()),
-                    "na": pa.array([], pa.int64()),
-                    "nb": pa.array([], pa.int64()),
-                }
-            )
-        rows = sorted(zip(g["id"], g["set_size"]))
-        a_ids, b_ids, nas, nbs = [], [], [], []
-        for x in range(n):
-            for y in range(x + 1, n):
-                a_ids.append(rows[x][0])
-                b_ids.append(rows[y][0])
-                nas.append(int(rows[x][1]))
-                nbs.append(int(rows[y][1]))
-        return pa.table(
-            {
-                "a_id": pa.array(a_ids, pa.string()),
-                "b_id": pa.array(b_ids, pa.string()),
-                "na": pa.array(nas, pa.int64()),
-                "nb": pa.array(nbs, pa.int64()),
-            }
-        )
-
     from ray.data.aggregate import Count, Max
 
-    from ..functions.groups import grouped_on_survivors
-
-    hits = grouped_on_survivors(
-        inv.materialize(), ["shingle"], pair_hits, min_count=2
+    hits = cooccur_pair_hits(
+        inv.materialize(), "shingle", id_col="id", size_col="set_size",
+        max_doc_freq=max_doc_freq,
     )
 
     # vectorized pair reduction: c = co-occurrence count via aggregate (no
