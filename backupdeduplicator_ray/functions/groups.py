@@ -48,19 +48,55 @@ def keys_with_count_between(
     Default path: per-block partial counts (vectorized pandas value_counts
     inside map_batches, only the key columns scanned) merged on the driver
     — no all-to-all exchange at all, cost O(distinct keys) driver memory.
-    `distributed=True` flips to `groupby().count()` (a sort shuffle) for
-    when distinct-key cardinality outgrows the driver; the call sites that
-    feed 10^12-scale key spaces pass it through their config.
+    `distributed=True` flips to `groupby().count()` (a sort shuffle) and
+    returns the surviving keys as a DATASET — never pulled to the driver
+    (VERDICT r2 item 7): consume it via `filter_by_key_set`, which routes
+    Dataset key sets through `state.joins.partitioned_semi_join`.
     """
     single = len(keys) == 1
     if distributed:
-        counts = ds.select_columns(keys).groupby(keys[0] if single else keys).count()
-        out = set()
-        for r in counts.take_all():
-            c = r["count()"]
-            if c >= min_count and (max_count is None or c <= max_count):
-                out.add(r[keys[0]] if single else tuple(r[k] for k in keys))
-        return out
+        import numpy as np
+        import pyarrow.compute as pc
+
+        # uint64 keys above 2^63 turn into pandas objects inside Ray's
+        # aggregate (→ pickled-extension blocks downstream); bit-cast to
+        # int64 around the groupby to stay fixed-width
+        schema = ds.schema()
+        unsigned = {
+            n for n, t in zip(schema.names, schema.types) if n in keys and pa.types.is_uint64(t)
+        }
+
+        def bitcast(t: pa.Table, to_signed: bool) -> pa.Table:
+            cols = {}
+            for name in t.column_names:
+                col = t[name]
+                if name in unsigned:
+                    v = (
+                        col.combine_chunks().to_numpy(zero_copy_only=False)
+                        .astype(np.uint64 if to_signed else np.int64, copy=False)
+                        .view(np.int64 if to_signed else np.uint64)
+                    )
+                    cols[name] = pa.array(v)
+                else:
+                    cols[name] = col
+            return pa.table(cols)
+
+        prepped = ds.select_columns(keys)
+        if unsigned:
+            prepped = prepped.map_batches(
+                lambda t: bitcast(t, True), batch_format="pyarrow"
+            )
+        counts = prepped.groupby(keys[0] if single else keys).count()
+
+        def flt(t: pa.Table) -> pa.Table:
+            c = t["count()"]
+            mask = pc.greater_equal(c, min_count)
+            if max_count is not None:
+                mask = pc.and_(mask, pc.less_equal(c, max_count))
+            out = t.filter(mask).select(keys)
+            return bitcast(out, False) if unsigned else out
+
+        return counts.map_batches(flt, batch_format="pyarrow")
 
     import numpy as np
     import pandas as pd
@@ -168,11 +204,22 @@ def filter_by_key_set(ds, keys: list[str], key_set, keep: bool = True):
     out of the object store) and each batch is filtered with a C-speed
     `pc.is_in`.  Multi-column keys are fused into a single `\\x00`-joined
     string column on both sides.
+
+    A DATASET key_set (the `keys_with_count_between(distributed=True)`
+    form) routes through `state.joins.partitioned_semi_join` instead —
+    both sides stay distributed, no driver key materialization.
     """
     import pyarrow.compute as pc
     import ray
+    import ray.data
 
     single = len(keys) == 1
+    if isinstance(key_set, ray.data.Dataset):
+        if not single:
+            raise ValueError("Dataset key sets support a single key column only")
+        from ..state.joins import partitioned_semi_join
+
+        return partitioned_semi_join(ds, key_set, keys[0], keep=keep)
     if isinstance(key_set, pa.ChunkedArray):
         key_set = key_set.combine_chunks()
     if len(key_set) == 0:

@@ -174,7 +174,7 @@ def signatures(
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
 
 
-def _exact_prebucket(sig_ds):
+def _exact_prebucket(sig_ds, distributed: bool = False):
     """Exact-hash pre-bucket → (edges among identical docs, representatives).
 
     Vectorized-first: a `groupby(exact).count()` (block-level partial
@@ -182,6 +182,10 @@ def _exact_prebucket(sig_ds):
     duplicates, the small side by construction — go through a per-group
     pass (star edges from the min id + rep selection).  Unique-content rows
     are their own representatives and never hit a Python group call.
+
+    distributed=True keeps the dup-hash key set off the driver entirely:
+    the count survivors come back as a Dataset and both membership filters
+    run as partitioned semi-joins (VERDICT r2 item 7).
     """
     import os
     import sys
@@ -198,7 +202,9 @@ def _exact_prebucket(sig_ds):
         lambda t: t.filter(pc.is_valid(t["exact"])), batch_format="pyarrow"
     ).materialize()
     t1 = time.time()
-    dup_hashes = keys_with_count_between(sig_ds, ["exact"], min_count=2)
+    dup_hashes = keys_with_count_between(
+        sig_ds, ["exact"], min_count=2, distributed=distributed
+    )
     t2 = time.time()
     if timing:
         print(f"[prebucket] signatures={t1 - t0:.1f}s dupcount={t2 - t1:.1f}s", file=sys.stderr)
@@ -240,7 +246,7 @@ def _exact_prebucket(sig_ds):
         )
 
     dup_rows = dup_rows.materialize()
-    if dup_rows.count() <= _DRIVER_DUPROWS_LIMIT:
+    if dup_rows.count() <= _DRIVER_DUPROWS_LIMIT and not distributed:
         # vectorized driver path: dup rows are bounded by actual duplicates
         # (the small side); one pandas grouping instead of a Python call
         # per duplicated content
@@ -375,7 +381,7 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
 
     cfg = cfg or MinHashConfig()
     sig_ds = signatures(ds, cfg, id_col, text_col)
-    exact_edges, reps = _exact_prebucket(sig_ds)
+    exact_edges, reps = _exact_prebucket(sig_ds, distributed=distributed)
     mark("prebucket")
     reps = reps.materialize()
     mark("reps")
@@ -390,10 +396,15 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
     # no serial driver sort ever touches the full key space (this host
     # crawls on single-threaded numpy past ~10 MB, and at 10^12 files the
     # keys wouldn't fit a driver anyway)
-    survivors = keys_with_count_between(bands, ["bucket_key"], min_count=2)
+    # distributed=True (the forced 10^12 route) keeps even the key COUNTS
+    # off the driver: survivors come back as a Dataset and the candidate
+    # filter routes through partitioned_semi_join (VERDICT r2 item 7)
+    survivors = keys_with_count_between(
+        bands, ["bucket_key"], min_count=2, distributed=distributed
+    )
     mark("count")
     # candidate filter is distributed either way (survivor keys are a small
-    # broadcast: u64 per actually-hot bucket)
+    # broadcast: u64 per actually-hot bucket — or a semi-join when forced)
     cand_rows = filter_by_key_set(bands, ["bucket_key"], survivors, keep=True).materialize()
     n_cand = cand_rows.count()
     mark("cand")
@@ -446,9 +457,17 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
         near_edges = _verify_candidates_driver(
             cand_tbl, (sig_ids[s_order], sig_mat[s_order]), cfg
         )
+    elif distributed:
+        # forced 10^12 route: survivors is a Dataset (never driver-side) —
+        # signatures reach candidates through the partitioned hash join
+        near_edges = _verify_candidates_joined(
+            cand_rows, reps, cfg, n_parts=_parts_for_rows(n_cand)
+        )
     else:
-        # candidates too big for the driver: verification runs partition-
-        # grain with signatures re-derived per surviving band row
+        # auto-escalation: candidates too big for the driver, but the
+        # surviving-bucket key set still fits a broadcast — verification
+        # runs partition-grain with signatures re-derived per surviving
+        # band row
         near_edges = _verify_candidates_distributed(
             reps, survivors, cfg, n_parts=_parts_for_rows(n_cand)
         )
@@ -683,44 +702,79 @@ def _verify_candidates_distributed(reps, survivors, cfg: MinHashConfig, n_parts:
             }
         )
 
-    def verify_partition(g: pa.Table) -> pa.Table:
-        if g.num_rows < 2:
-            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
-        ids_raw = g["id"].combine_chunks().to_numpy(zero_copy_only=False)
-        bk = g["bucket_key"].combine_chunks().to_numpy(zero_copy_only=False)
-        # signatures flatten zero-copy from the Arrow list column (the
-        # earlier pandas map_groups paid a Python object conversion per
-        # ROW here — the whole reason this path lost to the driver path)
-        sig_mat = (
-            g["sig"]
-            .combine_chunks()
-            .cast(pa.list_(pa.uint64()))
-            .flatten()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.uint64, copy=False)
-            .reshape(g.num_rows, cfg.num_perms)
-        )
-        # codes in lexicographic id order: pair orientation and star-center
-        # choice stay deterministic and match the driver path
-        uniq_ids, first_idx, inv = np.unique(ids_raw, return_index=True, return_inverse=True)
-        sigs = sig_mat[first_idx]
-        order = np.lexsort((inv, bk))
-        a, b = _bucket_pairs(bk[order], inv[order].astype(np.int64), cfg.bucket_cap)
-        if len(a) == 0:
-            return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
-        est = (sigs[a] == sigs[b]).mean(axis=1)
-        keep = est >= cfg.verify_threshold
-        return pa.table(
-            {
-                "src": pa.array(uniq_ids[a[keep]], pa.string()),
-                "dst": pa.array(uniq_ids[b[keep]], pa.string()),
-            }
-        )
-
     return (
         reps.map_batches(explode_surviving, batch_format="pyarrow")
         .groupby("__bpart")
-        .map_groups(verify_partition, batch_format="pyarrow")
+        .map_groups(lambda g: _verify_sig_partition(g, cfg), batch_format="pyarrow")
+    )
+
+
+def _verify_sig_partition(g: pa.Table, cfg: MinHashConfig) -> pa.Table:
+    """Per-partition signature verification over co-located whole buckets:
+    candidate pairs from the shared `_bucket_pairs` kernel, verified with
+    one signature-equality reduction.  Shared by the broadcast-survivors
+    route and the fully-joined route."""
+    if g.num_rows < 2:
+        return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
+    ids_raw = g["id"].combine_chunks().to_numpy(zero_copy_only=False)
+    bk = g["bucket_key"].combine_chunks().to_numpy(zero_copy_only=False)
+    # signatures flatten zero-copy from the Arrow list column (the
+    # earlier pandas map_groups paid a Python object conversion per
+    # ROW here — the whole reason this path lost to the driver path)
+    sig_mat = (
+        g["sig"]
+        .combine_chunks()
+        .cast(pa.list_(pa.uint64()))
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.uint64, copy=False)
+        .reshape(g.num_rows, cfg.num_perms)
+    )
+    # codes in lexicographic id order: pair orientation and star-center
+    # choice stay deterministic and match the driver path
+    uniq_ids, first_idx, inv = np.unique(ids_raw, return_index=True, return_inverse=True)
+    sigs = sig_mat[first_idx]
+    order = np.lexsort((inv, bk))
+    a, b = _bucket_pairs(bk[order], inv[order].astype(np.int64), cfg.bucket_cap)
+    if len(a) == 0:
+        return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
+    est = (sigs[a] == sigs[b]).mean(axis=1)
+    keep = est >= cfg.verify_threshold
+    return pa.table(
+        {
+            "src": pa.array(uniq_ids[a[keep]], pa.string()),
+            "dst": pa.array(uniq_ids[b[keep]], pa.string()),
+        }
+    )
+
+
+def _verify_candidates_joined(cand_rows, reps, cfg: MinHashConfig, n_parts: int = 64):
+    """10^12-route verification with NO driver key/candidate state at all:
+    the already-semi-joined (bucket_key, id) candidate rows fetch their
+    signatures through `state.joins.partitioned_hash_join` on id (the
+    documented fallback for when even the surviving-bucket key set outgrows
+    a `ray.put` broadcast), then whole buckets co-located by
+    bucket_key % B are verified with the shared vectorized kernel."""
+    from ..state.joins import partitioned_hash_join
+
+    sig_side = reps.map_batches(
+        lambda t: pa.table(
+            {"id": t["id"].cast(pa.string()), "sig": t["sig"].cast(pa.list_(pa.uint64()))}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = partitioned_hash_join(cand_rows, sig_side, "id", n_parts=n_parts)
+
+    def add_bpart(t: pa.Table) -> pa.Table:
+        bk = t["bucket_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__bpart", pa.array((bk % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    return (
+        joined.map_batches(add_bpart, batch_format="pyarrow")
+        .groupby("__bpart")
+        .map_groups(lambda g: _verify_sig_partition(g, cfg), batch_format="pyarrow")
     )
 
 

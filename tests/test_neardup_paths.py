@@ -30,3 +30,38 @@ def test_verification_paths_edge_identical(ray_session, small_corpus):
     }
     assert driver == dist
     assert driver  # fixtures contain near-dups
+
+
+def test_distributed_survivors_are_a_dataset(ray_session):
+    """The distributed=True escape hatch must never pull keys to the driver:
+    it returns a keys Dataset and filter_by_key_set routes it through the
+    partitioned semi-join (VERDICT r2 item 7)."""
+    import ray.data
+
+    from backupdeduplicator_ray.functions.groups import (
+        filter_by_key_set,
+        keys_with_count_between,
+    )
+
+    rows = pa.table(
+        {
+            "bucket_key": pa.array(
+                [2**63 + 5, 2**63 + 5, 7, 7, 7, 11], pa.uint64()
+            ),
+            "id": pa.array(list("abcdef")),
+        }
+    )
+    ds = ray.data.from_arrow(rows)
+    surv = keys_with_count_between(ds, ["bucket_key"], min_count=2, distributed=True)
+    assert isinstance(surv, ray.data.Dataset)
+    kept = filter_by_key_set(ds, ["bucket_key"], surv, keep=True)
+    # semi-join shows up in the executed plan — no driver key set involved
+    got = sorted(r["id"] for r in kept.take_all())
+    assert got == ["a", "b", "c", "d", "e"]
+    assert "filter_part" in kept.stats()
+    # parity with the driver-set path
+    surv_set = keys_with_count_between(ds, ["bucket_key"], min_count=2)
+    kept2 = sorted(
+        r["id"] for r in filter_by_key_set(ds, ["bucket_key"], surv_set).take_all()
+    )
+    assert kept2 == got
