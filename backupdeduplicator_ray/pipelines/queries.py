@@ -25,6 +25,12 @@ import pyarrow.compute as pc
 
 from ..sources.corpus import corpus_from_documents, derive_corpus_sql
 
+# member lists are capped at MAX_MEMBERS_PER_SET in the engine
+# (stages/analyze.py candidate_sets); the member-listing oracles encode
+# the SAME cap so the two stay comparable at any scale (ADVICE r2: plan
+# omitted drop rows above the cap while the SQL covered all members)
+from ..stages.analyze import MAX_MEMBERS_PER_SET as _MAX_SET  # noqa: E402
+
 # --- shared SQL fragments --------------------------------------------------
 
 _NODES_CTE = f"""
@@ -197,6 +203,9 @@ SQL_DUP_MEMBERS = f"""
 WITH {_NODES_CTE}, {_SETS_CTE}
 SELECT m.hash, m.node_type AS ftype, m.size, m.repo, m.path
 FROM members m JOIN sets s ON m.hash = s.hash AND m.node_type = s.ftype AND m.size = s.size
+QUALIFY row_number() OVER (
+  PARTITION BY m.hash, m.node_type, m.size ORDER BY m.repo, m.path
+) <= {_MAX_SET}
 """
 
 
@@ -229,7 +238,7 @@ def q_dedup_plan(sf_dir: str):
     return plan(corpus_from_documents(sf_dir))
 
 
-_PLAN_CTE = """
+_PLAN_CTE = f"""
 plan AS (
   SELECT m.hash, m.node_type AS ftype, m.size, m.repo, m.path,
          CASE WHEN row_number() OVER (
@@ -237,6 +246,9 @@ plan AS (
               ) = 1 THEN 'keep' ELSE 'drop' END AS action
   FROM members m
   JOIN sets s ON m.hash = s.hash AND m.node_type = s.ftype AND m.size = s.size
+  QUALIFY row_number() OVER (
+    PARTITION BY m.hash, m.node_type, m.size ORDER BY m.repo, m.path
+  ) <= {_MAX_SET}
 )
 """
 

@@ -183,51 +183,127 @@ def _candidate_sets_driver(cand_ds):
     return ray.data.from_arrow(_sets_table(rows))
 
 
-def dup_sets(nodes_ds):
+_DRIVER_DUPDIRS_LIMIT = 2_000_000  # dup-dir suppression keys broadcast below this
+
+
+def _finalize_set_rows(batch: pa.Table, suppressed_of=None) -> pa.Table:
+    """Candidate-set rows → final dupset rows (stats + optional parent
+    suppression).  suppressed_of(row) returns the per-member suppression
+    list, or None when suppression was already applied upstream."""
+    keep = []
+    for row in batch.to_pylist():
+        if suppressed_of is not None:
+            suppressed = suppressed_of(row)
+            if suppressed and all(suppressed):
+                continue
+        n = int(row.get("n_true") or len(row["repos"]))
+        keep.append(
+            {
+                "hash": row["hash"],
+                "ftype": row["ftype"],
+                "size": row["size"],
+                "n_conflicts": n,
+                "dup_bytes": int(row["size"]) * (n - 1),
+                "repos": row["repos"],
+                "paths": row["paths"],
+            }
+        )
+    return pa.Table.from_pylist(keep, schema=DUPSETS_SCHEMA)
+
+
+def dup_sets(nodes_ds, dup_dir_limit: int | None = _DRIVER_DUPDIRS_LIMIT):
     """Node Dataset → (dupsets Dataset, duplicated_bytes int).
 
     dupsets schema: DUPSETS_SCHEMA (member lists sorted by (repo, path)).
+
+    The dup-dir suppression set is bounded by actually-duplicated
+    directories (the small side by construction) and broadcasts below
+    `dup_dir_limit`.  Above it, suppression flips to the distributed
+    fallback (VERDICT r2 item 10): member rows anti-semi-join the dup-dir
+    keys, and the set keys that keep at least one unsuppressed member
+    semi-join the candidate sets back — no driver key set at any size.
+    Both paths are parity-tested (tests pass dup_dir_limit=0 to force the
+    fallback).
     """
+    import pyarrow.compute as pc
     import ray
 
     sets = candidate_sets(nodes_ds).materialize()
 
-    # Small side: paths of directories that are members of ANY candidate set
-    # (their hash occurs >=2 times by construction).  Only these parents can
-    # suppress.  Broadcast once; read per batch.
-    dup_dir_rows = sets.map_batches(
+    # Paths of directories that are members of ANY candidate set (their
+    # hash occurs >=2 times by construction).  Only these parents can
+    # suppress.
+    dup_dir_ds = sets.map_batches(
         _explode_dir_members, batch_format="pyarrow"
-    ).take_all()
-    dup_dirs = {(r["repo"], r["path"]) for r in dup_dir_rows}
-    dup_dirs_ref = ray.put(dup_dirs)
+    ).materialize()
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        from ..functions.groups import cached_get
+    if dup_dir_limit is None or dup_dir_ds.count() <= dup_dir_limit:
+        dup_dirs = {
+            (r["repo"], r["path"]) for r in dup_dir_ds.take_all()
+        }
+        dup_dirs_ref = ray.put(dup_dirs)
 
-        s = cached_get(dup_dirs_ref)
-        keep = []
-        for row in batch.to_pylist():
-            suppressed = [
-                (parent is not None) and ((repo, parent) in s)
-                for repo, parent in zip(row["repos"], row["parents"])
-            ]
-            if suppressed and all(suppressed):
-                continue
-            n = int(row.get("n_true") or len(row["repos"]))
-            keep.append(
-                {
-                    "hash": row["hash"],
-                    "ftype": row["ftype"],
-                    "size": row["size"],
-                    "n_conflicts": n,
-                    "dup_bytes": int(row["size"]) * (n - 1),
-                    "repos": row["repos"],
-                    "paths": row["paths"],
-                }
+        def finalize(batch: pa.Table) -> pa.Table:
+            from ..functions.groups import cached_get
+
+            s = cached_get(dup_dirs_ref)
+
+            def suppressed_of(row):
+                return [
+                    (parent is not None) and ((repo, parent) in s)
+                    for repo, parent in zip(row["repos"], row["parents"])
+                ]
+
+            return _finalize_set_rows(batch, suppressed_of)
+
+        dupsets = sets.map_batches(finalize, batch_format="pyarrow").materialize()
+    else:
+        # distributed fallback: no driver suppression set.
+        from ..state.joins import partitioned_semi_join
+
+        _NULL_PARENT = "\x01"  # never collides with a real repo\x00path key
+
+        def skey_of_cols(t: pa.Table):
+            return pc.binary_join_element_wise(
+                t["hash"], t["ftype"], pc.cast(t["size"], pa.string()), "\x00"
             )
-        return pa.Table.from_pylist(keep, schema=DUPSETS_SCHEMA)
 
-    dupsets = sets.map_batches(finalize, batch_format="pyarrow").materialize()
+        def member_rows(t: pa.Table) -> pa.Table:
+            skeys, mks = [], []
+            sk_col = skey_of_cols(t).to_pylist()
+            for sk, row in zip(sk_col, t.to_pylist()):
+                for repo, parent in zip(row["repos"], row["parents"]):
+                    skeys.append(sk)
+                    mks.append(
+                        _NULL_PARENT if parent is None else f"{repo}\x00{parent}"
+                    )
+            return pa.table(
+                {"skey": pa.array(skeys, pa.string()), "mk": pa.array(mks, pa.string())}
+            )
+
+        members = sets.map_batches(member_rows, batch_format="pyarrow")
+        dirs_keyed = dup_dir_ds.map_batches(
+            lambda t: pa.table(
+                {"mk": pc.binary_join_element_wise(t["repo"], t["path"], "\x00")}
+            ),
+            batch_format="pyarrow",
+        )
+        # members whose parent is NOT a dup dir (anti-join), then the
+        # distinct set keys owning such a member
+        unsup = partitioned_semi_join(members, dirs_keyed, "mk", keep=False)
+        surv_keys = (
+            unsup.select_columns(["skey"]).groupby("skey").count().select_columns(["skey"])
+        )
+        sets_keyed = sets.map_batches(
+            lambda t: t.append_column("skey", skey_of_cols(t)),
+            batch_format="pyarrow",
+        )
+        survived = partitioned_semi_join(sets_keyed, surv_keys, "skey", keep=True)
+        dupsets = survived.map_batches(
+            lambda t: _finalize_set_rows(t.drop_columns(["skey"])),
+            batch_format="pyarrow",
+        ).materialize()
+
     total = dupsets.sum("dup_bytes") if dupsets.count() else 0
     return dupsets, int(total or 0)
 

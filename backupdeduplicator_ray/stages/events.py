@@ -70,6 +70,10 @@ def windowed_agg(
     win_us = window_sec * US
 
     def partial(t: pa.Table) -> pa.Table:
+        # NULL values contribute 0 to the sum (matching SQL SUM's
+        # null-skipping) instead of leaking NaN into the int64 cast,
+        # whose result is platform-undefined
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
         df = pd.DataFrame(
             {
                 "window_start_us": (
@@ -78,9 +82,9 @@ def windowed_agg(
                 )
                 * win_us,
                 key_col: t[key_col].to_pandas(),
-                "v_milli": np.floor(
-                    t[value_col].to_numpy(zero_copy_only=False) * 1000.0
-                ).astype(np.int64),
+                "v_milli": np.floor(np.where(np.isnan(v), 0.0, v) * 1000.0).astype(
+                    np.int64
+                ),
             }
         )
         g = df.groupby(["window_start_us", key_col], sort=False, observed=True).agg(
@@ -148,11 +152,18 @@ def sessionize(
     partition (sort → per-user diff → cumsum).  session_id is the 1-based
     ordinal of the session within the user — deterministic and
     SQL-reproducible (a windowed running sum of session starts).
+
+    Contract: rows with a NULL user key are DROPPED (sessionization is
+    per-user sequential; a null user has no stream).  A nullable key would
+    otherwise reach the uint64 partition cast as NaN — undefined — and
+    NaN != NaN would split every null row into its own session.
     """
     gap_us = gap_sec * US
 
     ev = _events_us(
         ds, ts_col, {"user_id": user_col, "value": value_col, "order": order_col}
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t["user_id"])), batch_format="pyarrow"
     )
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -179,12 +190,17 @@ def sessionize(
         user_first_idx = np.flatnonzero(new_user)
         first_of_user = starts[user_first_idx][np.cumsum(new_user) - 1]
         sess = starts - first_of_user + 1
+        v = g["value"].to_numpy(dtype=np.float64)
         df = pd.DataFrame(
             {
                 "user_id": uid,
                 "session_id": sess,
                 "ts_us": ts,
-                "v_milli": np.floor(g["value"].to_numpy() * 1000.0).astype(np.int64),
+                # NULL values sum as 0 (SQL SUM skips nulls); NaN through
+                # the int64 cast would be platform-undefined
+                "v_milli": np.floor(np.where(np.isnan(v), 0.0, v) * 1000.0).astype(
+                    np.int64
+                ),
             }
         )
         out = (
@@ -220,9 +236,12 @@ def asof_join(
 
     Both sides are hash-partitioned on `by` (co-partitioned exchange), then
     ONE `pd.merge_asof` per partition — the canonical vectorized as-of
-    kernel.  Right columns are carried with an `r_` prefix.  Assumes
-    left/right (by, on) pairs are unique per side (true for event streams
-    with unique event ids; pre-aggregate otherwise).
+    kernel.  Right columns are carried with an `r_` prefix.  Right-side
+    (by, on) pairs must be unique — with ties the winner would depend on
+    block arrival order — and the kernel now ASSERTS that per partition
+    instead of just documenting it.  Rows with a NULL `by` key are dropped
+    on both sides (an as-of match needs a key; NaN through the uint64
+    partition cast is undefined).
     """
     l_schema = left_ds.schema()
     l_names = list(l_schema.names)
@@ -238,6 +257,7 @@ def asof_join(
 
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[by]))
             u = t[by].to_numpy(zero_copy_only=False).astype(np.uint64)
             cols = {}
             for name, typ in out_fields:
@@ -273,6 +293,12 @@ def asof_join(
         right = g[g["__side"] == "r"][rnames].sort_values(f"r_{on}", kind="mergesort")
         right[f"r_{on}"] = right[f"r_{on}"].astype("int64")
         right[by] = right[by].astype(left[by].dtype)
+        if right.duplicated([by, f"r_{on}"]).any():
+            raise ValueError(
+                "asof_join: right side has duplicate (by, on) pairs — the "
+                "as-of winner would be nondeterministic; pre-aggregate the "
+                "right side to one row per (by, on)"
+            )
         merged = pd.merge_asof(
             left,
             right,

@@ -82,7 +82,11 @@ def topk_per_group(
     def add_part(t: pa.Table) -> pa.Table:
         col = t[group_col]
         if pa.types.is_integer(col.type):
-            u = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            # fill nulls (partition routing only — a NaN through the uint64
+            # cast is undefined): null-group rows co-locate on partition 0
+            # and the per-partition pandas groupby(dropna=False) still
+            # keeps them a separate group from key 0
+            u = pc.fill_null(col, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
             parts = (u % np.uint64(n_parts)).astype(np.int32)
         else:
             from ..functions.shingles import crc32_column

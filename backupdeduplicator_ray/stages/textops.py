@@ -118,25 +118,35 @@ class LangIdStage:
         self.token_re = re.compile(r"[^\W\d_]+", re.UNICODE)
         self.markers = _MARKERS
 
+    _SCRIPT_RANGES = {
+        "zh": ((0x4E00, 0x9FFF), (0x3040, 0x30FF)),
+        "ru": ((0x0400, 0x04FF),),
+        "el": ((0x0370, 0x03FF),),
+        "ar": ((0x0600, 0x06FF),),
+        "hi": ((0x0900, 0x097F),),
+    }
+
     def _script(self, text: str) -> str | None:
-        counts = {"zh": 0, "ru": 0, "el": 0, "ar": 0, "hi": 0}
-        scanned = 0
-        for ch in text[:2000]:
-            o = ord(ch)
-            if 0x4E00 <= o <= 0x9FFF or 0x3040 <= o <= 0x30FF:
-                counts["zh"] += 1
-            elif 0x0400 <= o <= 0x04FF:
-                counts["ru"] += 1
-            elif 0x0370 <= o <= 0x03FF:
-                counts["el"] += 1
-            elif 0x0600 <= o <= 0x06FF:
-                counts["ar"] += 1
-            elif 0x0900 <= o <= 0x097F:
-                counts["hi"] += 1
-            if ch.isalpha():
-                scanned += 1
+        """Script-range vote over the first 2000 codepoints — numpy range
+        masks over the codepoint array; the only per-value Python is one
+        `isalpha` per UNIQUE codepoint (dozens, not thousands), keeping the
+        alpha count exactly the old per-char loop's semantics."""
+        o = np.frombuffer(text[:2000].encode("utf-32-le"), dtype=np.uint32)
+        if len(o) == 0:
+            return None
+        uniq, ucnt = np.unique(o, return_counts=True)
+        alpha = np.fromiter(
+            (chr(int(c)).isalpha() for c in uniq), dtype=bool, count=len(uniq)
+        )
+        scanned = int(ucnt[alpha].sum())
         if scanned == 0:
             return None
+        counts = {}
+        for lang, ranges in self._SCRIPT_RANGES.items():
+            mask = np.zeros(len(uniq), dtype=bool)
+            for lo, hi in ranges:
+                mask |= (uniq >= lo) & (uniq <= hi)
+            counts[lang] = int(ucnt[mask].sum())
         best = max(sorted(counts), key=lambda k: counts[k])
         return best if counts[best] > 0.3 * scanned else None
 

@@ -156,3 +156,27 @@ def test_dedup_plan_and_execute(ray_session, small_corpus, small_corpus_ds):
     surv_keys = set(zip(surv["repo"], surv["path"]))
     for r in dropped_files.itertuples(index=False):
         assert (r.repo, r.path) not in surv_keys
+
+
+def test_dup_sets_distributed_suppression_parity(ray_session, small_corpus_ds):
+    """dup_dir_limit=0 forces the distributed (semi-join) suppression
+    fallback; output must equal the broadcast path exactly."""
+    from backupdeduplicator_ray.pipelines.dedup import build_nodes
+    from backupdeduplicator_ray.stages.analyze import dup_sets
+
+    nodes = build_nodes(small_corpus_ds).materialize()
+
+    def canon(ds):
+        return sorted(
+            (
+                r["hash"], r["ftype"], r["size"], r["n_conflicts"], r["dup_bytes"],
+                tuple(r["repos"]), tuple(r["paths"]),
+            )
+            for r in ds.take_all()
+        )
+
+    bc_sets, bc_bytes = dup_sets(nodes)
+    dist_sets, dist_bytes = dup_sets(nodes, dup_dir_limit=0)
+    assert bc_bytes == dist_bytes
+    assert canon(bc_sets) == canon(dist_sets)
+    assert bc_bytes > 0
