@@ -38,27 +38,45 @@ def simhash_batch(sh_vals: np.ndarray, sh_offs: np.ndarray) -> np.ndarray:
     fps = np.zeros(nd, dtype=np.uint64)
     if len(sh_vals) == 0 or nd == 0:
         return fps
+    sh_offs = np.asarray(sh_offs, dtype=np.int64)
     counts = np.diff(sh_offs)
-    nonempty = counts > 0
-    if not nonempty.any():
+    if not (counts > 0).any():
         return fps
-    bits = (
-        np.unpackbits(
-            np.ascontiguousarray(sh_vals, dtype=np.uint64).view(np.uint8),
-            bitorder="little",
-        )
-        .reshape(-1, _BITS)
-        .astype(np.int32)
-    )
-    # consecutive nonempty docs abut in the value array (empty docs
-    # contribute zero values), so reduceat over nonempty starts sums each
-    # doc's rows exactly
-    starts = sh_offs[:-1][nonempty]
-    sums = np.add.reduceat(bits, starts.astype(np.int64), axis=0)  # (k, 64)
-    votes_set = (2 * sums) >= counts[nonempty][:, None]
-    fps[nonempty] = (
-        votes_set.astype(np.uint64) << np.arange(_BITS, dtype=np.uint64)[None, :]
-    ).sum(axis=1)
+    vals = np.ascontiguousarray(sh_vals, dtype=np.uint64)
+    weights = np.uint64(1) << np.arange(_BITS, dtype=np.uint64)
+    # doc-range chunking: the (span x 64) uint8 bits transient stays
+    # cache-sized per worker instead of materializing the whole part (a
+    # part-sized matrix measured 5x SLOWER end-to-end at 32 concurrent
+    # workers — DRAM contention, same lesson as the minhash kernel's
+    # 512-chunk).  reduceat accumulates straight off the uint8 bits with
+    # dtype=int32 — the explicit int32 copy measured 11x slower.
+    _SPAN = 32768
+    d0 = 0
+    while d0 < nd:
+        # widest doc range whose shingle span fits the budget (a single
+        # over-span doc still processes alone)
+        d1 = int(np.searchsorted(sh_offs, sh_offs[d0] + _SPAN, side="right")) - 1
+        d1 = max(d1, d0 + 1)
+        v0, v1 = int(sh_offs[d0]), int(sh_offs[d1])
+        if v1 == v0:
+            d0 = d1
+            continue
+        bits_u8 = np.unpackbits(
+            vals[v0:v1].view(np.uint8), bitorder="little"
+        ).reshape(v1 - v0, _BITS)
+        rng_counts = counts[d0:d1]
+        nonempty = rng_counts > 0
+        if nonempty.any():
+            # consecutive nonempty docs abut in the value slice (empty docs
+            # contribute zero values), so reduceat over nonempty starts sums
+            # each doc's rows exactly
+            starts = (sh_offs[d0:d1][nonempty] - v0).astype(np.int64)
+            sums = np.add.reduceat(bits_u8, starts, axis=0, dtype=np.int32)
+            votes_set = (2 * sums) >= rng_counts[nonempty][:, None]
+            fps[d0:d1][nonempty] = (votes_set.astype(np.uint64) * weights[None, :]).sum(
+                axis=1
+            )
+        d0 = d1
     return fps
 
 
