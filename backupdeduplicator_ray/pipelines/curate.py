@@ -28,8 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import hash_string_column
-from ..functions.shingles import crc32_column
+from ..functions.hashing import digest_prefix_u64, hash_binary_column
 from ..stages.select import deterministic_sample
 from ..stages.textops import TOKEN_PATTERN
 
@@ -59,8 +58,10 @@ def curate_documents(
         )
         t = t.filter(pc.fill_null(ok, False))
         cols = {c: t[c] for c in out_cols}
-        cols["__h"] = hash_string_column(t[text_col])
-        parts = (crc32_column(cols["__h"]) % np.uint32(n_parts)).astype(np.int32)
+        # internal binary digests: half the hex exchange bytes on the
+        # dedup key (VERDICT r2 item 8); __h never reaches the output
+        cols["__h"] = hash_binary_column(t[text_col])
+        parts = (digest_prefix_u64(cols["__h"]) % np.uint64(n_parts)).astype(np.int32)
         cols["__part"] = pa.array(parts)
         return pa.table(cols)
 

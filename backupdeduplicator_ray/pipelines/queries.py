@@ -118,9 +118,14 @@ def q_file_hash(sf_dir: str):
     invariant of BASELINE.json)."""
     from ..stages.build import build_file_nodes
 
+    from ..functions.hashing import hex_column
+
     nodes = build_file_nodes(corpus_from_documents(sf_dir))
     return nodes.map_batches(
-        lambda t: t.select(["repo", "path", "hash"]), batch_format="pyarrow"
+        lambda t: pa.table(
+            {"repo": t["repo"], "path": t["path"], "hash": hex_column(t["hash"])}
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -136,8 +141,21 @@ def q_exact_dup_groups(sf_dir: str):
 
     from ..stages.build import build_file_nodes
 
+    from ..functions.hashing import hex_column
+
+    # hex boundary up front: this query groups on the hash at the QUERY
+    # layer (the engine's internal form is binary digest bytes)
     nodes = build_file_nodes(corpus_from_documents(sf_dir)).map_batches(
-        lambda t: t.filter(pc.equal(t["node_type"], "file")), batch_format="pyarrow"
+        lambda t: pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "node_type": t["node_type"],
+                "size": t["size"],
+                "hash": hex_column(t["hash"]),
+            }
+        ).filter(pc.equal(t["node_type"], "file")),
+        batch_format="pyarrow",
     )
 
     def per_group(g):
@@ -182,9 +200,19 @@ def q_tree_nodes(sf_dir: str):
     """Full Merkle node table (M5/A3): repo, path, node_type, size, hash."""
     from ..pipelines.dedup import build_nodes
 
+    from ..functions.hashing import hex_column
+
     nodes = build_nodes(corpus_from_documents(sf_dir))
     return nodes.map_batches(
-        lambda t: t.select(["repo", "path", "node_type", "size", "hash"]),
+        lambda t: pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "node_type": t["node_type"],
+                "size": t["size"],
+                "hash": hex_column(t["hash"]),
+            }
+        ),
         batch_format="pyarrow",
     )
 
@@ -264,9 +292,16 @@ def q_dedup_execute(sf_dir: str):
     """Surviving file-level rows after applying the dedup plan (the
     reference's stubbed `execute` stage): dropped files removed, dropped
     dirs cascading to everything beneath them."""
+    from ..functions.hashing import hex_column
     from ..pipelines.dedup import execute
 
-    return execute(corpus_from_documents(sf_dir))
+    surv = execute(corpus_from_documents(sf_dir))
+    return surv.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("hash"), "hash", hex_column(t["hash"])
+        ),
+        batch_format="pyarrow",
+    )
 
 
 SQL_DEDUP_EXECUTE = f"""
@@ -589,13 +624,17 @@ def q_incremental_file_hash(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+    from ..functions.hashing import hex_column
+
     inc = incremental_file_nodes(corpus, prev)
-    return inc.map_batches(
-        lambda t: t.filter(pc.not_equal(t["node_type"], "dir")).select(
-            ["repo", "path", "hash"]
-        ),
-        batch_format="pyarrow",
-    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["node_type"], "dir"))
+        return pa.table(
+            {"repo": t["repo"], "path": t["path"], "hash": hex_column(t["hash"])}
+        )
+
+    return inc.map_batches(proj, batch_format="pyarrow")
 
 
 SQL_INCREMENTAL_FILE_HASH = SQL_FILE_HASH  # cache-correct == full rebuild

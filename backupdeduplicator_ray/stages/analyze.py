@@ -95,7 +95,9 @@ def _candidate_sets(group: pd.DataFrame) -> pa.Table:
             sub = sub.head(MAX_MEMBERS_PER_SET)
         out.append(
             {
-                "hash": sub["hash"].iloc[0],
+                # hex boundary: internal hashes are raw digest bytes; set
+                # tables are output-facing (VERDICT r2 item 8)
+                "hash": sub["hash"].iloc[0].hex(),
                 "ftype": ftype,
                 "size": int(size),
                 "n_true": n_true,
@@ -171,7 +173,7 @@ def _candidate_sets_driver(cand_ds):
             repos, paths, parents = repos[:cap], paths[:cap], parents[:cap]
         rows.append(
             {
-                "hash": r.hash,
+                "hash": r.hash.hex(),
                 "ftype": r.node_type,
                 "size": int(r.size),
                 "n_true": n_true,

@@ -12,7 +12,9 @@ Node table schema (rebuild of HashTreeFileEntryV1,
 
     repo:string, path:string, node_type:string in {file,dir,symlink,other},
     size:int64 (bytes for files, CHILD COUNT for dirs — reference quirk,
-    hashtreefile.rs:56), hash:string (hex digest, null for 'other'),
+    hashtreefile.rs:56), hash:binary (raw digest bytes INTERNALLY — half
+    the exchange bytes of hex; hex only at output/oracle boundaries via
+    functions.hashing.hex_column; null for 'other'),
     n_children:int64, parent:string (null for repo root), depth:int64
 
 Directory rows are produced by stages/tree.py; this stage emits file rows
@@ -24,7 +26,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..config import HashConfig
-from ..functions.hashing import byte_length_column, hash_string_column
+from ..functions.hashing import byte_length_column, hash_binary_column
 
 NODE_COLUMNS = [
     "repo",
@@ -44,7 +46,7 @@ def _file_nodes_batch(batch: pa.Table, algorithm: str) -> pa.Table:
     from ..functions.paths import depth_of, parent_of
 
     content = batch["content"]
-    hashes = hash_string_column(content, algorithm)
+    hashes = hash_binary_column(content, algorithm)
     sizes = byte_length_column(content)
     is_other = pc.is_null(content)
     node_type = pc.if_else(is_other, "other", "file")
@@ -56,7 +58,7 @@ def _file_nodes_batch(batch: pa.Table, algorithm: str) -> pa.Table:
         # target *path bytes* are hashed when not following links)
         target = batch["target"]
         is_link = pc.and_(is_other, pc.is_valid(target))
-        link_hashes = hash_string_column(target, algorithm)
+        link_hashes = hash_binary_column(target, algorithm)
         hashes = pc.if_else(is_link, link_hashes, hashes)
         node_type = pc.if_else(is_link, "symlink", node_type)
         sizes = pc.if_else(is_link, byte_length_column(target), sizes)

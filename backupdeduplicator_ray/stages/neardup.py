@@ -32,14 +32,14 @@ import pyarrow as pa
 from ..config import MinHashConfig, SimHashConfig
 from ..functions import minhash as mh
 from ..functions import simhash as sh
-from ..functions.hashing import hash_string_column
+from ..functions.hashing import hash_binary_column
 from ..functions.shingles import iter_shingle_parts, shingle_hashes, tokenize
 from ..state.unionfind import EDGE_SCHEMA, connected_components
 
 SIG_SCHEMA = pa.schema(
     [
         ("id", pa.string()),
-        ("exact", pa.string()),
+        ("exact", pa.binary()),
         ("sig", pa.list_(pa.uint64())),
     ]
 )
@@ -48,7 +48,9 @@ SIG_SCHEMA = pa.schema(
 def _sig_batch(batch: pa.Table, cfg: MinHashConfig, a: np.ndarray, b: np.ndarray, id_col: str, text_col: str) -> pa.Table:
     """Shared signature kernel: text batch → (id, exact, sig) table."""
     texts = batch[text_col]
-    exact = hash_string_column(texts)
+    # binary digest internally (exact never leaves the library):
+    # halves the hottest key column on the rep/prebucket exchanges
+    exact = hash_binary_column(texts)
     n = len(batch)
     num_perms = cfg.num_perms
     # whole-column tokenize + shingle (no per-token Python: lockstep crc32
@@ -231,7 +233,7 @@ def _exact_prebucket(sig_ds, distributed: bool = False):
                     [rep_tbl["id"].combine_chunks(), edge_tbl["src"].combine_chunks()]
                 ),
                 "exact": pa.concat_arrays(
-                    [rep_tbl["exact"].combine_chunks(), pa.nulls(len(edge_tbl), pa.string())]
+                    [rep_tbl["exact"].combine_chunks(), pa.nulls(len(edge_tbl), pa.binary())]
                 ),
                 "sig": pa.concat_arrays(
                     [
@@ -281,7 +283,7 @@ def _exact_prebucket(sig_ds, distributed: bool = False):
             rep_tbl = pa.table(
                 {
                     "id": pa.array(list(rep_df["id"]), pa.string()),
-                    "exact": pa.array(list(rep_df["exact"]), pa.string()),
+                    "exact": pa.array(list(rep_df["exact"]), pa.binary()),
                     "sig": pa.array(
                         [list(s) for s in rep_df["sig"]], pa.list_(pa.uint64())
                     ),

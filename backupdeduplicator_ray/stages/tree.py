@@ -39,7 +39,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..config import HashConfig
-from ..functions.hashing import NULL_CHILD_SENTINEL, digest_of_children
+from ..functions.hashing import digest_of_children
 from ..functions.paths import ROOT, parent_of
 
 NODE_SCHEMA = pa.schema(
@@ -48,7 +48,7 @@ NODE_SCHEMA = pa.schema(
         ("path", pa.string()),
         ("node_type", pa.string()),
         ("size", pa.int64()),
-        ("hash", pa.string()),
+        ("hash", pa.binary()),
         ("n_children", pa.int64()),
         ("parent", pa.string()),
         ("depth", pa.int64()),
@@ -70,7 +70,7 @@ def _repo_tree(group: pd.DataFrame, algorithm: str) -> pa.Table:
     repo = group["repo"].iloc[0]
     levels: dict[int, list[tuple[str, str | None]]] = defaultdict(list)
     for path, hx, depth in zip(group["path"], group["hash"], group["depth"]):
-        levels[int(depth)].append((path, hx if isinstance(hx, str) else None))
+        levels[int(depth)].append((path, hx if isinstance(hx, bytes) else None))
     out = {k: [] for k in NODE_SCHEMA.names}
     maxd = max(levels)
     for d in range(maxd, -1, -1):
@@ -78,9 +78,9 @@ def _repo_tree(group: pd.DataFrame, algorithm: str) -> pa.Table:
         for path, hx in levels[d]:
             if path == ROOT:
                 continue
-            by_parent[parent_of(path)].append(hx if hx is not None else NULL_CHILD_SENTINEL)
+            by_parent[parent_of(path)].append(hx)
         for ppath, child_hexes in by_parent.items():
-            digest = digest_of_children(child_hexes, algorithm)
+            digest = digest_of_children(child_hexes, algorithm, binary=True)
             n = len(child_hexes)
             out["repo"].append(repo)
             out["path"].append(ppath)
@@ -164,9 +164,7 @@ def _make_dir_nodes(group: pd.DataFrame, algorithm: str) -> pd.DataFrame:
     """One (repo, parent) group of finished children → one dir node row."""
     repo = group["repo"].iloc[0]
     path = group["parent"].iloc[0]
-    child_hexes = [
-        h if isinstance(h, str) else NULL_CHILD_SENTINEL for h in group["hash"]
-    ]
+    child_hexes = [h if isinstance(h, bytes) else None for h in group["hash"]]
     depth = int(group["depth"].iloc[0]) - 1
     n = len(group)
     return pd.DataFrame(
@@ -175,7 +173,7 @@ def _make_dir_nodes(group: pd.DataFrame, algorithm: str) -> pd.DataFrame:
             "path": [path],
             "node_type": ["dir"],
             "size": [n],
-            "hash": [digest_of_children(child_hexes, algorithm)],
+            "hash": [digest_of_children(child_hexes, algorithm, binary=True)],
             "n_children": [n],
             "parent": [parent_of(path)],
             "depth": [depth],

@@ -30,6 +30,13 @@ def _with_part(ds, key: str, n_parts: int, side: str):
             vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             parts = (vals % np.uint64(n_parts)).astype(np.int32)
             part_arr = pa.array(parts)
+        elif pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            # binary digest keys (the internal hash form): route on the
+            # first 8 digest bytes — already uniform, no extra hashing
+            from ..functions.hashing import digest_prefix_u64
+
+            vals = digest_prefix_u64(col)
+            part_arr = pa.array((vals % np.uint64(n_parts)).astype(np.int32))
         else:
             from ..functions.shingles import crc32_column
 

@@ -443,6 +443,95 @@ def run_scaling_compute() -> None:
     print(out)
 
 
+def run_cluster_leg() -> dict:
+    """MinHash clustering e2e ONLY (no dedup leg) — the full-pipeline
+    scaling-confirmation probe.  Prints one JSON line."""
+    import ray
+
+    _fresh_session()
+    import ray.data as rd
+
+    from backupdeduplicator_ray.stages.neardup import minhash_clusters
+
+    sf = _sf_from_dir(SF_DIR)
+    corpus_path = _corpus_parquet(sf)
+    n_files = rd.read_parquet(corpus_path).count()  # warm page cache
+    t0 = time.time()
+    corpus = rd.read_parquet(corpus_path, columns=["repo", "path", "content"])
+    n_clustered = minhash_clusters(_as_docs(corpus)).count()
+    dt = time.time() - t0
+    ray.shutdown()
+    return {
+        "n_files": n_files,
+        "cluster_sec": round(dt, 3),
+        "docs_per_sec": round(n_files / dt, 1),
+        "n_cluster_rows": n_clustered,
+        "num_cpus": NUM_CPUS,
+        "scale_mult": SCALE_MULT,
+        "content_scale": CONTENT_SCALE,
+        "loadavg_end": _loadavg(),
+    }
+
+
+def run_scaling_confirm() -> None:
+    """VERDICT r2 item 5: ONE compute-heavy full-pipeline confirmation at
+    8 -> 32 CPUs and 1.63M docs (the point where the signature stage alone
+    measures 0.86-0.87 at 8->32): minhash cluster e2e, best-of-N
+    interleaved sweeps, loadavg logged per point.  Merges the result into
+    BENCH_SCALING.json under 'confirm_8_32_full_pipeline'."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SCALE_MULT=os.environ.get("GRAFT_SCALE_MULT", "16"),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cluster-leg"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("GRAFT_SCALING_CPUS_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_CPUS_HI", "32"))
+    sweeps = int(os.environ.get("GRAFT_SCALING_SWEEPS", "2"))
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(sweeps):
+        for ncpu in (lo, hi):
+            runs[ncpu].append(run(ncpu))
+            time.sleep(45)
+    r_lo = min(runs[lo], key=lambda r: r["cluster_sec"])
+    r_hi = min(runs[hi], key=lambda r: r["cluster_sec"])
+    eff = round((r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo), 3)
+    confirm = {
+        "metric": f"full minhash-cluster e2e, {lo} -> {hi} cpus, compute-heavy point",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "n_files": r_lo["n_files"],
+        "cluster_sec_lo": r_lo["cluster_sec"],
+        "cluster_sec_hi": r_hi["cluster_sec"],
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "raw_efficiency": eff,
+        "all_runs": {str(c): [r["cluster_sec"] for r in rs] for c, rs in runs.items()},
+        "loadavg_lo": r_lo["loadavg_end"],
+        "loadavg_hi": r_hi["loadavg_end"],
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data["confirm_8_32_full_pipeline"] = confirm
+    with open(path, "w") as f:
+        f.write(json.dumps(data) + "\n")
+    print(json.dumps(confirm))
+
+
 def run_scaling() -> None:
     """Four-point scaling protocol -> BENCH_SCALING.json.
 
@@ -563,5 +652,9 @@ if __name__ == "__main__":
         print(json.dumps(run_sig_stage()))
     elif "--cluster-only" in sys.argv:
         print(json.dumps(run_cluster_only()))
+    elif "--cluster-leg" in sys.argv:
+        print(json.dumps(run_cluster_leg()))
+    elif "--scaling-confirm" in sys.argv:
+        run_scaling_confirm()
     else:
         print(json.dumps(run_bench()))

@@ -150,7 +150,8 @@ def test_dedup_plan_and_execute(ray_session, small_corpus, small_corpus_ds):
         for c in table.column("content").to_pylist()
         if c is not None
     }
-    after = set(surv[surv["hash"].notna()]["hash"])
+    # executor output carries the internal BINARY digests — hexify to compare
+    after = {h.hex() for h in surv[surv["hash"].notna()]["hash"]}
     assert before <= after
     # dropped FILE plan rows are gone from the survivors
     surv_keys = set(zip(surv["repo"], surv["path"]))

@@ -36,7 +36,8 @@ def test_per_row_sha256_invariant(ray_session, small_corpus_ds, small_corpus):
             assert r["size"] == 0
         else:
             data = rec["content"].encode("utf-8")
-            assert r["hash"] == hashlib.sha256(data).hexdigest()
+            # internal hash form is raw digest bytes; hex only at boundaries
+            assert r["hash"].hex() == hashlib.sha256(data).hexdigest()
             assert r["size"] == len(data)
             assert r["node_type"] == "file"
 
@@ -50,7 +51,8 @@ def test_tree_matches_oracle(node_map, oracle_nodes):
         r = node_map[key]
         assert r["node_type"] == want["node_type"], key
         assert r["size"] == want["size"], key
-        assert r["hash"] == want["hash"], key
+        got_hex = r["hash"].hex() if r["hash"] is not None else None
+        assert got_hex == want["hash"], key
 
 
 def test_subtree_duplicate_has_equal_digest(node_map, small_corpus):
@@ -68,6 +70,9 @@ def test_tree_invariant_under_repartition(ray_session, small_corpus_ds, oracle_n
     """Digests are independent of block partitioning (SURVEY §5 property)."""
     ds = small_corpus_ds.repartition(7)
     rows = build_nodes(ds).take_all()
-    got = {(r["repo"], r["path"]): r["hash"] for r in rows}
+    got = {
+        (r["repo"], r["path"]): (r["hash"].hex() if r["hash"] is not None else None)
+        for r in rows
+    }
     want = {k: v["hash"] for k, v in oracle_nodes.items()}
     assert got == want

@@ -115,7 +115,7 @@ def test_xxh64_column_and_build(ray_session):
         )
     )
     nodes = build_file_nodes(corpus, HashConfig(algorithm="xxh64")).take_all()
-    hashes = {r["path"]: r["hash"] for r in nodes}
+    hashes = {r["path"]: r["hash"].hex() for r in nodes}
     assert hashes == {"a.py": "44bc2cf5ad770999", "b.py": "44bc2cf5ad770999"}
 
 

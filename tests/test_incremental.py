@@ -53,16 +53,20 @@ def test_incremental_rehashes_changed_rows(ray_session):
             "path": ["same.txt", "changed.txt", "gone.txt"],
             "size": pa.array([3, 3, 3], pa.int64()),
             # stale hash for same.txt proves hits skip re-hashing
-            "hash": ["CACHED-HASH", hash_text("bbb-old"), hash_text("zzz")],
+            # (prev node tables carry the engine's internal BINARY digests)
+            "hash": pa.array(
+                [b"CACHED-HASH", bytes.fromhex(hash_text("bbb-old")), bytes.fromhex(hash_text("zzz"))],
+                pa.binary(),
+            ),
             "commit": ["c2", "c1", "c1"],
         }
     )
     inc = incremental_file_nodes(ray.data.from_arrow(corpus), ray.data.from_arrow(prev))
     got = {r["path"]: r["hash"] for r in inc.take_all()}
     assert set(got) == {"same.txt", "changed.txt", "new.txt"}  # gone.txt dropped
-    assert got["same.txt"] == "CACHED-HASH"  # commit+size matched -> cache hit
-    assert got["changed.txt"] == hash_text("bbb-new")  # commit changed -> re-hash
-    assert got["new.txt"] == hash_text("ccc")
+    assert got["same.txt"] == b"CACHED-HASH"  # commit+size matched -> cache hit
+    assert got["changed.txt"].hex() == hash_text("bbb-new")  # commit changed -> re-hash
+    assert got["new.txt"].hex() == hash_text("ccc")
 
 
 def test_symlink_nodes(ray_session):
@@ -85,6 +89,6 @@ def test_symlink_nodes(ray_session):
     assert rows["a.txt"]["node_type"] == "file"
     assert rows["link"]["node_type"] == "symlink"
     # symlink hash = hash of the target path STRING (reference symlink.rs)
-    assert rows["link"]["hash"] == hash_text("a.txt")
+    assert rows["link"]["hash"].hex() == hash_text("a.txt")
     assert rows["broken.bin"]["node_type"] == "other"
     assert rows["broken.bin"]["hash"] is None
