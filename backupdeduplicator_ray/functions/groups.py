@@ -41,6 +41,7 @@ def keys_with_count_between(
     min_count: int = 2,
     max_count: int | None = None,
     distributed: bool = False,
+    also_above: bool = False,
 ):
     """Count per key; returns a python set of keys (scalars for a single
     key column, tuples otherwise) whose count is in [min_count, max_count].
@@ -52,8 +53,16 @@ def keys_with_count_between(
     returns the surviving keys as a DATASET — never pulled to the driver
     (VERDICT r2 item 7): consume it via `filter_by_key_set`, which routes
     Dataset key sets through `state.joins.partitioned_semi_join`.
+
+    `also_above=True` (driver paths only; requires a finite `max_count`)
+    returns a TUPLE `(in_range_set, above_max_set)` from the same counting
+    pass — the second set holds keys whose count exceeds `max_count` (the
+    stopword side of a doc-freq valve), so callers that need both sides of
+    the cut don't pay a second scan.
     """
     single = len(keys) == 1
+    if also_above and (distributed or max_count is None):
+        raise ValueError("also_above requires the driver path and a finite max_count")
     if distributed:
         import numpy as np
         import pyarrow.compute as pc
@@ -125,7 +134,7 @@ def keys_with_count_between(
         # block refs, not driver pulls — shard tasks fetch blocks themselves
         refs = list(parts.materialize().to_arrow_refs())
         if not refs:
-            return set()
+            return (set(), set()) if also_above else set()
         first = ray.get(refs[0])
         numeric = len(first) == 0 or first["k"].to_numpy(zero_copy_only=False).dtype != object
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -161,11 +170,23 @@ def keys_with_count_between(
                 ser = pd.Series(n).groupby(pd.Series(k), sort=False).sum()
                 k, sums = ser.index.to_numpy(), ser.to_numpy()
             mask = sums >= min_count
-            if max_count is not None:
+            if max_count is not None and not also_above:
                 mask &= sums <= max_count
             return pa.table({"k": pa.array(k[mask]), "n": pa.array(sums[mask])})
 
         shards = ray.get([shard_surv.remote(p, *refs) for p in range(n_shards)])
+        if also_above:
+            in_range: set = set()
+            above: set = set()
+            for t in shards:
+                if not len(t):
+                    continue
+                n = t["k"].to_numpy(zero_copy_only=False)
+                c = t["n"].to_numpy(zero_copy_only=False)
+                hi = c > max_count
+                above.update(n[hi].tolist())
+                in_range.update(n[~hi].tolist())
+            return in_range, above
         out: set = set()
         for t in shards:
             if len(t):
@@ -185,13 +206,15 @@ def keys_with_count_between(
         for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)
     ]
     if not frames:
-        return set()
+        return (set(), set()) if also_above else set()
     merged = (
         pd.concat(frames, ignore_index=True)
         .groupby(keys, sort=False)["__n"]
         .sum()
     )
     sel = merged[merged >= min_count]
+    if also_above:
+        return set(sel[sel <= max_count].index), set(sel[sel > max_count].index)
     if max_count is not None:
         sel = sel[sel <= max_count]
     return set(sel.index)

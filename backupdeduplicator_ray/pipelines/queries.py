@@ -785,14 +785,16 @@ sh AS (
   FROM toks CROSS JOIN UNNEST(range(1, len(tk) - 1)) AS r(i)
   WHERE len(tk) >= 3
 ),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
 -- doc-freq valve: shingles in more than DEFAULT_MAX_DOC_FREQ docs never
--- reach pair expansion (matches the engine's max_doc_freq default).
--- Set sizes above still count ALL shingles — only co-occurrence does not.
+-- reach pair expansion (matches the engine's max_doc_freq default), and
+-- set sizes count the SAME post-valve vocabulary (classic stopword
+-- removal before Jaccard — identical docs score 1.0 whatever the valve
+-- drops; df=1 shingles still count toward the union).
 shf AS (
   SELECT * FROM sh
   QUALIFY count(*) OVER (PARTITION BY shingle) <= {_MAX_DOC_FREQ}
 ),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shf GROUP BY doc_id),
 hits AS (
   -- VARCHAR comparison: the engine orders pair ids lexicographically
   -- (generic string ids), so the oracle must orient pairs the same way

@@ -578,6 +578,7 @@ def cooccur_pair_hits(
     id_col: str = "id",
     size_col: str | None = None,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    survivors=None,
 ):
     """Inverted-index rows (key, id[, size]) → co-occurrence hit rows
     (a_id, b_id[, na, nb]), one row per key the pair shares.
@@ -588,6 +589,9 @@ def cooccur_pair_hits(
     hash(key) % B, then ONE vectorized pair-expansion kernel per partition
     — no `map_groups` Python call per key.  Pair orientation is ascending
     lexicographic id, matching the SQL oracles' `a_id < b_id`.
+    `survivors` lets a caller that already counted key doc-freqs (e.g. to
+    extract the stopword side of the valve too) pass the surviving key set
+    in and skip the internal counting pass.
     """
     import pandas as pd
     import ray.data
@@ -599,9 +603,10 @@ def cooccur_pair_hits(
         fields += [("na", pa.int64()), ("nb", pa.int64())]
     hit_schema = pa.schema(fields)
 
-    survivors = keys_with_count_between(
-        inv, [key_col], min_count=2, max_count=max_doc_freq
-    )
+    if survivors is None:
+        survivors = keys_with_count_between(
+            inv, [key_col], min_count=2, max_count=max_doc_freq
+        )
     cand = filter_by_key_set(inv, [key_col], survivors, keep=True).materialize()
     n_cand = cand.count()
     if n_cand == 0:
@@ -1037,29 +1042,44 @@ def jaccard_pairs(
 ):
     """EXACT n-gram-Jaccard pairs >= threshold via an inverted shingle index.
 
-    J(A,B) = c / (|A| + |B| - c) where c = co-occurring distinct shingles,
-    computed from (shingle → docs) groups — no all-pairs scan:
-      explode (shingle, id, set_size) → groupby(shingle): emit pair hits →
-      groupby(a,b): count hits = c → filter.
+    J(A,B) = c / (|A| + |B| - c) over the POST-VALVE shingle vocabulary:
+    shingles shared by more than `max_doc_freq` docs (boilerplate /
+    stopword shingles — pair emission is quadratic in doc-freq) are removed
+    from BOTH the intersection and the per-doc set sizes, i.e. classic
+    stopword-removal-before-Jaccard.  Counting |A|,|B| pre-valve while only
+    the intersection was pruned (the r2 shape) silently deflated J — on a
+    boilerplate-heavy 1.63M-doc corpus it scored even byte-identical docs
+    below 0.5 and returned ZERO pairs.  Identical docs now always score
+    1.0, whatever the valve removes.  The SQL oracle encodes the same
+    post-valve sizes.  Pass `max_doc_freq=None` for exact-at-any-freq
+    (sizes then cover the full shingle set).
+
+    Plan — no all-pairs scan, no per-shingle Python:
+      count shingle doc-freqs once (driver-merged partials → survivor set
+      [2, mdf] + stopword set (mdf, inf), one pass) →
+      explode (shingle, id) [lean: no size column rides the big shuffle] →
+      partition-grain pair hits via `cooccur_pair_hits` →
+      groupby(a,b): count hits = c →
+      hash-join per-doc post-valve sizes (one row per doc, computed at doc
+      grain so no partial-merge shuffle) → filter.
 
     `hashed=True` uses u64 shingle hashes (lean shuffle; collision odds
     ~n²/2^64).  `hashed=False` ships shingle strings — bit-identical to the
     DuckDB oracle's string shingles (oracle-checked path).  Strict
     k-shingles only: docs with < k tokens have an empty set (no pairs).
-    `max_doc_freq` drops shingles shared by more docs (the stopword-shingle
-    pair-explosion valve — ON by default at DEFAULT_MAX_DOC_FREQ; the SQL
-    oracle encodes the same doc-freq cut; pass None for exact-at-any-freq).
-    Pair emission runs at partition grain via `cooccur_pair_hits` — one
-    vectorized kernel per key-hash partition, never per-shingle Python.
     """
+    import ray
+
+    from ..functions.groups import cached_get, keys_with_count_between
+    from ..state.joins import partitioned_hash_join
 
     def explode(batch: pa.Table) -> pa.Table:
         if hashed:
             # vectorized: batch shingle kernel (short docs dropped — the
-            # strict len(tokens) >= k convention), ids/sizes via np.repeat;
+            # strict len(tokens) >= k convention), ids via np.repeat;
             # per cache-sized part, emitted as chunks (no big-array concat)
             ids_arr = batch[id_col].cast(pa.string())
-            sh_chunks, id_chunks, sz_chunks = [], [], []
+            sh_chunks, id_chunks = [], []
             for base, nd, vals, offs in iter_shingle_parts(
                 batch[text_col], k, short_docs=False
             ):
@@ -1070,23 +1090,20 @@ def jaccard_pairs(
                 id_chunks.append(
                     ids_arr.take(pa.array(base + np.repeat(np.arange(nd), counts)))
                 )
-                sz_chunks.append(pa.array(np.repeat(counts, counts), pa.int64()))
             if not sh_chunks:
                 return pa.table(
                     {
                         "shingle": pa.array([], pa.uint64()),
                         "id": pa.array([], pa.string()),
-                        "set_size": pa.array([], pa.int64()),
                     }
                 )
             return pa.table(
                 {
                     "shingle": pa.chunked_array(sh_chunks),
                     "id": pa.chunked_array(id_chunks),
-                    "set_size": pa.chunked_array(sz_chunks),
                 }
             )
-        ids_out, sh_out, size_out = [], [], []
+        ids_out, sh_out = [], []
         for i, t in zip(
             batch[id_col].to_pylist(), batch[text_col].to_pylist()
         ):
@@ -1100,36 +1117,127 @@ def jaccard_pairs(
             for s in shingles:
                 ids_out.append(sid)
                 sh_out.append(s)
-                size_out.append(len(shingles))
         return pa.table(
             {
                 "shingle": pa.array(sh_out, pa.string()),
                 "id": pa.array(ids_out, pa.string()),
-                "set_size": pa.array(size_out, pa.int64()),
             }
         )
 
+    # the inverted index is consumed twice (count-prune, then the
+    # survivor filter) but is LAZY on purpose: materializing it spilled
+    # 78 GB at ~50 MB/s on a 1.63M-doc run — recomputing the cheap crc32
+    # explode beats round-tripping the full index through disk; only the
+    # SURVIVING minority is ever materialized (inside cooccur_pair_hits)
     inv = ds.map_batches(explode, batch_format="pyarrow")
 
-    from ray.data.aggregate import Count, Max
+    from ray.data.aggregate import Count
+
+    if max_doc_freq is not None:
+        survivors, stops = keys_with_count_between(
+            inv, ["shingle"], min_count=2, max_count=max_doc_freq, also_above=True
+        )
+    else:
+        survivors = keys_with_count_between(inv, ["shingle"], min_count=2)
+        stops = set()
+
+    out_schema = pa.schema(
+        [("a_id", pa.string()), ("b_id", pa.string()), ("jaccard", pa.float64())]
+    )
+    if not survivors:
+        import ray.data
+
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=out_schema))
 
     hits = cooccur_pair_hits(
-        inv.materialize(), "shingle", id_col="id", size_col="set_size",
-        max_doc_freq=max_doc_freq,
+        inv, "shingle", id_col="id", max_doc_freq=max_doc_freq,
+        survivors=survivors,
     )
 
+    # per-doc POST-VALVE set sizes, computed at DOC grain (each doc whole
+    # inside its batch — exact without any partial-merge shuffle); the
+    # stopword set is the small side of the valve by construction, so it
+    # broadcasts once via ray.put
+    if hashed:
+        stops_bc = ray.put(np.fromiter(stops, dtype=np.uint64) if stops else np.empty(0, np.uint64))
+    else:
+        stops_bc = ray.put(stops)
+
+    def doc_sizes(batch: pa.Table) -> pa.Table:
+        stop = cached_get(stops_bc)
+        if hashed:
+            ids_arr = batch[id_col].cast(pa.string())
+            id_chunks, sz_chunks = [], []
+            for base, nd, vals, offs in iter_shingle_parts(
+                batch[text_col], k, short_docs=False
+            ):
+                if len(vals) == 0:
+                    continue
+                keep = (
+                    (~np.isin(vals, stop)).astype(np.int64)
+                    if len(stop)
+                    else np.ones(len(vals), np.int64)
+                )
+                # reduceat quirks: an index == len raises, an empty segment
+                # repeats its start element — clip then zero empties
+                starts = np.minimum(offs[:-1], len(vals) - 1)
+                sz = np.add.reduceat(keep, starts)
+                sz = np.where(np.diff(offs) > 0, sz, 0).astype(np.int64)
+                nonempty = sz > 0
+                if not nonempty.any():
+                    continue
+                id_chunks.append(
+                    ids_arr.take(pa.array(base + np.nonzero(nonempty)[0]))
+                )
+                sz_chunks.append(pa.array(sz[nonempty], pa.int64()))
+            if not id_chunks:
+                return pa.table(
+                    {"id": pa.array([], pa.string()), "sz": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {
+                    "id": pa.chunked_array(id_chunks),
+                    "sz": pa.chunked_array(sz_chunks),
+                }
+            )
+        ids_out, sz_out = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            if t is None:
+                continue
+            toks = tokenize(t)
+            if len(toks) < k:
+                continue
+            shingles = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+            n = len(shingles - stop) if stop else len(shingles)
+            if n:
+                ids_out.append(str(i))
+                sz_out.append(n)
+        return pa.table(
+            {"id": pa.array(ids_out, pa.string()), "sz": pa.array(sz_out, pa.int64())}
+        )
+
+    sizes = ds.map_batches(doc_sizes, batch_format="pyarrow")
+
     # vectorized pair reduction: c = co-occurrence count via aggregate (no
-    # per-pair Python), then compute/filter jaccard batch-wise
-    agg = hits.groupby(["a_id", "b_id"]).aggregate(
-        Count(), Max("na"), Max("nb")
+    # per-pair Python), then join post-valve sizes (pairs are the small
+    # side; sizes ride the exchange as lean 2-column rows)
+    agg = hits.groupby(["a_id", "b_id"]).aggregate(Count())
+
+    sizes_a = sizes.map_batches(
+        lambda t: pa.table({"a_id": t["id"], "na": t["sz"]}), batch_format="pyarrow"
     )
+    sizes_b = sizes.map_batches(
+        lambda t: pa.table({"b_id": t["id"], "nb": t["sz"]}), batch_format="pyarrow"
+    )
+    joined = partitioned_hash_join(agg, sizes_a, key="a_id", n_parts=64)
+    joined = partitioned_hash_join(joined, sizes_b, key="b_id", n_parts=64)
 
     def finish(t: pa.Table) -> pa.Table:
         import numpy as np
 
         c = t["count()"].to_numpy().astype(np.float64)
-        na = t["max(na)"].to_numpy().astype(np.float64)
-        nb = t["max(nb)"].to_numpy().astype(np.float64)
+        na = t["na"].to_numpy().astype(np.float64)
+        nb = t["nb"].to_numpy().astype(np.float64)
         j = c / (na + nb - c)
         keep = j >= threshold
         return pa.table(
@@ -1140,4 +1248,4 @@ def jaccard_pairs(
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return joined.map_batches(finish, batch_format="pyarrow")

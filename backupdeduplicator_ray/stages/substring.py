@@ -104,8 +104,10 @@ def substring_dup_pairs(
     from .neardup import cooccur_pair_hits
 
     inv = substring_windows(ds, min_len, stride, id_col, text_col)
+    # lazy on purpose: recomputing the window explode for the second
+    # pass beats spilling the full index (see jaccard_pairs)
     hits = cooccur_pair_hits(
-        inv.materialize(), "win", id_col="id", max_doc_freq=max_doc_freq
+        inv, "win", id_col="id", max_doc_freq=max_doc_freq
     )
     agg = hits.groupby(["a_id", "b_id"]).aggregate(Count())
 

@@ -59,6 +59,58 @@ def test_jaccard_pairs_exact(ray_session, docs, hashed):
         assert abs(j - jt) < 5e-7  # engine rounds to 6 dp
 
 
+@pytest.mark.parametrize("hashed", [True, False])
+def test_jaccard_valve_counts_sizes_post_valve(ray_session, hashed):
+    """Boilerplate shingles above max_doc_freq are removed from BOTH the
+    intersection and the set sizes — identical docs must still score 1.0
+    when the valve is active (pre-valve sizes deflated J below threshold
+    and returned zero pairs on boilerplate-heavy corpora)."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.neardup import jaccard_pairs
+
+    boiler = "copyright header common to every file in the corpus"
+    docs = {
+        # x == y byte-identical, >1/3 of their shingles are boilerplate
+        "x": boiler + " unique alpha beta gamma delta epsilon zeta",
+        "y": boiler + " unique alpha beta gamma delta epsilon zeta",
+        # enough other docs carrying the boilerplate to push its shingles
+        # over max_doc_freq=3
+        "p": boiler + " one filler",
+        "q": boiler + " two filler",
+        "r": boiler + " three filler",
+        "s": boiler + " four filler",
+    }
+    ds = ray.data.from_arrow(
+        pa.table({"id": list(docs.keys()), "text": list(docs.values())})
+    )
+    got = {
+        (row["a_id"], row["b_id"]): row["jaccard"]
+        for row in jaccard_pairs(
+            ds, threshold=0.5, k=3, hashed=hashed, max_doc_freq=3
+        ).take_all()
+    }
+    assert ("x", "y") in got
+    assert got[("x", "y")] == 1.0
+    # brute-force check of every reported pair against post-valve truth
+    from collections import Counter
+
+    all_sh = {i: _strict_shingles(t) for i, t in docs.items()}
+    df = Counter(s for sh in all_sh.values() for s in sh)
+    vocab = {s for s, c in df.items() if c <= 3}
+    for (a, b), j in got.items():
+        sa, sb = all_sh[a] & vocab, all_sh[b] & vocab
+        jt = len(sa & sb) / len(sa | sb)
+        assert abs(j - jt) < 5e-7
+    # and none missing: every post-valve pair >= 0.5 is reported
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = all_sh[a] & vocab, all_sh[b] & vocab
+            if sa | sb and len(sa & sb) / len(sa | sb) >= 0.5:
+                assert (a, b) in got
+
+
 def test_jaccard_max_doc_freq_prunes(ray_session, docs):
     import ray.data
 
