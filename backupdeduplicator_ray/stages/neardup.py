@@ -579,6 +579,7 @@ def cooccur_pair_hits(
     size_col: str | None = None,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     survivors=None,
+    id_type: pa.DataType | None = None,
 ):
     """Inverted-index rows (key, id[, size]) → co-occurrence hit rows
     (a_id, b_id[, na, nb]), one row per key the pair shares.
@@ -588,17 +589,23 @@ def cooccur_pair_hits(
     emission is quadratic in doc-freq), co-locate whole keys by
     hash(key) % B, then ONE vectorized pair-expansion kernel per partition
     — no `map_groups` Python call per key.  Pair orientation is ascending
-    lexicographic id, matching the SQL oracles' `a_id < b_id`.
-    `survivors` lets a caller that already counted key doc-freqs (e.g. to
-    extract the stopword side of the valve too) pass the surviving key set
-    in and skip the internal counting pass.
+    id (lexicographic for string ids — matching the SQL oracles'
+    `a_id < b_id` — numeric for compacted int64 ids; numeric orientation
+    is consistent per unordered pair, callers re-orient after restoring
+    strings).  `survivors` lets a caller that already counted key
+    doc-freqs (e.g. to extract the stopword side of the valve too) pass
+    the surviving key set in and skip the internal counting pass.
+    `id_type` is the id column's Arrow type (default string — pass int64
+    for hash-compacted ids so empty partitions emit the right schema).
     """
     import pandas as pd
     import ray.data
 
     from ..functions.groups import filter_by_key_set, keys_with_count_between
 
-    fields = [("a_id", pa.string()), ("b_id", pa.string())]
+    if id_type is None:
+        id_type = pa.string()
+    fields = [("a_id", id_type), ("b_id", id_type)]
     if size_col is not None:
         fields += [("na", pa.int64()), ("nb", pa.int64())]
     hit_schema = pa.schema(fields)
@@ -637,8 +644,8 @@ def cooccur_pair_hits(
             return pa.Table.from_pylist([], schema=hit_schema)
         ra, rb = order[ia], order[ib]
         cols = {
-            "a_id": pa.array(ids[ra], pa.string()),
-            "b_id": pa.array(ids[rb], pa.string()),
+            "a_id": pa.array(ids[ra], id_type),
+            "b_id": pa.array(ids[rb], id_type),
         }
         if size_col is not None:
             sizes = g[size_col].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1031,6 +1038,48 @@ JACCARD_SCHEMA = pa.schema(
 )
 
 
+def hash_doc_ids(ids_np: np.ndarray) -> np.ndarray:
+    """Deterministic int64 hash of an object/string id array (siphash via
+    pandas, fixed key — stable across processes and runs)."""
+    import pandas as pd
+
+    return pd.util.hash_array(ids_np).view(np.int64)
+
+
+def compact_doc_ids(ds, id_col: str):
+    """Decide whether doc ids can ride inverted-index shuffles as int64
+    hashes instead of strings.
+
+    Full string ids (~40-60 B/row on repo/path keys) dominate the bytes of
+    a (key u64, id) index exchange — at 1.63M docs the surviving-index
+    sort spilled tens of GB mostly of id payload.  Hashing ids to int64
+    cuts the row to 16 B; the string comes back at the end via the lean
+    per-doc side table, after pair emission, when only the surviving pairs
+    are left.
+
+    Returns (ok, id_map): ok=False when the int64 hashes collide on this
+    corpus (or ids repeat — either way the compacted join-back would be
+    ambiguous), in which case callers keep the exact string path; id_map
+    is a MATERIALIZED (idh int64, id string) Dataset, one row per doc.
+    Collision odds are ~n²/2⁶⁵ (≈1e-7 at 1.6M docs), so the check is a
+    formality — but it keeps the operators' exactness claim honest.
+    """
+
+    def build(t: pa.Table) -> pa.Table:
+        ids_arr = t[id_col].cast(pa.string())
+        ids_np = ids_arr.combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"idh": pa.array(hash_doc_ids(ids_np), pa.int64()), "id": ids_arr}
+        )
+
+    id_map = ds.select_columns([id_col]).map_batches(
+        build, batch_format="pyarrow"
+    ).materialize()
+    n_rows = id_map.count()
+    n_distinct = id_map.groupby("idh").count().count()
+    return n_rows == n_distinct, id_map
+
+
 def jaccard_pairs(
     ds,
     threshold: float = 0.6,
@@ -1064,14 +1113,23 @@ def jaccard_pairs(
       grain so no partial-merge shuffle) → filter.
 
     `hashed=True` uses u64 shingle hashes (lean shuffle; collision odds
-    ~n²/2^64).  `hashed=False` ships shingle strings — bit-identical to the
-    DuckDB oracle's string shingles (oracle-checked path).  Strict
-    k-shingles only: docs with < k tokens have an empty set (no pairs).
+    ~n²/2^64), and additionally rides COMPACTED int64 doc-id hashes
+    through the index shuffle (collision-checked per corpus via
+    `compact_doc_ids`, falling back to exact string ids on the ~1e-7
+    event) — the string ids come back through the sizes join, after pair
+    emission, when only surviving pairs remain.  `hashed=False` ships
+    shingle strings — bit-identical to the DuckDB oracle's string shingles
+    (oracle-checked path).  Strict k-shingles only: docs with < k tokens
+    have an empty set (no pairs).
     """
     import ray
 
     from ..functions.groups import cached_get, keys_with_count_between
     from ..state.joins import partitioned_hash_join
+
+    compact = hashed
+    if compact:
+        compact, _id_map = compact_doc_ids(ds, id_col)
 
     def explode(batch: pa.Table) -> pa.Table:
         if hashed:
@@ -1079,6 +1137,10 @@ def jaccard_pairs(
             # strict len(tokens) >= k convention), ids via np.repeat;
             # per cache-sized part, emitted as chunks (no big-array concat)
             ids_arr = batch[id_col].cast(pa.string())
+            if compact:
+                idh_np = hash_doc_ids(
+                    ids_arr.combine_chunks().to_numpy(zero_copy_only=False)
+                )
             sh_chunks, id_chunks = [], []
             for base, nd, vals, offs in iter_shingle_parts(
                 batch[text_col], k, short_docs=False
@@ -1087,14 +1149,17 @@ def jaccard_pairs(
                     continue
                 counts = np.diff(offs)
                 sh_chunks.append(pa.array(vals, pa.uint64()))
-                id_chunks.append(
-                    ids_arr.take(pa.array(base + np.repeat(np.arange(nd), counts)))
-                )
+                rows = base + np.repeat(np.arange(nd), counts)
+                if compact:
+                    id_chunks.append(pa.array(idh_np[rows], pa.int64()))
+                else:
+                    id_chunks.append(ids_arr.take(pa.array(rows)))
+            id_t = pa.int64() if compact else pa.string()
             if not sh_chunks:
                 return pa.table(
                     {
                         "shingle": pa.array([], pa.uint64()),
-                        "id": pa.array([], pa.string()),
+                        "id": pa.array([], id_t),
                     }
                 )
             return pa.table(
@@ -1152,6 +1217,7 @@ def jaccard_pairs(
     hits = cooccur_pair_hits(
         inv, "shingle", id_col="id", max_doc_freq=max_doc_freq,
         survivors=survivors,
+        id_type=pa.int64() if compact else pa.string(),
     )
 
     # per-doc POST-VALVE set sizes, computed at DOC grain (each doc whole
@@ -1167,7 +1233,11 @@ def jaccard_pairs(
         stop = cached_get(stops_bc)
         if hashed:
             ids_arr = batch[id_col].cast(pa.string())
-            id_chunks, sz_chunks = [], []
+            if compact:
+                idh_np = hash_doc_ids(
+                    ids_arr.combine_chunks().to_numpy(zero_copy_only=False)
+                )
+            id_chunks, sz_chunks, str_chunks = [], [], []
             for base, nd, vals, offs in iter_shingle_parts(
                 batch[text_col], k, short_docs=False
             ):
@@ -1186,20 +1256,26 @@ def jaccard_pairs(
                 nonempty = sz > 0
                 if not nonempty.any():
                     continue
-                id_chunks.append(
-                    ids_arr.take(pa.array(base + np.nonzero(nonempty)[0]))
-                )
+                rows = base + np.nonzero(nonempty)[0]
+                if compact:
+                    id_chunks.append(pa.array(idh_np[rows], pa.int64()))
+                    str_chunks.append(ids_arr.take(pa.array(rows)))
+                else:
+                    id_chunks.append(ids_arr.take(pa.array(rows)))
                 sz_chunks.append(pa.array(sz[nonempty], pa.int64()))
+            id_t = pa.int64() if compact else pa.string()
             if not id_chunks:
-                return pa.table(
-                    {"id": pa.array([], pa.string()), "sz": pa.array([], pa.int64())}
-                )
-            return pa.table(
-                {
-                    "id": pa.chunked_array(id_chunks),
-                    "sz": pa.chunked_array(sz_chunks),
-                }
-            )
+                cols = {"id": pa.array([], id_t), "sz": pa.array([], pa.int64())}
+                if compact:
+                    cols["ids"] = pa.array([], pa.string())
+                return pa.table(cols)
+            cols = {
+                "id": pa.chunked_array(id_chunks),
+                "sz": pa.chunked_array(sz_chunks),
+            }
+            if compact:
+                cols["ids"] = pa.chunked_array(str_chunks)
+            return pa.table(cols)
         ids_out, sz_out = [], []
         for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             if t is None:
@@ -1223,12 +1299,20 @@ def jaccard_pairs(
     # side; sizes ride the exchange as lean 2-column rows)
     agg = hits.groupby(["a_id", "b_id"]).aggregate(Count())
 
-    sizes_a = sizes.map_batches(
-        lambda t: pa.table({"a_id": t["id"], "na": t["sz"]}), batch_format="pyarrow"
-    )
-    sizes_b = sizes.map_batches(
-        lambda t: pa.table({"b_id": t["id"], "nb": t["sz"]}), batch_format="pyarrow"
-    )
+    def proj_a(t: pa.Table) -> pa.Table:
+        cols = {"a_id": t["id"], "na": t["sz"]}
+        if compact:
+            cols["a_str"] = t["ids"]
+        return pa.table(cols)
+
+    def proj_b(t: pa.Table) -> pa.Table:
+        cols = {"b_id": t["id"], "nb": t["sz"]}
+        if compact:
+            cols["b_str"] = t["ids"]
+        return pa.table(cols)
+
+    sizes_a = sizes.map_batches(proj_a, batch_format="pyarrow")
+    sizes_b = sizes.map_batches(proj_b, batch_format="pyarrow")
     joined = partitioned_hash_join(agg, sizes_a, key="a_id", n_parts=64)
     joined = partitioned_hash_join(joined, sizes_b, key="b_id", n_parts=64)
 
@@ -1240,11 +1324,27 @@ def jaccard_pairs(
         nb = t["nb"].to_numpy().astype(np.float64)
         j = c / (na + nb - c)
         keep = j >= threshold
+        keep_pa = pa.array(keep)
+        jv = pa.array(np.round(j[keep], 6), pa.float64())
+        if not compact:
+            return pa.table(
+                {
+                    "a_id": t["a_id"].filter(keep_pa),
+                    "b_id": t["b_id"].filter(keep_pa),
+                    "jaccard": jv,
+                }
+            )
+        # restore string ids (carried through the sizes join) and
+        # re-orient lexicographically — the pair kernel oriented by the
+        # int64 hash, consistent per pair but not string order
+        a = t["a_str"].filter(keep_pa).to_pandas().to_numpy(dtype=object)
+        b = t["b_str"].filter(keep_pa).to_pandas().to_numpy(dtype=object)
+        swap = a > b
         return pa.table(
             {
-                "a_id": t["a_id"].filter(pa.array(keep)),
-                "b_id": t["b_id"].filter(pa.array(keep)),
-                "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+                "a_id": pa.array(np.where(swap, b, a), pa.string()),
+                "b_id": pa.array(np.where(swap, a, b), pa.string()),
+                "jaccard": jv,
             }
         )
 

@@ -46,17 +46,34 @@ PAIR_SCHEMA = pa.schema(
 )
 
 
-def substring_windows(ds, min_len: int = 40, stride: int = 1, id_col: str = "id", text_col: str = "text"):
-    """Document Dataset → (win u64, id string) inverted-index rows.
+def substring_windows(
+    ds,
+    min_len: int = 40,
+    stride: int = 1,
+    id_col: str = "id",
+    text_col: str = "text",
+    compact: bool = False,
+):
+    """Document Dataset → (win u64, id) inverted-index rows.
 
     Hashes are deduped per doc, so a pair shares k rows of one `win` value
     iff both docs contain that window content (k is 0 or 1 per doc).
-    """
+    `compact=True` ships ids as int64 hashes (16 B/row total instead of
+    string payload — see `neardup.compact_doc_ids`; callers restore the
+    strings after pair emission)."""
+    from .neardup import hash_doc_ids
+
+    id_t = pa.int64() if compact else pa.string()
 
     def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        if compact:
+            ids = hash_doc_ids(
+                np.array([str(i) for i in ids], dtype=object)
+            )
         ids_out: list[np.ndarray] = []
         h_out: list[np.ndarray] = []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        for i, t in zip(ids, batch[text_col].to_pylist()):
             if t is None:
                 continue
             hs = window_hashes(t.encode("utf-8"), min_len)
@@ -66,15 +83,18 @@ def substring_windows(ds, min_len: int = 40, stride: int = 1, id_col: str = "id"
                 continue
             hs = np.unique(hs)
             h_out.append(hs)
-            ids_out.append(np.full(len(hs), str(i), dtype=object))
+            if compact:
+                ids_out.append(np.full(len(hs), i, dtype=np.int64))
+            else:
+                ids_out.append(np.full(len(hs), str(i), dtype=object))
         if not h_out:
             return pa.table(
-                {"win": pa.array([], pa.uint64()), "id": pa.array([], pa.string())}
+                {"win": pa.array([], pa.uint64()), "id": pa.array([], id_t)}
             )
         return pa.table(
             {
                 "win": pa.array(np.concatenate(h_out)),
-                "id": pa.array(np.concatenate(ids_out), pa.string()),
+                "id": pa.array(np.concatenate(ids_out), id_t),
             }
         )
 
@@ -98,22 +118,64 @@ def substring_dup_pairs(
     hash % B, one vectorized expansion kernel per partition, never a
     Python call per window (VERDICT r2 item 3).  `max_doc_freq` defaults
     to the shared DEFAULT_MAX_DOC_FREQ valve (the SQL oracle encodes the
-    same doc-freq cut; pass None for exact-at-any-freq)."""
+    same doc-freq cut; pass None for exact-at-any-freq).  Doc ids ride
+    the index shuffle as collision-checked int64 hashes
+    (`neardup.compact_doc_ids`); the strings come back via a lean per-doc
+    map join after pair emission, when only surviving pairs remain."""
     from ray.data.aggregate import Count
 
-    from .neardup import cooccur_pair_hits
+    from ..state.joins import partitioned_hash_join
+    from .neardup import compact_doc_ids, cooccur_pair_hits
 
-    inv = substring_windows(ds, min_len, stride, id_col, text_col)
+    from ..functions.groups import keys_with_count_between
+
+    compact, id_map = compact_doc_ids(ds, id_col)
+    inv = substring_windows(ds, min_len, stride, id_col, text_col, compact=compact)
+    survivors = keys_with_count_between(
+        inv, ["win"], min_count=2, max_count=max_doc_freq
+    )
+    if not survivors:
+        import ray.data
+
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=PAIR_SCHEMA))
     # lazy on purpose: recomputing the window explode for the second
     # pass beats spilling the full index (see jaccard_pairs)
     hits = cooccur_pair_hits(
-        inv, "win", id_col="id", max_doc_freq=max_doc_freq
+        inv, "win", id_col="id", max_doc_freq=max_doc_freq,
+        survivors=survivors,
+        id_type=pa.int64() if compact else pa.string(),
     )
     agg = hits.groupby(["a_id", "b_id"]).aggregate(Count())
 
+    if compact:
+        map_a = id_map.map_batches(
+            lambda t: pa.table({"a_id": t["idh"], "a_str": t["id"]}),
+            batch_format="pyarrow",
+        )
+        map_b = id_map.map_batches(
+            lambda t: pa.table({"b_id": t["idh"], "b_str": t["id"]}),
+            batch_format="pyarrow",
+        )
+        agg = partitioned_hash_join(agg, map_a, key="a_id", n_parts=64)
+        agg = partitioned_hash_join(agg, map_b, key="b_id", n_parts=64)
+
     def finish(t: pa.Table) -> pa.Table:
         c = t["count()"].cast(pa.int64())
-        tbl = pa.table({"a_id": t["a_id"], "b_id": t["b_id"], "n_shared": c})
+        if compact:
+            # restore string ids and re-orient lexicographically (the pair
+            # kernel oriented by int64 hash — consistent, not string order)
+            a = t["a_str"].to_pandas().to_numpy(dtype=object)
+            b = t["b_str"].to_pandas().to_numpy(dtype=object)
+            swap = a > b
+            tbl = pa.table(
+                {
+                    "a_id": pa.array(np.where(swap, b, a), pa.string()),
+                    "b_id": pa.array(np.where(swap, a, b), pa.string()),
+                    "n_shared": c,
+                }
+            )
+        else:
+            tbl = pa.table({"a_id": t["a_id"], "b_id": t["b_id"], "n_shared": c})
         if min_shared > 1:
             import pyarrow.compute as pc
 

@@ -158,15 +158,34 @@ def partitioned_hash_join(
     # type, breaking block-schema homogeneity across partitions
     out_schema = pa.schema([(c, type_of[c]) for c in all_cols])
 
-    def merge_part(g: pd.DataFrame) -> pa.Table:
-        left = g[g["__side"] == "l"].drop(columns=["__part", "__side"])
-        right = g[g["__side"] == "r"].drop(columns=["__part", "__side"])
-        left = left.drop(columns=[c for c in left.columns if c not in left_cols])
-        right = right.drop(columns=[c for c in right.columns if c not in right_cols])
+    # arrow→pandas int64 columns holding nulls decay to float64, which
+    # ROUNDS values beyond 2^53 — fatal for 64-bit hash ids (a corrupted
+    # key silently matches nothing).  Two defenses: split the sides while
+    # still in Arrow (each side keeps only its own columns, so the union's
+    # null padding never reaches pandas at all), and map 64-bit columns to
+    # pandas' nullable Int64/UInt64 extension dtypes so even GENUINE nulls
+    # stay exact.
+    def _i64_mapper(t: pa.DataType):
+        if t == pa.int64():
+            return pd.Int64Dtype()
+        if t == pa.uint64():
+            return pd.UInt64Dtype()
+        return None
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(g["__side"], "l")
+        left = g.filter(lmask).select(left_cols).to_pandas(types_mapper=_i64_mapper)
+        right = (
+            g.filter(pc.invert(lmask))
+            .select(right_cols)
+            .to_pandas(types_mapper=_i64_mapper)
+        )
         merged = left.merge(right, on=key, how=how)[all_cols]
         return pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
 
-    return tagged.groupby("__part").map_groups(merge_part, batch_format="pandas")
+    return tagged.groupby("__part").map_groups(merge_part, batch_format="pyarrow")
 
 
 def partitioned_semi_join(left_ds, keys_ds, key: str, n_parts: int = 64, keep: bool = True):
