@@ -1453,6 +1453,72 @@ LIMIT 100
 """
 
 
+def q_redact_pii(sf_dir: str):
+    """PII redaction: emails/phones/IPv4 → placeholder tokens + counts."""
+    from ..stages.scrub import redact_pii
+
+    return redact_pii(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_REDACT_PII = """
+WITH s1 AS (
+  SELECT doc_id,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS c1,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         regexp_replace(c1, '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS c2,
+         CAST(len(regexp_extract_all(c1, '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phone
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(c2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS clean,
+       n_email, n_phone,
+       CAST(len(regexp_extract_all(c2, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ip
+FROM s2
+"""
+
+
+def q_normalize_text(sf_dir: str):
+    """Canonical text form: lowercase + whitespace collapse + trim."""
+    from ..stages.scrub import normalize_text
+
+    return normalize_text(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_NORMALIZE_TEXT = """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+       CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
+def q_token_freq_stats(sf_dir: str):
+    """Per-doc corpus-frequency stats (rarity scoring primitive)."""
+    from ..stages.textops import token_freq_stats
+
+    return token_freq_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_TOKEN_FREQ_STATS = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY token)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(min(tf.tf) AS BIGINT) AS min_tf,
+       CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
+       CAST(sum(tf.tf) * 1000 // count(*) AS BIGINT) AS avg_tf_milli
+FROM tok JOIN tf USING (token)
+GROUP BY tok.doc_id
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES = {
@@ -1493,6 +1559,9 @@ QUERIES = {
     "curate": q_curate,
     "distinct_users": q_distinct_users,
     "order_revenue": q_order_revenue,
+    "redact_pii": q_redact_pii,
+    "normalize_text": q_normalize_text,
+    "token_freq_stats": q_token_freq_stats,
 }
 
 ORACLE_SQL = {
@@ -1535,4 +1604,7 @@ ORACLE_SQL = {
     "curate": SQL_CURATE,
     "distinct_users": SQL_DISTINCT_USERS,
     "order_revenue": SQL_ORDER_REVENUE,
+    "redact_pii": SQL_REDACT_PII,
+    "normalize_text": SQL_NORMALIZE_TEXT,
+    "token_freq_stats": SQL_TOKEN_FREQ_STATS,
 }

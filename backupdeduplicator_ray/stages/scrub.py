@@ -1,0 +1,92 @@
+"""Text scrubbing operators for training-data pipelines: PII redaction
+and normalization.
+
+Beyond the reference's scope (mandated LLM-data extensions; the reference
+has no text processing at all — its per-file worker is
+src/stages/build/cmd/worker.rs).  Both ops are pure `pyarrow.compute`
+regex kernels — zero Python per row, zero state, so they run as plain
+task-pool `map_batches` stages at any scale and the only cost is the
+streaming scan itself.
+
+Pattern doctrine: Arrow's `replace_substring_regex`/`count_substring_regex`
+and DuckDB's `regexp_replace(..., 'g')`/`regexp_extract_all` are BOTH RE2,
+so any RE2-safe pattern produces byte-identical results in the engine and
+the SQL oracle — keep patterns RE2-safe (no backrefs, no lookaround).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# RE2-safe PII patterns, applied in this order (each on the output of the
+# previous — the SQL oracle nests regexp_replace the same way).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+EMAIL_TOKEN = "<EMAIL>"
+PHONE_TOKEN = "<PHONE>"
+IP_TOKEN = "<IP>"
+
+# \s+ collapse + trim; RE2 \s == [\t\n\f\r ] in both engines
+_WS_RUN = r"\s+"
+
+
+def redact_pii(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc PII redaction: emails → <EMAIL>, phones → <PHONE>,
+    IPv4 → <IP>, applied in that order, plus integer match counts.
+
+    Output: (id_col, clean string, n_email, n_phone, n_ip — int64).
+    Counts are of non-overlapping matches in the text as seen by each
+    pattern (i.e. phone counts run on the email-redacted text, matching
+    the nesting order), exactly what DuckDB's
+    `len(regexp_extract_all(...))` reports on the same intermediate.
+    """
+    import pyarrow.compute as pc
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        n_email = pc.cast(pc.count_substring_regex(text, EMAIL_PATTERN), pa.int64())
+        s1 = pc.replace_substring_regex(text, EMAIL_PATTERN, EMAIL_TOKEN)
+        n_phone = pc.cast(pc.count_substring_regex(s1, PHONE_PATTERN), pa.int64())
+        s2 = pc.replace_substring_regex(s1, PHONE_PATTERN, PHONE_TOKEN)
+        n_ip = pc.cast(pc.count_substring_regex(s2, IPV4_PATTERN), pa.int64())
+        s3 = pc.replace_substring_regex(s2, IPV4_PATTERN, IP_TOKEN)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "clean": s3,
+                "n_email": n_email,
+                "n_phone": n_phone,
+                "n_ip": n_ip,
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Canonical text form: lowercase, collapse whitespace runs to one
+    space, strip leading/trailing whitespace.  Output: (id_col, norm,
+    n_chars_norm int64).
+
+    `utf8_lower` is full Unicode in Arrow while DuckDB's `lower` is too —
+    for the ASCII-range corpora in the fixtures the two agree exactly; the
+    docstring records the assumption rather than hiding it (a non-ASCII
+    corpus should oracle-check lower() parity first).
+    """
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(t[text_col]), _WS_RUN, " ")
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "norm": s,
+                "n_chars_norm": pc.cast(pc.utf8_length(s), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")

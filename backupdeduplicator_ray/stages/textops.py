@@ -327,3 +327,115 @@ def vocab_topk(ds, text_col: str = "text", k: int = 100):
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def token_freq_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc corpus-frequency stats — the distributed primitive behind
+    rarity/quality scoring: every token occurrence scored by its GLOBAL
+    corpus frequency, aggregated per doc.
+
+    Output: (id_col, n_tok, min_tf, sum_tf, avg_tf_milli) — all int64.
+    min_tf = the rarest token's corpus count (1 ⇒ the doc holds a
+    corpus-unique token), sum_tf/avg_tf_milli = total / integer-milli mean
+    corpus frequency (floor'd, so value-hash comparison with the SQL
+    oracle is exact — float means would be order-sensitive).  Docs with
+    zero tokens are absent, matching the SQL inner join.
+
+    Shuffle discipline: occurrences collapse to per-(doc, distinct-token)
+    counts inside each batch BEFORE anything moves (n_occ carries the
+    multiplicity), so the token-frequency join exchanges per-doc distinct
+    tokens, never the raw token stream; global counts come from the same
+    collapsed partials via one token groupby.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from ..state.joins import partitioned_hash_join
+
+    def doc_token_counts(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks()
+        valid = pc.is_valid(text)
+        ids = t[id_col].combine_chunks().filter(valid)
+        lists = pc.split_pattern_regex(text.filter(valid), "[^A-Za-z0-9_]+")
+        toks = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        mask = pc.not_equal(toks, "")
+        toks = toks.filter(mask)
+        parents = parents.filter(mask)
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], ids.type),
+                    "token": pa.array([], pa.string()),
+                    "n_occ": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                id_col: ids.take(parents).to_pandas(),
+                "token": toks.to_pandas(),
+            }
+        )
+        g = df.groupby([id_col, "token"], sort=False).size().rename("n_occ").reset_index()
+        return pa.table(
+            {
+                id_col: pa.array(g[id_col]).cast(ids.type),
+                "token": pa.array(g["token"], pa.string()),
+                "n_occ": pa.array(g["n_occ"].to_numpy(), pa.int64()),
+            }
+        )
+
+    occ = ds.map_batches(doc_token_counts, batch_format="pyarrow")
+
+    tf = (
+        occ.map_batches(
+            lambda t: pa.table({"token": t["token"], "n_occ": t["n_occ"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("token")
+        .aggregate(Sum("n_occ"))
+        .map_batches(
+            lambda t: pa.table(
+                {"token": t["token"], "tf": t["sum(n_occ)"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    joined = partitioned_hash_join(occ, tf, key="token", n_parts=64)
+
+    def weight(t: pa.Table) -> pa.Table:
+        n_occ = t["n_occ"].cast(pa.int64())
+        tf_col = t["tf"].cast(pa.int64())
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_occ": n_occ,
+                "tf": tf_col,
+                "wtf": pc.multiply(n_occ, tf_col),
+            }
+        )
+
+    agg = (
+        joined.map_batches(weight, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("n_occ"), Sum("wtf"), Min("tf"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = t["sum(n_occ)"].to_numpy().astype(np.int64)
+        s = t["sum(wtf)"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tok": pa.array(n, pa.int64()),
+                "min_tf": t["min(tf)"].cast(pa.int64()),
+                "sum_tf": pa.array(s, pa.int64()),
+                "avg_tf_milli": pa.array(s * 1000 // n, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,110 @@
+"""PII redaction, text normalization, and corpus-frequency stats."""
+
+import pyarrow as pa
+
+
+def _ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_redact_pii(ray_session):
+    from backupdeduplicator_ray.stages.scrub import redact_pii
+
+    rows = [
+        (1, "mail me at john.doe+spam@example.co.uk or call 555-123-4567."),
+        (2, "server at 10.0.255.3 answered; no pii here otherwise"),
+        (3, "two mails a@b.io c@d.org and phone +555 123 4567"),
+        (4, "nothing sensitive at all"),
+    ]
+    got = {r["doc_id"]: r for r in redact_pii(_ds(rows)).take_all()}
+    assert got[1]["clean"] == "mail me at <EMAIL> or call <PHONE>."
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ip"]) == (1, 1, 0)
+    assert got[2]["clean"] == "server at <IP> answered; no pii here otherwise"
+    assert got[2]["n_ip"] == 1
+    assert got[3]["n_email"] == 2 and got[3]["n_phone"] == 1
+    assert got[4]["clean"] == rows[3][1]
+    assert (got[4]["n_email"], got[4]["n_phone"], got[4]["n_ip"]) == (0, 0, 0)
+
+
+def test_redact_pii_matches_duckdb(ray_session):
+    """The engine's RE2 kernels and the SQL oracle must agree byte-for-byte
+    on a fixture that actually exercises every pattern (the sf corpora hold
+    no PII, so the driver check alone never fires the regexes)."""
+    import duckdb
+    import pandas as pd
+
+    from backupdeduplicator_ray.pipelines.queries import SQL_REDACT_PII
+    from backupdeduplicator_ray.stages.scrub import redact_pii
+
+    rows = [
+        (1, "a@b.io, +555 123 4567, 192.168.0.1 all in one line"),
+        (2, "edge: trailing mail x@y.zz"),
+        (3, "ip-ish 999.999.999.999 and 1.2.3.4.5 overlap case"),
+        (4, None),
+        (5, "phone variants 123.456.7890 and 123 456 7890 and 123-456-7890"),
+    ]
+    got = redact_pii(_ds(rows)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}),
+    )
+    want = con.execute(SQL_REDACT_PII).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+def test_normalize_text(ray_session):
+    from backupdeduplicator_ray.stages.scrub import normalize_text
+
+    rows = [
+        (1, "  Hello\t\tWORLD \n new  line  "),
+        (2, "already clean"),
+        (3, ""),
+    ]
+    got = {r["doc_id"]: r for r in normalize_text(_ds(rows)).take_all()}
+    assert got[1]["norm"] == "hello world new line"
+    assert got[1]["n_chars_norm"] == len("hello world new line")
+    assert got[2]["norm"] == "already clean"
+    assert got[3]["norm"] == ""
+
+
+def test_token_freq_stats(ray_session):
+    from collections import Counter
+
+    import re
+
+    from backupdeduplicator_ray.stages.textops import token_freq_stats
+
+    rows = [
+        (1, "alpha beta alpha gamma"),
+        (2, "beta beta delta"),
+        (3, "alpha zeta"),
+        (4, "   "),  # zero tokens -> absent
+        (5, None),
+    ]
+    got = {r["doc_id"]: r for r in token_freq_stats(_ds(rows)).take_all()}
+
+    toks = {
+        i: re.findall(r"[A-Za-z0-9_]+", t or "") for i, t in rows
+    }
+    tf = Counter(t for ts in toks.values() for t in ts)
+    assert set(got) == {i for i, ts in toks.items() if ts}
+    for i, ts in toks.items():
+        if not ts:
+            continue
+        freqs = [tf[t] for t in ts]
+        assert got[i]["n_tok"] == len(ts)
+        assert got[i]["min_tf"] == min(freqs)
+        assert got[i]["sum_tf"] == sum(freqs)
+        assert got[i]["avg_tf_milli"] == sum(freqs) * 1000 // len(ts)
