@@ -81,3 +81,35 @@ def curate_documents(
         .map_groups(dedup_part, batch_format="pandas")
     )
     return deterministic_sample(deduped, id_col, sample_rate)
+
+
+def near_dedup_drops(
+    ds,
+    cfg=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The near-dedup DECISION artifact: (doc_id, cluster_id) rows for
+    every document a MinHash+LSH near-dedup pass would REMOVE — each
+    cluster keeps its min-id representative (the cluster label), every
+    other member is listed here.  Singletons never appear.
+
+    This is the one-call "dedup my corpus" operation of a training-data
+    pipeline: `filter_by_key_set(corpus, [id], drops, keep=False)` applies
+    it.  Composes `stages.neardup.minhash_clusters` (exact pre-bucket →
+    LSH → verify → connected components, all oracle-verified) with a
+    vectorized keep/drop filter — no new shuffles beyond the cluster
+    pipeline itself.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.neardup import minhash_clusters
+
+    clusters = minhash_clusters(ds, cfg=cfg, id_col=id_col, text_col=text_col)
+
+    def drops(t: pa.Table) -> pa.Table:
+        keep_mask = pc.not_equal(t["id"], t["cluster_id"])
+        t = t.filter(keep_mask)
+        return pa.table({"doc_id": t["id"], "cluster_id": t["cluster_id"]})
+
+    return clusters.map_batches(drops, batch_format="pyarrow")

@@ -1117,6 +1117,15 @@ def _gen_hash_oracles() -> dict[str, str]:
         "minhash_clusters": oh.minhash_clusters_sql(
             mh_cfg.shingle_k, a, b, mh_cfg.bands, mh_cfg.verify_threshold
         ),
+        # near_dedup: the cluster oracle filtered to non-representative
+        # members — exactly pipelines/curate.near_dedup_drops
+        "near_dedup": (
+            "SELECT id AS doc_id, cluster_id FROM ("
+            + oh.minhash_clusters_sql(
+                mh_cfg.shingle_k, a, b, mh_cfg.bands, mh_cfg.verify_threshold
+            )
+            + ") WHERE id <> cluster_id"
+        ),
     }
 
 
@@ -1453,6 +1462,20 @@ LIMIT 100
 """
 
 
+def q_near_dedup(sf_dir: str):
+    """Near-dedup drop list: every doc a MinHash+LSH dedup pass removes
+    (min-id representative kept per cluster)."""
+    from ..config import MinHashConfig
+    from .curate import near_dedup_drops
+
+    return near_dedup_drops(
+        _docs(sf_dir, ["doc_id", "text"]),
+        cfg=MinHashConfig(**_MINSIG_CFG_KW),
+        id_col="doc_id",
+        text_col="text",
+    )
+
+
 def q_redact_pii(sf_dir: str):
     """PII redaction: emails/phones/IPv4 → placeholder tokens + counts."""
     from ..stages.scrub import redact_pii
@@ -1562,6 +1585,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "normalize_text": q_normalize_text,
     "token_freq_stats": q_token_freq_stats,
+    "near_dedup": q_near_dedup,
 }
 
 ORACLE_SQL = {
