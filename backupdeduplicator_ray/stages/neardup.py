@@ -1296,8 +1296,12 @@ def jaccard_pairs(
 
     # vectorized pair reduction: c = co-occurrence count via aggregate (no
     # per-pair Python), then join post-valve sizes (pairs are the small
-    # side; sizes ride the exchange as lean 2-column rows)
-    agg = hits.groupby(["a_id", "b_id"]).aggregate(Count())
+    # side; sizes ride the exchange as lean 2-column rows).  MATERIALIZED:
+    # the joins read .schema(), which on a lazy all-to-all plan executes
+    # the whole pair aggregate once just for the schema (see the
+    # partitioned_hash_join caller contract); the aggregate is the small
+    # side (distinct candidate pairs), so pinning it is cheap
+    agg = hits.groupby(["a_id", "b_id"]).aggregate(Count()).materialize()
 
     def proj_a(t: pa.Table) -> pa.Table:
         cols = {"a_id": t["id"], "na": t["sz"]}
@@ -1314,7 +1318,11 @@ def jaccard_pairs(
     sizes_a = sizes.map_batches(proj_a, batch_format="pyarrow")
     sizes_b = sizes.map_batches(proj_b, batch_format="pyarrow")
     joined = partitioned_hash_join(agg, sizes_a, key="a_id", n_parts=64)
-    joined = partitioned_hash_join(joined, sizes_b, key="b_id", n_parts=64)
+    # same contract: join 1's output (pairs, small) feeds join 2 as the
+    # lazy left side with a map_groups upstream — pin it
+    joined = partitioned_hash_join(
+        joined.materialize(), sizes_b, key="b_id", n_parts=64
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         import numpy as np

@@ -145,7 +145,10 @@ def substring_dup_pairs(
         survivors=survivors,
         id_type=pa.int64() if compact else pa.string(),
     )
-    agg = hits.groupby(["a_id", "b_id"]).aggregate(Count())
+    # MATERIALIZED before the joins: partitioned_hash_join reads .schema(),
+    # which re-executes a lazy all-to-all plan (caller contract in
+    # state/joins.py); the pair aggregate is the small side by construction
+    agg = hits.groupby(["a_id", "b_id"]).aggregate(Count()).materialize()
 
     if compact:
         map_a = id_map.map_batches(
@@ -157,7 +160,7 @@ def substring_dup_pairs(
             batch_format="pyarrow",
         )
         agg = partitioned_hash_join(agg, map_a, key="a_id", n_parts=64)
-        agg = partitioned_hash_join(agg, map_b, key="b_id", n_parts=64)
+        agg = partitioned_hash_join(agg.materialize(), map_b, key="b_id", n_parts=64)
 
     def finish(t: pa.Table) -> pa.Table:
         c = t["count()"].cast(pa.int64())

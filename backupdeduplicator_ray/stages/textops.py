@@ -401,6 +401,10 @@ def token_freq_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
             ),
             batch_format="pyarrow",
         )
+        # materialized: the join reads .schema(), which would re-execute
+        # this lazy groupby chain (caller contract in state/joins.py); the
+        # frequency table is vocabulary-sized, the small side
+        .materialize()
     )
 
     joined = partitioned_hash_join(occ, tf, key="token", n_parts=64)

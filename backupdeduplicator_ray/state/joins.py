@@ -106,6 +106,14 @@ def partitioned_hash_join(
     hangs forever waiting for resources).  `BDR_NATIVE_JOIN=always|never`
     overrides.  The portable union+groupby(__part) implementation below is
     the default in-sandbox path and stays tested for parity.
+
+    CALLER CONTRACT — lazy inputs with an all-to-all upstream: this
+    function reads `.schema()` from both sides, and on a lazy Dataset whose
+    plan contains a groupby/sort/join, Ray executes that WHOLE upstream
+    chain just to produce the schema — and then again for the real run (a
+    measured 984 s double-execution on a 1.63M-doc pair aggregate).
+    Materialize such a side first (aggregate outputs are usually the small
+    side); map-only lazy inputs are fine (schema costs one block).
     """
     if (
         how == "inner"
