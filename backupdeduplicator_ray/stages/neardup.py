@@ -26,6 +26,8 @@ the 10^12-file route.  Both paths are tested edge-set-identical.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -1229,6 +1231,20 @@ def jaccard_pairs(
     else:
         stops_bc = ray.put(stops)
 
+    # size/id-map delivery: below a documented doc-count valve the per-doc
+    # (idh, sz) arrays and the idh→string map broadcast via ray.put
+    # (~16 B + ~60 B per doc — 25 MB + 100 MB at 1.63M docs) and the pair
+    # aggregate is consumed by ONE vectorized lookup kernel, no joins at
+    # all.  Above the valve — corpora whose id map outgrows a broadcast —
+    # the sizes/strings reach pairs through hash joins instead.  The
+    # broadcast path exists because the pair aggregate is NOT always the
+    # small side: a template-heavy 1.63M-doc corpus produced 133M
+    # candidate pairs, and dragging string ids through a 133M-row join
+    # wedged the union+sort on memory backpressure.
+    bcast_max = int(os.environ.get("BDR_SIZES_BROADCAST_MAX_DOCS", "20000000"))
+    use_bcast = compact and _id_map.count() <= bcast_max
+    carry_str = compact and not use_bcast
+
     def doc_sizes(batch: pa.Table) -> pa.Table:
         stop = cached_get(stops_bc)
         if hashed:
@@ -1259,21 +1275,22 @@ def jaccard_pairs(
                 rows = base + np.nonzero(nonempty)[0]
                 if compact:
                     id_chunks.append(pa.array(idh_np[rows], pa.int64()))
-                    str_chunks.append(ids_arr.take(pa.array(rows)))
                 else:
                     id_chunks.append(ids_arr.take(pa.array(rows)))
+                if carry_str:
+                    str_chunks.append(ids_arr.take(pa.array(rows)))
                 sz_chunks.append(pa.array(sz[nonempty], pa.int64()))
             id_t = pa.int64() if compact else pa.string()
             if not id_chunks:
                 cols = {"id": pa.array([], id_t), "sz": pa.array([], pa.int64())}
-                if compact:
+                if carry_str:
                     cols["ids"] = pa.array([], pa.string())
                 return pa.table(cols)
             cols = {
                 "id": pa.chunked_array(id_chunks),
                 "sz": pa.chunked_array(sz_chunks),
             }
-            if compact:
+            if carry_str:
                 cols["ids"] = pa.chunked_array(str_chunks)
             return pa.table(cols)
         ids_out, sz_out = [], []
@@ -1294,13 +1311,61 @@ def jaccard_pairs(
 
     sizes = ds.map_batches(doc_sizes, batch_format="pyarrow")
 
-    # vectorized pair reduction: c = co-occurrence count via aggregate (no
-    # per-pair Python), then join post-valve sizes (pairs are the small
-    # side; sizes ride the exchange as lean 2-column rows).  MATERIALIZED:
-    # the joins read .schema(), which on a lazy all-to-all plan executes
-    # the whole pair aggregate once just for the schema (see the
-    # partitioned_hash_join caller contract); the aggregate is the small
-    # side (distinct candidate pairs), so pinning it is cheap
+    if use_bcast:
+        sizes_tbls = ray.get(sizes.materialize().to_arrow_refs())
+        sidh_l = [t["id"].to_numpy(zero_copy_only=False) for t in sizes_tbls if len(t)]
+        ssz_l = [t["sz"].to_numpy(zero_copy_only=False) for t in sizes_tbls if len(t)]
+        sidh = np.concatenate(sidh_l) if sidh_l else np.empty(0, np.int64)
+        ssz = np.concatenate(ssz_l) if ssz_l else np.empty(0, np.int64)
+        order = np.argsort(sidh)
+        sidh, ssz = sidh[order], ssz[order]
+        map_tbls = ray.get(_id_map.to_arrow_refs())
+        midh_l = [t["idh"].to_numpy(zero_copy_only=False) for t in map_tbls if len(t)]
+        mstr_l = [
+            t["id"].to_numpy(zero_copy_only=False) for t in map_tbls if len(t)
+        ]
+        midh = np.concatenate(midh_l) if midh_l else np.empty(0, np.int64)
+        mstr = (
+            np.concatenate(mstr_l) if mstr_l else np.empty(0, object)
+        )
+        morder = np.argsort(midh)
+        blob_ref = ray.put((sidh, ssz, midh[morder], mstr[morder]))
+
+        # the pair aggregate is consumed lazily by exactly one map — no
+        # join, no .schema() reader, so no materialization needed even at
+        # 100M+ candidate pairs
+        agg = hits.groupby(["a_id", "b_id"]).aggregate(Count())
+
+        def finish_bcast(t: pa.Table) -> pa.Table:
+            bidh, bsz, bmid, bmstr = cached_get(blob_ref)
+            a = t["a_id"].to_numpy(zero_copy_only=False)
+            b = t["b_id"].to_numpy(zero_copy_only=False)
+            c = t["count()"].to_numpy().astype(np.float64)
+            # every pair id exists in the size/id maps by construction:
+            # a doc reaches a pair only through surviving (df<=mdf)
+            # shingles, which also count toward its post-valve size
+            na = bsz[np.searchsorted(bidh, a)].astype(np.float64)
+            nb = bsz[np.searchsorted(bidh, b)].astype(np.float64)
+            j = c / (na + nb - c)
+            keep = j >= threshold
+            a, b = a[keep], b[keep]
+            astr = bmstr[np.searchsorted(bmid, a)]
+            bstr = bmstr[np.searchsorted(bmid, b)]
+            swap = astr > bstr
+            return pa.table(
+                {
+                    "a_id": pa.array(np.where(swap, bstr, astr), pa.string()),
+                    "b_id": pa.array(np.where(swap, astr, bstr), pa.string()),
+                    "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+                }
+            )
+
+        return agg.map_batches(finish_bcast, batch_format="pyarrow")
+
+    # join fallback: sizes (and carried strings) reach pairs through hash
+    # joins.  MATERIALIZED: the joins read .schema(), which on a lazy
+    # all-to-all plan executes the whole pair aggregate once just for the
+    # schema (see the partitioned_hash_join caller contract)
     agg = hits.groupby(["a_id", "b_id"]).aggregate(Count()).materialize()
 
     def proj_a(t: pa.Table) -> pa.Table:

@@ -145,9 +145,53 @@ def substring_dup_pairs(
         survivors=survivors,
         id_type=pa.int64() if compact else pa.string(),
     )
-    # MATERIALIZED before the joins: partitioned_hash_join reads .schema(),
-    # which re-executes a lazy all-to-all plan (caller contract in
-    # state/joins.py); the pair aggregate is the small side by construction
+    if compact:
+        import os
+
+        import ray
+
+        from ..functions.groups import cached_get
+
+        bcast_max = int(os.environ.get("BDR_SIZES_BROADCAST_MAX_DOCS", "20000000"))
+        if id_map.count() <= bcast_max:
+            # broadcast the idh→string map once (ray.put) and restore ids
+            # with one vectorized lookup per batch — the pair aggregate is
+            # NOT always the small side (see neardup.jaccard_pairs: 133M
+            # candidate pairs at 1.63M docs), so no joins on it
+            map_tbls = ray.get(id_map.to_arrow_refs())
+            midh_l = [t["idh"].to_numpy(zero_copy_only=False) for t in map_tbls if len(t)]
+            mstr_l = [t["id"].to_numpy(zero_copy_only=False) for t in map_tbls if len(t)]
+            midh = np.concatenate(midh_l) if midh_l else np.empty(0, np.int64)
+            mstr = np.concatenate(mstr_l) if mstr_l else np.empty(0, object)
+            order = np.argsort(midh)
+            blob_ref = ray.put((midh[order], mstr[order]))
+            agg = hits.groupby(["a_id", "b_id"]).aggregate(Count())
+
+            def finish_bcast(t: pa.Table) -> pa.Table:
+                bmid, bmstr = cached_get(blob_ref)
+                c = t["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+                a = t["a_id"].to_numpy(zero_copy_only=False)
+                b = t["b_id"].to_numpy(zero_copy_only=False)
+                if min_shared > 1:
+                    keep = c >= min_shared
+                    a, b, c = a[keep], b[keep], c[keep]
+                astr = bmstr[np.searchsorted(bmid, a)]
+                bstr = bmstr[np.searchsorted(bmid, b)]
+                swap = astr > bstr
+                return pa.table(
+                    {
+                        "a_id": pa.array(np.where(swap, bstr, astr), pa.string()),
+                        "b_id": pa.array(np.where(swap, astr, bstr), pa.string()),
+                        "n_shared": pa.array(c, pa.int64()),
+                    }
+                )
+
+            return agg.map_batches(finish_bcast, batch_format="pyarrow")
+
+    # join fallback (string ids, or an id map too big to broadcast).
+    # MATERIALIZED before the joins: partitioned_hash_join reads
+    # .schema(), which re-executes a lazy all-to-all plan (caller contract
+    # in state/joins.py)
     agg = hits.groupby(["a_id", "b_id"]).aggregate(Count()).materialize()
 
     if compact:

@@ -111,6 +111,48 @@ def test_jaccard_valve_counts_sizes_post_valve(ray_session, hashed):
                 assert (a, b) in got
 
 
+def test_jaccard_join_fallback_parity(ray_session, docs, monkeypatch):
+    """The join fallback (id map too big to broadcast) must match the
+    broadcast path exactly — forced via the documented env valve."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.neardup import jaccard_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": list(docs.keys()), "text": list(docs.values())})
+    )
+    want = sorted(
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in jaccard_pairs(ds, threshold=0.5, k=3, hashed=True).take_all()
+    )
+    monkeypatch.setenv("BDR_SIZES_BROADCAST_MAX_DOCS", "0")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in jaccard_pairs(ds, threshold=0.5, k=3, hashed=True).take_all()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_substring_join_fallback_parity(ray_session, docs, monkeypatch):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.substring import substring_dup_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": list(docs.keys()), "text": list(docs.values())})
+    )
+    want = sorted(
+        (r["a_id"], r["b_id"], r["n_shared"])
+        for r in substring_dup_pairs(ds, min_len=12).take_all()
+    )
+    monkeypatch.setenv("BDR_SIZES_BROADCAST_MAX_DOCS", "0")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["n_shared"])
+        for r in substring_dup_pairs(ds, min_len=12).take_all()
+    )
+    assert got == want and len(want) > 0
+
+
 def test_jaccard_max_doc_freq_prunes(ray_session, docs):
     import ray.data
 
