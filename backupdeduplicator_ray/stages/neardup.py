@@ -578,20 +578,25 @@ def cooccur_pair_hits(
     inv,
     key_col: str,
     id_col: str = "id",
-    size_col: str | None = None,
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     survivors=None,
     id_type: pa.DataType | None = None,
 ):
-    """Inverted-index rows (key, id[, size]) → co-occurrence hit rows
-    (a_id, b_id[, na, nb]), one row per key the pair shares.
+    """Inverted-index rows (key, id) → PARTIAL pair-count rows
+    (a_id, b_id, n): n = how many surviving keys the pair shares within
+    one partition.  Callers finish with `groupby(a,b).Sum("n")`.
 
     Partition-grain (VERDICT r2 item 3): count-prune surviving keys
     (2 <= doc-freq <= max_doc_freq — the stopword/boilerplate valve; pair
     emission is quadratic in doc-freq), co-locate whole keys by
     hash(key) % B, then ONE vectorized pair-expansion kernel per partition
-    — no `map_groups` Python call per key.  Pair orientation is ascending
-    id (lexicographic for string ids — matching the SQL oracles'
+    — no `map_groups` Python call per key.  Raw hits (one row per shared
+    key per pair — BILLIONS on a template-heavy corpus: 133M distinct
+    pairs × hundreds of shared shingles) never leave the kernel: pairs are
+    combined to per-partition partial counts via one np.unique over fused
+    pair codes, shrinking the downstream exchange by roughly
+    shared_keys/B per pair.  Pair orientation is ascending id
+    (lexicographic for string ids — matching the SQL oracles'
     `a_id < b_id` — numeric for compacted int64 ids; numeric orientation
     is consistent per unordered pair, callers re-orient after restoring
     strings).  `survivors` lets a caller that already counted key
@@ -607,10 +612,9 @@ def cooccur_pair_hits(
 
     if id_type is None:
         id_type = pa.string()
-    fields = [("a_id", id_type), ("b_id", id_type)]
-    if size_col is not None:
-        fields += [("na", pa.int64()), ("nb", pa.int64())]
-    hit_schema = pa.schema(fields)
+    hit_schema = pa.schema(
+        [("a_id", id_type), ("b_id", id_type), ("n", pa.int64())]
+    )
 
     if survivors is None:
         survivors = keys_with_count_between(
@@ -638,22 +642,24 @@ def cooccur_pair_hits(
             return pa.Table.from_pylist([], schema=hit_schema)
         keys = g[key_col].combine_chunks().to_numpy(zero_copy_only=False)
         ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        uniq_ids, icodes = np.unique(ids, return_inverse=True)
         _, kcodes = np.unique(keys, return_inverse=True)
-        _, icodes = np.unique(ids, return_inverse=True)
         order = np.lexsort((icodes, kcodes))
         ia, ib = _pair_expand(kcodes[order])
         if len(ia) == 0:
             return pa.Table.from_pylist([], schema=hit_schema)
         ra, rb = order[ia], order[ib]
-        cols = {
-            "a_id": pa.array(ids[ra], id_type),
-            "b_id": pa.array(ids[rb], id_type),
-        }
-        if size_col is not None:
-            sizes = g[size_col].combine_chunks().to_numpy(zero_copy_only=False)
-            cols["na"] = pa.array(sizes[ra].astype(np.int64))
-            cols["nb"] = pa.array(sizes[rb].astype(np.int64))
-        return pa.table(cols)
+        # combine raw hits to per-partition partial counts: fuse each
+        # oriented pair into one int64 code, count with a single unique
+        pair_codes = icodes[ra].astype(np.int64) * len(uniq_ids) + icodes[rb]
+        codes, counts = np.unique(pair_codes, return_counts=True)
+        return pa.table(
+            {
+                "a_id": pa.array(uniq_ids[codes // len(uniq_ids)], id_type),
+                "b_id": pa.array(uniq_ids[codes % len(uniq_ids)], id_type),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
 
     return (
         cand.map_batches(add_part, batch_format="pyarrow")
@@ -1198,7 +1204,7 @@ def jaccard_pairs(
     # SURVIVING minority is ever materialized (inside cooccur_pair_hits)
     inv = ds.map_batches(explode, batch_format="pyarrow")
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     if max_doc_freq is not None:
         survivors, stops = keys_with_count_between(
@@ -1334,13 +1340,13 @@ def jaccard_pairs(
         # the pair aggregate is consumed lazily by exactly one map — no
         # join, no .schema() reader, so no materialization needed even at
         # 100M+ candidate pairs
-        agg = hits.groupby(["a_id", "b_id"]).aggregate(Count())
+        agg = hits.groupby(["a_id", "b_id"]).aggregate(Sum("n"))
 
         def finish_bcast(t: pa.Table) -> pa.Table:
             bidh, bsz, bmid, bmstr = cached_get(blob_ref)
             a = t["a_id"].to_numpy(zero_copy_only=False)
             b = t["b_id"].to_numpy(zero_copy_only=False)
-            c = t["count()"].to_numpy().astype(np.float64)
+            c = t["sum(n)"].to_numpy().astype(np.float64)
             # every pair id exists in the size/id maps by construction:
             # a doc reaches a pair only through surviving (df<=mdf)
             # shingles, which also count toward its post-valve size
@@ -1366,7 +1372,7 @@ def jaccard_pairs(
     # joins.  MATERIALIZED: the joins read .schema(), which on a lazy
     # all-to-all plan executes the whole pair aggregate once just for the
     # schema (see the partitioned_hash_join caller contract)
-    agg = hits.groupby(["a_id", "b_id"]).aggregate(Count()).materialize()
+    agg = hits.groupby(["a_id", "b_id"]).aggregate(Sum("n")).materialize()
 
     def proj_a(t: pa.Table) -> pa.Table:
         cols = {"a_id": t["id"], "na": t["sz"]}
@@ -1392,7 +1398,7 @@ def jaccard_pairs(
     def finish(t: pa.Table) -> pa.Table:
         import numpy as np
 
-        c = t["count()"].to_numpy().astype(np.float64)
+        c = t["sum(n)"].to_numpy().astype(np.float64)
         na = t["na"].to_numpy().astype(np.float64)
         nb = t["nb"].to_numpy().astype(np.float64)
         j = c / (na + nb - c)

@@ -122,7 +122,7 @@ def substring_dup_pairs(
     the index shuffle as collision-checked int64 hashes
     (`neardup.compact_doc_ids`); the strings come back via a lean per-doc
     map join after pair emission, when only surviving pairs remain."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     from ..state.joins import partitioned_hash_join
     from .neardup import compact_doc_ids, cooccur_pair_hits
@@ -165,11 +165,11 @@ def substring_dup_pairs(
             mstr = np.concatenate(mstr_l) if mstr_l else np.empty(0, object)
             order = np.argsort(midh)
             blob_ref = ray.put((midh[order], mstr[order]))
-            agg = hits.groupby(["a_id", "b_id"]).aggregate(Count())
+            agg = hits.groupby(["a_id", "b_id"]).aggregate(Sum("n"))
 
             def finish_bcast(t: pa.Table) -> pa.Table:
                 bmid, bmstr = cached_get(blob_ref)
-                c = t["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+                c = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.int64)
                 a = t["a_id"].to_numpy(zero_copy_only=False)
                 b = t["b_id"].to_numpy(zero_copy_only=False)
                 if min_shared > 1:
@@ -192,7 +192,7 @@ def substring_dup_pairs(
     # MATERIALIZED before the joins: partitioned_hash_join reads
     # .schema(), which re-executes a lazy all-to-all plan (caller contract
     # in state/joins.py)
-    agg = hits.groupby(["a_id", "b_id"]).aggregate(Count()).materialize()
+    agg = hits.groupby(["a_id", "b_id"]).aggregate(Sum("n")).materialize()
 
     if compact:
         map_a = id_map.map_batches(
@@ -207,7 +207,7 @@ def substring_dup_pairs(
         agg = partitioned_hash_join(agg.materialize(), map_b, key="b_id", n_parts=64)
 
     def finish(t: pa.Table) -> pa.Table:
-        c = t["count()"].cast(pa.int64())
+        c = t["sum(n)"].cast(pa.int64())
         if compact:
             # restore string ids and re-orient lexicographically (the pair
             # kernel oriented by int64 hash — consistent, not string order)
