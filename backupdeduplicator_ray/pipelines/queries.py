@@ -1542,6 +1542,96 @@ GROUP BY tok.doc_id
 """
 
 
+def q_repetition_stats(sf_dir: str):
+    """Per-doc token-repetition quality stats (Gopher-style duplicate /
+    top-token fractions, integer fixed-point)."""
+    from ..stages.textops import repetition_stats
+
+    return repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+flat AS (SELECT doc_id, u.tok FROM toks CROSS JOIN UNNEST(tk) AS u(tok)),
+counts AS (SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tok,
+       CAST(count(*) AS BIGINT) AS n_distinct_tok,
+       CAST(1000 * (sum(c) - count(*)) // sum(c) AS BIGINT) AS dup_tok_milli,
+       CAST(1000 * max(c) // sum(c) AS BIGINT) AS top_tok_milli
+FROM counts GROUP BY doc_id
+"""
+
+
+_STRAT_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+_STRAT_DEFAULT = 0.1
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-source deterministic Bernoulli sample (corpus-mixing quota:
+    keep all of src0, half of src1, none of src2, 10% elsewhere)."""
+    from ..stages.select import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir, ["doc_id", "source", "lang", "n_chars"]),
+        key_col="doc_id",
+        group_col="source",
+        rates=_STRAT_RATES,
+        default_rate=_STRAT_DEFAULT,
+    )
+
+
+def _strat_sql() -> str:
+    from ..stages.select import sample_threshold_hex
+
+    whens = " ".join(
+        f"WHEN '{g}' THEN '{sample_threshold_hex(r)}'"
+        for g, r in _STRAT_RATES.items()
+    )
+    return f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE source {whens} ELSE '{sample_threshold_hex(_STRAT_DEFAULT)}' END
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Train/eval contamination: src0 documents sharing >= 1 distinct
+    4-token shingle with any other source's document (string-shingle
+    oracle path; the hashed scale path is pytest-parity-checked)."""
+    from ..stages.decontam import decontaminate
+
+    return decontaminate(
+        _docs(sf_dir, ["doc_id", "text", "source"]),
+        eval_value="src0",
+        k=4,
+        hashed=False,
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
+  FROM toks CROSS JOIN UNNEST(range(1, len(tk) - 2)) AS r(i)
+  WHERE len(tk) >= 4
+),
+tr AS (SELECT DISTINCT shingle FROM sh WHERE source <> 'src0')
+SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh e JOIN tr USING (shingle)
+WHERE e.source = 'src0'
+GROUP BY 1
+"""
+
+
 # --- registry --------------------------------------------------------------
 
 QUERIES = {
@@ -1585,6 +1675,9 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "normalize_text": q_normalize_text,
     "token_freq_stats": q_token_freq_stats,
+    "repetition_stats": q_repetition_stats,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
     "near_dedup": q_near_dedup,
 }
 
@@ -1631,4 +1724,7 @@ ORACLE_SQL = {
     "redact_pii": SQL_REDACT_PII,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "token_freq_stats": SQL_TOKEN_FREQ_STATS,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "stratified_sample": _strat_sql(),
+    "decontaminate": SQL_DECONTAMINATE,
 }

@@ -1,0 +1,196 @@
+"""Cross-corpus contamination detection: which held-out (eval) documents
+share verbatim k-token shingles with the training split?
+
+Beyond the reference's scope (mandated LLM-data extension; the reference
+has no text processing — its per-file worker is
+src/stages/build/cmd/worker.rs:43-132).  Decontamination is the step a
+training-data pipeline runs before trusting any benchmark number: an eval
+document whose n-grams appear in the training corpus is compromised.
+
+Plan — one inverted-index exchange, LINEAR kernels, no all-pairs:
+
+  explode each doc into its DISTINCT k-shingles tagged with the doc's
+  side (eval=1 / train=0) →
+  count-prune shingles with doc-freq < 2 (a shingle seen once cannot span
+  sides; the overwhelming majority of shingles die here — the same valve
+  shape as jaccard_pairs but with NO upper cap: a boilerplate shingle
+  shared by millions of train docs still contaminates, and this kernel is
+  linear in group size where pair emission is quadratic, so hot keys cost
+  O(n) and recall is never traded away) →
+  co-locate whole shingles by hash(shingle) % B →
+  per-partition vectorized kernel: each shingle group containing at least
+  one train row credits 1 to every eval doc in the group; the partition
+  combines credits to per-doc PARTIAL counts with one np.unique →
+  groupby(doc).Sum("n") → filter n >= min_shared.
+
+Because every shingle lives in exactly ONE partition (hash-partitioned)
+and a doc's shingles are distinct (set semantics at explode), the summed
+partials equal the exact COUNT(DISTINCT shared shingles) per eval doc —
+no raw (doc, shingle) hit ever crosses the second exchange.
+
+Scale shape: the wide exchange carries only shingles with doc-freq >= 2
+(lean (u64, id, u8) rows on the hashed path); the output is bounded by
+the eval split.  At 100 TB the eval side is typically tiny — the index
+rows still partition by shingle, so no single node ever holds the train
+side's vocabulary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.shingles import crc32_column, iter_shingle_parts, tokenize
+
+DEFAULT_SHINGLE_K = 4
+
+
+def _explode_tagged(batch: pa.Table, k: int, id_col: str, text_col: str,
+                    eval_value: str, group_col: str, hashed: bool) -> pa.Table:
+    """One batch → (shingle, id, ev) inverted-index rows; shingles are the
+    doc's DISTINCT strict k-shingles (docs with < k tokens emit nothing),
+    u64 hashes on the hashed path, ' '-joined token strings otherwise
+    (byte-identical to the SQL oracle's tk[i] || ' ' || ... form)."""
+    import pyarrow.compute as pc
+
+    id_arr = batch[id_col].combine_chunks() if isinstance(
+        batch[id_col], pa.ChunkedArray) else batch[id_col]
+    ev_np = pc.fill_null(
+        pc.equal(pc.cast(batch[group_col], pa.string()), eval_value), False
+    ).combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint8)
+    if hashed:
+        sh_chunks, row_chunks = [], []
+        for base, nd, vals, offs in iter_shingle_parts(
+            batch[text_col], k, short_docs=False
+        ):
+            if len(vals) == 0:
+                continue
+            sh_chunks.append(pa.array(vals, pa.uint64()))
+            row_chunks.append(base + np.repeat(np.arange(nd), np.diff(offs)))
+        if not sh_chunks:
+            return pa.table({
+                "shingle": pa.array([], pa.uint64()),
+                "id": id_arr.slice(0, 0),
+                "ev": pa.array([], pa.uint8()),
+            })
+        rows = np.concatenate(row_chunks)
+        return pa.table({
+            "shingle": pa.chunked_array(sh_chunks),
+            "id": id_arr.take(pa.array(rows)),
+            "ev": pa.array(ev_np[rows], pa.uint8()),
+        })
+    ids_out, sh_out, ev_out = [], [], []
+    for row, (i, t) in enumerate(
+        zip(id_arr.to_pylist(), batch[text_col].to_pylist())
+    ):
+        if t is None:
+            continue
+        toks = tokenize(t)
+        if len(toks) < k:
+            continue
+        for s in sorted({" ".join(toks[j: j + k]) for j in range(len(toks) - k + 1)}):
+            ids_out.append(i)
+            sh_out.append(s)
+            ev_out.append(ev_np[row])
+    return pa.table({
+        "shingle": pa.array(sh_out, pa.string()),
+        "id": pa.array(ids_out, id_arr.type),
+        "ev": pa.array(ev_out, pa.uint8()),
+    })
+
+
+def decontaminate(
+    ds,
+    eval_value: str,
+    k: int = DEFAULT_SHINGLE_K,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    hashed: bool = True,
+):
+    """(id, n_shared) for every eval-split document (group_col ==
+    eval_value) sharing at least `min_shared` distinct k-token shingles
+    with any train-split document.  `hashed=True` ships u64 shingle
+    hashes through the exchange (collision odds ~n²/2^64 — the
+    compact_doc_ids doctrine); `hashed=False` ships the literal shingle
+    strings, bit-identical to the SQL oracle (and parity-tested against
+    the hashed path)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.groups import filter_by_key_set, keys_with_count_between
+    from .neardup import _parts_for_rows
+
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    out_schema = pa.schema([("doc_id", id_type), ("n_shared", pa.int64())])
+
+    inv = ds.map_batches(
+        lambda b: _explode_tagged(b, k, id_col, text_col, eval_value, group_col, hashed),
+        batch_format="pyarrow",
+    )
+    # doc-freq >= 2 valve only — no upper cap (see module docstring)
+    survivors = keys_with_count_between(inv, ["shingle"], min_count=2, max_count=None)
+    if not survivors:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=out_schema))
+    cand = filter_by_key_set(inv, ["shingle"], survivors, keep=True).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=out_schema))
+    n_parts = _parts_for_rows(n_cand)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        col = t["shingle"]
+        knp = (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        if pa.types.is_string(knp.type):
+            part = (crc32_column(knp) % np.uint32(n_parts)).astype(np.int32)
+        else:
+            part = (
+                knp.to_numpy(zero_copy_only=False).astype(np.uint64)
+                % np.uint64(n_parts)
+            ).astype(np.int32)
+        return t.append_column("__part", pa.array(part))
+
+    partial_schema = pa.schema([("doc_id", id_type), ("n", pa.int64())])
+
+    def emit(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pa.Table.from_pylist([], schema=partial_schema)
+        keys = g["shingle"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ev = g["ev"].combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
+        _, kcodes = np.unique(keys, return_inverse=True)
+        # a shingle group contaminates iff it holds >= 1 train row; every
+        # eval row in such a group earns one credit (its shingles are
+        # already distinct per doc)
+        n_groups = int(kcodes.max()) + 1
+        has_train = np.zeros(n_groups, dtype=bool)
+        has_train[kcodes[~ev]] = True
+        credit = ev & has_train[kcodes]
+        if not credit.any():
+            return pa.Table.from_pylist([], schema=partial_schema)
+        uniq, counts = np.unique(ids[credit], return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(uniq, id_type),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    agg = (
+        cand.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(emit, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["sum(n)"].cast(pa.int64())
+        out = pa.table({"doc_id": t["doc_id"], "n_shared": n})
+        if min_shared > 1:
+            import pyarrow.compute as pc
+
+            out = out.filter(pc.greater_equal(out["n_shared"], min_shared))
+        return out
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -113,3 +113,46 @@ def topk_per_group(
         .groupby("__part")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def stratified_sample(
+    ds,
+    key_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+):
+    """Per-group deterministic Bernoulli sample — the corpus-mixing knob
+    (keep 100% of a rare source, 5% of a dominant one) with
+    `deterministic_sample`'s reproducibility guarantees: the decision is
+    sha256(key) compared against the row's GROUP's threshold, so it is
+    stable across runs, shardings and engines, and nested rates subset
+    (a row kept at 5% is kept at 20%).
+
+    Pure per-batch filter, no shuffle: per-row thresholds come from one
+    vectorized dictionary-encode + take over the (tiny) rate table.
+    Groups absent from `rates` (and null groups) use `default_rate`;
+    null keys are never selected.  The SQL oracle is the same hex-prefix
+    comparison against a CASE over group values.
+    """
+    import numpy as np
+
+    thr = {g: sample_threshold_hex(r) for g, r in rates.items()}
+    default_thr = sample_threshold_hex(default_rate)
+
+    def flt(t: pa.Table) -> pa.Table:
+        digests = hash_string_column(t[key_col].cast(pa.string()))
+        prefix = pc.utf8_slice_codeunits(digests, 0, 8)
+        groups = t[group_col].cast(pa.string())
+        enc = (groups.combine_chunks() if isinstance(groups, pa.ChunkedArray)
+               else groups).dictionary_encode()
+        dict_vals = enc.dictionary.to_pylist()
+        lut = np.array([thr.get(v, default_thr) for v in dict_vals] + [default_thr])
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        codes = np.where(np.isnan(codes), len(lut) - 1, codes).astype(np.int64) \
+            if codes.dtype.kind == "f" else codes.astype(np.int64)
+        row_thr = pa.array(lut[codes], pa.string())
+        keep = pc.fill_null(pc.less(prefix, row_thr), False)
+        return t.filter(keep)
+
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -443,3 +443,84 @@ def token_freq_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc token-repetition stats — the boilerplate/repetition quality
+    signals of the Gopher-style filter family: a template page repeats
+    itself; prose doesn't.
+
+    Output (all int64): (id_col, n_tok, n_distinct_tok, dup_tok_milli,
+    top_tok_milli) where dup_tok_milli = floor(1000 * (n_tok -
+    n_distinct) / n_tok) (fraction of occurrences that are repeats) and
+    top_tok_milli = floor(1000 * max-single-token-count / n_tok) (the
+    most-repeated token's share).  Docs with zero tokens (incl. null
+    text) are absent — the SQL oracle's UNNEST emits no row for them.
+
+    Pure per-batch kernel, no shuffle: token hashes from the shared
+    shingle kernel (`iter_token_parts` — one lockstep pass over the UTF-8
+    buffer), per-doc distinct counts and max run length from one lexsort
+    over (doc, hash).  64-bit token-hash identity is the compact_doc_ids
+    doctrine: a crc32→splitmix64 collision is the only way this diverges
+    from the SQL oracle's literal-string grouping (~n²/2⁶⁴ per doc).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.shingles import iter_token_parts
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        id_chunks, cols = [], {"n_tok": [], "n_distinct_tok": [], "dup": [], "top": []}
+        for base, nd, h, offs in iter_token_parts(t[text_col]):
+            n_tok = np.diff(np.asarray(offs, dtype=np.int64))
+            nonempty = np.nonzero(n_tok)[0]
+            if len(nonempty) == 0:
+                continue
+            docs = np.repeat(np.arange(nd, dtype=np.int64), n_tok)
+            order = np.lexsort((h, docs))
+            hs, ds_ = h[order], docs[order]
+            new = np.empty(len(hs), bool)
+            new[0] = True
+            np.logical_or(ds_[1:] != ds_[:-1], hs[1:] != hs[:-1], out=new[1:])
+            n_distinct = np.bincount(ds_[new], minlength=nd).astype(np.int64)
+            # per-doc max run length: runs are (doc, hash) segments in the
+            # sorted order; the first run of each doc starts where `new`
+            # coincides with a doc boundary
+            run_starts = np.nonzero(new)[0]
+            run_lens = np.diff(np.concatenate([run_starts, [len(hs)]]))
+            run_doc = ds_[run_starts]
+            doc_first_run = np.searchsorted(run_doc, np.arange(nd))
+            top = np.zeros(nd, np.int64)
+            top[nonempty] = np.maximum.reduceat(run_lens, doc_first_run[nonempty])
+            n = n_tok[nonempty]
+            id_chunks.append(ids.slice(base, nd).take(pa.array(nonempty)))
+            cols["n_tok"].append(n)
+            cols["n_distinct_tok"].append(n_distinct[nonempty])
+            cols["dup"].append(1000 * (n - n_distinct[nonempty]) // n)
+            cols["top"].append(1000 * top[nonempty] // n)
+        if not id_chunks:
+            return pa.table(
+                {
+                    id_col: ids.slice(0, 0),
+                    "n_tok": pa.array([], pa.int64()),
+                    "n_distinct_tok": pa.array([], pa.int64()),
+                    "dup_tok_milli": pa.array([], pa.int64()),
+                    "top_tok_milli": pa.array([], pa.int64()),
+                }
+            )
+        cat = {k: pa.array(np.concatenate(v), pa.int64()) for k, v in cols.items()}
+        return pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                     for c in id_chunks]
+                ),
+                "n_tok": cat["n_tok"],
+                "n_distinct_tok": cat["n_distinct_tok"],
+                "dup_tok_milli": cat["dup"],
+                "top_tok_milli": cat["top"],
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

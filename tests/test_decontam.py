@@ -1,0 +1,156 @@
+"""Decontamination, token-repetition stats, and stratified sampling."""
+
+import pyarrow as pa
+import pytest
+
+
+def _docs(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+FIXTURE = [
+    # eval docs (source "ev")
+    (1, "alpha beta gamma delta epsilon zeta", "ev"),      # shares 4-shingles with doc 10
+    (2, "one two three four five six seven", "ev"),        # shares with doc 11
+    (3, "totally unique content nothing shared here", "ev"),
+    (4, "alpha beta gamma delta", "ev"),                    # 1 shingle, also in 10
+    (5, None, "ev"),                                        # null text
+    (6, "red green blue", "ev"),                            # < k tokens -> no shingles
+    # train docs
+    (10, "prefix words alpha beta gamma delta epsilon zeta suffix", "tr"),
+    (11, "zero one two three four five six seven eight", "tr"),
+    (12, "train only content with no overlap at all", "tr"),
+    # an eval-eval-only overlap must NOT count: docs 7+8 share a shingle
+    # that appears in no train doc
+    (7, "quail raven stork heron ibis", "ev"),
+    (8, "quail raven stork heron crane", "ev"),
+]
+# expected (k=4): doc1 shares its 3 shingles with 10; doc2 shares its 4
+# shingles with 11; doc4 shares its single shingle with 10.
+EXPECTED = {1: 3, 2: 4, 4: 1}
+
+
+@pytest.mark.parametrize("hashed", [False, True])
+def test_decontaminate_fixture(ray_session, hashed):
+    from backupdeduplicator_ray.stages.decontam import decontaminate
+
+    out = decontaminate(
+        _docs(FIXTURE), eval_value="ev", k=4, hashed=hashed
+    ).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_shared"]))
+    assert got == EXPECTED
+
+
+def test_decontaminate_min_shared(ray_session):
+    from backupdeduplicator_ray.stages.decontam import decontaminate
+
+    out = decontaminate(
+        _docs(FIXTURE), eval_value="ev", k=4, min_shared=2
+    ).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_shared"]))
+    assert got == {1: 3, 2: 4}
+
+
+def test_decontaminate_path_parity_sf(ray_session):
+    """String and hashed paths agree on real data (sf0.001 documents)."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.decontam import decontaminate
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    a = (
+        decontaminate(ds, eval_value="src0", k=4, hashed=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        decontaminate(ds, eval_value="src0", k=4, hashed=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0  # the fixture corpus has real cross-source overlap
+
+
+def test_repetition_stats(ray_session):
+    from backupdeduplicator_ray.stages.textops import repetition_stats
+
+    rows = [
+        (1, "a a a a", None),                 # 4 tok, 1 distinct, top 4/4
+        (2, "w x y z", None),                 # no repeats
+        (3, "a b a b a", None),               # 5 tok, 2 distinct, top 3
+        (4, None, None),                      # null -> absent
+        (5, "", None),                        # zero tokens -> absent
+        (6, "Tab\ttab NEWLINE\nnewline", None),  # case-folded repeats
+    ]
+    ds = _docs([(i, t, "s") for i, t, _ in rows])
+    out = {
+        r["doc_id"]: r for r in repetition_stats(ds).take_all()
+    }
+    assert set(out) == {1, 2, 3, 6}
+    assert (out[1]["n_tok"], out[1]["n_distinct_tok"]) == (4, 1)
+    assert (out[1]["dup_tok_milli"], out[1]["top_tok_milli"]) == (750, 1000)
+    assert (out[2]["dup_tok_milli"], out[2]["top_tok_milli"]) == (0, 250)
+    assert (out[3]["n_tok"], out[3]["n_distinct_tok"], out[3]["top_tok_milli"]) == (
+        5,
+        2,
+        600,
+    )
+    assert (out[6]["n_tok"], out[6]["n_distinct_tok"]) == (4, 2)
+
+
+def test_stratified_sample_semantics(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.select import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "source"],
+    )
+    rates = {"src0": 1.0, "src1": 0.4, "src2": 0.0}
+    out = stratified_sample(
+        ds, key_col="doc_id", group_col="source", rates=rates, default_rate=0.2
+    ).to_pandas()
+    by_src = out.groupby("source").size().to_dict()
+    assert by_src.get("src0") == 25      # rate 1.0 keeps everything
+    assert "src2" not in by_src          # rate 0.0 keeps nothing
+    # groups not in the rate table follow default_rate: per group, the
+    # selected ids are exactly deterministic_sample(rate=0.2) restricted
+    # to that group (same key, same threshold)
+    flat = set(
+        deterministic_sample(ds, key_col="doc_id", rate=0.2)
+        .to_pandas()["doc_id"]
+    )
+    all_docs = ds.to_pandas()
+    for src, ids in out.groupby("source")["doc_id"]:
+        if src not in rates:
+            group_ids = set(all_docs[all_docs["source"] == src]["doc_id"])
+            assert set(ids) == flat & group_ids
+    # nested-rate subset property per group: 0.4 sample is a subset of 1.0
+    half = stratified_sample(
+        ds, key_col="doc_id", group_col="source",
+        rates={"src1": 0.4}, default_rate=0.0,
+    ).to_pandas()
+    full = stratified_sample(
+        ds, key_col="doc_id", group_col="source",
+        rates={"src1": 0.9}, default_rate=0.0,
+    ).to_pandas()
+    assert set(half["doc_id"]) <= set(full["doc_id"])

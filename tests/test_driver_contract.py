@@ -82,7 +82,8 @@ def test_oracle_keys_subset(entry_mod):
         "asof_lag", "doc_sample", "lang_topk", "vocab_topk",
         "len_quantiles", "curate", "distinct_users", "order_revenue",
         "media_features", "redact_pii", "normalize_text",
-        "token_freq_stats", "near_dedup",
+        "token_freq_stats", "near_dedup", "repetition_stats",
+        "stratified_sample", "decontaminate",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):
