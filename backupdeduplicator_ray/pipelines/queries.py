@@ -1089,6 +1089,41 @@ ORDER BY media_id, j
 """
 
 
+_N_FRAMES = 4
+_FRAME_LEN = 32
+
+
+def q_media_frames(sf_dir: str):
+    """Multimodal frame sampling (actor-pool stage, video rows only) with
+    the deterministic byte-window fake: frame i = the 32-byte window at
+    offset i * stride, hashed — every value SQL-derivable."""
+    from ..stages.multimodal import media_frames
+
+    media = _media_from_documents(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "video")),
+        batch_format="pyarrow",
+    )
+    return media_frames(media, n_frames=_N_FRAMES, frame_len=_FRAME_LEN)
+
+
+SQL_MEDIA_FRAMES = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, text
+  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
+),
+f AS (
+  SELECT media_id, CAST(t.i AS BIGINT) AS frame_idx,
+         CAST(t.i * greatest(n_bytes // {_N_FRAMES}, 1) AS BIGINT) AS frame_off,
+         n_bytes, text
+  FROM m CROSS JOIN range({_N_FRAMES}) t(i)
+  WHERE t.i * greatest(n_bytes // {_N_FRAMES}, 1) < n_bytes
+)
+SELECT media_id, frame_idx, frame_off,
+       sha256(substr(text, CAST(frame_off + 1 AS INTEGER), {_FRAME_LEN})) AS frame_hash
+FROM f
+"""
+
+
 # --- generated hash-chain oracles ------------------------------------------
 # (see oracle_hashes.py: crc32 + splitmix64 + FNV shingle roll rebuilt in
 # DuckDB SQL, validated against the numpy kernels by the driver gate)
@@ -1662,6 +1697,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
     "window_agg": q_window_agg,
     "sessionize": q_sessionize,
     "asof_lag": q_asof_lag,
@@ -1711,6 +1747,7 @@ ORACLE_SQL = {
     # raises), but the deterministic fake feature is sha256-hex fixed-point
     # and therefore fully SQL-derivable.
     "media_features": SQL_MEDIA_FEATURES,
+    "media_frames": SQL_MEDIA_FRAMES,
     "window_agg": SQL_WINDOW_AGG,
     "sessionize": SQL_SESSIONIZE,
     "asof_lag": SQL_ASOF_LAG,

@@ -108,6 +108,7 @@ def decontaminate(
     text_col: str = "text",
     group_col: str = "source",
     hashed: bool = True,
+    distributed: bool = False,
 ):
     """(id, n_shared) for every eval-split document (group_col ==
     eval_value) sharing at least `min_shared` distinct k-token shingles
@@ -115,7 +116,10 @@ def decontaminate(
     hashes through the exchange (collision odds ~n²/2^64 — the
     compact_doc_ids doctrine); `hashed=False` ships the literal shingle
     strings, bit-identical to the SQL oracle (and parity-tested against
-    the hashed path)."""
+    the hashed path).  `distributed=True` keeps the surviving-shingle set
+    off the driver entirely (Dataset semi-join instead of a broadcast) —
+    the right route when the corpus is dup-heavy enough that the count>=2
+    vocabulary itself outgrows a driver merge."""
     import ray.data
     from ray.data.aggregate import Sum
 
@@ -131,8 +135,10 @@ def decontaminate(
         batch_format="pyarrow",
     )
     # doc-freq >= 2 valve only — no upper cap (see module docstring)
-    survivors = keys_with_count_between(inv, ["shingle"], min_count=2, max_count=None)
-    if not survivors:
+    survivors = keys_with_count_between(
+        inv, ["shingle"], min_count=2, max_count=None, distributed=distributed
+    )
+    if not distributed and not survivors:
         return ray.data.from_arrow(pa.Table.from_pylist([], schema=out_schema))
     cand = filter_by_key_set(inv, ["shingle"], survivors, keep=True).materialize()
     n_cand = cand.count()

@@ -151,3 +151,101 @@ def synth_media_table(n: int = 32, seed: int = 42) -> pa.Table:
             }
         )
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("frame_idx", pa.int64()),
+        ("frame_off", pa.int64()),
+        ("frame_hash", pa.string()),
+    ]
+)
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video/audio binary → N sampled frames.
+
+    mode="strict": raises NotImplementedError at the decode step (real
+    frame extraction needs ffmpeg — STUB, clearly marked, same doctrine as
+    MediaFeatureStage).  mode="fake": deterministic byte-window "frames" —
+    frame i is the `frame_len`-byte window at offset i * stride with
+    stride = max(n_bytes // n_frames, 1), emitted as (media_id, frame_idx,
+    frame_off, sha256-hex of the window).  Every output value is
+    SQL-derivable (substr + sha256 over the same bytes), so the plumbing
+    is oracle-checked end-to-end; media too short for a full fan-out emit
+    fewer frames (offsets past the payload are skipped), empty/null media
+    emit none.
+    """
+
+    def __init__(
+        self,
+        n_frames: int = 4,
+        frame_len: int = 32,
+        mode: str = "fake",
+        media_col: str = "media",
+    ):
+        if mode not in ("fake", "strict"):
+            raise ValueError(f"unknown mode: {mode}")
+        self.n_frames = n_frames
+        self.frame_len = frame_len
+        self.mode = mode
+        self.media_col = media_col
+
+    def _decode_real(self, data: bytes) -> list:
+        raise NotImplementedError(
+            "frame extraction requires ffmpeg which is not available in "
+            "this environment; run with mode='fake' for the deterministic stub"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, offs, hashes = [], [], [], []
+        for row in batch.to_pylist():
+            data = row[self.media_col]
+            if self.mode == "strict":
+                self._decode_real(data)
+            if not data:
+                continue
+            n = len(data)
+            stride = max(n // self.n_frames, 1)
+            for i in range(self.n_frames):
+                off = i * stride
+                if off >= n:
+                    break
+                ids.append(row["media_id"])
+                idxs.append(i)
+                offs.append(off)
+                hashes.append(
+                    hashlib.sha256(data[off: off + self.frame_len]).hexdigest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "frame_off": pa.array(offs, pa.int64()),
+                "frame_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+
+def media_frames(
+    ds,
+    n_frames: int = 4,
+    frame_len: int = 32,
+    mode: str = "fake",
+    media_col: str = "media",
+    concurrency: int | None = None,
+    batch_size: int = 32,
+):
+    """Media Dataset → sampled-frame Dataset via an actor pool (small
+    batches — large binary payloads; same sizing doctrine as
+    media_features)."""
+    from .neardup import default_concurrency
+
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_args=(n_frames, frame_len, mode, media_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )

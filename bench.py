@@ -639,8 +639,7 @@ def run_scaling() -> None:
             "fixed_ramp_sec_hi": round(t[(hi, m_big)] - d_hi * n_big / (n_big - n_small), 1),
         }
 
-    out = json.dumps(
-        {
+    result = {
             "metric": f"scaling efficiency, {lo} -> {hi} cpus (fresh processes; "
             "realistic file sizes; raw + fixed-ramp-corrected marginal)",
             "cpus_lo": lo,
@@ -657,11 +656,24 @@ def run_scaling() -> None:
             "(aggregate DRAM bw stops scaling past ~8 procs, "
             "BENCH_SCALING_COMPUTE.json probes) — scales with nodes, not "
             "local cores",
-        }
-    )
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"), "w") as f:
+    }
+    # merge, don't overwrite: the confirm_8_32_full_pipeline entry (and any
+    # other auxiliary probe) written by --scaling-confirm must survive a
+    # protocol re-run
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    merged = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            merged = {k: v for k, v in prev.items() if k == "confirm_8_32_full_pipeline"}
+        except (json.JSONDecodeError, OSError):
+            pass
+    merged.update(result)
+    out = json.dumps(merged)
+    with open(path, "w") as f:
         f.write(out + "\n")
-    print(out)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

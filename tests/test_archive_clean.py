@@ -200,3 +200,53 @@ def test_multimodal_feature_stage(ray_session):
     stage = MediaFeatureStage(mode="strict")
     with pytest.raises(NotImplementedError):
         stage(t.slice(0, 2))
+
+
+def test_multimodal_frame_sample(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from backupdeduplicator_ray.stages.multimodal import (
+        FrameSampleStage,
+        media_frames,
+        synth_media_table,
+    )
+
+    t = synth_media_table(9)
+    out = media_frames(
+        ray.data.from_arrow(t), n_frames=4, frame_len=32
+    ).take_all()
+    media = {r["media_id"]: r["media"] for r in t.to_pylist()}
+    # every frame hash is the sha256 of the byte window it claims
+    assert len(out) > 0
+    for r in out:
+        data = media[r["media_id"]]
+        off = r["frame_off"]
+        assert off < len(data)
+        assert (
+            r["frame_hash"]
+            == hashlib.sha256(data[off: off + 32]).hexdigest()
+        )
+    # full media emit exactly n_frames; frame offsets are i * stride
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, frames in by_id.items():
+        n = len(media[mid])
+        stride = max(n // 4, 1)
+        expect = [i * stride for i in range(4) if i * stride < n]
+        assert sorted(f["frame_off"] for f in frames) == expect
+    # empty media emit nothing; strict mode is a clearly-marked stub
+    import pyarrow as pa
+
+    empty = pa.table(
+        {
+            "media_id": pa.array([99], pa.int64()),
+            "kind": pa.array(["video"]),
+            "media": pa.array([b""], pa.large_binary()),
+        }
+    )
+    assert FrameSampleStage()(empty).num_rows == 0
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(mode="strict")(t.slice(0, 1))

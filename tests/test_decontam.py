@@ -86,6 +86,25 @@ def test_decontaminate_path_parity_sf(ray_session):
     assert len(a) > 0  # the fixture corpus has real cross-source overlap
 
 
+def test_decontaminate_distributed_parity(ray_session):
+    """The distributed survivor route (Dataset semi-join, no driver key
+    set) matches the broadcast route byte-for-byte."""
+    import pandas as pd
+
+    from backupdeduplicator_ray.stages.decontam import decontaminate
+
+    a = (
+        decontaminate(_docs(FIXTURE), eval_value="ev", k=4, distributed=False)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        decontaminate(_docs(FIXTURE), eval_value="ev", k=4, distributed=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert dict(zip(a["doc_id"], a["n_shared"])) == EXPECTED
+
+
 def test_repetition_stats(ray_session):
     from backupdeduplicator_ray.stages.textops import repetition_stats
 
@@ -144,6 +163,31 @@ def test_stratified_sample_semantics(ray_session):
         if src not in rates:
             group_ids = set(all_docs[all_docs["source"] == src]["doc_id"])
             assert set(ids) == flat & group_ids
+    # null group and null key semantics: null group rows follow
+    # default_rate; null keys are never selected
+    import ray.data as rd
+
+    small = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, None, 4], pa.int64()),
+                "source": pa.array(["src0", None, "src0", None], pa.string()),
+            }
+        )
+    )
+    kept = stratified_sample(
+        small, key_col="doc_id", group_col="source",
+        rates={"src0": 1.0}, default_rate=1.0,
+    ).to_pandas()
+    # default 1.0 keeps null-group rows with non-null keys; null key dropped
+    assert sorted(kept["doc_id"]) == [1, 2, 4]
+    none_kept = stratified_sample(
+        small, key_col="doc_id", group_col="source",
+        rates={"src0": 1.0}, default_rate=0.0,
+    ).to_pandas()
+    # default 0.0 drops the null-group rows, keeps rated src0 rows
+    assert sorted(none_kept["doc_id"]) == [1]
+
     # nested-rate subset property per group: 0.4 sample is a subset of 1.0
     half = stratified_sample(
         ds, key_col="doc_id", group_col="source",

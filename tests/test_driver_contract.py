@@ -81,7 +81,7 @@ def test_oracle_keys_subset(entry_mod):
         "dedup_plan", "dedup_execute", "window_agg", "sessionize",
         "asof_lag", "doc_sample", "lang_topk", "vocab_topk",
         "len_quantiles", "curate", "distinct_users", "order_revenue",
-        "media_features", "redact_pii", "normalize_text",
+        "media_features", "media_frames", "redact_pii", "normalize_text",
         "token_freq_stats", "near_dedup", "repetition_stats",
         "stratified_sample", "decontaminate",
     ],
