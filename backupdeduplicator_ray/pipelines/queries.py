@@ -1588,7 +1588,7 @@ def q_repetition_stats(sf_dir: str):
 SQL_REPETITION_STATS = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 ),
 flat AS (SELECT doc_id, u.tok FROM toks CROSS JOIN UNNEST(tk) AS u(tok)),
 counts AS (SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY 1, 2)
@@ -1651,7 +1651,7 @@ def q_decontaminate(sf_dir: str):
 SQL_DECONTAMINATE = """
 WITH toks AS (
   SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 ),
 sh AS (
   SELECT DISTINCT doc_id, source,

@@ -53,6 +53,10 @@ def _explode_tagged(batch: pa.Table, k: int, id_col: str, text_col: str,
     (byte-identical to the SQL oracle's tk[i] || ' ' || ... form)."""
     import pyarrow.compute as pc
 
+    # null-id rows are dropped (contract, mirrored by the SQL oracle's
+    # doc_id IS NOT NULL): a null id can't name a contaminated document,
+    # and int64 nulls would round-trip through numpy as NaN in the kernel
+    batch = batch.filter(pc.is_valid(batch[id_col]))
     id_arr = batch[id_col].combine_chunks() if isinstance(
         batch[id_col], pa.ChunkedArray) else batch[id_col]
     ev_np = pc.fill_null(

@@ -456,6 +456,9 @@ def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
     top_tok_milli = floor(1000 * max-single-token-count / n_tok) (the
     most-repeated token's share).  Docs with zero tokens (incl. null
     text) are absent — the SQL oracle's UNNEST emits no row for them.
+    Null-id rows are dropped too (contract): this op is per-document, and
+    SQL's GROUP BY would instead MERGE every null-id doc into one row —
+    neither answer is useful, so the row is excluded on both sides.
 
     Pure per-batch kernel, no shuffle: token hashes from the shared
     shingle kernel (`iter_token_parts` — one lockstep pass over the UTF-8
@@ -470,6 +473,7 @@ def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
     from ..functions.shingles import iter_token_parts
 
     def stats(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[id_col]))
         ids = t[id_col].combine_chunks()
         id_chunks, cols = [], {"n_tok": [], "n_distinct_tok": [], "dup": [], "top": []}
         for base, nd, h, offs in iter_token_parts(t[text_col]):

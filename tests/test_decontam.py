@@ -51,6 +51,37 @@ def test_decontaminate_fixture(ray_session, hashed):
     assert got == EXPECTED
 
 
+def test_decontaminate_null_ids_dropped(ray_session):
+    """Null-id rows are dropped on both sides of the contract — they can't
+    name a contaminated doc, and their shingles don't poison the train
+    side either way (doc 10 still provides the overlap)."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.decontam import decontaminate
+
+    rows = FIXTURE + [(None, "alpha beta gamma delta epsilon zeta", "ev")]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = decontaminate(ds, eval_value="ev", k=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_shared"]))
+    assert got == EXPECTED
+
+
+def test_repetition_stats_null_ids_dropped(ray_session):
+    from backupdeduplicator_ray.stages.textops import repetition_stats
+
+    ds = _docs([(1, "a a b", "s"), (None, "c c d", "s")])
+    out = repetition_stats(ds).take_all()
+    assert [r["doc_id"] for r in out] == [1]
+
+
 def test_decontaminate_min_shared(ray_session):
     from backupdeduplicator_ray.stages.decontam import decontaminate
 
