@@ -1577,6 +1577,125 @@ GROUP BY tok.doc_id
 """
 
 
+def q_region_revenue(sf_dir: str):
+    """Broadcast-dimension join: order revenue (fixed-point cents) per
+    region.  The dimension chain customer→nation→region is tiny by
+    construction, so it composes ON THE DRIVER into one (custkey, r_name)
+    lookup and ships ONCE via ray.put (`state.joins.broadcast_hash_join`)
+    — the fact side streams through with ZERO shuffle before the 5-row
+    final aggregate.  This is the anti-shuffle counterpart of
+    `order_revenue`'s both-sides-large `partitioned_hash_join`."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..state.joins import broadcast_hash_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = (
+        cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    dim_t = pa.table(
+        {
+            "o_custkey": pa.array(dim["c_custkey"], pa.int64()),
+            "r_name": pa.array(dim["r_name"], pa.string()),
+        }
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"].cast(pa.int64()),
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_hash_join(orders, dim_t, "o_custkey", how="inner")
+
+    def part(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "r_name": t["r_name"].to_pandas(),
+                "cents": t["cents"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            df.groupby("r_name", sort=False)
+            .agg(revenue_cents=("cents", "sum"), n_orders=("cents", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "r_name": pa.array(g["r_name"], pa.string()),
+                "revenue_cents": pa.array(g["revenue_cents"], pa.int64()),
+                "n_orders": pa.array(g["n_orders"], pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(part, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("revenue_cents"), Sum("n_orders"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "r_name": t["r_name"],
+                "revenue_cents": t["sum(revenue_cents)"].cast(pa.int64()),
+                "n_orders": t["sum(n_orders)"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+_LANG_QS = [0.25, 0.5, 0.75]
+
+
+def q_lang_len_quantiles(sf_dir: str):
+    """Exact per-group quantiles (quantile_disc per language) — the
+    distributed histogram route with a partition-grain finalize kernel."""
+    from ..stages.stats import group_quantiles
+
+    return group_quantiles(
+        _docs(sf_dir, ["lang", "n_chars"]), "lang", "n_chars", _LANG_QS
+    )
+
+
+SQL_LANG_LEN_QUANTILES = " UNION ALL ".join(
+    f"""SELECT lang, {q} AS q, quantile_disc(n_chars, {q}) AS value
+FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY lang"""
+    for q in _LANG_QS
+)
+
+
 def q_repetition_stats(sf_dir: str):
     """Per-doc token-repetition quality stats (Gopher-style duplicate /
     top-token fractions, integer fixed-point)."""
@@ -1714,6 +1833,8 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
+    "region_revenue": q_region_revenue,
+    "lang_len_quantiles": q_lang_len_quantiles,
     "near_dedup": q_near_dedup,
 }
 
@@ -1764,4 +1885,6 @@ ORACLE_SQL = {
     "repetition_stats": SQL_REPETITION_STATS,
     "stratified_sample": _strat_sql(),
     "decontaminate": SQL_DECONTAMINATE,
+    "region_revenue": SQL_REGION_REVENUE,
+    "lang_len_quantiles": SQL_LANG_LEN_QUANTILES,
 }

@@ -134,3 +134,102 @@ def distinct_count(ds, key_col: str, value_col: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def group_quantiles(ds, group_col: str, col: str, qs: list[float], n_parts: int = 32):
+    """Exact discrete quantiles PER GROUP — DuckDB `quantile_disc(col, q)
+    GROUP BY group` semantics (ascending element at max(ceil(q*n)-1, 0);
+    null values excluded; null groups dropped by contract).
+
+    Same histogram discipline as `column_quantiles`, kept distributed the
+    whole way: per-batch (group, value) value_counts partials → one
+    (group, value) groupby → hash-partition whole groups by group key →
+    ONE vectorized kernel per partition (global cumsum + a single
+    searchsorted over all (group, q) targets — no per-group Python), so
+    group cardinality never reaches the driver.  Output: (group_col,
+    q double, value) — one row per (group, q).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.shingles import crc32_column
+
+    qs = list(qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = pa.table({group_col: t[group_col], "value": t[col]})
+        sub = sub.filter(
+            pc.and_(pc.is_valid(sub[group_col]), pc.is_valid(sub["value"]))
+        )
+        g = sub.group_by([group_col, "value"]).aggregate([("value", "count")])
+        return pa.table(
+            {
+                group_col: g[group_col],
+                "value": g["value"],
+                "n": g["value_count"].cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "value"])
+        .aggregate(Sum("n"))
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        col_g = t[group_col]
+        if pa.types.is_integer(col_g.type):
+            u = pc.fill_null(col_g, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
+            parts = (u % np.uint64(n_parts)).astype(np.int32)
+        else:
+            parts = (crc32_column(col_g.cast(pa.string())) % np.uint32(n_parts)).astype(
+                np.int32
+            )
+        return t.append_column("__part", pa.array(parts))
+
+    g_type = dict(zip(ds.schema().names, ds.schema().types))[group_col]
+    v_type = dict(zip(ds.schema().names, ds.schema().types))[col]
+    out_schema = pa.schema([(group_col, g_type), ("q", pa.float64()), ("value", v_type)])
+
+    def finalize(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        groups = g[group_col].combine_chunks()
+        gnp = groups.to_numpy(zero_copy_only=False)
+        vals = g["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnts = g["sum(n)"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        _, gcodes = np.unique(gnp, return_inverse=True)
+        order = np.lexsort((vals, gcodes))
+        gc, vv, cc = gcodes[order], vals[order], cnts[order]
+        C = np.cumsum(cc)
+        # group boundaries in the sorted run
+        starts = np.concatenate([[0], np.nonzero(np.diff(gc))[0] + 1])
+        offsets = np.where(starts > 0, C[starts - 1], 0)
+        totals = np.concatenate([C[starts[1:] - 1], [C[-1]]]) - offsets
+        n_g, n_q = len(starts), len(qs)
+        q_arr = np.tile(np.asarray(qs, np.float64), n_g)
+        tot_rep = np.repeat(totals, n_q)
+        off_rep = np.repeat(offsets, n_q)
+        targets = np.maximum(np.ceil(q_arr * tot_rep).astype(np.int64) - 1, 0) + 1
+        idx = np.searchsorted(C, off_rep + targets, side="left")
+        return pa.table(
+            {
+                group_col: pa.array(
+                    np.repeat(
+                        groups.take(pa.array(order[starts])).to_numpy(
+                            zero_copy_only=False
+                        ),
+                        n_q,
+                    ),
+                    g_type,
+                ),
+                "q": pa.array(q_arr, pa.float64()),
+                "value": g["value"].take(pa.array(order[idx])).combine_chunks(),
+            }
+        )
+
+    return (
+        hist.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

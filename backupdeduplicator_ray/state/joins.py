@@ -239,3 +239,63 @@ def partitioned_semi_join(left_ds, keys_ds, key: str, n_parts: int = 64, keep: b
         return left.filter(pc.fill_null(mask, not keep)).select(left_cols)
 
     return tagged.groupby("__part").map_groups(filter_part, batch_format="pyarrow")
+
+def broadcast_hash_join(
+    left_ds,
+    right_table: pa.Table,
+    key: str,
+    how: str = "inner",
+    r_prefix: str = "",
+):
+    """Small-side broadcast join — the 100 TB pattern for dimension
+    lookups: the right side (a MATERIALIZED pyarrow Table; the caller
+    guarantees it fits a worker heap — dimension tables, aggregates,
+    lookup maps) ships ONCE via `ray.put` and every left batch joins
+    against it with a vectorized pandas merge inside `map_batches`.
+    Zero shuffle: the big side streams through untouched, which is the
+    whole point vs `partitioned_hash_join` (both-sides-large, one
+    all-to-all exchange).
+
+    `how` is "inner" or "left"; right columns (minus the key) land on the
+    output with `r_prefix`.  Right keys must be unique (asserted once at
+    build — a fan-out dim would silently multiply left rows).
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    from ..functions.groups import cached_get
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    n_keys = len(right_table)
+    if len(pc.unique(right_table[key].combine_chunks())) != n_keys:
+        raise ValueError(f"broadcast side has duplicate {key!r} values")
+    # nullable pandas dtypes on the broadcast side: a left join's unmatched
+    # rows otherwise push NaN into integer columns (float64 + NaN breaks
+    # the fixed-width Arrow cast); Int64/boolean round-trip as proper nulls
+    right_df = right_table.to_pandas(types_mapper=pd.ArrowDtype)
+    if r_prefix:
+        right_df = right_df.rename(
+            columns={c: f"{r_prefix}{c}" for c in right_df.columns if c != key}
+        )
+    right_ref = ray.put(right_df)
+    r_cols = [c for c in right_df.columns if c != key]
+
+    def join(t: pa.Table) -> pa.Table:
+        rdf = cached_get(right_ref)
+        # arrow-backed on BOTH sides: merge keys must share a backend, and
+        # arrow dtypes round-trip nulls/fixed-width types losslessly
+        df = t.to_pandas(types_mapper=pd.ArrowDtype).merge(
+            rdf, on=key, how=how, sort=False
+        )
+        fields = list(zip(t.schema.names, t.schema.types)) + [
+            (c, right_table.schema.field(
+                c[len(r_prefix):] if r_prefix else c).type)
+            for c in r_cols
+        ]
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema(fields)
+        )
+
+    return left_ds.map_batches(join, batch_format="pyarrow")

@@ -83,7 +83,8 @@ def test_oracle_keys_subset(entry_mod):
         "len_quantiles", "curate", "distinct_users", "order_revenue",
         "media_features", "media_frames", "redact_pii", "normalize_text",
         "token_freq_stats", "near_dedup", "repetition_stats",
-        "stratified_sample", "decontaminate",
+        "stratified_sample", "decontaminate", "region_revenue",
+        "lang_len_quantiles",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):

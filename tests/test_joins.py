@@ -102,3 +102,44 @@ def test_partitioned_semi_join(ray_session):
         for r in partitioned_semi_join(left, keys, "k", n_parts=4, keep=False).take_all()
     )
     assert anti == [("a", 1), ("c", 3)]
+
+
+def test_broadcast_hash_join(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.state.joins import broadcast_hash_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4, 2], pa.int64()),
+                "x": pa.array(["a", "b", "c", "d", "e"]),
+            }
+        )
+    )
+    dim = pa.table(
+        {
+            "k": pa.array([1, 2, 5], pa.int64()),
+            "name": pa.array(["one", "two", "five"]),
+            "w": pa.array([10, 20, 50], pa.int64()),
+        }
+    )
+    inner = broadcast_hash_join(left, dim, "k", how="inner", r_prefix="d_").to_pandas()
+    assert sorted(zip(inner["k"], inner["d_name"])) == [
+        (1, "one"), (2, "two"), (2, "two"),
+    ]
+    lft = broadcast_hash_join(left, dim, "k", how="left", r_prefix="d_").to_pandas()
+    assert len(lft) == 5
+    assert lft["d_w"].isna().sum() == 2  # unmatched keys 3, 4 keep nulls
+    # schema stays fixed-width int64 with nulls, not float64
+    tbl = broadcast_hash_join(left, dim, "k", how="left", r_prefix="d_")
+    sch = dict(zip(tbl.schema().names, tbl.schema().types))
+    assert sch["d_w"] == pa.int64()
+    # duplicate broadcast keys are rejected (a fan-out dim would silently
+    # multiply left rows)
+    import pytest
+
+    dup = pa.table({"k": pa.array([1, 1], pa.int64()), "v": pa.array([1, 2], pa.int64())})
+    with pytest.raises(ValueError):
+        broadcast_hash_join(left, dup, "k")

@@ -55,3 +55,38 @@ def test_distinct_count_null_and_partition_semantics(ray_session):
             ds = ds.repartition(parts)
         out = distinct_count(ds, "k", "v").to_pandas()
         assert out.set_index("k")["n_distinct"].to_dict() == {"a": 1, "b": 0, "c": 2}
+
+
+def test_group_quantiles_vs_brute(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.stats import group_quantiles
+
+    rng = np.random.default_rng(7)
+    groups = rng.choice(["a", "b", "c"], size=500).tolist() + [None]
+    vals = rng.integers(0, 100, size=500).tolist() + [5]
+    t = pa.table(
+        {
+            "g": pa.array(groups, pa.string()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    qs = [0.1, 0.5, 0.9]
+    out = group_quantiles(ray.data.from_arrow(t), "g", "v", qs).to_pandas()
+    # brute force: quantile_disc semantics per group, null group dropped
+    got = {(r["g"], r["q"]): r["value"] for _, r in out.iterrows()}
+    for g in ("a", "b", "c"):
+        sv = sorted(v for gg, v in zip(groups, vals) if gg == g)
+        for q in qs:
+            idx = max(math.ceil(q * len(sv)) - 1, 0)
+            assert got[(g, q)] == sv[idx], (g, q)
+    assert len(out) == 9  # 3 groups x 3 qs, no null-group rows
+    # partition invariance
+    out2 = group_quantiles(
+        ray.data.from_arrow(t).repartition(7), "g", "v", qs
+    ).to_pandas()
+    assert got == {(r["g"], r["q"]): r["value"] for _, r in out2.iterrows()}
