@@ -113,3 +113,154 @@ def near_dedup_drops(
         return pa.table({"doc_id": t["id"], "cluster_id": t["cluster_id"]})
 
     return clusters.map_batches(drops, batch_format="pyarrow")
+
+
+def prepare_corpus(
+    ds,
+    eval_value: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_tokens: int = 10,
+    cfg=None,
+    decontam_k: int = 4,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.5,
+    keep_cols: tuple[str, ...] = ("lang", "source", "n_chars"),
+    decontam_hashed: bool = True,
+):
+    """The capstone composition — everything a training-data prep run does
+    to a raw corpus, in the order that is correct at scale:
+
+      1. split: the eval slice (group_col == eval_value) is set aside and
+         NEVER enters the training corpus;
+      2. quality gate (per-batch filter, no shuffle, runs first because it
+         is the cheapest reduction);
+      3. exact dedup — one hash exchange on sha256(text), min-id winner;
+      4. near-dedup — MinHash+LSH cluster drop list over the survivors
+         (every stage of which is itself oracle-verified), dropped via a
+         broadcast id set (bounded by actual near-dup density);
+      5. decontamination — survivors sharing >= 1 k-shingle with ANY eval
+         document are removed (stages/decontam over the tagged union; the
+         train side plays `eval_value` so the credited docs are the
+         contaminated TRAIN docs);
+      6. stratified sample — per-source quota, deterministic.
+
+    Output: (id_col, *keep_cols) for the surviving training documents.
+    Returns a Dataset; composes only oracle-verified stages, and the
+    driver query `prepare_corpus` verifies THE COMPOSITION end-to-end
+    against one SQL statement.
+    """
+    import pyarrow.compute as pc
+
+    from ..config import MinHashConfig
+    from ..stages.decontam import decontaminate
+    from ..stages.select import stratified_sample
+
+    rates = rates if rates is not None else {}
+
+    out_cols = [id_col, *keep_cols]
+
+    def is_train(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(
+            pc.not_equal(pc.cast(t[group_col], pa.string()), eval_value), False
+        )
+        return t.filter(m)
+
+    def gate(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        ok = pc.and_(
+            text.combine_chunks().is_valid(),
+            pc.greater_equal(
+                pc.count_substring_regex(text, TOKEN_PATTERN), min_tokens
+            ),
+        )
+        t = t.filter(pc.fill_null(ok, False))
+        cols = {c: t[c] for c in (*out_cols, text_col)}
+        cols["__h"] = hash_binary_column(t[text_col])
+        parts = (digest_prefix_u64(cols["__h"]) % np.uint64(64)).astype(np.int32)
+        cols["__part"] = pa.array(parts)
+        return pa.table(cols)
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    mid_cols = [*out_cols, text_col]
+    mid_schema = pa.schema([(c, types[c]) for c in mid_cols])
+
+    def dedup_part(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["__h", id_col], kind="mergesort").drop_duplicates(
+            subset="__h", keep="first"
+        )
+        return pa.Table.from_pandas(g[mid_cols], preserve_index=False).cast(mid_schema)
+
+    survivors = (
+        ds.map_batches(is_train, batch_format="pyarrow")
+        .map_batches(gate, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(dedup_part, batch_format="pandas")
+        .materialize()  # consumed by three downstream passes (near-dup,
+        # decontam, final filter) — recomputing the gate+dedup chain three
+        # times would triple the exchange instead
+    )
+
+    # 4. near-dup drop list (string ids, the cluster pipeline's currency);
+    # bounded by actual near-dup density -> broadcast set
+    drops_ds = near_dedup_drops(
+        survivors,
+        cfg=cfg or MinHashConfig(),
+        id_col=id_col,
+        text_col=text_col,
+    )
+    drop_ids = set(drops_ds.to_pandas()["doc_id"].astype(str))
+
+    # 5. contaminated train docs: tag survivors as the CREDITED side and
+    # the eval slice as the other side, then one decontaminate pass
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    text_col: t[text_col],
+                    "__side": pa.array([side] * t.num_rows, pa.string()),
+                }
+            )
+
+        return fn
+
+    eval_docs = ds.map_batches(
+        lambda t: t.filter(
+            pc.fill_null(
+                pc.equal(pc.cast(t[group_col], pa.string()), eval_value), False
+            )
+        ),
+        batch_format="pyarrow",
+    ).map_batches(tag("ev"), batch_format="pyarrow")
+    tagged = survivors.map_batches(tag("tr"), batch_format="pyarrow").union(eval_docs)
+    contaminated = decontaminate(
+        tagged,
+        eval_value="tr",  # credit the TRAIN side: train docs sharing with eval
+        k=decontam_k,
+        id_col=id_col,
+        text_col=text_col,
+        group_col="__side",
+        hashed=decontam_hashed,
+    )
+    bad_ids = set(contaminated.to_pandas()["doc_id"].astype(str))
+
+    dead = drop_ids | bad_ids
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.string())
+        if dead:
+            keep = pc.invert(pc.is_in(ids, value_set=pa.array(sorted(dead))))
+            t = t.filter(keep)
+        return t.select(out_cols)
+
+    kept = survivors.map_batches(final_filter, batch_format="pyarrow")
+    return stratified_sample(
+        kept,
+        key_col=id_col,
+        group_col=group_col,
+        rates=rates,
+        default_rate=default_rate,
+    )

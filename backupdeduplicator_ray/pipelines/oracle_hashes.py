@@ -312,7 +312,15 @@ alle AS (
 """
 
 
-def minhash_clusters_sql(shingle_k: int, a, b, bands: int, verify_threshold: float) -> str:
+def minhash_clusters_sql(
+    shingle_k: int,
+    a,
+    b,
+    bands: int,
+    verify_threshold: float,
+    doc_table: str = "documents",
+    prelude: str = "",
+) -> str:
     """MinHash+LSH cluster oracle, end-to-end (stages/neardup.minhash_edges
     → minhash_clusters):
 
@@ -328,7 +336,13 @@ def minhash_clusters_sql(shingle_k: int, a, b, bands: int, verify_threshold: flo
     - connected components over exact ∪ near edges, min-id labels.
 
     Assumes no fused bucket exceeds the engine's bucket_cap at oracle scale
-    (star expansion never fires)."""
+    (star expansion never fires).
+
+    `doc_table` points the whole chain at any table/CTE with (doc_id,
+    text); `prelude` injects extra CTE definitions (each ending with a
+    comma) right after the permutation table — together they let a
+    composed pipeline oracle (e.g. prepare_corpus) run the cluster chain
+    over a filtered intermediate instead of the raw documents table."""
     num_perms = len(a)
     rows = num_perms // bands
     perm_vals = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(num_perms))
@@ -343,9 +357,10 @@ def minhash_clusters_sql(shingle_k: int, a, b, bands: int, verify_threshold: flo
 WITH RECURSIVE
 crctbl(ti, tv) AS (VALUES {crc_table_values()}),
 perms(j, pa, pb) AS (VALUES {perm_vals}),
-{token_hash_ctes()},
+{prelude}
+{token_hash_ctes(doc_table=doc_table)},
 {shingle_cte(shingle_k)},
-docs AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, text FROM documents WHERE text IS NOT NULL),
+docs AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, text FROM {doc_table} WHERE text IS NOT NULL),
 sigs0 AS (
   SELECT shd.doc_id, perms.j,
          min(({mulmod("shd.s", "perms.pa")} + perms.pb) % {M64}) AS sig

@@ -1161,7 +1161,95 @@ def _gen_hash_oracles() -> dict[str, str]:
             )
             + ") WHERE id <> cluster_id"
         ),
+        "prepare_corpus": _prepare_corpus_sql(oh, a, b, mh_cfg),
     }
+
+
+_PREP_MIN_TOKENS = 10
+_PREP_RATES = {"src1": 1.0, "src2": 0.2}
+_PREP_DEFAULT_RATE = 0.5
+_PREP_K = 4
+
+
+def _prepare_corpus_sql(oh, a, b, mh_cfg) -> str:
+    """One SQL statement mirroring pipelines/curate.prepare_corpus: gate →
+    exact dedup → minhash near-dup drops (the full recursive-CTE cluster
+    oracle over the SURVIVOR intermediate, via minhash_clusters_sql's
+    doc_table/prelude hooks) → decontamination vs the eval slice →
+    stratified sample."""
+    from ..stages.select import sample_threshold_hex
+
+    prelude = f"""
+q AS (
+  SELECT doc_id, lang, source, n_chars, text FROM documents
+  WHERE source <> 'src0' AND text IS NOT NULL
+    AND len(regexp_extract_all(text, '[A-Za-z0-9_]+')) >= {_PREP_MIN_TOKENS}
+),
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM q
+),
+s AS (SELECT doc_id, lang, source, n_chars, text FROM dd WHERE rn = 1),"""
+    cluster = oh.minhash_clusters_sql(
+        mh_cfg.shingle_k,
+        a,
+        b,
+        mh_cfg.bands,
+        mh_cfg.verify_threshold,
+        doc_table="s",
+        prelude=prelude,
+    )
+    whens = " ".join(
+        f"WHEN '{g}' THEN '{sample_threshold_hex(r)}'"
+        for g, r in _PREP_RATES.items()
+    )
+    return f"""
+WITH {prelude.lstrip()}
+drops AS (SELECT id FROM ({cluster}) WHERE id <> cluster_id),
+ev AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+  FROM documents WHERE source = 'src0' AND text IS NOT NULL
+),
+st AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk FROM s),
+ssh AS (
+  SELECT DISTINCT doc_id,
+         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
+  FROM st CROSS JOIN UNNEST(range(1, len(tk) - 2)) AS r(i)
+  WHERE len(tk) >= {_PREP_K}
+),
+esh AS (
+  SELECT DISTINCT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
+  FROM ev CROSS JOIN UNNEST(range(1, len(tk) - 2)) AS r(i)
+  WHERE len(tk) >= {_PREP_K}
+),
+bad AS (SELECT DISTINCT doc_id FROM ssh JOIN esh USING (shingle))
+SELECT doc_id, lang, source, n_chars FROM s
+WHERE CAST(doc_id AS VARCHAR) NOT IN (SELECT id FROM drops)
+  AND doc_id NOT IN (SELECT doc_id FROM bad)
+  AND substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE source {whens} ELSE '{sample_threshold_hex(_PREP_DEFAULT_RATE)}' END
+"""
+
+
+def q_prepare_corpus(sf_dir: str):
+    """The capstone composition: eval split set aside → quality gate →
+    exact dedup → MinHash near-dup drops → decontamination vs the eval
+    slice → stratified per-source sample.  Every stage is individually
+    oracle-verified; this query verifies the COMPOSITION end-to-end
+    against one SQL statement."""
+    from ..config import MinHashConfig
+    from .curate import prepare_corpus
+
+    return prepare_corpus(
+        _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"]),
+        eval_value="src0",
+        min_tokens=_PREP_MIN_TOKENS,
+        cfg=MinHashConfig(**_MINSIG_CFG_KW),
+        decontam_k=_PREP_K,
+        rates=_PREP_RATES,
+        default_rate=_PREP_DEFAULT_RATE,
+        decontam_hashed=False,
+    )
 
 
 # --- event-stream operators (stages/events.py) -----------------------------
@@ -1835,6 +1923,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "region_revenue": q_region_revenue,
     "lang_len_quantiles": q_lang_len_quantiles,
+    "prepare_corpus": q_prepare_corpus,
     "near_dedup": q_near_dedup,
 }
 
