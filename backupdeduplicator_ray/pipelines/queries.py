@@ -849,6 +849,35 @@ SELECT query_id, vec_id, cos_sim FROM (
 """
 
 
+_KNN_K = 5
+
+
+def q_knn_join(sf_dir: str):
+    """Exact cosine kNN self-join: every vector's 5 nearest neighbors
+    (excluding itself) — one streaming pass against the broadcast corpus
+    matrix; verification-scale exact semantics (IVF/LSH are the scale
+    routes)."""
+    from ..stages.embedding import knn_join
+
+    return knn_join(_embeddings(sf_dir), k=_KNN_K)
+
+
+SQL_KNN_JOIN = f"""
+SELECT vec_id, neighbor_id, cos_sim FROM (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                    b.vec_id
+         ) AS rk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rk <= {_KNN_K}
+"""
+
+
 _IVF_QUERIES = 4  # query vectors vec_id 4..7 (distinct from ann_topk's 0..3)
 
 
@@ -1924,6 +1953,7 @@ QUERIES = {
     "region_revenue": q_region_revenue,
     "lang_len_quantiles": q_lang_len_quantiles,
     "prepare_corpus": q_prepare_corpus,
+    "knn_join": q_knn_join,
     "near_dedup": q_near_dedup,
 }
 
@@ -1976,4 +2006,5 @@ ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "region_revenue": SQL_REGION_REVENUE,
     "lang_len_quantiles": SQL_LANG_LEN_QUANTILES,
+    "knn_join": SQL_KNN_JOIN,
 }

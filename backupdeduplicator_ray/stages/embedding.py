@@ -557,3 +557,81 @@ def ivf_topk(
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
     return _merge_topk(partials, k, round_to)
+
+
+def knn_join(
+    ds,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+    exclude_self: bool = True,
+):
+    """Exact cosine kNN SELF-join: every vector's top-k nearest neighbors
+    in the same table — the similarity-search primitive behind
+    embedding-level dedup review and hard-negative mining.
+
+    The corpus matrix broadcasts once (ray.put) and each batch of QUERY
+    rows scores itself against it with one matmul, emitting its own top-k
+    directly — one streaming pass over the table, no driver merge (each
+    query lives in exactly one batch).  Exact kNN self-join is inherently
+    O(n^2) compute: like `cosine_dup_pairs` this is the
+    verification-scale exact semantics; the scale route is `ivf_topk`
+    (probed lists) or `embedding_neardup_lsh` (bucketed candidates).
+
+    Output (id_col, neighbor_id, cos_sim), ranked per query by unrounded
+    score DESC then neighbor id ASC (the SQL row_number tie-break);
+    cos_sim lands rounded to `round_to` for engine-stable comparison.
+    """
+    import ray
+
+    rows = ds.map_batches(
+        lambda t: pa.table({"vec_id": t[id_col], "embedding": t[vec_col]}),
+        batch_format="pyarrow",
+    ).take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = _normalize(np.asarray([r["embedding"] for r in rows], dtype=np.float64))
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    m_ref = ray.put((ids, m))
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("neighbor_id", pa.int64()), ("cos_sim", pa.float64())]
+    )
+
+    def topk_batch(t: pa.Table) -> pa.Table:
+        from ..functions.groups import cached_get
+
+        nids, nm = cached_get(m_ref)
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        qids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        qm = _normalize(_batch_matrix(t, vec_col))
+        s = qm @ nm.T  # (q, n)
+        if exclude_self:
+            # a vector is its own top hit; mask identity matches by id
+            self_pos = np.searchsorted(nids, qids)
+            valid = (self_pos < len(nids)) & (nids[np.minimum(self_pos, len(nids) - 1)] == qids)
+            s[np.nonzero(valid)[0], self_pos[valid]] = -np.inf
+        kk = min(k, s.shape[1] - (1 if exclude_self else 0))
+        if kk <= 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        # per-row top-k: argpartition then exact (score DESC, id ASC) order
+        part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+        ps = np.take_along_axis(s, part, axis=1)
+        pid = nids[part]
+        ordr = np.lexsort((pid, -ps), axis=1)
+        top_ids = np.take_along_axis(pid, ordr, axis=1)
+        top_s = np.take_along_axis(ps, ordr, axis=1)
+        if round_to is not None:
+            top_s = np.round(top_s, round_to)
+        nq = len(qids)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(qids, kk), pa.int64()),
+                "neighbor_id": pa.array(top_ids.ravel(), pa.int64()),
+                "cos_sim": pa.array(top_s.ravel(), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(topk_batch, batch_format="pyarrow")

@@ -84,7 +84,7 @@ def test_oracle_keys_subset(entry_mod):
         "media_features", "media_frames", "redact_pii", "normalize_text",
         "token_freq_stats", "near_dedup", "repetition_stats",
         "stratified_sample", "decontaminate", "region_revenue",
-        "lang_len_quantiles", "prepare_corpus",
+        "lang_len_quantiles", "prepare_corpus", "knn_join",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):

@@ -156,3 +156,42 @@ def test_ivf_assign_partitions_everything(ray_session, vec_table):
     assert len(rows) == 60
     lists = {r["list_id"] for r in rows}
     assert lists <= set(range(8)) and len(lists) >= 2
+
+
+def test_knn_join_vs_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.embedding import knn_join
+
+    rng = np.random.default_rng(11)
+    n, dim, k = 60, 8, 4
+    vecs = rng.standard_normal((n, dim))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    out = knn_join(ray.data.from_arrow(t), k=k).to_pandas()
+    assert len(out) == n * k
+    # never returns itself; per-query parity with numpy brute force
+    assert (out["vec_id"] != out["neighbor_id"]).all()
+    m = vecs.astype(np.float64)
+    # float32 storage: compare against the same round-trip the engine sees
+    m32 = np.asarray([list(map(float, np.asarray(v, np.float32))) for v in vecs])
+    mn = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    s = mn @ mn.T
+    np.fill_diagonal(s, -np.inf)
+    for q in range(n):
+        ordr = np.lexsort((np.arange(n), -s[q]))[:k]
+        got = out[out.vec_id == q].sort_values(
+            ["cos_sim", "neighbor_id"], ascending=[False, True]
+        )["neighbor_id"].tolist()
+        assert got == list(ordr), q
+    # repartition invariance (each query scores in exactly one batch)
+    out2 = knn_join(ray.data.from_arrow(t).repartition(7), k=k).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["vec_id", "neighbor_id"]].values.tolist()))
+    assert key(out) == key(out2)
