@@ -115,6 +115,9 @@ def near_dedup_drops(
     return clusters.map_batches(drops, batch_format="pyarrow")
 
 
+_DROPSET_BROADCAST_LIMIT = 5_000_000  # dead-id rows broadcast below this
+
+
 def prepare_corpus(
     ds,
     eval_value: str,
@@ -128,6 +131,7 @@ def prepare_corpus(
     default_rate: float = 0.5,
     keep_cols: tuple[str, ...] = ("lang", "source", "n_chars"),
     decontam_hashed: bool = True,
+    distributed: bool = False,
 ):
     """The capstone composition — everything a training-data prep run does
     to a raw corpus, in the order that is correct at scale:
@@ -138,13 +142,21 @@ def prepare_corpus(
          is the cheapest reduction);
       3. exact dedup — one hash exchange on sha256(text), min-id winner;
       4. near-dedup — MinHash+LSH cluster drop list over the survivors
-         (every stage of which is itself oracle-verified), dropped via a
-         broadcast id set (bounded by actual near-dup density);
+         (every stage of which is itself oracle-verified);
       5. decontamination — survivors sharing >= 1 k-shingle with ANY eval
          document are removed (stages/decontam over the tagged union; the
          train side plays `eval_value` so the credited docs are the
          contaminated TRAIN docs);
       6. stratified sample — per-source quota, deterministic.
+
+    Drop application (steps 4+5 → the final filter) never builds a driver
+    Python set: the two dead-id lists stay DATASETS, union once, and rows
+    are removed via `filter_by_key_set` — a `ray.put` Arrow-array broadcast
+    below `_DROPSET_BROADCAST_LIMIT` rows, a fully distributed
+    `partitioned_semi_join(keep=False)` above it (or when
+    `distributed=True` forces it).  On a dup-heavy corpus the drop list is
+    a large FRACTION of the corpus, so the valve matters (VERDICT r3
+    item 1); both routes are parity-tested byte-identical.
 
     Output: (id_col, *keep_cols) for the surviving training documents.
     Returns a Dataset; composes only oracle-verified stages, and the
@@ -154,6 +166,7 @@ def prepare_corpus(
     import pyarrow.compute as pc
 
     from ..config import MinHashConfig
+    from ..functions.groups import filter_by_key_set
     from ..stages.decontam import decontaminate
     from ..stages.select import stratified_sample
 
@@ -203,15 +216,13 @@ def prepare_corpus(
         # times would triple the exchange instead
     )
 
-    # 4. near-dup drop list (string ids, the cluster pipeline's currency);
-    # bounded by actual near-dup density -> broadcast set
+    # 4. near-dup drop list (string ids, the cluster pipeline's currency)
     drops_ds = near_dedup_drops(
         survivors,
         cfg=cfg or MinHashConfig(),
         id_col=id_col,
         text_col=text_col,
     )
-    drop_ids = set(drops_ds.to_pandas()["doc_id"].astype(str))
 
     # 5. contaminated train docs: tag survivors as the CREDITED side and
     # the eval slice as the other side, then one decontaminate pass
@@ -245,18 +256,36 @@ def prepare_corpus(
         group_col="__side",
         hashed=decontam_hashed,
     )
-    bad_ids = set(contaminated.to_pandas()["doc_id"].astype(str))
+    # dead ids stay a DATASET: union the two lists (cast to the corpus id
+    # type), materialize ONCE (executes both upstream pipelines; both are
+    # consumed only here), then remove via the valve-gated key-set filter.
+    id_type = types[id_col]
 
-    dead = drop_ids | bad_ids
+    def as_key(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pc.cast(t["doc_id"], id_type)})
 
-    def final_filter(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t[id_col], pa.string())
-        if dead:
-            keep = pc.invert(pc.is_in(ids, value_set=pa.array(sorted(dead))))
-            t = t.filter(keep)
-        return t.select(out_cols)
+    dead_keys = (
+        drops_ds.map_batches(as_key, batch_format="pyarrow")
+        .union(contaminated.map_batches(as_key, batch_format="pyarrow"))
+        .materialize()
+    )
+    n_dead = dead_keys.count()
+    if n_dead == 0:
+        kept = survivors
+    elif n_dead <= _DROPSET_BROADCAST_LIMIT and not distributed:
+        # bounded: one driver concat of the key column, shipped ONCE via
+        # ray.put inside filter_by_key_set (no per-batch set rebuild)
+        import ray
 
-    kept = survivors.map_batches(final_filter, batch_format="pyarrow")
+        parts = [t[id_col] for t in ray.get(dead_keys.to_arrow_refs()) if len(t)]
+        arr = pc.unique(pa.concat_arrays([p.combine_chunks() for p in parts]))
+        kept = filter_by_key_set(survivors, [id_col], arr, keep=False)
+    else:
+        # dup-/contamination-heavy corpus: both sides stay distributed
+        # (hash-partitioned anti-join, no driver key materialization)
+        kept = filter_by_key_set(survivors, [id_col], dead_keys, keep=False)
+
+    kept = kept.map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")
     return stratified_sample(
         kept,
         key_col=id_col,

@@ -862,6 +862,8 @@ def q_knn_join(sf_dir: str):
     return knn_join(_embeddings(sf_dir), k=_KNN_K)
 
 
+# ranks on the ROUNDED score (then neighbor id) — the engine kernel ranks
+# the same way, so the k boundary is stable across engines (ADVICE r3)
 SQL_KNN_JOIN = f"""
 SELECT vec_id, neighbor_id, cos_sim FROM (
   SELECT a.vec_id, b.vec_id AS neighbor_id,
@@ -869,8 +871,8 @@ SELECT vec_id, neighbor_id, cos_sim FROM (
                                       CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim,
          row_number() OVER (
            PARTITION BY a.vec_id
-           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(b.embedding AS DOUBLE[])) DESC,
+           ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])), 6) DESC,
                     b.vec_id
          ) AS rk
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id

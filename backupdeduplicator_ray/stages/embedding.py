@@ -419,33 +419,44 @@ def train_centroids(
     from ..functions.shingles import _splitmix64
 
     n_total = ds.count()
-    rate = min(1.0, 1.25 * train_sample / max(n_total, 1))
-    thresh = np.uint64(min(int(rate * 2**64), 2**64 - 1))
 
-    def sample_batch(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = _splitmix64(ids.view(np.uint64))
-        keep = h < thresh if rate < 1.0 else np.ones(len(ids), dtype=bool)
-        if not keep.any():
+    def sample_pass(rate: float) -> list:
+        thresh = np.uint64(min(int(rate * 2**64), 2**64 - 1))
+
+        def sample_batch(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = _splitmix64(ids.view(np.uint64))
+            keep = h < thresh if rate < 1.0 else np.ones(len(ids), dtype=bool)
+            if not keep.any():
+                return pa.table(
+                    {
+                        "__h": pa.array([], pa.uint64()),
+                        "__id": pa.array([], pa.int64()),
+                        "v": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            m = _batch_matrix(t, vec_col)[keep]
             return pa.table(
                 {
-                    "__h": pa.array([], pa.uint64()),
-                    "__id": pa.array([], pa.int64()),
-                    "v": pa.array([], pa.list_(pa.float64())),
+                    "__h": pa.array(h[keep]),
+                    "__id": pa.array(ids[keep]),
+                    "v": pa.FixedSizeListArray.from_arrays(
+                        pa.array(m.reshape(-1)), m.shape[1]
+                    ).cast(pa.list_(pa.float64())),
                 }
             )
-        m = _batch_matrix(t, vec_col)[keep]
-        return pa.table(
-            {
-                "__h": pa.array(h[keep]),
-                "__id": pa.array(ids[keep]),
-                "v": pa.FixedSizeListArray.from_arrays(
-                    pa.array(m.reshape(-1)), m.shape[1]
-                ).cast(pa.list_(pa.float64())),
-            }
-        )
 
-    sample = ds.map_batches(sample_batch, batch_format="pyarrow").take_all()
+        return ds.map_batches(sample_batch, batch_format="pyarrow").take_all()
+
+    # 1.25x headroom usually suffices; an unlucky hash draw can still come
+    # up short, so top up by re-running with 4x the threshold (each pass is
+    # one cheap filter scan), falling back to rate=1.0 — never silently
+    # train on fewer than min(train_sample, n_total) vectors (ADVICE r3).
+    rate = min(1.0, 1.25 * train_sample / max(n_total, 1))
+    sample = sample_pass(rate)
+    while len(sample) < min(train_sample, n_total) and rate < 1.0:
+        rate = min(1.0, rate * 4)
+        sample = sample_pass(rate)
     sample.sort(key=lambda r: (r["__h"], r["__id"]))
     sample = sample[:train_sample]
     m = _normalize(np.asarray([r["v"] for r in sample], dtype=np.float64))
@@ -559,6 +570,67 @@ def ivf_topk(
     return _merge_topk(partials, k, round_to)
 
 
+KNN_SCHEMA_COLS = ("neighbor_id", "cos_sim")
+
+_KNN_BROADCAST_LIMIT = 2_000_000  # corpus rows; one matrix broadcast below
+
+
+def _rank_keys(s: np.ndarray, round_to: int) -> np.ndarray:
+    """(…, n) scores → int64 keys ascending in (rounded score DESC).
+
+    Ranking happens on the ROUNDED score (then neighbor id) so the engine
+    and the SQL oracle's `ORDER BY round(cos, 6) DESC, id` agree at the
+    k boundary even when unrounded scores differ in the last ulp
+    (ADVICE r3 item 2).  Keys are bounded by 10^round_to (round_to <= 9,
+    asserted) so `(key << 32) | position` stays inside int64 — one fused
+    integer per entry gives a TOTAL per-row order (score, then id) that
+    argpartition can cut exactly, ties included."""
+    if round_to > 9:  # 10^10 << 32 would overflow the fused key
+        raise ValueError("round_to must be <= 9 for ranked kNN")
+    scale = np.int64(10**round_to)
+    return -np.rint(np.round(s, round_to) * scale).astype(np.int64)
+
+
+_SELF_SENTINEL = np.iinfo(np.int64).max  # fused-key value for masked self hits
+
+
+def _row_topk_idx(s, kk, round_to, self_rows=None, self_cols=None):
+    """Per-row exact top-k column indices of `s` (q, n) ordered by
+    (rounded score DESC, column position ASC); positions where
+    (self_rows, self_cols) point are excluded.  Callers keep column
+    positions in neighbor-id order so position order == id order.
+    round_to=None ranks by the raw float (ties at exact equality break by
+    position, matching the unrounded SQL ORDER BY)."""
+    if round_to is not None:
+        keys = _rank_keys(s, round_to)
+        fused = (keys << np.int64(32)) | np.arange(s.shape[1], dtype=np.int64)
+        if self_rows is not None and len(self_rows):
+            fused[self_rows, self_cols] = _SELF_SENTINEL
+        part = (
+            np.argpartition(fused, kk - 1, axis=1)[:, :kk]
+            if kk < s.shape[1]
+            else np.broadcast_to(np.arange(s.shape[1]), s.shape).copy()
+        )
+        sel = np.take_along_axis(fused, part, axis=1)
+        ordr = np.argsort(sel, axis=1)
+        idx = np.take_along_axis(part, ordr, axis=1)
+        masked = np.take_along_axis(sel, ordr, axis=1) == _SELF_SENTINEL
+        return idx, masked
+    s = s.copy()
+    if self_rows is not None and len(self_rows):
+        s[self_rows, self_cols] = -np.inf
+    part = (
+        np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+        if kk < s.shape[1]
+        else np.broadcast_to(np.arange(s.shape[1]), s.shape).copy()
+    )
+    ps = np.take_along_axis(s, part, axis=1)
+    ordr = np.lexsort((part, -ps), axis=1)
+    idx = np.take_along_axis(part, ordr, axis=1)
+    masked = np.take_along_axis(ps, ordr, axis=1) == -np.inf
+    return idx, masked
+
+
 def knn_join(
     ds,
     k: int = 10,
@@ -566,23 +638,57 @@ def knn_join(
     vec_col: str = "embedding",
     round_to: int | None = 6,
     exclude_self: bool = True,
+    broadcast_limit: int | None = None,
+    n_lists: int = 64,
+    nprobe: int | None = None,
+    train_sample: int = 65536,
+    seed: int = 42,
 ):
-    """Exact cosine kNN SELF-join: every vector's top-k nearest neighbors
-    in the same table — the similarity-search primitive behind
-    embedding-level dedup review and hard-negative mining.
+    """Cosine kNN SELF-join: every vector's top-k nearest neighbors in the
+    same table — the similarity-search primitive behind embedding-level
+    dedup review and hard-negative mining.
 
-    The corpus matrix broadcasts once (ray.put) and each batch of QUERY
-    rows scores itself against it with one matmul, emitting its own top-k
-    directly — one streaming pass over the table, no driver merge (each
-    query lives in exactly one batch).  Exact kNN self-join is inherently
-    O(n^2) compute: like `cosine_dup_pairs` this is the
-    verification-scale exact semantics; the scale route is `ivf_topk`
-    (probed lists) or `embedding_neardup_lsh` (bucketed candidates).
+    Two routes behind a corpus-size valve (VERDICT r3 item 2):
 
-    Output (id_col, neighbor_id, cos_sim), ranked per query by unrounded
-    score DESC then neighbor id ASC (the SQL row_number tie-break);
-    cos_sim lands rounded to `round_to` for engine-stable comparison.
+    - **broadcast** (default below `broadcast_limit` rows, env
+      `BDR_KNN_BROADCAST_MAX_ROWS`): the corpus matrix ships once via
+      `ray.put`; each batch of query rows scores itself against it with
+      one matmul and emits its own top-k directly — one streaming pass,
+      no driver merge.
+    - **IVF** (above the valve, or `broadcast_limit=0` to force): spherical
+      k-means centroids from a bounded sample → corpus rows carry their
+      assigned list, query rows replicate to their `nprobe` nearest lists
+      → ONE groupby(list) co-partitions them → a per-list matmul emits
+      per-list partial top-k → a groupby(query) merge keeps the global
+      top-k.  `nprobe=None` defaults to `n_lists` (full probe), which is
+      EXACTLY equal to the broadcast route (the `ivf_topk` invariant,
+      parity-tested); smaller nprobe trades recall for ~nprobe/n_lists of
+      the compute, with candidate flow bounded by n x nprobe x k rows.
+
+    Output (id_col, neighbor_id, cos_sim), ranked per query by ROUNDED
+    score DESC then neighbor id ASC — the rounding happens before ranking
+    in BOTH the engine and the SQL oracle so the k boundary is
+    engine-stable (ADVICE r3).
     """
+    import os
+
+    ds = ds.materialize()  # count + (train | take_all) + map = one execution
+    n = ds.count()
+    limit = (
+        broadcast_limit
+        if broadcast_limit is not None
+        else int(os.environ.get("BDR_KNN_BROADCAST_MAX_ROWS", _KNN_BROADCAST_LIMIT))
+    )
+    if n <= limit:
+        return _knn_join_broadcast(ds, k, id_col, vec_col, round_to, exclude_self)
+    return _knn_join_ivf(
+        ds, k, id_col, vec_col, round_to, exclude_self,
+        n_lists=n_lists, nprobe=nprobe if nprobe is not None else n_lists,
+        train_sample=train_sample, seed=seed,
+    )
+
+
+def _knn_join_broadcast(ds, k, id_col, vec_col, round_to, exclude_self):
     import ray
 
     rows = ds.map_batches(
@@ -608,30 +714,171 @@ def knn_join(
         qids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         qm = _normalize(_batch_matrix(t, vec_col))
         s = qm @ nm.T  # (q, n)
+        self_rows = self_cols = None
         if exclude_self:
             # a vector is its own top hit; mask identity matches by id
             self_pos = np.searchsorted(nids, qids)
             valid = (self_pos < len(nids)) & (nids[np.minimum(self_pos, len(nids) - 1)] == qids)
-            s[np.nonzero(valid)[0], self_pos[valid]] = -np.inf
+            self_rows, self_cols = np.nonzero(valid)[0], self_pos[valid]
         kk = min(k, s.shape[1] - (1 if exclude_self else 0))
         if kk <= 0:
             return pa.Table.from_pylist([], schema=out_schema)
-        # per-row top-k: argpartition then exact (score DESC, id ASC) order
-        part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
-        ps = np.take_along_axis(s, part, axis=1)
-        pid = nids[part]
-        ordr = np.lexsort((pid, -ps), axis=1)
-        top_ids = np.take_along_axis(pid, ordr, axis=1)
-        top_s = np.take_along_axis(ps, ordr, axis=1)
+        # nids is sorted ascending, so position order == neighbor-id order
+        idx, masked = _row_topk_idx(s, kk, round_to, self_rows, self_cols)
+        top_ids = nids[idx]
+        top_s = np.take_along_axis(s, idx, axis=1)
         if round_to is not None:
             top_s = np.round(top_s, round_to)
-        nq = len(qids)
+        keep = ~masked.ravel()
         return pa.table(
             {
-                id_col: pa.array(np.repeat(qids, kk), pa.int64()),
-                "neighbor_id": pa.array(top_ids.ravel(), pa.int64()),
-                "cos_sim": pa.array(top_s.ravel(), pa.float64()),
+                id_col: pa.array(np.repeat(qids, kk)[keep], pa.int64()),
+                "neighbor_id": pa.array(top_ids.ravel()[keep], pa.int64()),
+                "cos_sim": pa.array(top_s.ravel()[keep], pa.float64()),
             }
         )
 
     return ds.map_batches(topk_batch, batch_format="pyarrow")
+
+
+def _knn_join_ivf(
+    ds, k, id_col, vec_col, round_to, exclude_self,
+    n_lists, nprobe, train_sample, seed, n_parts: int = 64,
+):
+    """Distributed kNN self-join via IVF co-partitioning (see knn_join)."""
+    import ray
+
+    centroids = train_centroids(
+        ds, n_lists=n_lists, train_sample=train_sample, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    nprobe_eff = min(nprobe, len(centroids))
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def emit(t: pa.Table) -> pa.Table:
+        """Corpus row → 1 'c' row (its list) + nprobe 'q' rows (probes)."""
+        from ..functions.groups import cached_get
+
+        cents = cached_get(c_ref)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_batch_matrix(t, vec_col))
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "list_id": pa.array([], pa.int32()),
+                    "vid": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.list_(pa.float64())),
+                    "is_q": pa.array([], pa.bool_()),
+                }
+            )
+        sims = m @ cents.T  # (n, L)
+        probes = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe_eff]
+        own = probes[:, 0]  # argmax == first probe (stable sort)
+        dim = m.shape[1]
+        lists = np.concatenate([own.astype(np.int32), probes.astype(np.int32).ravel()])
+        vids = np.concatenate([ids, np.repeat(ids, nprobe_eff)])
+        vecs = np.concatenate([m, np.repeat(m, nprobe_eff, axis=0)])
+        is_q = np.concatenate(
+            [np.zeros(len(ids), bool), np.ones(len(ids) * nprobe_eff, bool)]
+        )
+        return pa.table(
+            {
+                "list_id": pa.array(lists),
+                "vid": pa.array(vids),
+                "v": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1)), dim
+                ).cast(pa.list_(pa.float64())),
+                "is_q": pa.array(is_q),
+            }
+        )
+
+    key_type = pa.int64() if round_to is not None else pa.float64()
+    partial_schema = pa.schema(
+        [("qid", pa.int64()), ("nid", pa.int64()), ("key", key_type), ("cos", pa.float64())]
+    )
+
+    def list_topk(g: pa.Table) -> pa.Table:
+        """Per-list exact partial top-k: queries probing this list vs
+        corpus vectors assigned to it (one matmul)."""
+        isq = g["is_q"].combine_chunks().to_numpy(zero_copy_only=False)
+        vids = g["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = _batch_matrix(g, "v")
+        cm, cid = m[~isq], vids[~isq]
+        qm, qid = m[isq], vids[isq]
+        if len(cid) == 0 or len(qid) == 0:
+            return pa.Table.from_pylist([], schema=partial_schema)
+        order = np.argsort(cid)  # position order == neighbor-id order
+        cm, cid = cm[order], cid[order]
+        s = qm @ cm.T  # (q, c)
+        self_rows = self_cols = None
+        if exclude_self:
+            self_pos = np.searchsorted(cid, qid)
+            valid = (self_pos < len(cid)) & (cid[np.minimum(self_pos, len(cid) - 1)] == qid)
+            self_rows, self_cols = np.nonzero(valid)[0], self_pos[valid]
+        kk = min(k, s.shape[1])
+        idx, masked = _row_topk_idx(s, kk, round_to, self_rows, self_cols)
+        sel_s = np.take_along_axis(s, idx, axis=1)
+        # the merge re-ranks partials on the SAME key the kernel cut on
+        sel_key = (
+            _rank_keys(sel_s, round_to) if round_to is not None else -sel_s
+        )
+        keep = ~masked.ravel()
+        return pa.table(
+            {
+                "qid": pa.array(np.repeat(qid, kk)[keep], pa.int64()),
+                "nid": pa.array(cid[idx].ravel()[keep], pa.int64()),
+                "key": pa.array(sel_key.ravel()[keep], key_type),
+                "cos": pa.array(sel_s.ravel()[keep], pa.float64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("list_id")
+        .map_groups(list_topk, batch_format="pyarrow")
+    )
+
+    def with_part(t: pa.Table) -> pa.Table:
+        q = t["qid"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__part", pa.array((q % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("neighbor_id", pa.int64()), ("cos_sim", pa.float64())]
+    )
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        """Global top-k per query from <= nprobe partial top-ks: one
+        lexsort over the whole partition, segmented rank cut."""
+        q = g["qid"].combine_chunks().to_numpy(zero_copy_only=False)
+        nid = g["nid"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = g["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        cos = g["cos"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, key, q))
+        q, nid, key, cos = q[order], nid[order], key[order], cos[order]
+        # a corpus vector lives in exactly ONE list, so each (query,
+        # neighbor) pair was scored once — no dedup needed before the cut
+        new_q = np.empty(len(q), bool)
+        new_q[:1] = True
+        np.not_equal(q[1:], q[:-1], out=new_q[1:])
+        rank = np.arange(len(q)) - np.maximum.accumulate(
+            np.where(new_q, np.arange(len(q)), 0)
+        )
+        keep = rank < k
+        cos = cos[keep]
+        if round_to is not None:
+            cos = np.round(cos, round_to)
+        return pa.table(
+            {
+                id_col: pa.array(q[keep], pa.int64()),
+                "neighbor_id": pa.array(nid[keep], pa.int64()),
+                "cos_sim": pa.array(cos, pa.float64()),
+            }
+        ).cast(out_schema)
+
+    return (
+        partials.map_batches(with_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(merge_part, batch_format="pyarrow")
+    )

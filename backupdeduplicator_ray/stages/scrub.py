@@ -28,7 +28,7 @@ EMAIL_TOKEN = "<EMAIL>"
 PHONE_TOKEN = "<PHONE>"
 IP_TOKEN = "<IP>"
 
-# \s+ collapse + trim; RE2 \s == [\t\n\f\r ] in both engines
+# \s+ collapse + trim; RE2 \s == [\t\n\v\f\r ] in both engines
 _WS_RUN = r"\s+"
 
 

@@ -1,0 +1,50 @@
+"""prepare_corpus drop-list application: the broadcast (ray.put Arrow
+array) and distributed (partitioned anti-join) routes must be
+byte-identical — the VERDICT r3 item-1 parity gate for the capstone
+composition."""
+
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run(distributed: bool) -> pd.DataFrame:
+    import ray.data
+
+    from backupdeduplicator_ray.config import MinHashConfig
+    from backupdeduplicator_ray.pipelines.curate import prepare_corpus
+    from backupdeduplicator_ray.pipelines.queries import (
+        _MINSIG_CFG_KW,
+        _PREP_DEFAULT_RATE,
+        _PREP_K,
+        _PREP_MIN_TOKENS,
+        _PREP_RATES,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = prepare_corpus(
+        ds,
+        eval_value="src0",
+        min_tokens=_PREP_MIN_TOKENS,
+        cfg=MinHashConfig(**_MINSIG_CFG_KW),
+        decontam_k=_PREP_K,
+        rates=_PREP_RATES,
+        default_rate=_PREP_DEFAULT_RATE,
+        decontam_hashed=False,
+        distributed=distributed,
+    ).to_pandas()
+    return out.sort_values(list(out.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prepare_corpus_drop_routes_identical():
+    bcast = _run(distributed=False)
+    dist = _run(distributed=True)
+    assert len(bcast) > 0  # a vacuous parity proves nothing
+    pd.testing.assert_frame_equal(bcast, dist)

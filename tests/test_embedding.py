@@ -195,3 +195,45 @@ def test_knn_join_vs_brute(ray_session):
     out2 = knn_join(ray.data.from_arrow(t).repartition(7), k=k).to_pandas()
     key = lambda d: sorted(map(tuple, d[["vec_id", "neighbor_id"]].values.tolist()))
     assert key(out) == key(out2)
+
+def test_knn_join_ivf_route_equals_broadcast(ray_session, vec_table):
+    """broadcast_limit=0 forces the distributed IVF route; with full
+    probing (nprobe=n_lists) it must be byte-identical to the broadcast
+    matrix route — the VERDICT r3 item-2 parity gate."""
+    import pandas as pd
+    import ray.data
+
+    from backupdeduplicator_ray.stages.embedding import knn_join
+
+    ds = ray.data.from_arrow(vec_table).repartition(4)
+    canon = lambda d: d.sort_values(
+        ["vec_id", "cos_sim", "neighbor_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    bcast = canon(knn_join(ds, k=5).to_pandas())
+    ivf = canon(
+        knn_join(
+            ds, k=5, broadcast_limit=0, n_lists=8, nprobe=8, train_sample=64
+        ).to_pandas()
+    )
+    assert len(bcast) == 60 * 5
+    pd.testing.assert_frame_equal(bcast, ivf)
+
+
+def test_knn_join_ivf_partial_probe_recall(ray_session, vec_table):
+    """nprobe < n_lists is approximate but must (a) keep the output shape,
+    (b) find the injected near-dup twin (rows 50..59 copy 0..9) whose
+    vector shares its query's list with overwhelming probability."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.embedding import knn_join
+
+    ds = ray.data.from_arrow(vec_table)
+    out = knn_join(
+        ds, k=3, broadcast_limit=0, n_lists=8, nprobe=2, train_sample=64
+    ).to_pandas()
+    assert (out.groupby("vec_id").size() <= 3).all()
+    top = out.sort_values(
+        ["vec_id", "cos_sim"], ascending=[True, False]
+    ).groupby("vec_id").head(1).set_index("vec_id")["neighbor_id"]
+    hits = sum(top.get(q, -1) == q + 50 for q in range(10))
+    assert hits >= 8  # twin found for nearly every copied row
