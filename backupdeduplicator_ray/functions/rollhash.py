@@ -48,6 +48,124 @@ def window_hashes(data: bytes | np.ndarray, length: int) -> np.ndarray:
     return (s[length:] - s[: n - length + 1]) * inv_pw
 
 
+# measured on this host (STATS_r4): per-doc numpy over ~kB docs is
+# L1/L2-resident and beats the fused slice kernel 4.5x (0.196 s vs 0.88 s
+# on 4k x 1.5 kB docs); below ~256 B/doc the per-call overhead flips it
+# and the fused kernel wins 2x (0.52 s vs 1.02 s on 50k x 75 B docs).
+_VECTOR_MAX_DOC_BYTES = 256
+_VECTOR_SLICE_BYTES = 16_384  # fused-kernel slice: keeps temporaries cached
+
+
+def iter_window_parts(col, length: int, stride: int = 1):
+    """Whole-COLUMN window hashing (VERDICT r3 item 4): yields
+    (doc_base, n_docs, win_values, offsets[n_docs+1]) for sub-slices of an
+    Arrow string column, with per-doc stride filtering and per-doc
+    DISTINCT values applied — value-identical to
+    `np.unique(window_hashes(doc, L))` per doc (parity-tested).
+
+    No Python string ever materializes: docs are numpy views over the
+    column's UTF-8 buffer.  Two measured regimes (constants above): short
+    docs run a fused slice kernel (one cumprod/cumsum over many docs'
+    bytes + a segmented dedupe sort — the B^{-s} normalization makes
+    global buffer positions hash identically to per-doc offsets); longer
+    docs run the per-doc kernel whose ~4x-doc-size temporaries stay
+    cache-resident (the fused kernel's gathers and big sorts fall off this
+    host's shared-cache cliff, see functions/shingles.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.fill_null(col, "").cast(pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return
+    offs = np.frombuffer(arr.buffers()[1], np.int64, n + 1, offset=arr.offset * 8)
+    lo, hi = int(offs[0]), int(offs[-1])
+    data = (
+        np.frombuffer(arr.buffers()[2], np.uint8, hi - lo, offset=lo)
+        if hi > lo
+        else np.empty(0, np.uint8)
+    )
+    starts = (offs[:-1] - lo).astype(np.int64)
+    lens = np.diff(offs).astype(np.int64)
+    mean_bytes = (hi - lo) / n
+    if mean_bytes <= _VECTOR_MAX_DOC_BYTES:
+        per_slice = max(4, int(_VECTOR_SLICE_BYTES / max(1.0, mean_bytes)))
+        for i in range(0, n, per_slice):
+            m = min(per_slice, n - i)
+            sl_lo, sl_hi = int(starts[i]), int(starts[i + m - 1] + lens[i + m - 1])
+            yield i, m, *_window_hashes_core(
+                data[sl_lo:sl_hi], starts[i : i + m] - sl_lo,
+                lens[i : i + m], length, stride,
+            )
+        return
+    per_slice = max(4, int(1_500_000 / max(1.0, mean_bytes)))
+    for i in range(0, n, per_slice):
+        m = min(per_slice, n - i)
+        vals_l: list[np.ndarray] = []
+        counts = np.zeros(m, np.int64)
+        for j in range(m):
+            st = starts[i + j]
+            hs = window_hashes(data[st : st + lens[i + j]], length)
+            if stride > 1:
+                hs = hs[hs % np.uint64(stride) == 0]
+            if len(hs):
+                hs = np.unique(hs)
+                counts[j] = len(hs)
+                vals_l.append(hs)
+        offsets = np.zeros(m + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        vals = np.concatenate(vals_l) if vals_l else np.empty(0, np.uint64)
+        yield i, m, vals, offsets
+
+
+def _window_hashes_core(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, length: int, stride: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(buffer, per-doc starts/lens) → (distinct window hashes doc-major,
+    offsets[n_docs+1]).  All-numpy; see iter_window_parts."""
+    ndocs = len(starts)
+    w = np.maximum(lens - length + 1, 0)
+    total_w = int(w.sum())
+    if total_w == 0:
+        return np.empty(0, np.uint64), np.zeros(ndocs + 1, np.int64)
+    nb = len(data)
+    b = data.astype(np.uint64)
+    pw = np.full(nb, _B, dtype=np.uint64)
+    pw[0] = np.uint64(1)
+    np.cumprod(pw, out=pw)  # pw[i] = B^i mod 2^64
+    s = np.zeros(nb + 1, dtype=np.uint64)
+    np.cumsum(b * pw, out=s[1:])  # S[i] = sum_{j<i} byte[j] * B^j
+    inv_pw = np.full(nb, _INV_B, dtype=np.uint64)
+    inv_pw[0] = np.uint64(1)
+    np.cumprod(inv_pw, out=inv_pw)  # inv_pw[i] = B^-i mod 2^64
+    # segmented arange: global window-start position of every window
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), w)
+    cum_w = np.concatenate([[0], np.cumsum(w)[:-1]])
+    intra = np.arange(total_w, dtype=np.int64) - np.repeat(cum_w, w)
+    pos = starts[doc_idx] + intra
+    h = (s[pos + length] - s[pos]) * inv_pw[pos]
+    if stride > 1:
+        keep = h % np.uint64(stride) == 0
+        h, doc_idx = h[keep], doc_idx[keep]
+    # per-doc distinct: one lexsort over the slice, then drop repeats
+    # inside each (doc, hash) run
+    order = np.lexsort((h, doc_idx))
+    h, doc_idx = h[order], doc_idx[order]
+    if len(h):
+        first = np.empty(len(h), bool)
+        first[0] = True
+        first[1:] = (doc_idx[1:] != doc_idx[:-1]) | (h[1:] != h[:-1])
+        h, doc_idx = h[first], doc_idx[first]
+    counts = np.bincount(doc_idx, minlength=ndocs).astype(np.int64)
+    offsets = np.zeros(ndocs + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return h, offsets
+
+
 def window_hash_one(data: bytes, length: int | None = None) -> int:
     """Reference scalar hash of one window (tests / oracle pinning)."""
     length = len(data) if length is None else length

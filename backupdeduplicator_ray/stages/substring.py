@@ -38,7 +38,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.rollhash import window_hashes
 from .neardup import DEFAULT_MAX_DOC_FREQ
 
 PAIR_SCHEMA = pa.schema(
@@ -60,41 +59,39 @@ def substring_windows(
     iff both docs contain that window content (k is 0 or 1 per doc).
     `compact=True` ships ids as int64 hashes (16 B/row total instead of
     string payload — see `neardup.compact_doc_ids`; callers restore the
-    strings after pair emission)."""
+    strings after pair emission).
+
+    The explode is a whole-column batch kernel
+    (`functions.rollhash.iter_window_parts`): one cumsum/cumprod pass per
+    cache-sized text slice, segmented window enumeration, one lexsort for
+    the per-doc distinct — no Python per document (VERDICT r3 item 4)."""
+    from ..functions.rollhash import iter_window_parts
     from .neardup import hash_doc_ids
 
     id_t = pa.int64() if compact else pa.string()
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        ids_arr = batch[id_col].cast(pa.string()).combine_chunks()
+        ids_np = ids_arr.to_numpy(zero_copy_only=False)
         if compact:
-            ids = hash_doc_ids(
-                np.array([str(i) for i in ids], dtype=object)
-            )
-        ids_out: list[np.ndarray] = []
-        h_out: list[np.ndarray] = []
-        for i, t in zip(ids, batch[text_col].to_pylist()):
-            if t is None:
+            ids_np = hash_doc_ids(ids_np)
+        h_parts: list[np.ndarray] = []
+        id_parts: list[np.ndarray] = []
+        for base, n, vals, offs in iter_window_parts(
+            batch[text_col], min_len, stride
+        ):
+            if not len(vals):
                 continue
-            hs = window_hashes(t.encode("utf-8"), min_len)
-            if stride > 1:
-                hs = hs[hs % np.uint64(stride) == 0]
-            if len(hs) == 0:
-                continue
-            hs = np.unique(hs)
-            h_out.append(hs)
-            if compact:
-                ids_out.append(np.full(len(hs), i, dtype=np.int64))
-            else:
-                ids_out.append(np.full(len(hs), str(i), dtype=object))
-        if not h_out:
+            h_parts.append(vals)
+            id_parts.append(np.repeat(ids_np[base : base + n], np.diff(offs)))
+        if not h_parts:
             return pa.table(
                 {"win": pa.array([], pa.uint64()), "id": pa.array([], id_t)}
             )
         return pa.table(
             {
-                "win": pa.array(np.concatenate(h_out)),
-                "id": pa.array(np.concatenate(ids_out), id_t),
+                "win": pa.array(np.concatenate(h_parts)),
+                "id": pa.array(np.concatenate(id_parts), id_t),
             }
         )
 

@@ -119,3 +119,44 @@ def test_substring_stride_content_keyed(ray_session):
     )
     got = substring_dup_pairs(ray.data.from_arrow(tbl), min_len=L, stride=w).take_all()
     assert [(r["a_id"], r["b_id"]) for r in got] == [("a", "b")]
+
+def test_iter_window_parts_matches_per_doc_kernel():
+    """The whole-column batch kernel must be bit-identical to
+    np.unique(window_hashes(doc)) per doc — unicode, nulls, empties,
+    stride, and docs shorter than the window included."""
+    import numpy as np
+    import pyarrow as pa
+
+    from backupdeduplicator_ray.functions.rollhash import (
+        iter_window_parts,
+        window_hashes,
+    )
+
+    rng = np.random.default_rng(7)
+    docs = []
+    for i in range(300):
+        n = int(rng.integers(0, 120))
+        s = "".join(rng.choice(list("abcd €ü中"), size=n))
+        docs.append(None if i % 37 == 5 else s)
+    col = pa.chunked_array([pa.array(docs[:100], pa.string()),
+                            pa.array(docs[100:], pa.string())])
+    for length, stride in [(8, 1), (8, 3), (40, 1)]:
+        got_vals, got_counts = [], []
+        seen = 0
+        for base, n, vals, offs in iter_window_parts(col, length, stride):
+            assert base == seen
+            seen += n
+            got_vals.append(vals)
+            got_counts.append(np.diff(offs))
+        assert seen == len(docs)
+        got_vals = np.concatenate(got_vals) if got_vals else np.empty(0, np.uint64)
+        got_counts = np.concatenate(got_counts)
+        pos = 0
+        for i, d in enumerate(docs):
+            hs = window_hashes((d or "").encode("utf-8"), length)
+            if stride > 1:
+                hs = hs[hs % np.uint64(stride) == 0]
+            hs = np.unique(hs)
+            assert got_counts[i] == len(hs), (i, length, stride)
+            np.testing.assert_array_equal(got_vals[pos : pos + len(hs)], hs)
+            pos += len(hs)
