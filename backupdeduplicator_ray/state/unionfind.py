@@ -102,6 +102,239 @@ def connected_components(
 
 
 def _star_contraction(edges_ds, nodes_ds, max_rounds: int, n_parts: int = 64):
+    """Star contraction with int64-compacted labels (VERDICT r3 item 5).
+
+    String node ids ride the O(log n) contraction rounds as int64 hashes
+    (`neardup.hash_doc_ids` — the compact_doc_ids doctrine): each round's
+    partition hashing, groupby-transform mins and set-difference check run
+    on fixed-width int64 instead of re-hashing object-dtype strings.  The
+    contraction converges under HASH order (any total order works —
+    Kiveris et al.), so the hash-space component centers are relabeled to
+    the contract's min-STRING member in one groupby + two partitioned
+    joins at the end, where only (node, center) pairs remain.  A hash
+    collision on the distinct node set (odds ~n²/2⁶⁴, checked exactly)
+    falls back to `_star_contraction_str`, the original string-order
+    implementation (kept round-for-round parity-tested)."""
+    from ..stages.neardup import compact_doc_ids
+
+    from .joins import partitioned_hash_join
+
+    # ONE distinct-node exchange; the (idh, id) map STAYS a Dataset
+    def both_sides(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                )
+            }
+        )
+
+    sides = edges_ds.map_batches(both_sides, batch_format="pyarrow")
+    if nodes_ds is not None:
+        sides = sides.union(nodes_ds.select_columns(["id"]))
+    distinct = (
+        sides.groupby("id")
+        .count()
+        .map_batches(lambda t: t.select(["id"]), batch_format="pyarrow")
+        .materialize()
+    )
+    ok, id_map = compact_doc_ids(distinct, "id")
+    if not ok:
+        return _star_contraction_str(edges_ds, nodes_ds, max_rounds, n_parts)
+
+    labels_h = _star_rounds_i64(edges_ds, id_map, max_rounds, n_parts)
+
+    # relabel hash-space centers to the min STRING member id: attach the
+    # string id to every (node_h, center_h) row, take min(id) per center,
+    # then hang it back onto the members — all key exchanges on int64
+    mem = partitioned_hash_join(labels_h, id_map, key="idh", n_parts=n_parts)
+    mem = mem.materialize()  # feeds the centers aggregate AND the final join
+    centers = (
+        mem.groupby("ch")
+        .min("id")
+        .map_batches(
+            lambda t: pa.table({"ch": t["ch"], "cluster_id": t["min(id)"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()  # join reads .schema(); aggregate output is small
+    )
+    joined = partitioned_hash_join(
+        mem.map_batches(lambda t: t.select(["ch", "id"]), batch_format="pyarrow"),
+        centers,
+        key="ch",
+        n_parts=n_parts,
+    )
+    return joined.map_batches(
+        lambda t: pa.table({"id": t["id"], "cluster_id": t["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _star_rounds_i64(edges_ds, id_map, max_rounds: int, n_parts: int):
+    """Large-star/small-star rounds over int64-hashed node ids: returns
+    (idh, ch) — every node (isolated ones included via the id_map's self
+    rows) with its component's min-by-HASH center."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.neardup import hash_doc_ids
+
+    def canon(t: pa.Table) -> pa.Table:
+        src = hash_doc_ids(t["src"].to_pandas().to_numpy(dtype=object))
+        dst = hash_doc_ids(t["dst"].to_pandas().to_numpy(dtype=object))
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        keep = lo != hi
+        return pa.table(
+            {
+                "child": pa.array(hi[keep], pa.int64()),
+                "parent": pa.array(lo[keep], pa.int64()),
+            }
+        )
+
+    def with_part(key: str):
+        def add(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t.append_column("__part", pa.array([], pa.int32()))
+            h = (
+                t[key].combine_chunks().to_numpy(zero_copy_only=False)
+                .view(np.uint64)
+            )
+            return t.append_column(
+                "__part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+            )
+
+        return add
+
+    _EMPTY = pa.table(
+        {"child": pa.array([], pa.int64()), "parent": pa.array([], pa.int64())}
+    )
+
+    def large_star(E):
+        def bidir(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [t["child"].combine_chunks(), t["parent"].combine_chunks()]
+                    ),
+                    "peer": pa.concat_arrays(
+                        [t["parent"].combine_chunks(), t["child"].combine_chunks()]
+                    ),
+                }
+            )
+
+        rows = E.map_batches(bidir, batch_format="pyarrow").map_batches(
+            with_part("node"), batch_format="pyarrow"
+        )
+
+        def kern(g: pd.DataFrame) -> pa.Table:
+            g = g.drop_duplicates(["node", "peer"])
+            mn = g.groupby("node")["peer"].transform("min").to_numpy()
+            node = g["node"].to_numpy()
+            peer = g["peer"].to_numpy()
+            m = np.minimum(mn, node)
+            sel = peer > node  # only larger neighbors re-hang (large-star)
+            if not sel.any():
+                return _EMPTY
+            return pa.table(
+                {
+                    "child": pa.array(peer[sel], pa.int64()),
+                    "parent": pa.array(m[sel], pa.int64()),
+                }
+            )
+
+        return rows.groupby("__part").map_groups(kern, batch_format="pandas")
+
+    def small_star(E):
+        rows = E.map_batches(with_part("child"), batch_format="pyarrow")
+
+        def kern(g: pd.DataFrame) -> pa.Table:
+            g = g.drop_duplicates(["child", "parent"])
+            mn = g.groupby("child")["parent"].transform("min").to_numpy()
+            child = g["child"].to_numpy()
+            parent = g["parent"].to_numpy()
+            first = ~g["child"].duplicated().to_numpy()
+            other = parent != mn  # non-min parents re-hang onto the min
+            return pa.table(
+                {
+                    "child": pa.array(
+                        np.concatenate([child[first], parent[other]]), pa.int64()
+                    ),
+                    "parent": pa.array(
+                        np.concatenate([mn[first], mn[other]]), pa.int64()
+                    ),
+                }
+            )
+
+        return rows.groupby("__part").map_groups(kern, batch_format="pandas")
+
+    def diff_count(E_old, E_new) -> int:
+        def tag(side: str):
+            def fn(t: pa.Table) -> pa.Table:
+                return t.append_column("__side", pa.array([side] * len(t), pa.string()))
+
+            return fn
+
+        both = (
+            E_old.map_batches(tag("o"), batch_format="pyarrow")
+            .union(E_new.map_batches(tag("n"), batch_format="pyarrow"))
+            .map_batches(with_part("child"), batch_format="pyarrow")
+        )
+
+        def kern(g: pd.DataFrame) -> pa.Table:
+            o = g[g["__side"] == "o"].drop_duplicates(["child", "parent"])
+            n = g[g["__side"] == "n"].drop_duplicates(["child", "parent"])
+            m = o.merge(n, on=["child", "parent"], how="outer", indicator=True)
+            d = int((m["_merge"] != "both").sum())
+            return pa.table({"d": pa.array([d], pa.int64())})
+
+        return int(
+            both.groupby("__part").map_groups(kern, batch_format="pandas").sum("d") or 0
+        )
+
+    E = edges_ds.map_batches(canon, batch_format="pyarrow").materialize()
+    converged = E.count() == 0
+    rounds = 0
+    while not converged and rounds < max_rounds:
+        E_new = small_star(large_star(E)).materialize()
+        converged = diff_count(E, E_new) == 0
+        E = E_new
+        rounds += 1
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds "
+            "(theoretical bound is O(log n) — this indicates a bug, not a "
+            "pathological input)"
+        )
+
+    # every node labels itself (covers isolated + self-loop-only nodes);
+    # edge rows pull members onto the component's min-by-hash center
+    self_rows = id_map.map_batches(
+        lambda t: pa.table({"idh": t["idh"], "ch": t["idh"]}),
+        batch_format="pyarrow",
+    )
+    labels = self_rows.union(
+        E.map_batches(
+            lambda t: pa.table({"idh": t["child"], "ch": t["parent"]}),
+            batch_format="pyarrow",
+        ),
+        E.map_batches(
+            lambda t: pa.table({"idh": t["parent"], "ch": t["parent"]}),
+            batch_format="pyarrow",
+        ),
+    )
+    return (
+        labels.groupby("idh")
+        .min("ch")
+        .map_batches(
+            lambda t: pa.table({"idh": t["idh"], "ch": t["min(ch)"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()  # feeds the relabel join, which reads .schema()
+    )
+
+
+def _star_contraction_str(edges_ds, nodes_ds, max_rounds: int, n_parts: int = 64):
     """Alternating large-star / small-star contraction — the classic
     MapReduce connected-components algorithm (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC 2014; PAPERS.md): converges
@@ -110,7 +343,9 @@ def _star_contraction(edges_ds, nodes_ds, max_rounds: int, n_parts: int = 64):
     `groupby("__part").map_groups` whose kernel is vectorized pandas/numpy
     over the WHOLE partition (one Python call per partition, never per
     node), and convergence is an EXACT per-partition set comparison (no
-    collidable checksums).
+    collidable checksums).  This is the string-order original, kept as the
+    collision fallback of `_star_contraction` (labels ARE the string
+    order here, so no relabel pass is needed).
 
     Invariant: the edge list is kept canonical (parent < child as strings,
     the cluster-label order).  large-star hangs every node's

@@ -122,3 +122,26 @@ def test_singleton_nodes_label_themselves(ray_session):
     }
     assert labels["lone"] == "lone"
     assert labels["d1"] == "d1"
+
+
+def test_star_int64_matches_string_fallback(ray_session):
+    """The int64-compacted contraction (default) and the string-order
+    fallback must be byte-identical — the VERDICT r3 item-5 parity gate
+    (hash-space centers relabeled to min-string members)."""
+    import numpy as np
+
+    from backupdeduplicator_ray.state.unionfind import _star_contraction_str
+
+    rng = np.random.default_rng(3)
+    n = 400
+    pairs = [
+        (f"n{int(a):03d}", f"n{int(b):03d}")
+        for a, b in rng.integers(0, n, size=(300, 2))
+    ]
+    pairs += [("iso_self", "iso_self")]  # self loop labels itself
+    key = lambda ds: sorted(
+        (r["id"], r["cluster_id"]) for r in ds.take_all()
+    )
+    got = key(_star_contraction(_edges_ds(pairs), None, max_rounds=24))
+    want = key(_star_contraction_str(_edges_ds(pairs), None, max_rounds=24))
+    assert got == want and len(got) > 0
