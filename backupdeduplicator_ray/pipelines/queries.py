@@ -1150,9 +1150,14 @@ f AS (
   WHERE t.i * greatest(n_bytes // {_N_FRAMES}, 1) < n_bytes
 )
 SELECT media_id, frame_idx, frame_off,
-       sha256(substr(text, CAST(frame_off + 1 AS INTEGER), {_FRAME_LEN})) AS frame_hash
+       sha256(substr(hex(encode(text)), CAST(frame_off * 2 + 1 AS INTEGER),
+                     {_FRAME_LEN} * 2)) AS frame_hash
 FROM f
 """
+# frame_hash windows the BYTE payload via its hex encoding (2 hex chars per
+# byte): DuckDB has no BLOB substr/sha256, and a char-domain substr(text,…)
+# diverges from the engine's byte slicing on non-ASCII text (ADVICE r3).
+# The engine hashes the same uppercase hex (stages/multimodal.py).
 
 
 # --- generated hash-chain oracles ------------------------------------------

@@ -77,11 +77,13 @@ def _sets_table(rows: list[dict]) -> pa.Table:
 MAX_MEMBERS_PER_SET = 1_000_000
 
 
-def _candidate_sets(group: pd.DataFrame) -> pa.Table:
+def _candidate_sets(group: pd.DataFrame, cap: int | None = None) -> pa.Table:
     """One hash group → refined candidate-set rows (n>=2 only).
 
     Members are packed as parallel list columns so suppression can be
-    applied batch-wise afterwards without another shuffle.
+    applied batch-wise afterwards without another shuffle.  `cap` is the
+    resolved member cap (callers thread it in — a worker process cannot
+    see a driver-side monkeypatch of the module constant).
     """
     if len(group) < 2:
         return _sets_table([])
@@ -91,8 +93,8 @@ def _candidate_sets(group: pd.DataFrame) -> pa.Table:
         if n_true < 2:
             continue
         sub = sub.sort_values(["repo", "path"], kind="mergesort")
-        if MAX_MEMBERS_PER_SET is not None and n_true > MAX_MEMBERS_PER_SET:
-            sub = sub.head(MAX_MEMBERS_PER_SET)
+        if cap is not None and n_true > cap:
+            sub = sub.head(cap)
         out.append(
             {
                 # hex boundary: internal hashes are raw digest bytes; set
@@ -117,29 +119,32 @@ def _candidate_sets(group: pd.DataFrame) -> pa.Table:
 DRIVER_CAND_LIMIT = 5_000_000
 
 
-def candidate_sets(nodes_ds, distributed: bool = False):
+def candidate_sets(nodes_ds, distributed: bool = False, max_members: int | None = None):
     """Node Dataset → refined candidate-set Dataset.
 
     A vectorized count (block-level partial aggregation) finds colliding
     hashes first; only those rows — the actual duplicates — reach the
     refinement pass.  Singleton hashes (the vast majority) never cost a
-    Python group call.
+    Python group call.  `max_members=None` uses MAX_MEMBERS_PER_SET.
     """
     import pyarrow.compute as pc
 
     from ..functions.groups import filter_by_key_set, keys_with_count_between
 
+    cap = MAX_MEMBERS_PER_SET if max_members is None else max_members
     hashed = nodes_ds.map_batches(
         lambda t: t.filter(pc.is_valid(t["hash"])), batch_format="pyarrow"
     ).materialize()
     colliding = keys_with_count_between(hashed, ["hash"], min_count=2)
     cand = filter_by_key_set(hashed, ["hash"], colliding, keep=True).materialize()
     if distributed or cand.count() > DRIVER_CAND_LIMIT:
-        return cand.groupby("hash").map_groups(_candidate_sets, batch_format="pandas")
-    return _candidate_sets_driver(cand)
+        return cand.groupby("hash").map_groups(
+            lambda g: _candidate_sets(g, cap), batch_format="pandas"
+        )
+    return _candidate_sets_driver(cand, cap)
 
 
-def _candidate_sets_driver(cand_ds):
+def _candidate_sets_driver(cand_ds, cap: int | None = None):
     """Vectorized set construction on the driver (colliding rows only)."""
     import pandas as pd
     import ray.data
@@ -167,7 +172,6 @@ def _candidate_sets_driver(cand_ds):
     rows = []
     for r in agg.itertuples(index=False):
         n_true = len(r.repos)
-        cap = MAX_MEMBERS_PER_SET
         repos, paths, parents = r.repos, r.paths, r.parents
         if cap is not None and n_true > cap:
             repos, paths, parents = repos[:cap], paths[:cap], parents[:cap]
@@ -213,7 +217,11 @@ def _finalize_set_rows(batch: pa.Table, suppressed_of=None) -> pa.Table:
     return pa.Table.from_pylist(keep, schema=DUPSETS_SCHEMA)
 
 
-def dup_sets(nodes_ds, dup_dir_limit: int | None = _DRIVER_DUPDIRS_LIMIT):
+def dup_sets(
+    nodes_ds,
+    dup_dir_limit: int | None = _DRIVER_DUPDIRS_LIMIT,
+    max_members: int | None = None,
+):
     """Node Dataset → (dupsets Dataset, duplicated_bytes int).
 
     dupsets schema: DUPSETS_SCHEMA (member lists sorted by (repo, path)).
@@ -230,7 +238,7 @@ def dup_sets(nodes_ds, dup_dir_limit: int | None = _DRIVER_DUPDIRS_LIMIT):
     import pyarrow.compute as pc
     import ray
 
-    sets = candidate_sets(nodes_ds).materialize()
+    sets = candidate_sets(nodes_ds, max_members=max_members).materialize()
 
     # Paths of directories that are members of ANY candidate set (their
     # hash occurs >=2 times by construction).  Only these parents can
@@ -371,7 +379,7 @@ PLAN_SCHEMA = pa.schema(
 )
 
 
-def dedup_plan(nodes_ds):
+def dedup_plan(nodes_ds, max_members: int | None = None):
     """Minimal dup sets → deterministic action plan: keep the first member
     (sorted by (repo, path) — the reference's DupSetEntry ordering made
     deterministic), drop the rest.
@@ -385,7 +393,7 @@ def dedup_plan(nodes_ds):
     (MAX_MEMBERS_PER_SET): the plan covers the listed members; n_conflicts
     stays exact on the emitted set.
     """
-    dupsets, _ = dup_sets(nodes_ds)
+    dupsets, _ = dup_sets(nodes_ds, max_members=max_members)
 
     def explode(batch: pa.Table) -> pa.Table:
         rows = []

@@ -171,11 +171,13 @@ class FrameSampleStage:
     MediaFeatureStage).  mode="fake": deterministic byte-window "frames" —
     frame i is the `frame_len`-byte window at offset i * stride with
     stride = max(n_bytes // n_frames, 1), emitted as (media_id, frame_idx,
-    frame_off, sha256-hex of the window).  Every output value is
-    SQL-derivable (substr + sha256 over the same bytes), so the plumbing
-    is oracle-checked end-to-end; media too short for a full fan-out emit
-    fewer frames (offsets past the payload are skipped), empty/null media
-    emit none.
+    frame_off, frame_hash).  frame_hash = sha256 of the window's UPPERCASE
+    HEX encoding — hashing in the hex domain is what makes the fingerprint
+    SQL-derivable for ARBITRARY bytes (DuckDB has no BLOB substr/sha256;
+    `sha256(substr(hex(encode(text)), off*2+1, len*2))` windows the exact
+    byte payload — ADVICE r3: the former char-domain substr diverged on
+    non-ASCII).  Media too short for a full fan-out emit fewer frames
+    (offsets past the payload are skipped), empty/null media emit none.
     """
 
     def __init__(
@@ -216,7 +218,9 @@ class FrameSampleStage:
                 idxs.append(i)
                 offs.append(off)
                 hashes.append(
-                    hashlib.sha256(data[off: off + self.frame_len]).hexdigest()
+                    hashlib.sha256(
+                        data[off : off + self.frame_len].hex().upper().encode()
+                    ).hexdigest()
                 )
         return pa.table(
             {

@@ -181,3 +181,90 @@ def test_dup_sets_distributed_suppression_parity(ray_session, small_corpus_ds):
     assert bc_bytes == dist_bytes
     assert canon(bc_sets) == canon(dist_sets)
     assert bc_bytes > 0
+
+
+def test_member_cap_over_cap_set_matches_qualify_oracle(ray_session):
+    """VERDICT r3 item 7: the MAX_MEMBERS_PER_SET encoding must survive an
+    over-cap set.  A 5-member dup group capped at 3 must list exactly the
+    first 3 members in (repo, path) order — DuckDB's QUALIFY row_number()
+    <= cap semantics, the same clause the dup_members/dedup_plan oracles
+    embed — while n_conflicts/dup_bytes stay exact from the TRUE count.
+    Both the driver and distributed candidate-set paths are checked."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.analyze import candidate_sets, dedup_plan, dup_sets
+
+    cap = 3
+    rows = []
+    for i in range(5):  # over-cap group: same content, distinct parents
+        rows.append((f"r{i}", f"dir{i}/same.txt", "same-bytes"))
+    for i in range(2):  # under-cap group
+        rows.append((f"r{i}", f"dir{i}/pair.txt", "pair-bytes"))
+    rows.append(("r0", "dir0/uniq.txt", "uniq"))
+    corpus = pa.table(
+        {
+            "repo": pa.array([r for r, _, _ in rows]),
+            "path": pa.array([p for _, p, _ in rows]),
+            "commit": pa.array(["c"] * len(rows)),
+            "lang": pa.array(["txt"] * len(rows)),
+            "content": pa.array([c for _, _, c in rows], pa.large_string()),
+        }
+    )
+    from backupdeduplicator_ray.pipelines.dedup import build_nodes
+
+    nodes = build_nodes(ray.data.from_arrow(corpus)).materialize()
+
+    # the QUALIFY-capped oracle over the same member universe
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE m (hash VARCHAR, repo VARCHAR, path VARCHAR)"
+    )
+    import hashlib
+
+    for r, p, c in rows:
+        con.execute(
+            "INSERT INTO m VALUES (?, ?, ?)",
+            [hashlib.sha256(c.encode()).hexdigest(), r, p],
+        )
+    want = {
+        (h, r, p)
+        for h, r, p in con.sql(
+            f"""SELECT hash, repo, path FROM (
+                  SELECT *, count(*) OVER (PARTITION BY hash) AS n FROM m
+                ) WHERE n >= 2
+                QUALIFY row_number() OVER (PARTITION BY hash ORDER BY repo, path) <= {cap}"""
+        ).fetchall()
+    }
+
+    for distributed in (False, True):
+        sets = candidate_sets(
+            nodes, distributed=distributed, max_members=cap
+        ).take_all()
+        file_sets = {s["hash"]: s for s in sets if s["ftype"] == "file"}
+        got = {
+            (h, r, p)
+            for h, s in file_sets.items()
+            for r, p in zip(s["repos"], s["paths"])
+        }
+        assert got == want, distributed
+        over = next(s for s in file_sets.values() if s["n_true"] == 5)
+        assert len(over["repos"]) == cap
+
+    # dup_bytes uses the TRUE count (5-1 dups of len("same-bytes")=10, plus
+    # the pair set 1x10), not the capped listing
+    dupsets, dup_bytes = dup_sets(nodes, max_members=cap)
+    file_bytes = sum(
+        r["dup_bytes"] for r in dupsets.take_all() if r["ftype"] == "file"
+    )
+    assert file_bytes == 4 * 10 + 1 * 10
+
+    # plan covers the capped members: 1 keep + (cap-1) drops per set
+    plan = dedup_plan(nodes, max_members=cap).to_pandas()
+    fplan = plan[plan.ftype == "file"]
+    over_hash = next(h for h, s in file_sets.items() if s["n_true"] == 5)
+    sub = fplan[fplan.hash == over_hash].sort_values(["repo", "path"])
+    assert len(sub) == cap
+    assert sub["action"].tolist() == ["keep", "drop", "drop"]
+    assert sub["reclaim_bytes"].tolist() == [0, 10, 10]

@@ -218,7 +218,8 @@ def test_multimodal_frame_sample(ray_session):
         ray.data.from_arrow(t), n_frames=4, frame_len=32
     ).take_all()
     media = {r["media_id"]: r["media"] for r in t.to_pylist()}
-    # every frame hash is the sha256 of the byte window it claims
+    # every frame hash fingerprints the byte window it claims (sha256 of
+    # the window's uppercase hex — the SQL-derivable byte-domain form)
     assert len(out) > 0
     for r in out:
         data = media[r["media_id"]]
@@ -226,7 +227,9 @@ def test_multimodal_frame_sample(ray_session):
         assert off < len(data)
         assert (
             r["frame_hash"]
-            == hashlib.sha256(data[off: off + 32]).hexdigest()
+            == hashlib.sha256(
+                data[off: off + 32].hex().upper().encode()
+            ).hexdigest()
         )
     # full media emit exactly n_frames; frame offsets are i * stride
     by_id = {}
@@ -250,3 +253,47 @@ def test_multimodal_frame_sample(ray_session):
     assert FrameSampleStage()(empty).num_rows == 0
     with pytest.raises(NotImplementedError):
         FrameSampleStage(mode="strict")(t.slice(0, 1))
+
+
+def test_media_frames_oracle_parity_non_ascii(ray_session):
+    """ADVICE r3: the frame oracle must window BYTES, not characters —
+    parity on non-ASCII text where char and byte offsets diverge."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.multimodal import media_frames
+
+    texts = ["héllo wörld × " * 9, "中文字符串测试" * 7, "plain ascii " * 12, "ü"]
+    docs = pa.table(
+        {
+            "media_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "media": pa.array([s.encode() for s in texts], pa.large_binary()),
+        }
+    )
+    got = (
+        media_frames(ray.data.from_arrow(docs), n_frames=4, frame_len=32)
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("m0", docs.select(["media_id", "text"]))
+    want = con.sql(
+        """
+        WITH m AS (SELECT media_id, octet_length(encode(text)) AS n_bytes, text FROM m0),
+        f AS (
+          SELECT media_id, CAST(t.i AS BIGINT) AS frame_idx,
+                 CAST(t.i * greatest(n_bytes // 4, 1) AS BIGINT) AS frame_off,
+                 n_bytes, text
+          FROM m CROSS JOIN range(4) t(i)
+          WHERE t.i * greatest(n_bytes // 4, 1) < n_bytes
+        )
+        SELECT media_id, frame_idx, frame_off,
+               sha256(substr(hex(encode(text)), CAST(frame_off * 2 + 1 AS INTEGER), 64)) AS frame_hash
+        FROM f ORDER BY media_id, frame_idx
+        """
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
