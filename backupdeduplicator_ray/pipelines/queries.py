@@ -855,11 +855,22 @@ _KNN_K = 5
 def q_knn_join(sf_dir: str):
     """Exact cosine kNN self-join: every vector's 5 nearest neighbors
     (excluding itself) — one streaming pass against the broadcast corpus
-    matrix; verification-scale exact semantics (IVF/LSH are the scale
-    routes)."""
+    matrix (the below-valve route; `knn_join_ivf` gates the scale route)."""
     from ..stages.embedding import knn_join
 
     return knn_join(_embeddings(sf_dir), k=_KNN_K)
+
+
+def q_knn_join_ivf(sf_dir: str):
+    """The kNN self-join's DISTRIBUTED route, forced (broadcast_limit=0)
+    at full probe: assign-once IVF co-partitioning whose output must equal
+    the brute-force oracle exactly — the scale path under the same gate."""
+    from ..stages.embedding import knn_join
+
+    return knn_join(
+        _embeddings(sf_dir), k=_KNN_K, broadcast_limit=0,
+        n_lists=16, nprobe=16, train_sample=4096,
+    )
 
 
 # ranks on the ROUNDED score (then neighbor id) — the engine kernel ranks
@@ -1267,7 +1278,7 @@ WHERE CAST(doc_id AS VARCHAR) NOT IN (SELECT id FROM drops)
 """
 
 
-def q_prepare_corpus(sf_dir: str):
+def q_prepare_corpus(sf_dir: str, distributed: bool = False):
     """The capstone composition: eval split set aside → quality gate →
     exact dedup → MinHash near-dup drops → decontamination vs the eval
     slice → stratified per-source sample.  Every stage is individually
@@ -1285,7 +1296,15 @@ def q_prepare_corpus(sf_dir: str):
         rates=_PREP_RATES,
         default_rate=_PREP_DEFAULT_RATE,
         decontam_hashed=False,
+        distributed=distributed,
     )
+
+
+def q_prepare_corpus_distributed(sf_dir: str):
+    """prepare_corpus with the drop lists applied via the distributed
+    anti-join route (the 100 TB shape) — same oracle as prepare_corpus, so
+    the driver gate proves the route itself, not just its parity test."""
+    return q_prepare_corpus(sf_dir, distributed=True)
 
 
 # --- event-stream operators (stages/events.py) -----------------------------
@@ -1960,7 +1979,9 @@ QUERIES = {
     "region_revenue": q_region_revenue,
     "lang_len_quantiles": q_lang_len_quantiles,
     "prepare_corpus": q_prepare_corpus,
+    "prepare_corpus_distributed": q_prepare_corpus_distributed,
     "knn_join": q_knn_join,
+    "knn_join_ivf": q_knn_join_ivf,
     "near_dedup": q_near_dedup,
 }
 
@@ -2014,4 +2035,8 @@ ORACLE_SQL = {
     "region_revenue": SQL_REGION_REVENUE,
     "lang_len_quantiles": SQL_LANG_LEN_QUANTILES,
     "knn_join": SQL_KNN_JOIN,
+    "knn_join_ivf": SQL_KNN_JOIN,
 }
+# prepare_corpus_distributed / knn_join_ivf reuse the base oracles: the
+# distributed routes must produce the SAME rows as the broadcast ones.
+ORACLE_SQL["prepare_corpus_distributed"] = ORACLE_SQL["prepare_corpus"]

@@ -85,6 +85,7 @@ def test_oracle_keys_subset(entry_mod):
         "token_freq_stats", "near_dedup", "repetition_stats",
         "stratified_sample", "decontaminate", "region_revenue",
         "lang_len_quantiles", "prepare_corpus", "knn_join",
+        "prepare_corpus_distributed", "knn_join_ivf",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):
