@@ -36,6 +36,9 @@ Re-expresses the reference `analyze` stage (`src/stages/analyze/cmd.rs`):
 
 from __future__ import annotations
 
+import os
+import sys
+
 import pandas as pd
 import pyarrow as pa
 
@@ -127,21 +130,35 @@ def candidate_sets(nodes_ds, distributed: bool = False, max_members: int | None 
     refinement pass.  Singleton hashes (the vast majority) never cost a
     Python group call.  `max_members=None` uses MAX_MEMBERS_PER_SET.
     """
+    import time
+
     import pyarrow.compute as pc
 
     from ..functions.groups import filter_by_key_set, keys_with_count_between
 
+    timing = os.environ.get("BDR_TIMING")
     cap = MAX_MEMBERS_PER_SET if max_members is None else max_members
+    t0 = time.time()
     hashed = nodes_ds.map_batches(
         lambda t: t.filter(pc.is_valid(t["hash"])), batch_format="pyarrow"
     ).materialize()
+    t1 = time.time()
     colliding = keys_with_count_between(hashed, ["hash"], min_count=2)
     cand = filter_by_key_set(hashed, ["hash"], colliding, keep=True).materialize()
+    t2 = time.time()
+    if timing:
+        print(
+            f"[candidate_sets] nodes={t1 - t0:.1f}s collide+filter={t2 - t1:.1f}s",
+            file=sys.stderr,
+        )
     if distributed or cand.count() > DRIVER_CAND_LIMIT:
         return cand.groupby("hash").map_groups(
             lambda g: _candidate_sets(g, cap), batch_format="pandas"
         )
-    return _candidate_sets_driver(cand, cap)
+    out = _candidate_sets_driver(cand, cap)
+    if timing:
+        print(f"[candidate_sets] driver_refine={time.time() - t2:.1f}s", file=sys.stderr)
+    return out
 
 
 def _candidate_sets_driver(cand_ds, cap: int | None = None):
@@ -235,10 +252,15 @@ def dup_sets(
     Both paths are parity-tested (tests pass dup_dir_limit=0 to force the
     fallback).
     """
+    import time
+
     import pyarrow.compute as pc
     import ray
 
+    timing = os.environ.get("BDR_TIMING")
+    t0 = time.time()
     sets = candidate_sets(nodes_ds, max_members=max_members).materialize()
+    t1 = time.time()
 
     # Paths of directories that are members of ANY candidate set (their
     # hash occurs >=2 times by construction).  Only these parents can
@@ -246,6 +268,12 @@ def dup_sets(
     dup_dir_ds = sets.map_batches(
         _explode_dir_members, batch_format="pyarrow"
     ).materialize()
+    t2 = time.time()
+    if timing:
+        print(
+            f"[dup_sets] candidate_sets={t1 - t0:.1f}s dir_explode={t2 - t1:.1f}s",
+            file=sys.stderr,
+        )
 
     if dup_dir_limit is None or dup_dir_ds.count() <= dup_dir_limit:
         dup_dirs = {
@@ -314,7 +342,13 @@ def dup_sets(
             batch_format="pyarrow",
         ).materialize()
 
+    t3 = time.time()
     total = dupsets.sum("dup_bytes") if dupsets.count() else 0
+    if timing:
+        print(
+            f"[dup_sets] suppress+finalize={t3 - t2:.1f}s sum={time.time() - t3:.1f}s",
+            file=sys.stderr,
+        )
     return dupsets, int(total or 0)
 
 
