@@ -146,12 +146,24 @@ def keys_with_count_between(
             for t in tables:
                 if not len(t):
                     continue
-                k = t["k"].to_numpy(zero_copy_only=False)
+                col = t["k"]
+                col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                k = col.to_numpy(zero_copy_only=False)
                 n = t["n"].to_numpy(zero_copy_only=False)
                 if numeric:
                     m = (k.astype(np.uint64, copy=False) % np.uint64(n_shards)) == p
                 else:
-                    m = (pd.util.hash_array(k) % np.uint64(n_shards)) == p
+                    # hash the BYTES: pandas' str hasher truncates object
+                    # strings at the first NUL (C-string semantics), which
+                    # skews shards for \x00-fused keys; a binary cast
+                    # hashes the full value (bytes hashing is exact)
+                    if pa.types.is_string(col.type):
+                        hk = col.cast(pa.binary()).to_numpy(zero_copy_only=False)
+                    elif pa.types.is_large_string(col.type):
+                        hk = col.cast(pa.large_binary()).to_numpy(zero_copy_only=False)
+                    else:
+                        hk = k
+                    m = (pd.util.hash_array(hk) % np.uint64(n_shards)) == p
                 if m.any():
                     ks.append(k[m])
                     ns.append(n[m])
@@ -167,8 +179,13 @@ def keys_with_count_between(
                 sums = np.add.reduceat(n, starts)
                 k = k[starts]
             else:
-                ser = pd.Series(n).groupby(pd.Series(k), sort=False).sum()
-                k, sums = ser.index.to_numpy(), ser.to_numpy()
+                # np.unique compares FULL values (str and bytes alike) —
+                # exact, unlike pandas' str groupby, whose hashtable
+                # truncates object strings at the first NUL and would
+                # MERGE distinct \x00-fused keys (count corruption)
+                u, inv = np.unique(k, return_inverse=True)
+                sums = np.bincount(inv, weights=n).astype(np.int64)
+                k = u
             mask = sums >= min_count
             if max_count is not None and not also_above:
                 mask &= sums <= max_count

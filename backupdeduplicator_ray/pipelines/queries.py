@@ -23,7 +23,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..sources.corpus import corpus_from_documents, derive_corpus_sql
+from ..sources.corpus import (
+    corpus_from_documents,
+    derive_corpus_fileids_sql,
+    derive_corpus_sql,
+)
 
 # member lists are capped at MAX_MEMBERS_PER_SET in the engine
 # (stages/analyze.py candidate_sets); the member-listing oracles encode
@@ -192,6 +196,93 @@ WITH corpus AS ({derive_corpus_sql("documents")})
 SELECT sha256(content) AS hash, CAST(strlen(content) AS BIGINT) AS size,
        CAST(count(*) AS BIGINT) AS n_dups, min(repo || '|' || path) AS first_member
 FROM corpus WHERE content IS NOT NULL
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_hardlink_sets(sf_dir: str):
+    """Hardlink detection (HandleIdentifier rebuild, reference
+    src/data/fileid.rs:30-34 / README.md:38): groups of >= 2 paths sharing
+    one physical (drive, inode), exploded to one row per link."""
+    from ..sources.corpus import corpus_with_fileids
+    from ..stages.hardlink import hardlink_sets
+
+    return hardlink_sets(corpus_with_fileids(sf_dir))
+
+
+SQL_HARDLINK_SETS = f"""
+WITH corpus AS ({derive_corpus_fileids_sql("documents")}),
+links AS (
+  SELECT drive, inode,
+         CAST(count(*) OVER (PARTITION BY drive, inode) AS BIGINT) AS n_links,
+         CAST(octet_length(encode(content)) AS BIGINT) AS size, repo, path
+  FROM corpus WHERE inode IS NOT NULL AND drive IS NOT NULL
+)
+SELECT drive, inode, n_links, size, repo, path FROM links WHERE n_links >= 2
+"""
+
+
+def q_hardlink_aware_dups(sf_dir: str):
+    """Exact file-dup groups AFTER hardlink collapse — the reference's
+    'treat hardlinks as not duplicates' semantics (README.md:38): links to
+    the same physical file collapse to one representative before hashing,
+    so a group must contain >= 2 REAL copies to survive."""
+    import pyarrow.compute as pc
+
+    from ..functions.groups import grouped_on_survivors
+    from ..functions.hashing import hex_column
+    from ..sources.corpus import corpus_with_fileids
+    from ..stages.build import build_file_nodes
+    from ..stages.hardlink import collapse_hardlinks
+
+    nodes = build_file_nodes(collapse_hardlinks(corpus_with_fileids(sf_dir))).map_batches(
+        lambda t: pa.table(
+            {
+                "hash": hex_column(t["hash"]),
+                "size": t["size"],
+                "repo": t["repo"],
+                "path": t["path"],
+            }
+        ).filter(pc.equal(t["node_type"], "file")),
+        batch_format="pyarrow",
+    )
+
+    def per_group(g):
+        if len(g) < 2:
+            return pa.table(
+                {
+                    "hash": pa.array([], pa.string()),
+                    "size": pa.array([], pa.int64()),
+                    "n_dups": pa.array([], pa.int64()),
+                    "first_member": pa.array([], pa.string()),
+                }
+            )
+        members = sorted(f"{r}|{p}" for r, p in zip(g["repo"], g["path"]))
+        return pa.table(
+            {
+                "hash": pa.array([g["hash"].iloc[0]], pa.string()),
+                "size": pa.array([int(g["size"].iloc[0])], pa.int64()),
+                "n_dups": pa.array([len(g)], pa.int64()),
+                "first_member": pa.array([members[0]], pa.string()),
+            }
+        )
+
+    return grouped_on_survivors(
+        nodes.materialize(), ["hash", "size"], per_group, min_count=2
+    )
+
+
+SQL_HARDLINK_AWARE_DUPS = f"""
+WITH corpus AS ({derive_corpus_fileids_sql("documents")}),
+collapsed AS (
+  SELECT * FROM corpus
+  QUALIFY row_number() OVER (
+    PARTITION BY drive, inode ORDER BY repo, path
+  ) = 1
+)
+SELECT sha256(content) AS hash, CAST(strlen(content) AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_dups, min(repo || '|' || path) AS first_member
+FROM collapsed WHERE content IS NOT NULL
 GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
@@ -1934,6 +2025,8 @@ GROUP BY 1
 QUERIES = {
     "file_hash": q_file_hash,
     "exact_dup_groups": q_exact_dup_groups,
+    "hardlink_sets": q_hardlink_sets,
+    "hardlink_aware_dups": q_hardlink_aware_dups,
     "tree_nodes": q_tree_nodes,
     "dup_members": q_dup_members,
     "dup_total": q_dup_total,
@@ -1988,6 +2081,8 @@ QUERIES = {
 ORACLE_SQL = {
     "file_hash": SQL_FILE_HASH,
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+    "hardlink_sets": SQL_HARDLINK_SETS,
+    "hardlink_aware_dups": SQL_HARDLINK_AWARE_DUPS,
     "tree_nodes": SQL_TREE_NODES,
     "dup_members": SQL_DUP_MEMBERS,
     "dup_total": SQL_DUP_TOTAL,

@@ -365,6 +365,80 @@ def corpus_from_documents(sf_dir: str):
     return ds.map_batches(derive, batch_format="pyarrow")
 
 
+#: Physical-identity derivation for the hardlink operators (the
+#: HandleIdentifier rebuild, reference src/data/fileid.rs:30-34): every
+#: base row is its own physical file (inode = doc_id, drive = d0/d1 by
+#: parity); a mirrored row is a HARDLINK of its base when doc_id % 6 == 0
+#: (same inode, same drive) and an independent COPY otherwise (fresh
+#: inode).  Deterministic and SQL-reproducible.
+_COPY_INODE_OFFSET = 100_000_000
+
+
+def derive_corpus_fileids_sql(documents_view: str = "documents") -> str:
+    """SQL producing exactly the same rows as `corpus_with_fileids`."""
+    return f"""
+    SELECT 'r' || (doc_id % {N_REPOS}) AS repo,
+           'a' || (doc_id % 3) || '/b' || (doc_id % 5) || '/doc_' || doc_id || '.txt' AS path,
+           text AS content,
+           CAST(doc_id AS BIGINT) AS inode,
+           'd' || (doc_id % 2) AS drive
+    FROM {documents_view}
+    UNION ALL
+    SELECT 'mirror' || (doc_id % {N_REPOS}) AS repo,
+           'a' || (doc_id % 3) || '/b' || (doc_id % 5) || '/doc_' || doc_id || '.txt' AS path,
+           text AS content,
+           CAST(CASE WHEN doc_id % 6 = 0 THEN doc_id
+                     ELSE doc_id + {_COPY_INODE_OFFSET} END AS BIGINT) AS inode,
+           'd' || (doc_id % 2) AS drive
+    FROM {documents_view}
+    WHERE doc_id % {MIRROR_MOD} = 0
+    """
+
+
+def corpus_with_fileids(sf_dir: str):
+    """`corpus_from_documents` rows + (inode, drive) physical identity.
+
+    Must stay row-for-row identical to `derive_corpus_fileids_sql`.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc_id = batch["doc_id"].to_numpy()
+        path = pa.array([f"a{i % 3}/b{i % 5}/doc_{i}.txt" for i in doc_id], pa.string())
+        drive = pa.array([f"d{i % 2}" for i in doc_id], pa.string())
+        base = pa.table(
+            {
+                "repo": pa.array([f"r{i % N_REPOS}" for i in doc_id], pa.string()),
+                "path": path,
+                "content": pc.cast(batch["text"], pa.large_string()),
+                "inode": pa.array(doc_id.astype("int64")),
+                "drive": drive,
+            }
+        )
+        mm = doc_id % MIRROR_MOD == 0
+        m_ids = doc_id[mm]
+        m_inode = m_ids.astype("int64").copy()
+        m_inode[m_ids % 6 != 0] += _COPY_INODE_OFFSET
+        mirror = (
+            base.filter(pa.array(mm))
+            .set_column(
+                0,
+                "repo",
+                pa.array([f"mirror{i % N_REPOS}" for i in m_ids], pa.string()),
+            )
+            .set_column(3, "inode", pa.array(m_inode))
+        )
+        return pa.concat_tables([base, mirror])
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
 def write_corpus(table: pa.Table, path: str) -> None:
     pq.write_table(table, path)
 

@@ -46,7 +46,13 @@ def compact_latest(nodes_ds, index_col: str = "file_index", n_parts: int = 64):
     def add_part(t: pa.Table) -> pa.Table:
         import numpy as np
 
-        keys = _fuse_cols(t, ["repo", "path"]).to_numpy(zero_copy_only=False)
+        # hash the binary cast: pandas' str hasher truncates at the fused
+        # key's \x00, which would shard by repo alone (skew; co-location
+        # stays correct since equal keys still hash equal either way)
+        fused = _fuse_cols(t, ["repo", "path"])
+        if isinstance(fused, pa.ChunkedArray):
+            fused = fused.combine_chunks()
+        keys = fused.cast(pa.binary()).to_numpy(zero_copy_only=False)
         parts = (pd.util.hash_array(keys) % np.uint64(n_parts)).astype(np.int32)
         return t.append_column("__part", pa.array(parts))
 

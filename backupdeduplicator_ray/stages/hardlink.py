@@ -1,0 +1,168 @@
+"""Hardlink identity — the HandleIdentifier rebuild.
+
+The reference captures a physical-file identity per walked entry,
+`HandleIdentifier { inode, drive }` (src/data/fileid.rs:30-34: unix
+inode+device id, windows file-index+volume serial), and plans to "detect
+hardlinks and treat them as not duplicates" (README.md:38).  The walk is
+an input TABLE here, so the identity arrives as two corpus columns
+(`inode: int64`, `drive: string`) captured by whatever produced the table
+— the rebuild of the same walk-time capture point.
+
+Two operators:
+
+- `hardlink_sets`: detection — groups of >= 2 paths sharing one physical
+  file (same fused (drive, inode) key).  Count-pruned exactly like the
+  content-hash analyze path (functions/groups doctrine): singleton
+  identities (the vast majority) never reach the exchange; only actual
+  hardlink rows shuffle.
+- `collapse_hardlinks`: the "not duplicates" semantics — keep ONE
+  deterministic representative (min (repo, path)) per physical file and
+  pass everything else through untouched.  Composes BEFORE
+  `build_file_nodes`, which is also the scale win the reference designed
+  the identity for: the same physical bytes are hashed once, not once per
+  link.
+
+Rows with a null inode or drive (sources that don't capture identity)
+pass through both operators unchanged — identity is optional, like the
+reference's io::Result fallback (fileid.rs:44-48).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+HARDLINK_SETS_SCHEMA = pa.schema(
+    [
+        ("drive", pa.string()),
+        ("inode", pa.int64()),
+        ("n_links", pa.int64()),
+        ("size", pa.int64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+    ]
+)
+
+
+def _with_fused_key(ds, inode_col: str, drive_col: str):
+    """Append `__hk` = drive \\x00 inode (null when either side is null)."""
+    import pyarrow.compute as pc
+
+    def add(t: pa.Table) -> pa.Table:
+        hk = pc.binary_join_element_wise(
+            pc.cast(t[drive_col], pa.string()),
+            pc.cast(t[inode_col], pa.string()),
+            "\x00",
+        )  # null-propagating: null drive or inode -> null key
+        return t.append_column("__hk", hk)
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def hardlink_sets(
+    ds,
+    inode_col: str = "inode",
+    drive_col: str = "drive",
+    distributed: bool = False,
+):
+    """Corpus-like Dataset (repo, path, content?, inode, drive) →
+    exploded hardlink-set members, one row per link:
+    (drive, inode, n_links, size, repo, path).
+
+    `size` is the content byte length when a `content` column is present
+    (hardlinks share bytes, so every member reports the same size), else
+    the input's `size` column, else 0.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.groups import filter_by_key_set, keys_with_count_between
+    from ..functions.hashing import byte_length_column
+
+    def project(t: pa.Table) -> pa.Table:
+        if "content" in t.column_names:
+            size = byte_length_column(t["content"])
+        elif "size" in t.column_names:
+            size = pc.cast(t["size"], pa.int64())
+        else:
+            size = pa.array([0] * t.num_rows, pa.int64())
+        return pa.table(
+            {
+                "drive": pc.cast(t[drive_col], pa.string()),
+                "inode": pc.cast(t[inode_col], pa.int64()),
+                "size": size,
+                "repo": t["repo"],
+                "path": t["path"],
+            }
+        )
+
+    keyed = _with_fused_key(
+        ds.map_batches(project, batch_format="pyarrow"), "inode", "drive"
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t["__hk"])), batch_format="pyarrow"
+    )
+    colliding = keys_with_count_between(
+        keyed, ["__hk"], min_count=2, distributed=distributed
+    )
+    cand = filter_by_key_set(keyed, ["__hk"], colliding, keep=True)
+
+    def group_sets(g) -> pa.Table:
+        g = g.sort_values(["repo", "path"], kind="mergesort")
+        n = len(g)
+        return pa.table(
+            {
+                "drive": pa.array(g["drive"], pa.string()),
+                "inode": pa.array(g["inode"], pa.int64()),
+                "n_links": pa.array([n] * n, pa.int64()),
+                "size": pa.array(g["size"], pa.int64()),
+                "repo": pa.array(g["repo"], pa.string()),
+                "path": pa.array(g["path"], pa.string()),
+            }
+        ).cast(HARDLINK_SETS_SCHEMA)
+
+    return cand.groupby("__hk").map_groups(group_sets, batch_format="pandas")
+
+
+def collapse_hardlinks(
+    ds,
+    inode_col: str = "inode",
+    drive_col: str = "drive",
+    distributed: bool = False,
+):
+    """Keep one representative (min (repo, path)) per physical file.
+
+    Output preserves the input schema and every row whose identity is
+    null or unique; only rows that share a (drive, inode) key with
+    another row go through the one winner-pick exchange (count-pruned, so
+    the shuffle moves hardlink rows only — at backup scale a tiny
+    fraction of the walk).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.groups import filter_by_key_set, keys_with_count_between
+
+    schema = ds.schema()
+    arrow_schema = pa.schema(list(zip(schema.names, schema.types)))
+    keyed = _with_fused_key(ds, inode_col, drive_col).materialize()
+
+    def null_key(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["__hk"])).drop_columns(["__hk"])
+
+    nonnull = keyed.map_batches(
+        lambda t: t.filter(pc.is_valid(t["__hk"])), batch_format="pyarrow"
+    )
+    colliding = keys_with_count_between(
+        nonnull, ["__hk"], min_count=2, distributed=distributed
+    )
+    singles = filter_by_key_set(nonnull, ["__hk"], colliding, keep=False).map_batches(
+        lambda t: t.drop_columns(["__hk"]), batch_format="pyarrow"
+    )
+    linked = filter_by_key_set(nonnull, ["__hk"], colliding, keep=True)
+
+    def pick_winner(g) -> pa.Table:
+        g = g.sort_values(["repo", "path"], kind="mergesort").head(1)
+        return pa.Table.from_pandas(
+            g.drop(columns=["__hk"]), preserve_index=False
+        ).cast(arrow_schema)
+
+    winners = linked.groupby("__hk").map_groups(pick_winner, batch_format="pandas")
+    passthrough = keyed.map_batches(null_key, batch_format="pyarrow")
+    return passthrough.union(singles).union(winners)

@@ -86,6 +86,7 @@ def test_oracle_keys_subset(entry_mod):
         "stratified_sample", "decontaminate", "region_revenue",
         "lang_len_quantiles", "prepare_corpus", "knn_join",
         "prepare_corpus_distributed", "knn_join_ivf",
+        "hardlink_sets", "hardlink_aware_dups",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):

@@ -1,0 +1,110 @@
+"""Hardlink identity operators (HandleIdentifier rebuild,
+reference src/data/fileid.rs:30-34, README.md:38)."""
+
+import pyarrow as pa
+import pytest
+
+
+def _corpus(null_ids: bool = False):
+    """6 files: (d0, 1) hardlinked twice + once more (3 links), (d0, 2)
+    single, (d1, 1) single (same inode, DIFFERENT drive — not a link of
+    (d0,1)), plus one row with null identity."""
+    import ray.data
+
+    rows = [
+        {"repo": "rB", "path": "x/a.txt", "content": "same bytes", "inode": 1, "drive": "d0"},
+        {"repo": "rA", "path": "y/b.txt", "content": "same bytes", "inode": 1, "drive": "d0"},
+        {"repo": "rA", "path": "z/c.txt", "content": "same bytes", "inode": 1, "drive": "d0"},
+        {"repo": "rA", "path": "u/d.txt", "content": "other", "inode": 2, "drive": "d0"},
+        {"repo": "rA", "path": "v/e.txt", "content": "same bytes", "inode": 1, "drive": "d1"},
+        {"repo": "rC", "path": "w/f.txt", "content": "no id", "inode": None, "drive": None},
+    ]
+    if null_ids:
+        for r in rows:
+            r["inode"], r["drive"] = None, None
+    return ray.data.from_arrow(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("repo", pa.string()),
+                    ("path", pa.string()),
+                    ("content", pa.string()),
+                    ("inode", pa.int64()),
+                    ("drive", pa.string()),
+                ]
+            ),
+        )
+    )
+
+
+def test_hardlink_sets_detects_links(ray_session):
+    from backupdeduplicator_ray.stages.hardlink import hardlink_sets
+
+    out = hardlink_sets(_corpus()).to_pandas().sort_values(["repo", "path"])
+    # only the (d0, inode 1) triple survives; members sorted by (repo, path)
+    assert list(out["path"]) == ["y/b.txt", "z/c.txt", "x/a.txt"]
+    assert set(out["n_links"]) == {3}
+    assert set(out["drive"]) == {"d0"} and set(out["inode"]) == {1}
+    assert set(out["size"]) == {len("same bytes")}
+
+
+def test_hardlink_sets_distributed_parity(ray_session):
+    from backupdeduplicator_ray.stages.hardlink import hardlink_sets
+
+    a = hardlink_sets(_corpus()).to_pandas()
+    b = hardlink_sets(_corpus(), distributed=True).to_pandas()
+    cols = ["drive", "inode", "repo", "path"]
+    assert a.sort_values(cols).values.tolist() == b.sort_values(cols).values.tolist()
+
+
+def test_collapse_keeps_min_member_and_passthrough(ray_session):
+    from backupdeduplicator_ray.stages.hardlink import collapse_hardlinks
+
+    out = collapse_hardlinks(_corpus()).to_pandas().sort_values(["repo", "path"])
+    # triple collapses to min (repo, path) = (rA, y/b.txt); null-identity
+    # and unique-identity rows pass through untouched
+    assert list(out["path"]) == ["u/d.txt", "v/e.txt", "y/b.txt", "w/f.txt"]
+    assert list(out.columns) == ["repo", "path", "content", "inode", "drive"]
+
+
+def test_collapse_null_identity_is_noop(ray_session):
+    from backupdeduplicator_ray.stages.hardlink import collapse_hardlinks
+
+    src = _corpus(null_ids=True)
+    out = collapse_hardlinks(src).to_pandas()
+    assert len(out) == 6  # nothing collapses without identity
+
+
+def test_collapse_then_hash_treats_links_as_not_duplicates(ray_session):
+    """README.md:38 semantics: same content via hardlink != a duplicate."""
+    import pyarrow.compute as pc
+
+    from backupdeduplicator_ray.stages.build import build_file_nodes
+    from backupdeduplicator_ray.stages.hardlink import collapse_hardlinks
+
+    nodes = build_file_nodes(collapse_hardlinks(_corpus())).to_pandas()
+    files = nodes[nodes.node_type == "file"]
+    # 'same bytes' appears twice AFTER collapse: the (d0,1) representative
+    # and the independent (d1,1) copy — a REAL duplicate pair, while the
+    # two extra hardlinks vanished
+    counts = files.groupby("hash").size()
+    assert sorted(counts.tolist()) == [1, 1, 2]
+
+
+def test_nul_fused_string_keys_count_exactly(ray_session):
+    """Regression: pandas' str hashtable truncates object strings at the
+    first NUL — the shard merge must not fuse distinct \\x00-joined keys."""
+    import ray.data
+
+    from backupdeduplicator_ray.functions.groups import keys_with_count_between
+
+    t = pa.table(
+        {
+            "k": pa.array(
+                ["d0\x001", "d0\x001", "d0\x002", "d0\x003", "d1\x001", "d1\x001"]
+            )
+        }
+    )
+    got = keys_with_count_between(ray.data.from_arrow(t), ["k"], min_count=2)
+    assert got == {"d0\x001", "d1\x001"}
