@@ -5,6 +5,7 @@ build / analyze / clean` commands (`src/main.rs:13-98`), Ray-Data-backed.
     python -m backupdeduplicator_ray.cli analyze --input corpus.parquet --output dupsets/
     python -m backupdeduplicator_ray.cli cluster --input corpus.parquet --output clusters/
     python -m backupdeduplicator_ray.cli clean   --input nodes/ --snapshot corpus.parquet --output clean/
+    python -m backupdeduplicator_ray.cli diff    --input old_nodes/ --snapshot new_nodes/ --output diff/
 
 Owns a Ray session (scripts only — library code never calls ray.init;
 the driver contract in __ray_entry__.py relies on that).
@@ -35,10 +36,19 @@ def _init_ray(num_cpus: int | None):
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="backupdeduplicator_ray")
-    p.add_argument("command", choices=["build", "analyze", "cluster", "clean"])
-    p.add_argument("--input", required=True, help="corpus parquet file/dir (nodes dir for clean)")
+    p.add_argument("command", choices=["build", "analyze", "cluster", "clean", "diff"])
+    p.add_argument("--input", required=True, help="corpus parquet file/dir (nodes dir for clean/diff)")
     p.add_argument("--output", required=True, help="output parquet dir")
-    p.add_argument("--snapshot", help="clean: current corpus snapshot parquet")
+    p.add_argument(
+        "--snapshot",
+        help="clean: current corpus snapshot parquet; diff: the NEW nodes dir "
+        "(--input is the old generation)",
+    )
+    p.add_argument(
+        "--include-unchanged",
+        action="store_true",
+        help="diff: emit unchanged rows too (default: change set only)",
+    )
     p.add_argument("--hash", default="sha256", help="hash algorithm (reference --hash)")
     p.add_argument("--threads", type=int, default=None, help="num_cpus for ray.init (reference --threads)")
     p.add_argument("--checkpoint-dir", default=None)
@@ -136,6 +146,32 @@ def main(argv: list[str] | None = None) -> int:
             batch_format="pyarrow",
         )
         emit(minhash_clusters(docs))
+    elif args.command == "diff":
+        from .stages.snapshot import snapshot_diff
+
+        if not args.snapshot:
+            print("error: diff needs --snapshot <new nodes dir>", file=sys.stderr)
+            ray.shutdown()
+            return 1
+
+        def file_nodes(path):
+            nodes = ray.data.read_parquet(path, file_extensions=["parquet"])
+            if "node_type" in nodes.schema().names:
+                import pyarrow.compute as pc
+
+                nodes = nodes.map_batches(
+                    lambda t: t.filter(pc.not_equal(t["node_type"], "dir")),
+                    batch_format="pyarrow",
+                )
+            return nodes
+
+        emit(
+            snapshot_diff(
+                file_nodes(args.input),
+                file_nodes(args.snapshot),
+                include_unchanged=args.include_unchanged,
+            )
+        )
     elif args.command == "clean":
         from .stages.clean import clean as clean_stage
 

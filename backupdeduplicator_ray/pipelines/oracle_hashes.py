@@ -470,3 +470,83 @@ SELECT c.a_id, c.b_id,
 FROM cand c JOIN v va ON va.vec_id = c.a_id JOIN v vb ON vb.vec_id = c.b_id
 WHERE list_cosine_similarity(va.e, vb.e) >= {threshold}
 """
+
+
+def cdc_prelude_sql(window: int, divisor: int, doc_table: str = "documents") -> str:
+    """WITH-block ending in `chunks(doc_id, chunk_idx, chunk_off,
+    chunk_len, chunk_hash)` — the content-defined chunking of stages/cdc.py
+    restated in SQL.
+
+    The engine's boundary rule needs the rolling polynomial hash VALUE
+    (h % divisor == 0), so unlike the substring oracle (which compares
+    window CONTENT literally) this one rebuilds the hash chain: a power
+    table B^i / B^-i mod 2^64 via a recursive CTE (depth = max doc length),
+    per-byte terms b_i * B^i combined by a HUGEINT running sum (documents
+    are kB-scale ASCII: the sum of < 2^64 terms stays far below HUGEINT
+    range, and ord(char) IS the byte), then h(s) = (S[s+W] - S[s]) * B^-s
+    exactly as functions/rollhash.window_hashes computes it."""
+    from ..functions.rollhash import _B_INT
+
+    inv_b = pow(_B_INT, -1, M64)
+    w = int(window)
+    return f"""
+WITH RECURSIVE
+pw(i, p, ip) AS (
+  SELECT 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT i + 1, {mulmod('p', _B_INT)}, {mulmod('ip', inv_b)}
+  FROM pw WHERE i < (SELECT COALESCE(max(length(text)), 0) FROM {doc_table})
+),
+cbytes AS (
+  SELECT doc_id, CAST(r.i AS BIGINT) AS i,
+         CAST(ord(substring(text, CAST(r.i AS INTEGER), 1)) AS HUGEINT) AS b
+  FROM {doc_table} CROSS JOIN UNNEST(range(1, length(text) + 1)) AS r(i)
+  WHERE text IS NOT NULL
+),
+term AS (
+  SELECT cbytes.doc_id, cbytes.i, {mulmod('cbytes.b', 'pw.p')} AS t
+  FROM cbytes JOIN pw ON pw.i = cbytes.i - 1
+),
+pre AS (
+  SELECT doc_id, i, sum(t) OVER (PARTITION BY doc_id ORDER BY i) AS s
+  FROM term
+),
+wh AS (
+  SELECT hi.doc_id, hi.i - {w} AS s0,
+         {mulmod(f'(hi.s - COALESCE(lo.s, 0)) % {M64}', 'pw.ip')} AS h
+  FROM pre hi
+  LEFT JOIN pre lo ON lo.doc_id = hi.doc_id AND lo.i = hi.i - {w}
+  JOIN pw ON pw.i = hi.i - {w}
+  WHERE hi.i >= {w}
+),
+dlen AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM {doc_table}
+  WHERE text IS NOT NULL
+),
+cuts AS (
+  SELECT wh.doc_id, s0 + {w} AS cut
+  FROM wh JOIN dlen ON dlen.doc_id = wh.doc_id
+  WHERE h % {int(divisor)} = 0 AND s0 + {w} < dlen.n
+),
+bnd AS (
+  SELECT DISTINCT doc_id, cut FROM (
+    SELECT doc_id, cut FROM cuts
+    UNION ALL
+    SELECT doc_id, CAST(length(text) AS BIGINT) FROM {doc_table}
+    WHERE text IS NOT NULL AND length(text) > 0
+  )
+),
+spans AS (
+  SELECT doc_id, cut,
+         COALESCE(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS off
+  FROM bnd
+),
+chunks AS (
+  SELECT s.doc_id,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY s.off) - 1 AS chunk_idx,
+         s.off AS chunk_off, s.cut - s.off AS chunk_len,
+         sha256(substring(d.text, CAST(s.off + 1 AS INTEGER),
+                          CAST(s.cut - s.off AS INTEGER))) AS chunk_hash
+  FROM spans s JOIN {doc_table} d USING (doc_id)
+)
+"""

@@ -731,6 +731,198 @@ def q_incremental_file_hash(sf_dir: str):
 SQL_INCREMENTAL_FILE_HASH = SQL_FILE_HASH  # cache-correct == full rebuild
 
 
+def _snapshot_sides(sf_dir: str):
+    """Two deterministic backup generations derived from `documents`:
+    old = every doc at path f_<id>.txt; new = old minus doc_id%7==0
+    (removed), with doc_id%5==0 rewritten ' v2' (changed) and doc_id%11==0
+    additionally present at f_<id>_new.txt (added)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import byte_length_column, hash_string_column
+
+    def node(t: pa.Table, path_suffix: str, content) -> pa.Table:
+        doc_id = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "repo": pa.array([f"r{i % 10}" for i in doc_id], pa.string()),
+                "path": pa.array(
+                    [f"f_{i}{path_suffix}.txt" for i in doc_id], pa.string()
+                ),
+                "hash": hash_string_column(content),
+                "size": byte_length_column(content),
+            }
+        )
+
+    def old_side(t: pa.Table) -> pa.Table:
+        return node(t, "", t["text"])
+
+    def new_side(t: pa.Table) -> pa.Table:
+        doc_id = t["doc_id"].to_numpy()
+        kept = t.filter(pa.array(doc_id % 7 != 0))
+        kept_ids = kept["doc_id"].to_numpy()
+        content = pc.if_else(
+            pa.array(kept_ids % 5 == 0),
+            pc.binary_join_element_wise(kept["text"], " v2", ""),
+            kept["text"],
+        )
+        base = node(kept, "", content)
+        added_src = t.filter(pa.array(doc_id % 11 == 0))
+        added = node(
+            added_src,
+            "_new",
+            pc.binary_join_element_wise(added_src["text"], " new", ""),
+        )
+        return pa.concat_tables([base, added])
+
+    old_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        old_side, batch_format="pyarrow"
+    )
+    new_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        new_side, batch_format="pyarrow"
+    )
+    return old_ds, new_ds
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Per-path change table between two backup generations
+    (stages/snapshot.py): added / removed / changed rows only — the output
+    is the CHANGE SET, one partitioned outer hash join on the fused
+    (repo\\x00path) key."""
+    from ..stages.snapshot import snapshot_diff
+
+    old_ds, new_ds = _snapshot_sides(sf_dir)
+    return snapshot_diff(old_ds, new_ds)
+
+
+_SQL_SNAPSHOT_PRELUDE = """
+WITH olds AS (
+  SELECT 'r' || (doc_id % 10) AS repo, 'f_' || doc_id || '.txt' AS path,
+         sha256(text) AS hash, CAST(length(text) AS BIGINT) AS size
+  FROM documents
+),
+news AS (
+  SELECT 'r' || (doc_id % 10) AS repo, 'f_' || doc_id || '.txt' AS path,
+         sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS hash,
+         CAST(length(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS BIGINT) AS size
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT 'r' || (doc_id % 10), 'f_' || doc_id || '_new.txt',
+         sha256(text || ' new'), CAST(length(text) + 4 AS BIGINT)
+  FROM documents WHERE doc_id % 11 = 0
+),
+diff AS (
+  SELECT COALESCE(o.repo, n.repo) AS repo, COALESCE(o.path, n.path) AS path,
+         CASE WHEN o.hash IS NULL THEN 'added'
+              WHEN n.hash IS NULL THEN 'removed'
+              WHEN o.hash = n.hash THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         o.hash AS old_hash, n.hash AS new_hash,
+         o.size AS old_size, n.size AS new_size
+  FROM olds o FULL OUTER JOIN news n ON o.repo = n.repo AND o.path = n.path
+)
+"""
+
+SQL_SNAPSHOT_DIFF = (
+    _SQL_SNAPSHOT_PRELUDE + "SELECT * FROM diff WHERE status <> 'unchanged'"
+)
+
+
+def q_snapshot_diff_stats(sf_dir: str):
+    """Single-row rollup of the full diff (unchanged rows included):
+    per-status counts + byte movement, streaming partial sums."""
+    from ..stages.snapshot import snapshot_diff, snapshot_diff_stats
+
+    old_ds, new_ds = _snapshot_sides(sf_dir)
+    return snapshot_diff_stats(snapshot_diff(old_ds, new_ds, include_unchanged=True))
+
+
+SQL_SNAPSHOT_DIFF_STATS = _SQL_SNAPSHOT_PRELUDE + """
+SELECT
+  CAST(count(*) FILTER (status = 'added') AS BIGINT) AS n_added,
+  CAST(count(*) FILTER (status = 'removed') AS BIGINT) AS n_removed,
+  CAST(count(*) FILTER (status = 'changed') AS BIGINT) AS n_changed,
+  CAST(count(*) FILTER (status = 'unchanged') AS BIGINT) AS n_unchanged,
+  CAST(COALESCE(sum(new_size) FILTER (status = 'added'), 0) AS BIGINT) AS added_bytes,
+  CAST(COALESCE(sum(old_size) FILTER (status = 'removed'), 0) AS BIGINT) AS removed_bytes,
+  CAST(COALESCE(sum(new_size - old_size) FILTER (status = 'changed'), 0) AS BIGINT)
+    AS changed_bytes_delta
+FROM diff
+"""
+
+
+_CDC_WINDOW = 16
+_CDC_DIVISOR = 64
+
+
+def _cdc_chunks_ds(sf_dir: str):
+    from ..stages.cdc import cdc_chunks
+
+    return cdc_chunks(
+        _docs(sf_dir, ["doc_id", "text"]),
+        window=_CDC_WINDOW,
+        divisor=_CDC_DIVISOR,
+        id_col="doc_id",
+        text_col="text",
+    )
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (stages/cdc.py): every document split at
+    rolling-hash-selected boundaries; one row per chunk with offset,
+    length and sha256.  Map-only — no shuffle."""
+    return _cdc_chunks_ds(sf_dir).map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id", "chunk_idx", "chunk_off", "chunk_len", "chunk_hash"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _cdc_sql(select: str) -> str:
+    from .oracle_hashes import cdc_prelude_sql
+
+    return cdc_prelude_sql(_CDC_WINDOW, _CDC_DIVISOR) + select
+
+
+SQL_CDC_CHUNKS = _cdc_sql(
+    "SELECT doc_id, chunk_idx, chunk_off, chunk_len, chunk_hash FROM chunks"
+)
+
+
+def q_cdc_dup_chunks(sf_dir: str):
+    """Chunk-level duplicate groups: hashes seen in >= 2 places with the
+    byte savings chunk-dedup would realize (per-batch partial counts →
+    one Arrow groupby on chunk_hash)."""
+    from ..stages.cdc import chunk_dup_stats
+
+    return chunk_dup_stats(_cdc_chunks_ds(sf_dir), min_copies=2)
+
+
+SQL_CDC_DUP_CHUNKS = _cdc_sql("""
+SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(chunk_len) AS BIGINT) AS chunk_len,
+       CAST((count(*) - 1) * min(chunk_len) AS BIGINT) AS dup_bytes
+FROM chunks GROUP BY chunk_hash HAVING count(*) >= 2
+""")
+
+
+def q_cdc_ratio(sf_dir: str):
+    """Single-row CDC dedup rollup (the A5 duplicated-bytes counter at
+    chunk grain): total vs unique vs duplicated bytes."""
+    from ..stages.cdc import chunk_dedup_ratio
+
+    return chunk_dedup_ratio(_cdc_chunks_ds(sf_dir))
+
+
+SQL_CDC_RATIO = _cdc_sql("""
+SELECT CAST(sum(n * l) AS BIGINT) AS total_bytes,
+       CAST(sum(l) AS BIGINT) AS unique_bytes,
+       CAST(sum(n * l) - sum(l) AS BIGINT) AS dup_bytes
+FROM (SELECT chunk_hash, count(*) AS n, min(chunk_len) AS l
+      FROM chunks GROUP BY chunk_hash)
+""")
+
+
 # --- text analysis ---------------------------------------------------------
 
 
@@ -2034,6 +2226,11 @@ QUERIES = {
     "dedup_execute": q_dedup_execute,
     "compact_latest": q_compact_latest,
     "incremental_file_hash": q_incremental_file_hash,
+    "snapshot_diff": q_snapshot_diff,
+    "snapshot_diff_stats": q_snapshot_diff_stats,
+    "cdc_chunks": q_cdc_chunks,
+    "cdc_dup_chunks": q_cdc_dup_chunks,
+    "cdc_ratio": q_cdc_ratio,
     "archive_roundtrip": q_archive_roundtrip,
     "archive_dedup_members": q_archive_dedup_members,
     "token_stats": q_token_stats,
@@ -2090,6 +2287,11 @@ ORACLE_SQL = {
     "dedup_execute": SQL_DEDUP_EXECUTE,
     "compact_latest": SQL_COMPACT_LATEST,
     "incremental_file_hash": SQL_INCREMENTAL_FILE_HASH,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "snapshot_diff_stats": SQL_SNAPSHOT_DIFF_STATS,
+    "cdc_chunks": SQL_CDC_CHUNKS,
+    "cdc_dup_chunks": SQL_CDC_DUP_CHUNKS,
+    "cdc_ratio": SQL_CDC_RATIO,
     "archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
     "archive_dedup_members": SQL_ARCHIVE_DEDUP_MEMBERS,
     "token_stats": SQL_TOKEN_STATS,

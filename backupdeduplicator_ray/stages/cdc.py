@@ -1,0 +1,218 @@
+"""Content-defined chunking (CDC) — sub-file dedup for backup corpora.
+
+The reference deduplicates whole files by content hash (`analyze/cmd.rs`,
+SURVEY §2.5 A1); the classic next step every backup engine takes (rsync,
+borg, restic — public algorithm family: Rabin/Gear CDC) is CHUNK-level
+dedup: split each file at positions chosen by the CONTENT itself, so an
+insertion near the top of a file shifts chunk boundaries with the bytes
+and every chunk after the edit still hashes identically.  Fixed-size
+blocks would re-hash the whole tail.
+
+Boundary rule (pure CDC, no min/max cut bounds): position p is a cut iff
+the rolling hash of the `window` bytes ENDING at p satisfies
+
+    h(bytes[p-window : p]) % divisor == 0
+
+with h the position-independent polynomial hash already powering the
+substring near-dup operator (functions/rollhash.py: h = sum b_k * B^k mod
+2^64, normalized by B^{-s} so equal content hashes equally at any offset).
+Expected chunk size == `divisor` bytes.  Production FastCDC adds min/max
+chunk clamps — a sequential per-doc scan that would break the stateless
+per-position rule; pure CDC keeps every boundary decision independent, so
+the whole stage is embarrassingly parallel AND exactly restatable in SQL
+(pipelines/oracle_hashes.cdc_prelude_sql) for the correctness gate.
+
+Scale shape: map_batches only (no shuffle) for chunking; the dup-stats
+aggregate is a per-batch pandas partial -> one native Arrow groupby on
+chunk_hash — the same partial-before-shuffle doctrine as exact file dedup.
+Per-chunk hashing (hashlib over a numpy view) is the irreducible work of
+any CDC system; boundary selection is three numpy vector ops per doc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_WINDOW = 16
+DEFAULT_DIVISOR = 64
+
+CHUNK_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("chunk_idx", pa.int64()),
+        ("chunk_off", pa.int64()),
+        ("chunk_len", pa.int64()),
+        ("chunk_hash", pa.string()),
+    ]
+)
+
+
+def cdc_chunks(
+    ds,
+    window: int = DEFAULT_WINDOW,
+    divisor: int = DEFAULT_DIVISOR,
+    id_col: str = "id",
+    text_col: str = "text",
+    algorithm: str = "sha256",
+):
+    """Document/file Dataset → one row per content-defined chunk:
+    (id, chunk_idx, chunk_off, chunk_len, chunk_hash hex).
+
+    Empty/null content yields no rows; content shorter than `window` is a
+    single chunk.  `id` keeps the input id column's type (int64 or string).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import get_hasher_factory
+    from ..functions.rollhash import window_hashes
+
+    factory = get_hasher_factory(algorithm)
+    if factory is None:
+        raise ValueError(f"unknown hash algorithm: {algorithm}")
+    div = np.uint64(divisor)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        id_type = ids.type
+        text = pc.fill_null(batch[text_col], "").cast(pa.large_string())
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        empty = pa.table(
+            {
+                "id": pa.array([], id_type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_off": pa.array([], pa.int64()),
+                "chunk_len": pa.array([], pa.int64()),
+                "chunk_hash": pa.array([], pa.string()),
+            }
+        )
+        if n == 0:
+            return empty
+        offs = np.frombuffer(
+            text.buffers()[1], np.int64, n + 1, offset=text.offset * 8
+        )
+        lo, hi = int(offs[0]), int(offs[-1])
+        data = (
+            np.frombuffer(text.buffers()[2], np.uint8, hi - lo, offset=lo)
+            if hi > lo
+            else np.empty(0, np.uint8)
+        )
+        starts = (offs[:-1] - lo).astype(np.int64)
+        lens = np.diff(offs).astype(np.int64)
+        doc_take: list[np.ndarray] = []
+        idx_parts: list[np.ndarray] = []
+        off_parts: list[np.ndarray] = []
+        len_parts: list[np.ndarray] = []
+        hashes: list[str] = []
+        for j in range(n):
+            dlen = int(lens[j])
+            if dlen == 0:
+                continue
+            d = data[starts[j] : starts[j] + dlen]
+            h = window_hashes(d, window)
+            cuts = np.nonzero(h % div == 0)[0].astype(np.int64) + window
+            cuts = cuts[cuts < dlen]
+            bounds = np.concatenate([[0], cuts, [dlen]])
+            m = len(bounds) - 1
+            doc_take.append(np.full(m, j, np.int64))
+            idx_parts.append(np.arange(m, dtype=np.int64))
+            off_parts.append(bounds[:-1])
+            len_parts.append(np.diff(bounds))
+            hashes.extend(
+                factory(d[a:b]).hexdigest() for a, b in zip(bounds[:-1], bounds[1:])
+            )
+        if not doc_take:
+            return empty
+        take = np.concatenate(doc_take)
+        return pa.table(
+            {
+                "id": ids.take(pa.array(take)),
+                "chunk_idx": pa.array(np.concatenate(idx_parts)),
+                "chunk_off": pa.array(np.concatenate(off_parts)),
+                "chunk_len": pa.array(np.concatenate(len_parts)),
+                "chunk_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def chunk_dup_stats(chunks_ds, min_copies: int = 2):
+    """chunk table → (chunk_hash, n_copies, chunk_len, dup_bytes) for
+    hashes seen >= min_copies times.
+
+    Partial counts are combined per batch BEFORE the shuffle (pandas
+    groupby inside map_batches), then one native Arrow groupby-aggregate
+    on chunk_hash — the exchange moves (hash, count, len) partials, never
+    raw chunk rows."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["chunk_hash", "chunk_len"]).to_pandas()
+        g = df.groupby("chunk_hash", as_index=False).agg(
+            n=("chunk_len", "size"), chunk_len=("chunk_len", "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        chunks_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("chunk_hash")
+        .aggregate(Sum("n"), Max("chunk_len"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["sum(n)"], pa.int64())
+        ln = pc.cast(t["max(chunk_len)"], pa.int64())
+        out = pa.table(
+            {
+                "chunk_hash": t["chunk_hash"],
+                "n_copies": n,
+                "chunk_len": ln,
+                "dup_bytes": pc.multiply(pc.subtract(n, 1), ln),
+            }
+        )
+        return out.filter(pc.greater_equal(out["n_copies"], min_copies))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def chunk_dedup_ratio(chunks_ds):
+    """Single-row corpus rollup: total_bytes, unique_bytes (one copy per
+    distinct chunk), dup_bytes — the CDC analogue of the reference's
+    duplicated-bytes counter (A5)."""
+    import pyarrow.compute as pc
+
+    stats = chunk_dup_stats(chunks_ds, min_copies=1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        total = pc.sum(
+            pc.multiply(t["n_copies"], t["chunk_len"])
+        ).as_py() or 0
+        uniq = pc.sum(t["chunk_len"]).as_py() or 0
+        return pa.table(
+            {
+                "total_bytes": pa.array([total], pa.int64()),
+                "unique_bytes": pa.array([uniq], pa.int64()),
+            }
+        )
+
+    def reduce_all(t: pa.Table) -> pa.Table:
+        total = pc.sum(t["total_bytes"]).as_py() or 0
+        uniq = pc.sum(t["unique_bytes"]).as_py() or 0
+        return pa.table(
+            {
+                "total_bytes": pa.array([total], pa.int64()),
+                "unique_bytes": pa.array([uniq], pa.int64()),
+                "dup_bytes": pa.array([total - uniq], pa.int64()),
+            }
+        )
+
+    return (
+        stats.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(reduce_all, batch_format="pyarrow")
+    )

@@ -1,0 +1,175 @@
+"""Snapshot diff: compare two backup generations of a node table.
+
+The reference's workflow is build -> analyze over ONE hash-tree snapshot
+(`build/cmd/cmd.rs`, `analyze/cmd/cmd.rs`); operators diffing two runs of
+the same tree (what changed since the last backup?) are the natural next
+question a backup-dedup user asks and the incremental cache (ST1,
+stages/incremental.py) already materializes both generations.  This stage
+closes the loop: given the file-node tables of two snapshots it emits one
+row per (repo, path) with status
+
+    added      path present only in the new snapshot
+    removed    path present only in the old snapshot
+    changed    present in both, content hash differs
+    unchanged  present in both, content hash equal
+
+Shape (scale doctrine): ONE partitioned outer hash join on the fused
+(repo\\x00path) key — the identical key, fusing and partition count used by
+the incremental cache join, so a pipeline running both reuses the
+co-location.  Each side is projected to a lean (key, hash, size) table
+before the shuffle; the status computation is a per-batch Arrow kernel
+(null masks + string equality), no per-row Python.  Nothing lands on the
+driver at any size.
+
+Path assumption (same as stages/incremental.py): repo/path values do not
+contain NUL — the fused-key separator.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+STATUS_ADDED = "added"
+STATUS_REMOVED = "removed"
+STATUS_CHANGED = "changed"
+STATUS_UNCHANGED = "unchanged"
+
+
+def _lean_side(ds, hash_col: str, size_col: str | None, prefix: str):
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hex_column
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["repo"], pa.string()), pc.cast(t["path"], pa.string()), "\x00"
+        )
+        h = t[hash_col]
+        # build output carries binary digests internally (M2 doctrine:
+        # binary in the pipeline, hex at boundaries) — hex here
+        if pa.types.is_binary(h.type) or pa.types.is_large_binary(h.type):
+            h = hex_column(h)
+        else:
+            h = pc.cast(h, pa.string())
+        # degrade rows (M4 'other' nodes) carry NULL hashes; presence in the
+        # join is signalled by hash non-null, so map them to the empty
+        # string here (no real digest is "") and restore null on output —
+        # two generations of the same unhashable path compare 'unchanged'.
+        h = pc.fill_null(h, "")
+        cols = {"__key": key, f"{prefix}_hash": h}
+        if size_col is not None:
+            cols[f"{prefix}_size"] = pc.cast(t[size_col], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def snapshot_diff(
+    old_ds,
+    new_ds,
+    hash_col: str = "hash",
+    size_col: str | None = "size",
+    include_unchanged: bool = False,
+    n_parts: int = 256,
+):
+    """Outer-join two file-node Datasets (columns repo, path, `hash_col`
+    [, `size_col`]) into a per-path change table.
+
+    Returns Dataset[repo, path, status, old_hash, new_hash
+    [, old_size, new_size]]; `include_unchanged=False` (default) drops
+    unchanged rows inside the join partitions, so the output is
+    proportional to the CHANGE SET, not the corpus — on a 10^12-file backup
+    with a 0.1% daily delta the shuffle moves lean key+hash rows and the
+    result is 10^9 rows, never the full tree.
+    """
+    import pyarrow.compute as pc
+
+    from ..state.joins import partitioned_hash_join
+
+    with_size = size_col is not None
+    joined = partitioned_hash_join(
+        _lean_side(old_ds, hash_col, size_col, "old"),
+        _lean_side(new_ds, hash_col, size_col, "new"),
+        key="__key",
+        n_parts=n_parts,
+        how="outer",
+        native="never",  # native path is inner-only (joins.py contract)
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        old_h, new_h = t["old_hash"], t["new_hash"]
+        old_null = pc.is_null(old_h)
+        new_null = pc.is_null(new_h)
+        status = pc.if_else(
+            old_null,
+            STATUS_ADDED,
+            pc.if_else(
+                new_null,
+                STATUS_REMOVED,
+                pc.if_else(
+                    pc.equal(old_h, new_h), STATUS_UNCHANGED, STATUS_CHANGED
+                ),
+            ),
+        )
+        t = t.append_column("status", pc.cast(status, pa.string()))
+        if not include_unchanged:
+            t = t.filter(pc.invert(pc.equal(t["status"], STATUS_UNCHANGED)))
+        parts = pc.split_pattern(t["__key"], "\x00", max_splits=1)
+
+        def unsentinel(col):  # "" marked a present-but-null hash; restore
+            return pc.if_else(pc.equal(pc.fill_null(col, ""), ""), pa.nulls(len(t), pa.string()), col)
+
+        cols = {
+            "repo": pc.list_element(parts, 0),
+            "path": pc.list_element(parts, 1),
+            "status": t["status"],
+            "old_hash": unsentinel(t["old_hash"]),
+            "new_hash": unsentinel(t["new_hash"]),
+        }
+        if with_size:
+            cols["old_size"] = t["old_size"]
+            cols["new_size"] = t["new_size"]
+        return pa.table(cols)
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def snapshot_diff_stats(diff_ds):
+    """Single-row rollup of a snapshot_diff result: counts and byte deltas
+    per status.  Streaming partial sums (map_batches) + one tiny reduce —
+    the aggregate never materializes the diff."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        status = t["status"]
+        out = {}
+        for s in (STATUS_ADDED, STATUS_REMOVED, STATUS_CHANGED, STATUS_UNCHANGED):
+            mask = pc.equal(status, s)
+            out[f"n_{s}"] = pa.array(
+                [pc.sum(pc.cast(mask, pa.int64())).as_py() or 0], pa.int64()
+            )
+        has_size = "new_size" in t.schema.names
+        added_b = changed_b = removed_b = 0
+        if has_size:
+            add_m = pc.equal(status, STATUS_ADDED)
+            rem_m = pc.equal(status, STATUS_REMOVED)
+            chg_m = pc.equal(status, STATUS_CHANGED)
+            added_b = pc.sum(pc.if_else(add_m, t["new_size"], 0)).as_py() or 0
+            removed_b = pc.sum(pc.if_else(rem_m, t["old_size"], 0)).as_py() or 0
+            delta = pc.subtract(
+                pc.fill_null(t["new_size"], 0), pc.fill_null(t["old_size"], 0)
+            )
+            changed_b = pc.sum(pc.if_else(chg_m, delta, 0)).as_py() or 0
+        out["added_bytes"] = pa.array([added_b], pa.int64())
+        out["removed_bytes"] = pa.array([removed_b], pa.int64())
+        out["changed_bytes_delta"] = pa.array([changed_b], pa.int64())
+        return pa.table(out)
+
+    partials = diff_ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_all(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {c: pa.array([pc.sum(t[c]).as_py() or 0], pa.int64()) for c in t.schema.names}
+        )
+
+    return partials.repartition(1).map_batches(reduce_all, batch_format="pyarrow")

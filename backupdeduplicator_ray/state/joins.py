@@ -183,6 +183,20 @@ def partitioned_hash_join(
     def merge_part(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        vocab = None
+        if how != "inner" and pa.types.is_string(g.schema.field(key).type):
+            # non-inner string-key path: pandas 2.2 hashes merge keys
+            # through a NUL-truncating C-string table on this path, so
+            # fused repo\x00path keys that share the pre-NUL prefix raise
+            # "values should be unique" (reproduced minimally: outer merge
+            # on ['r0\x00a'] x ['r0\x00ab']; pd.factorize exhibits the same
+            # truncation, so the shared vocabulary must be built in ARROW,
+            # which is NUL-exact).  Merge on int codes, restore after.
+            enc = pc.dictionary_encode(g[key].combine_chunks())
+            vocab = enc.dictionary
+            g = g.set_column(
+                g.schema.get_field_index(key), key, pc.cast(enc.indices, pa.int64())
+            )
         lmask = pc.equal(g["__side"], "l")
         left = g.filter(lmask).select(left_cols).to_pandas(types_mapper=_i64_mapper)
         right = (
@@ -191,7 +205,15 @@ def partitioned_hash_join(
             .to_pandas(types_mapper=_i64_mapper)
         )
         merged = left.merge(right, on=key, how=how)[all_cols]
-        return pa.Table.from_pandas(merged, schema=out_schema, preserve_index=False)
+        if vocab is not None:
+            merged[key] = vocab.take(
+                pa.array(merged[key].astype("int64").to_numpy(), pa.int64())
+            ).to_pandas()
+        # strip the from_pandas metadata: Ray's schema-dedup warns on the
+        # unhashable pandas dict, and downstream unions compare schemas
+        return pa.Table.from_pandas(
+            merged, schema=out_schema, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return tagged.groupby("__part").map_groups(merge_part, batch_format="pyarrow")
 

@@ -56,3 +56,44 @@ def test_cli_build_overwrite_resume(tmp_path):
     r5 = _run_cli("build", "--input", str(corpus), "--output", out, "--overwrite")
     assert r5.returncode == 0
     assert json.load(open(os.path.join(out, "_MANIFEST.json")))["rows"] == rows1
+
+
+@pytest.mark.slow
+def test_cli_diff(tmp_path):
+    """build two generations, diff them: statuses reflect the edit/add/drop."""
+    import pyarrow as pa
+
+    table, _ = synth_corpus(2, 8, with_archives=False)
+    old_corpus = tmp_path / "old.parquet"
+    pq.write_table(table, old_corpus)
+
+    df = table.to_pandas()
+    df = df[df["path"] != df["path"].iloc[1]].copy()          # drop one path
+    df.loc[df.index[0], "content"] = "entirely new content"    # change one
+    added = df.iloc[[-1]].copy()
+    added["path"] = "brand/new_file.txt"
+    added["content"] = "added in generation 2"
+    new_corpus = tmp_path / "new.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(
+            __import__("pandas").concat([df, added]), preserve_index=False
+        ).cast(table.schema),
+        new_corpus,
+    )
+
+    old_nodes, new_nodes = str(tmp_path / "old_nodes"), str(tmp_path / "new_nodes")
+    assert _run_cli("build", "--input", str(old_corpus), "--output", old_nodes).returncode == 0
+    assert _run_cli("build", "--input", str(new_corpus), "--output", new_nodes).returncode == 0
+
+    out = str(tmp_path / "diff")
+    r = _run_cli("diff", "--input", old_nodes, "--snapshot", new_nodes, "--output", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    dd = pq.read_table(out).to_pandas()
+    by = dd.set_index("path")["status"].to_dict()
+    assert by["brand/new_file.txt"] == "added"
+    assert "unchanged" not in set(dd["status"])
+    assert (dd["status"] == "removed").sum() >= 1
+    assert (dd["status"] == "changed").sum() >= 1
+    # hex at the boundary: hashes in the diff are hex strings
+    ch = dd[dd["status"] == "changed"].iloc[0]
+    assert len(ch["old_hash"]) == 64 and len(ch["new_hash"]) == 64

@@ -143,3 +143,32 @@ def test_broadcast_hash_join(ray_session):
     dup = pa.table({"k": pa.array([1, 1], pa.int64()), "v": pa.array([1, 2], pa.int64())})
     with pytest.raises(ValueError):
         broadcast_hash_join(left, dup, "k")
+
+
+def test_outer_join_nul_fused_keys(ray_session):
+    """pandas 2.2's outer-merge key table NUL-truncates str keys (fused
+    repo\\x00path keys collide on the pre-NUL prefix and raise 'values
+    should be unique') — the non-inner path must route key matching
+    through Arrow dictionary codes (state/joins.py merge_part)."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.state.joins import partitioned_hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"__key": ["r0\x00f_0.txt", "r0\x00f_1.txt"], "l": [1, 2]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"__key": ["r0\x00f_10.txt", "r0\x00f_1.txt"], "r": [10, 20]})
+    )
+    rows = {
+        r["__key"]: (r["l"], r["r"])
+        for r in partitioned_hash_join(
+            left, right, key="__key", n_parts=4, how="outer", native="never"
+        ).take_all()
+    }
+    assert rows == {
+        "r0\x00f_0.txt": (1, None),
+        "r0\x00f_1.txt": (2, 20),
+        "r0\x00f_10.txt": (None, 10),
+    }

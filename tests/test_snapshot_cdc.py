@@ -1,0 +1,213 @@
+"""Snapshot diff (stages/snapshot.py) and content-defined chunking
+(stages/cdc.py) semantics.
+
+Oracle parity for the five driver queries lives in
+test_driver_contract.py; these tests pin the operator CONTRACTS on
+hand-built inputs: diff statuses, change-set-only output, the CDC
+reconstruction invariant (chunks concatenate back to the document) and the
+boundary-shift invariance that is the whole point of CDC (an insertion
+near the head re-chunks only the bytes up to the first surviving cut).
+"""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _nodes_ds(rows):
+    import ray.data
+
+    t = pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows], pa.string()),
+            "path": pa.array([r[1] for r in rows], pa.string()),
+            "hash": pa.array([r[2] for r in rows], pa.string()),
+            "size": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+OLD = [
+    ("r0", "a.txt", "h1", 10),
+    ("r0", "b.txt", "h2", 20),
+    ("r0", "c.txt", "h3", 30),
+    ("r1", "a.txt", "h4", 40),  # same path, different repo: distinct key
+]
+NEW = [
+    ("r0", "a.txt", "h1", 10),   # unchanged
+    ("r0", "b.txt", "h2x", 25),  # changed
+    ("r0", "d.txt", "h5", 50),   # added
+    ("r1", "a.txt", "h4", 40),   # unchanged
+]
+
+
+def test_snapshot_diff_statuses(ray_session):
+    from backupdeduplicator_ray.stages.snapshot import snapshot_diff
+
+    rows = {
+        (r["repo"], r["path"]): (r["status"], r["old_hash"], r["new_hash"])
+        for r in snapshot_diff(_nodes_ds(OLD), _nodes_ds(NEW)).take_all()
+    }
+    assert rows == {
+        ("r0", "b.txt"): ("changed", "h2", "h2x"),
+        ("r0", "c.txt"): ("removed", "h3", None),
+        ("r0", "d.txt"): ("added", None, "h5"),
+    }
+
+
+def test_snapshot_diff_include_unchanged(ray_session):
+    from backupdeduplicator_ray.stages.snapshot import snapshot_diff
+
+    diff = snapshot_diff(_nodes_ds(OLD), _nodes_ds(NEW), include_unchanged=True)
+    by_status = {}
+    for r in diff.take_all():
+        by_status.setdefault(r["status"], []).append((r["repo"], r["path"]))
+    assert sorted(by_status["unchanged"]) == [("r0", "a.txt"), ("r1", "a.txt")]
+    assert len(diff.take_all()) == 5
+
+
+def test_snapshot_diff_stats(ray_session):
+    from backupdeduplicator_ray.stages.snapshot import (
+        snapshot_diff,
+        snapshot_diff_stats,
+    )
+
+    diff = snapshot_diff(_nodes_ds(OLD), _nodes_ds(NEW), include_unchanged=True)
+    (row,) = snapshot_diff_stats(diff).take_all()
+    assert row["n_added"] == 1 and row["n_removed"] == 1
+    assert row["n_changed"] == 1 and row["n_unchanged"] == 2
+    assert row["added_bytes"] == 50
+    assert row["removed_bytes"] == 30
+    assert row["changed_bytes_delta"] == 5  # 25 - 20
+
+
+def _chunk_table(texts, **kw):
+    """Run the cdc explode kernel directly (no Ray) on a list of texts."""
+    from backupdeduplicator_ray.stages.cdc import cdc_chunks
+
+    class FakeDS:
+        def map_batches(self, fn, **_):
+            self.fn = fn
+            return self
+
+    ds = FakeDS()
+    cdc_chunks(ds, **kw)
+    return ds.fn(
+        pa.table(
+            {
+                "id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_cdc_reconstruction_invariant():
+    rng = np.random.default_rng(7)
+    texts = [
+        "".join(chr(97 + c) for c in rng.integers(0, 26, size=n))
+        for n in (0, 5, 16, 200, 3000)
+    ]
+    texts.append(None)
+    out = _chunk_table(texts, window=16, divisor=32)
+    df = out.to_pandas()
+    for i, text in enumerate(texts):
+        g = df[df["id"] == i].sort_values("chunk_idx")
+        if not text:
+            assert len(g) == 0
+            continue
+        # chunks tile the document exactly
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+        assert g["chunk_len"].sum() == len(text)
+        assert (g["chunk_off"].values
+                == np.concatenate([[0], g["chunk_len"].cumsum().values[:-1]])).all()
+        # hashes are of the actual slices
+        for _, r in g.iterrows():
+            piece = text[r["chunk_off"] : r["chunk_off"] + r["chunk_len"]]
+            assert r["chunk_hash"] == hashlib.sha256(piece.encode()).hexdigest()
+
+
+def test_cdc_boundary_shift_invariance():
+    """Prepending bytes re-chunks only the head: every chunk strictly after
+    the original's first cut reappears identically in the shifted doc."""
+    rng = np.random.default_rng(11)
+    base = "".join(chr(97 + c) for c in rng.integers(0, 26, size=4000))
+    shifted = "XYZZY-" + base
+    df = _chunk_table([base, shifted], window=16, divisor=64).to_pandas()
+    h0 = list(df[df["id"] == 0].sort_values("chunk_idx")["chunk_hash"])
+    h1 = set(df[df["id"] == 1]["chunk_hash"])
+    assert len(h0) > 3  # enough cuts for the invariant to be meaningful
+    tail = h0[1:]  # everything after the first content-defined cut
+    assert all(h in h1 for h in tail)
+
+
+def test_cdc_short_doc_single_chunk():
+    out = _chunk_table(["tiny"], window=16, divisor=64).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "chunk_len"] == 4 and out.loc[0, "chunk_off"] == 0
+
+
+def test_chunk_dup_stats_and_ratio(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.cdc import (
+        cdc_chunks,
+        chunk_dedup_ratio,
+        chunk_dup_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    shared = "".join(chr(97 + c) for c in rng.integers(0, 26, size=2000))
+    texts = [shared, "PREFIX::" + shared, "completely different " * 40]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    chunks = cdc_chunks(ds, window=16, divisor=64)
+    stats = chunk_dup_stats(chunks).take_all()
+    assert stats, "shared tail must produce duplicate chunks"
+    for r in stats:
+        assert r["n_copies"] >= 2
+        assert r["dup_bytes"] == (r["n_copies"] - 1) * r["chunk_len"]
+    (ratio,) = chunk_dedup_ratio(chunks).take_all()
+    total_len = sum(len(t) for t in texts)
+    assert ratio["total_bytes"] == total_len
+    assert ratio["dup_bytes"] == ratio["total_bytes"] - ratio["unique_bytes"]
+    assert ratio["dup_bytes"] >= 1500  # most of the shared 2000 bytes dedup
+
+
+def test_snapshot_diff_null_hashes(ray_session):
+    """Degrade rows (M4: unhashable nodes, NULL hash) present in both
+    generations are 'unchanged', not 'added' — presence is keyed on the
+    join, not on hash nullity."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.snapshot import snapshot_diff
+
+    def mk(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "repo": pa.array([r[0] for r in rows], pa.string()),
+                    "path": pa.array([r[1] for r in rows], pa.string()),
+                    "hash": pa.array([r[2] for r in rows], pa.string()),
+                    "size": pa.array([r[3] for r in rows], pa.int64()),
+                }
+            )
+        )
+
+    old = mk([("r", "dev/null0", None, 0), ("r", "f.txt", "h1", 5)])
+    new = mk([("r", "dev/null0", None, 0), ("r", "f.txt", None, 0)])
+    rows = {
+        r["path"]: (r["status"], r["old_hash"], r["new_hash"])
+        for r in snapshot_diff(old, new, include_unchanged=True).take_all()
+    }
+    assert rows["dev/null0"] == ("unchanged", None, None)
+    assert rows["f.txt"] == ("changed", "h1", None)
