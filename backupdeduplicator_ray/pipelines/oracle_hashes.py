@@ -472,7 +472,12 @@ WHERE list_cosine_similarity(va.e, vb.e) >= {threshold}
 """
 
 
-def cdc_prelude_sql(window: int, divisor: int, doc_table: str = "documents") -> str:
+def cdc_prelude_sql(
+    window: int,
+    divisor: int,
+    doc_table: str = "documents",
+    prelude: str = "",
+) -> str:
     """WITH-block ending in `chunks(doc_id, chunk_idx, chunk_off,
     chunk_len, chunk_hash)` — the content-defined chunking of stages/cdc.py
     restated in SQL.
@@ -491,6 +496,7 @@ def cdc_prelude_sql(window: int, divisor: int, doc_table: str = "documents") -> 
     w = int(window)
     return f"""
 WITH RECURSIVE
+{prelude}
 pw(i, p, ip) AS (
   SELECT 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
   UNION ALL

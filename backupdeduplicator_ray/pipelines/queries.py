@@ -923,6 +923,89 @@ FROM (SELECT chunk_hash, count(*) AS n, min(chunk_len) AS l
 """)
 
 
+def q_cdc_delta(sf_dir: str):
+    """Incremental-transfer estimate between two generations (CAPSTONE of
+    the two round-4 families): old = documents as-is; new = the snapshot
+    fixture's generation 2 (%7 removed, %5 rewritten ' v2', %11 added
+    ' new').  Bytes a chunk-store backup ships = distinct new chunks not
+    in the old store (one partitioned anti-join on chunk_hash)."""
+    import pyarrow.compute as pc
+
+    from ..stages.cdc import cdc_delta_bytes
+
+    old_docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def new_gen(t: pa.Table) -> pa.Table:
+        doc_id = t["doc_id"].to_numpy()
+        kept = t.filter(pa.array(doc_id % 7 != 0))
+        kept_ids = kept["doc_id"].to_numpy()
+        changed = pc.if_else(
+            pa.array(kept_ids % 5 == 0),
+            pc.binary_join_element_wise(kept["text"], " v2", ""),
+            kept["text"],
+        )
+        base = pa.table({"doc_id": kept["doc_id"], "text": changed})
+        added_src = t.filter(pa.array(doc_id % 11 == 0))
+        added = pa.table(
+            {
+                "doc_id": pc.add(added_src["doc_id"], 1_000_000),
+                "text": pc.binary_join_element_wise(added_src["text"], " new", ""),
+            }
+        )
+        return pa.concat_tables([base, added])
+
+    new_docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        new_gen, batch_format="pyarrow"
+    )
+    return cdc_delta_bytes(
+        old_docs,
+        new_docs,
+        window=_CDC_WINDOW,
+        divisor=_CDC_DIVISOR,
+        id_col="doc_id",
+        text_col="text",
+    )
+
+
+def _sql_cdc_delta() -> str:
+    from .oracle_hashes import cdc_prelude_sql
+
+    # both generations chunked by ONE prelude instance over a union view:
+    # old docs keep their ids, new-generation rows ride at +2M/+3M so the
+    # chunks CTE splits cleanly by id range
+    gen = """
+gen AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' new'
+  FROM documents WHERE doc_id % 11 = 0
+),
+"""
+    return cdc_prelude_sql(
+        _CDC_WINDOW, _CDC_DIVISOR, doc_table="gen", prelude=gen
+    ) + """
+, oldh AS (SELECT DISTINCT chunk_hash FROM chunks WHERE doc_id < 2000000)
+, newstat AS (
+  SELECT chunk_hash, count(*) AS n, min(chunk_len) AS l
+  FROM chunks WHERE doc_id >= 2000000 GROUP BY chunk_hash
+)
+SELECT CAST(sum(n * l) AS BIGINT) AS new_total_bytes,
+       CAST(sum(l) AS BIGINT) AS new_unique_bytes,
+       CAST(COALESCE(sum(l) FILTER (chunk_hash IN (SELECT chunk_hash FROM oldh)), 0)
+            AS BIGINT) AS reused_bytes,
+       CAST(COALESCE(sum(l) FILTER (chunk_hash NOT IN (SELECT chunk_hash FROM oldh)), 0)
+            AS BIGINT) AS transfer_bytes
+FROM newstat
+"""
+
+
+SQL_CDC_DELTA = _sql_cdc_delta()
+
+
 # --- text analysis ---------------------------------------------------------
 
 
@@ -2231,6 +2314,7 @@ QUERIES = {
     "cdc_chunks": q_cdc_chunks,
     "cdc_dup_chunks": q_cdc_dup_chunks,
     "cdc_ratio": q_cdc_ratio,
+    "cdc_delta": q_cdc_delta,
     "archive_roundtrip": q_archive_roundtrip,
     "archive_dedup_members": q_archive_dedup_members,
     "token_stats": q_token_stats,
@@ -2292,6 +2376,7 @@ ORACLE_SQL = {
     "cdc_chunks": SQL_CDC_CHUNKS,
     "cdc_dup_chunks": SQL_CDC_DUP_CHUNKS,
     "cdc_ratio": SQL_CDC_RATIO,
+    "cdc_delta": SQL_CDC_DELTA,
     "archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
     "archive_dedup_members": SQL_ARCHIVE_DEDUP_MEMBERS,
     "token_stats": SQL_TOKEN_STATS,

@@ -156,7 +156,9 @@ def chunk_dup_stats(chunks_ds, min_copies: int = 2):
         g = df.groupby("chunk_hash", as_index=False).agg(
             n=("chunk_len", "size"), chunk_len=("chunk_len", "max")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
 
     agg = (
         chunks_ds.map_batches(partial, batch_format="pyarrow")
@@ -178,6 +180,101 @@ def chunk_dup_stats(chunks_ds, min_copies: int = 2):
         return out.filter(pc.greater_equal(out["n_copies"], min_copies))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cdc_delta_bytes(
+    old_docs,
+    new_docs,
+    window: int = DEFAULT_WINDOW,
+    divisor: int = DEFAULT_DIVISOR,
+    id_col: str = "id",
+    text_col: str = "text",
+):
+    """Incremental-transfer estimate between two backup generations
+    (rsync/borg semantics): chunk both, then count the bytes of DISTINCT
+    new-generation chunks whose hash is absent from the old generation's
+    chunk store — what a chunk-store backup would actually ship.
+
+    Single row: new_total_bytes (all new chunk instances), new_unique_bytes
+    (one copy per distinct new chunk), reused_bytes (distinct new chunks
+    already in the old store), transfer_bytes (= unique - reused).
+
+    Scale shape: both sides reduce to per-distinct-chunk stats BEFORE any
+    cross-generation work (chunk_dup_stats: batch partials -> one hash
+    groupby each), then ONE partitioned anti-join on chunk_hash
+    (state/joins.partitioned_semi_join via filter_by_key_set — the old
+    hash set never lands on the driver).  Aggregate outputs are
+    materialized before the join per the joins.py caller contract (a lazy
+    all-to-all upstream would double-execute on .schema())."""
+    import pyarrow.compute as pc
+
+    from ..functions.groups import filter_by_key_set
+
+    old_stats = chunk_dup_stats(
+        cdc_chunks(old_docs, window, divisor, id_col, text_col), min_copies=1
+    ).materialize()
+    new_stats = chunk_dup_stats(
+        cdc_chunks(new_docs, window, divisor, id_col, text_col), min_copies=1
+    ).materialize()
+
+    old_hashes = old_stats.select_columns(["chunk_hash"])
+    fresh = filter_by_key_set(new_stats, ["chunk_hash"], old_hashes, keep=False)
+
+    def totals(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "new_total_bytes": pa.array(
+                    [pc.sum(pc.multiply(t["n_copies"], t["chunk_len"])).as_py() or 0],
+                    pa.int64(),
+                ),
+                "new_unique_bytes": pa.array(
+                    [pc.sum(t["chunk_len"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    def fresh_sum(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "transfer_bytes": pa.array(
+                    [pc.sum(t["chunk_len"]).as_py() or 0], pa.int64()
+                )
+            }
+        )
+
+    def reduce_pair(t: pa.Table) -> pa.Table:
+        tot = pc.sum(pc.fill_null(t["new_total_bytes"], 0)).as_py() or 0
+        uniq = pc.sum(pc.fill_null(t["new_unique_bytes"], 0)).as_py() or 0
+        xfer = pc.sum(pc.fill_null(t["transfer_bytes"], 0)).as_py() or 0
+        return pa.table(
+            {
+                "new_total_bytes": pa.array([tot], pa.int64()),
+                "new_unique_bytes": pa.array([uniq], pa.int64()),
+                "reused_bytes": pa.array([uniq - xfer], pa.int64()),
+                "transfer_bytes": pa.array([xfer], pa.int64()),
+            }
+        )
+
+    def pad(cols):
+        def fn(t: pa.Table) -> pa.Table:
+            out = {}
+            for c in ("new_total_bytes", "new_unique_bytes", "transfer_bytes"):
+                out[c] = t[c] if c in cols else pa.nulls(len(t), pa.int64())
+            return pa.table(out)
+
+        return fn
+
+    part_a = new_stats.map_batches(totals, batch_format="pyarrow").map_batches(
+        pad({"new_total_bytes", "new_unique_bytes"}), batch_format="pyarrow"
+    )
+    part_b = fresh.map_batches(fresh_sum, batch_format="pyarrow").map_batches(
+        pad({"transfer_bytes"}), batch_format="pyarrow"
+    )
+    return (
+        part_a.union(part_b)
+        .repartition(1)
+        .map_batches(reduce_pair, batch_format="pyarrow")
+    )
 
 
 def chunk_dedup_ratio(chunks_ds):

@@ -88,7 +88,7 @@ def test_oracle_keys_subset(entry_mod):
         "prepare_corpus_distributed", "knn_join_ivf",
         "hardlink_sets", "hardlink_aware_dups",
         "snapshot_diff", "snapshot_diff_stats",
-        "cdc_chunks", "cdc_dup_chunks", "cdc_ratio",
+        "cdc_chunks", "cdc_dup_chunks", "cdc_ratio", "cdc_delta",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):

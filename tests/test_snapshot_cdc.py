@@ -211,3 +211,43 @@ def test_snapshot_diff_null_hashes(ray_session):
     }
     assert rows["dev/null0"] == ("unchanged", None, None)
     assert rows["f.txt"] == ("changed", "h1", None)
+
+
+def test_cdc_delta_bytes(ray_session):
+    """Transfer estimate: identical generations ship nothing; an appended
+    suffix ships only the re-chunked tail; a new doc ships its unique
+    chunks."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.cdc import cdc_delta_bytes
+
+    rng = np.random.default_rng(5)
+    base = "".join(chr(97 + c) for c in rng.integers(0, 26, size=3000))
+    other = "".join(chr(97 + c) for c in rng.integers(0, 26, size=1000))
+
+    def mk(texts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(list(range(len(texts))), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    # identical generations -> zero transfer, full reuse
+    (same,) = cdc_delta_bytes(mk([base]), mk([base]), window=16, divisor=64).take_all()
+    assert same["transfer_bytes"] == 0
+    assert same["reused_bytes"] == same["new_unique_bytes"] > 0
+
+    # append a suffix: most chunks reused, transfer < 20% of the doc
+    (app,) = cdc_delta_bytes(
+        mk([base]), mk([base + "APPENDED-TAIL" * 3]), window=16, divisor=64
+    ).take_all()
+    assert 0 < app["transfer_bytes"] < 600
+    assert app["reused_bytes"] > 2000
+
+    # brand-new doc alongside: its bytes all transfer
+    (new,) = cdc_delta_bytes(mk([base]), mk([base, other]), window=16, divisor=64).take_all()
+    assert new["transfer_bytes"] >= len(other) - 64  # minus possible shared chunk
+    assert new["new_total_bytes"] == len(base) + len(other)
