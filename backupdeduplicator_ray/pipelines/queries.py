@@ -908,10 +908,20 @@ FROM chunks GROUP BY chunk_hash HAVING count(*) >= 2
 
 def q_cdc_ratio(sf_dir: str):
     """Single-row CDC dedup rollup (the A5 duplicated-bytes counter at
-    chunk grain): total vs unique vs duplicated bytes."""
-    from ..stages.cdc import chunk_dedup_ratio
+    chunk grain): total vs unique vs duplicated bytes.  Sums only — the
+    chunk hashes ride the exchange as raw digest bytes (M2 doctrine)."""
+    from ..stages.cdc import cdc_chunks, chunk_dedup_ratio
 
-    return chunk_dedup_ratio(_cdc_chunks_ds(sf_dir))
+    return chunk_dedup_ratio(
+        cdc_chunks(
+            _docs(sf_dir, ["doc_id", "text"]),
+            window=_CDC_WINDOW,
+            divisor=_CDC_DIVISOR,
+            id_col="doc_id",
+            text_col="text",
+            hexout=False,
+        )
+    )
 
 
 SQL_CDC_RATIO = _cdc_sql("""

@@ -55,12 +55,16 @@ def cdc_chunks(
     id_col: str = "id",
     text_col: str = "text",
     algorithm: str = "sha256",
+    hexout: bool = True,
 ):
     """Document/file Dataset → one row per content-defined chunk:
-    (id, chunk_idx, chunk_off, chunk_len, chunk_hash hex).
+    (id, chunk_idx, chunk_off, chunk_len, chunk_hash).
 
     Empty/null content yields no rows; content shorter than `window` is a
     single chunk.  `id` keeps the input id column's type (int64 or string).
+    `hexout=False` emits raw digest BYTES (M2 doctrine: binary internally,
+    hex at boundaries — half the exchange bytes on the chunk-hash column;
+    the sum-only consumers cdc_delta_bytes / chunk_dedup_ratio use it).
     """
     import pyarrow.compute as pc
 
@@ -71,6 +75,7 @@ def cdc_chunks(
     if factory is None:
         raise ValueError(f"unknown hash algorithm: {algorithm}")
     div = np.uint64(divisor)
+    hash_type = pa.string() if hexout else pa.binary()
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].combine_chunks()
@@ -85,7 +90,7 @@ def cdc_chunks(
                 "chunk_idx": pa.array([], pa.int64()),
                 "chunk_off": pa.array([], pa.int64()),
                 "chunk_len": pa.array([], pa.int64()),
-                "chunk_hash": pa.array([], pa.string()),
+                "chunk_hash": pa.array([], hash_type),
             }
         )
         if n == 0:
@@ -105,7 +110,7 @@ def cdc_chunks(
         idx_parts: list[np.ndarray] = []
         off_parts: list[np.ndarray] = []
         len_parts: list[np.ndarray] = []
-        hashes: list[str] = []
+        hashes: list = []
         for j in range(n):
             dlen = int(lens[j])
             if dlen == 0:
@@ -120,9 +125,15 @@ def cdc_chunks(
             idx_parts.append(np.arange(m, dtype=np.int64))
             off_parts.append(bounds[:-1])
             len_parts.append(np.diff(bounds))
-            hashes.extend(
-                factory(d[a:b]).hexdigest() for a, b in zip(bounds[:-1], bounds[1:])
-            )
+            if hexout:
+                hashes.extend(
+                    factory(d[a:b]).hexdigest()
+                    for a, b in zip(bounds[:-1], bounds[1:])
+                )
+            else:
+                hashes.extend(
+                    factory(d[a:b]).digest() for a, b in zip(bounds[:-1], bounds[1:])
+                )
         if not doc_take:
             return empty
         take = np.concatenate(doc_take)
@@ -132,46 +143,55 @@ def cdc_chunks(
                 "chunk_idx": pa.array(np.concatenate(idx_parts)),
                 "chunk_off": pa.array(np.concatenate(off_parts)),
                 "chunk_len": pa.array(np.concatenate(len_parts)),
-                "chunk_hash": pa.array(hashes, pa.string()),
+                "chunk_hash": pa.array(hashes, hash_type),
             }
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
-def chunk_dup_stats(chunks_ds, min_copies: int = 2):
+def chunk_dup_stats(chunks_ds, min_copies: int = 2, n_parts: int = 64):
     """chunk table → (chunk_hash, n_copies, chunk_len, dup_bytes) for
     hashes seen >= min_copies times.
 
-    Partial counts are combined per batch BEFORE the shuffle (pandas
-    groupby inside map_batches), then one native Arrow groupby-aggregate
-    on chunk_hash — the exchange moves (hash, count, len) partials, never
-    raw chunk rows."""
-    import pandas as pd
+    Shape: per-batch C++ group_by partials (arrow, no pandas) → ONE
+    exchange keyed on an int32 part derived from the digest (chunk hashes
+    are near-unique, so a sort-aggregate over the digests themselves would
+    sort the whole chunk store; sorting int parts is ~10x cheaper) → a
+    per-partition arrow group_by finishes counts and applies the
+    min_copies cut inside the partition."""
+    import numpy as np
     import pyarrow.compute as pc
-    from ray.data.aggregate import Max, Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.select(["chunk_hash", "chunk_len"]).to_pandas()
-        g = df.groupby("chunk_hash", as_index=False).agg(
-            n=("chunk_len", "size"), chunk_len=("chunk_len", "max")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
-            None
-        )
+        g = (
+            t.select(["chunk_hash", "chunk_len"])
+            .group_by("chunk_hash")
+            .aggregate([("chunk_len", "count"), ("chunk_len", "max")])
+        ).rename_columns(["chunk_hash", "n", "chunk_len"])
+        col = g["chunk_hash"]
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            from ..functions.hashing import digest_prefix_u64
 
-    agg = (
-        chunks_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("chunk_hash")
-        .aggregate(Sum("n"), Max("chunk_len"))
-    )
+            part = (digest_prefix_u64(col) % np.uint64(n_parts)).astype(np.int32)
+        else:
+            from ..functions.shingles import crc32_column
 
-    def finish(t: pa.Table) -> pa.Table:
-        n = pc.cast(t["sum(n)"], pa.int64())
-        ln = pc.cast(t["max(chunk_len)"], pa.int64())
+            crc = crc32_column(col.cast(pa.string()))
+            part = (crc % np.uint32(n_parts)).astype(np.int32)
+        return g.append_column("__part", pa.array(part))
+
+    def final_part(g: pa.Table) -> pa.Table:
+        agg = (
+            g.select(["chunk_hash", "n", "chunk_len"])
+            .group_by("chunk_hash")
+            .aggregate([("n", "sum"), ("chunk_len", "max")])
+        )
+        n = pc.cast(agg["n_sum"], pa.int64())
+        ln = pc.cast(agg["chunk_len_max"], pa.int64())
         out = pa.table(
             {
-                "chunk_hash": t["chunk_hash"],
+                "chunk_hash": agg["chunk_hash"],
                 "n_copies": n,
                 "chunk_len": ln,
                 "dup_bytes": pc.multiply(pc.subtract(n, 1), ln),
@@ -179,7 +199,11 @@ def chunk_dup_stats(chunks_ds, min_copies: int = 2):
         )
         return out.filter(pc.greater_equal(out["n_copies"], min_copies))
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return (
+        chunks_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(final_part, batch_format="pyarrow")
+    )
 
 
 def cdc_delta_bytes(
@@ -211,10 +235,12 @@ def cdc_delta_bytes(
     from ..functions.groups import filter_by_key_set
 
     old_stats = chunk_dup_stats(
-        cdc_chunks(old_docs, window, divisor, id_col, text_col), min_copies=1
+        cdc_chunks(old_docs, window, divisor, id_col, text_col, hexout=False),
+        min_copies=1,
     ).materialize()
     new_stats = chunk_dup_stats(
-        cdc_chunks(new_docs, window, divisor, id_col, text_col), min_copies=1
+        cdc_chunks(new_docs, window, divisor, id_col, text_col, hexout=False),
+        min_copies=1,
     ).materialize()
 
     old_hashes = old_stats.select_columns(["chunk_hash"])

@@ -251,3 +251,34 @@ def test_cdc_delta_bytes(ray_session):
     (new,) = cdc_delta_bytes(mk([base]), mk([base, other]), window=16, divisor=64).take_all()
     assert new["transfer_bytes"] >= len(other) - 64  # minus possible shared chunk
     assert new["new_total_bytes"] == len(base) + len(other)
+
+
+def test_cdc_binary_hash_parity(ray_session):
+    """hexout=False (internal binary digests) must give identical stats and
+    ratios to the hex boundary form."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.cdc import (
+        cdc_chunks,
+        chunk_dedup_ratio,
+        chunk_dup_stats,
+    )
+
+    rng = np.random.default_rng(9)
+    shared = "".join(chr(97 + c) for c in rng.integers(0, 26, size=1500))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([shared, "pre--" + shared], pa.string()),
+            }
+        )
+    )
+    hx = cdc_chunks(ds, window=16, divisor=64)
+    bn = cdc_chunks(ds, window=16, divisor=64, hexout=False)
+    sx = {(r["chunk_hash"], r["n_copies"]) for r in chunk_dup_stats(hx).take_all()}
+    sb = {(r["chunk_hash"].hex(), r["n_copies"]) for r in chunk_dup_stats(bn).take_all()}
+    assert sx == sb and sx
+    (rx,) = chunk_dedup_ratio(hx).take_all()
+    (rb,) = chunk_dedup_ratio(bn).take_all()
+    assert rx == rb
