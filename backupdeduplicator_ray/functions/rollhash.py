@@ -56,6 +56,36 @@ _VECTOR_MAX_DOC_BYTES = 256
 _VECTOR_SLICE_BYTES = 16_384  # fused-kernel slice: keeps temporaries cached
 
 
+def string_buffer_view(col):
+    """Arrow string/large_string column → (data, starts, lens): numpy views
+    over the column's UTF-8 buffer, nulls as empty docs.  The shared
+    boilerplate of every whole-column byte kernel (window hashing here,
+    CDC chunking in stages/cdc.py): offsets are read at the array's own
+    slice offset and `starts` are rebased onto the returned `data` view,
+    so `data[starts[j]:starts[j]+lens[j]]` is doc j's bytes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = pc.fill_null(col, "").cast(pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64), np.empty(0, np.int64)
+    offs = np.frombuffer(arr.buffers()[1], np.int64, n + 1, offset=arr.offset * 8)
+    lo, hi = int(offs[0]), int(offs[-1])
+    data = (
+        np.frombuffer(arr.buffers()[2], np.uint8, hi - lo, offset=lo)
+        if hi > lo
+        else np.empty(0, np.uint8)
+    )
+    starts = (offs[:-1] - lo).astype(np.int64)
+    lens = np.diff(offs).astype(np.int64)
+    return data, starts, lens
+
+
 def iter_window_parts(col, length: int, stride: int = 1):
     """Whole-COLUMN window hashing (VERDICT r3 item 4): yields
     (doc_base, n_docs, win_values, offsets[n_docs+1]) for sub-slices of an
@@ -71,27 +101,11 @@ def iter_window_parts(col, length: int, stride: int = 1):
     docs run the per-doc kernel whose ~4x-doc-size temporaries stay
     cache-resident (the fused kernel's gathers and big sorts fall off this
     host's shared-cache cliff, see functions/shingles.py)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    arr = pc.fill_null(col, "").cast(pa.large_string())
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    n = len(arr)
+    data, starts, lens = string_buffer_view(col)
+    n = len(starts)
     if n == 0:
         return
-    offs = np.frombuffer(arr.buffers()[1], np.int64, n + 1, offset=arr.offset * 8)
-    lo, hi = int(offs[0]), int(offs[-1])
-    data = (
-        np.frombuffer(arr.buffers()[2], np.uint8, hi - lo, offset=lo)
-        if hi > lo
-        else np.empty(0, np.uint8)
-    )
-    starts = (offs[:-1] - lo).astype(np.int64)
-    lens = np.diff(offs).astype(np.int64)
-    mean_bytes = (hi - lo) / n
+    mean_bytes = int(lens.sum()) / n
     if mean_bytes <= _VECTOR_MAX_DOC_BYTES:
         per_slice = max(4, int(_VECTOR_SLICE_BYTES / max(1.0, mean_bytes)))
         for i in range(0, n, per_slice):

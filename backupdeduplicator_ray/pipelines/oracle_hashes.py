@@ -485,11 +485,20 @@ def cdc_prelude_sql(
     The engine's boundary rule needs the rolling polynomial hash VALUE
     (h % divisor == 0), so unlike the substring oracle (which compares
     window CONTENT literally) this one rebuilds the hash chain: a power
-    table B^i / B^-i mod 2^64 via a recursive CTE (depth = max doc length),
-    per-byte terms b_i * B^i combined by a HUGEINT running sum (documents
-    are kB-scale ASCII: the sum of < 2^64 terms stays far below HUGEINT
-    range, and ord(char) IS the byte), then h(s) = (S[s+W] - S[s]) * B^-s
-    exactly as functions/rollhash.window_hashes computes it."""
+    table B^i / B^-i mod 2^64 via a recursive CTE (depth = max doc BYTE
+    length), per-byte terms b_i * B^i combined by a HUGEINT running sum
+    (kB-scale docs: the sum of < 2^64 terms stays far below HUGEINT
+    range), then h(s) = (S[s+W] - S[s]) * B^-s exactly as
+    functions/rollhash.window_hashes computes it.
+
+    Everything runs in the BYTE domain for UTF-8 exactness: each doc is
+    viewed as `hex(encode(text))` and byte i is decoded from its hex pair
+    (DuckDB's ord() yields CODE POINTS and substring() counts chars, both
+    wrong past ASCII).  The chunk id is sha256 over the uppercase-hex
+    SLICE of the chunk bytes — DuckDB's sha256 takes VARCHAR only and a
+    byte slice can split a code point, so the hex encoding is the
+    SQL-expressible fixed point; the engine mirrors it with
+    `cdc_chunks(hash_mode="hexslice")` (media_features precedent)."""
     from ..functions.rollhash import _B_INT
 
     inv_b = pow(_B_INT, -1, M64)
@@ -497,17 +506,25 @@ def cdc_prelude_sql(
     return f"""
 WITH RECURSIVE
 {prelude}
+hexs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM {doc_table} WHERE text IS NOT NULL
+),
 pw(i, p, ip) AS (
   SELECT 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
   UNION ALL
   SELECT i + 1, {mulmod('p', _B_INT)}, {mulmod('ip', inv_b)}
-  FROM pw WHERE i < (SELECT COALESCE(max(length(text)), 0) FROM {doc_table})
+  FROM pw WHERE i < (SELECT COALESCE(max(n), 0) FROM hexs)
 ),
 cbytes AS (
   SELECT doc_id, CAST(r.i AS BIGINT) AS i,
-         CAST(ord(substring(text, CAST(r.i AS INTEGER), 1)) AS HUGEINT) AS b
-  FROM {doc_table} CROSS JOIN UNNEST(range(1, length(text) + 1)) AS r(i)
-  WHERE text IS NOT NULL
+         CAST((strpos('0123456789ABCDEF',
+                      substr(hx, CAST(r.i * 2 - 1 AS INTEGER), 1)) - 1) * 16
+              + strpos('0123456789ABCDEF',
+                       substr(hx, CAST(r.i * 2 AS INTEGER), 1)) - 1
+              AS HUGEINT) AS b
+  FROM hexs CROSS JOIN UNNEST(range(1, n + 1)) AS r(i)
 ),
 term AS (
   SELECT cbytes.doc_id, cbytes.i, {mulmod('cbytes.b', 'pw.p')} AS t
@@ -525,21 +542,16 @@ wh AS (
   JOIN pw ON pw.i = hi.i - {w}
   WHERE hi.i >= {w}
 ),
-dlen AS (
-  SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM {doc_table}
-  WHERE text IS NOT NULL
-),
 cuts AS (
   SELECT wh.doc_id, s0 + {w} AS cut
-  FROM wh JOIN dlen ON dlen.doc_id = wh.doc_id
-  WHERE h % {int(divisor)} = 0 AND s0 + {w} < dlen.n
+  FROM wh JOIN hexs ON hexs.doc_id = wh.doc_id
+  WHERE h % {int(divisor)} = 0 AND s0 + {w} < hexs.n
 ),
 bnd AS (
   SELECT DISTINCT doc_id, cut FROM (
     SELECT doc_id, cut FROM cuts
     UNION ALL
-    SELECT doc_id, CAST(length(text) AS BIGINT) FROM {doc_table}
-    WHERE text IS NOT NULL AND length(text) > 0
+    SELECT doc_id, n FROM hexs WHERE n > 0
   )
 ),
 spans AS (
@@ -551,8 +563,8 @@ chunks AS (
   SELECT s.doc_id,
          row_number() OVER (PARTITION BY s.doc_id ORDER BY s.off) - 1 AS chunk_idx,
          s.off AS chunk_off, s.cut - s.off AS chunk_len,
-         sha256(substring(d.text, CAST(s.off + 1 AS INTEGER),
-                          CAST(s.cut - s.off AS INTEGER))) AS chunk_hash
-  FROM spans s JOIN {doc_table} d USING (doc_id)
+         sha256(substr(d.hx, CAST(s.off * 2 + 1 AS INTEGER),
+                       CAST((s.cut - s.off) * 2 AS INTEGER))) AS chunk_hash
+  FROM spans s JOIN hexs d USING (doc_id)
 )
 """

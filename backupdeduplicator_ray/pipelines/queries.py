@@ -731,6 +731,37 @@ def q_incremental_file_hash(sf_dir: str):
 SQL_INCREMENTAL_FILE_HASH = SQL_FILE_HASH  # cache-correct == full rebuild
 
 
+def _generation2_parts(t: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """THE two-generation fixture, shared by the snapshot family
+    (_snapshot_sides) and the CDC delta (q_cdc_delta) and restated twice
+    in SQL (_SQL_SNAPSHOT_PRELUDE, _sql_cdc_delta's gen view) — one
+    definition so the four restatements cannot drift: generation 2 drops
+    doc_id % 7 == 0, rewrites % 5 == 0 with ' v2' appended, and re-adds
+    % 11 == 0 as new ' new' copies.  Returns (kept, added) as
+    (doc_id, text) tables with ORIGINAL ids; callers re-id / re-path."""
+    doc_id = t["doc_id"].to_numpy()
+    kept_src = t.filter(pa.array(doc_id % 7 != 0))
+    kept_ids = kept_src["doc_id"].to_numpy()
+    kept = pa.table(
+        {
+            "doc_id": kept_src["doc_id"],
+            "text": pc.if_else(
+                pa.array(kept_ids % 5 == 0),
+                pc.binary_join_element_wise(kept_src["text"], " v2", ""),
+                kept_src["text"],
+            ),
+        }
+    )
+    added_src = t.filter(pa.array(doc_id % 11 == 0))
+    added = pa.table(
+        {
+            "doc_id": added_src["doc_id"],
+            "text": pc.binary_join_element_wise(added_src["text"], " new", ""),
+        }
+    )
+    return kept, added
+
+
 def _snapshot_sides(sf_dir: str):
     """Two deterministic backup generations derived from `documents`:
     old = every doc at path f_<id>.txt; new = old minus doc_id%7==0
@@ -757,22 +788,10 @@ def _snapshot_sides(sf_dir: str):
         return node(t, "", t["text"])
 
     def new_side(t: pa.Table) -> pa.Table:
-        doc_id = t["doc_id"].to_numpy()
-        kept = t.filter(pa.array(doc_id % 7 != 0))
-        kept_ids = kept["doc_id"].to_numpy()
-        content = pc.if_else(
-            pa.array(kept_ids % 5 == 0),
-            pc.binary_join_element_wise(kept["text"], " v2", ""),
-            kept["text"],
+        kept, added = _generation2_parts(t)
+        return pa.concat_tables(
+            [node(kept, "", kept["text"]), node(added, "_new", added["text"])]
         )
-        base = node(kept, "", content)
-        added_src = t.filter(pa.array(doc_id % 11 == 0))
-        added = node(
-            added_src,
-            "_new",
-            pc.binary_join_element_wise(added_src["text"], " new", ""),
-        )
-        return pa.concat_tables([base, added])
 
     old_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         old_side, batch_format="pyarrow"
@@ -797,17 +816,17 @@ def q_snapshot_diff(sf_dir: str):
 _SQL_SNAPSHOT_PRELUDE = """
 WITH olds AS (
   SELECT 'r' || (doc_id % 10) AS repo, 'f_' || doc_id || '.txt' AS path,
-         sha256(text) AS hash, CAST(length(text) AS BIGINT) AS size
+         sha256(text) AS hash, CAST(strlen(text) AS BIGINT) AS size
   FROM documents
 ),
 news AS (
   SELECT 'r' || (doc_id % 10) AS repo, 'f_' || doc_id || '.txt' AS path,
          sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS hash,
-         CAST(length(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS BIGINT) AS size
+         CAST(strlen(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS BIGINT) AS size
   FROM documents WHERE doc_id % 7 <> 0
   UNION ALL
   SELECT 'r' || (doc_id % 10), 'f_' || doc_id || '_new.txt',
-         sha256(text || ' new'), CAST(length(text) + 4 AS BIGINT)
+         sha256(text || ' new'), CAST(strlen(text) + 4 AS BIGINT)
   FROM documents WHERE doc_id % 11 = 0
 ),
 diff AS (
@@ -857,12 +876,15 @@ _CDC_DIVISOR = 64
 def _cdc_chunks_ds(sf_dir: str):
     from ..stages.cdc import cdc_chunks
 
+    # hexslice = the SQL-expressible chunk id (sha256 over the uppercase
+    # hex of the chunk bytes) — byte-exact on any input; see cdc_chunks
     return cdc_chunks(
         _docs(sf_dir, ["doc_id", "text"]),
         window=_CDC_WINDOW,
         divisor=_CDC_DIVISOR,
         id_col="doc_id",
         text_col="text",
+        hash_mode="hexslice",
     )
 
 
@@ -939,31 +961,29 @@ def q_cdc_delta(sf_dir: str):
     fixture's generation 2 (%7 removed, %5 rewritten ' v2', %11 added
     ' new').  Bytes a chunk-store backup ships = distinct new chunks not
     in the old store (one partitioned anti-join on chunk_hash)."""
-    import pyarrow.compute as pc
-
     from ..stages.cdc import cdc_delta_bytes
 
-    old_docs = _docs(sf_dir, ["doc_id", "text"])
+    # ids ride at doc_id*4 + {0: old, 1: kept, 2: added} — collision-free
+    # for ANY corpus id range (the SQL oracle splits its union view by
+    # doc_id % 4, and the engine mirrors the layout; additive offsets
+    # would merge documents once real ids cross the offset)
+    def reid(k: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index("doc_id"),
+                "doc_id",
+                pc.add(pc.multiply(t["doc_id"], 4), k),
+            )
+
+        return fn
 
     def new_gen(t: pa.Table) -> pa.Table:
-        doc_id = t["doc_id"].to_numpy()
-        kept = t.filter(pa.array(doc_id % 7 != 0))
-        kept_ids = kept["doc_id"].to_numpy()
-        changed = pc.if_else(
-            pa.array(kept_ids % 5 == 0),
-            pc.binary_join_element_wise(kept["text"], " v2", ""),
-            kept["text"],
-        )
-        base = pa.table({"doc_id": kept["doc_id"], "text": changed})
-        added_src = t.filter(pa.array(doc_id % 11 == 0))
-        added = pa.table(
-            {
-                "doc_id": pc.add(added_src["doc_id"], 1_000_000),
-                "text": pc.binary_join_element_wise(added_src["text"], " new", ""),
-            }
-        )
-        return pa.concat_tables([base, added])
+        kept, added = _generation2_parts(t)
+        return pa.concat_tables([reid(1)(kept), reid(2)(added)])
 
+    old_docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        reid(0), batch_format="pyarrow"
+    )
     new_docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         new_gen, batch_format="pyarrow"
     )
@@ -981,27 +1001,28 @@ def _sql_cdc_delta() -> str:
     from .oracle_hashes import cdc_prelude_sql
 
     # both generations chunked by ONE prelude instance over a union view:
-    # old docs keep their ids, new-generation rows ride at +2M/+3M so the
-    # chunks CTE splits cleanly by id range
+    # ids ride at doc_id*4 + {0: old, 1: kept, 2: added} (mirrors the
+    # engine fixture) so the chunks CTE splits by doc_id % 4 —
+    # collision-free for any corpus id range, unlike an additive offset
     gen = """
 gen AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id * 4 AS doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 2000000,
+  SELECT doc_id * 4 + 1,
          CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
   FROM documents WHERE doc_id % 7 <> 0
   UNION ALL
-  SELECT doc_id + 3000000, text || ' new'
+  SELECT doc_id * 4 + 2, text || ' new'
   FROM documents WHERE doc_id % 11 = 0
 ),
 """
     return cdc_prelude_sql(
         _CDC_WINDOW, _CDC_DIVISOR, doc_table="gen", prelude=gen
     ) + """
-, oldh AS (SELECT DISTINCT chunk_hash FROM chunks WHERE doc_id < 2000000)
+, oldh AS (SELECT DISTINCT chunk_hash FROM chunks WHERE doc_id % 4 = 0)
 , newstat AS (
   SELECT chunk_hash, count(*) AS n, min(chunk_len) AS l
-  FROM chunks WHERE doc_id >= 2000000 GROUP BY chunk_hash
+  FROM chunks WHERE doc_id % 4 <> 0 GROUP BY chunk_hash
 )
 SELECT CAST(sum(n * l) AS BIGINT) AS new_total_bytes,
        CAST(sum(l) AS BIGINT) AS new_unique_bytes,

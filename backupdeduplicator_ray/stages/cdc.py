@@ -56,6 +56,7 @@ def cdc_chunks(
     text_col: str = "text",
     algorithm: str = "sha256",
     hexout: bool = True,
+    hash_mode: str = "bytes",
 ):
     """Document/file Dataset → one row per content-defined chunk:
     (id, chunk_idx, chunk_off, chunk_len, chunk_hash).
@@ -65,25 +66,32 @@ def cdc_chunks(
     `hexout=False` emits raw digest BYTES (M2 doctrine: binary internally,
     hex at boundaries — half the exchange bytes on the chunk-hash column;
     the sum-only consumers cdc_delta_bytes / chunk_dedup_ratio use it).
-    """
-    import pyarrow.compute as pc
+
+    `hash_mode`: "bytes" (default) digests the raw chunk bytes — the real
+    chunk-store id; "hexslice" digests the UPPERCASE-HEX encoding of those
+    bytes instead — the SQL-expressible fixed point (DuckDB's sha256 takes
+    VARCHAR only, and a byte slice can split a UTF-8 code point, so the
+    oracle hashes `substr(hex(encode(text)), off*2+1, len*2)`; same
+    precedent as media_features' frame hash).  The two modes are injective
+    relabelings of the same chunks — boundaries, group structure and all
+    byte counts are identical (pinned by test)."""
+    import binascii
 
     from ..functions.hashing import get_hasher_factory
-    from ..functions.rollhash import window_hashes
+    from ..functions.rollhash import string_buffer_view, window_hashes
 
     factory = get_hasher_factory(algorithm)
     if factory is None:
         raise ValueError(f"unknown hash algorithm: {algorithm}")
+    if hash_mode not in ("bytes", "hexslice"):
+        raise ValueError(f"unknown hash_mode: {hash_mode}")
+    hexslice = hash_mode == "hexslice"
     div = np.uint64(divisor)
     hash_type = pa.string() if hexout else pa.binary()
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].combine_chunks()
         id_type = ids.type
-        text = pc.fill_null(batch[text_col], "").cast(pa.large_string())
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        n = len(text)
         empty = pa.table(
             {
                 "id": pa.array([], id_type),
@@ -93,19 +101,10 @@ def cdc_chunks(
                 "chunk_hash": pa.array([], hash_type),
             }
         )
+        data, starts, lens = string_buffer_view(batch[text_col])
+        n = len(starts)
         if n == 0:
             return empty
-        offs = np.frombuffer(
-            text.buffers()[1], np.int64, n + 1, offset=text.offset * 8
-        )
-        lo, hi = int(offs[0]), int(offs[-1])
-        data = (
-            np.frombuffer(text.buffers()[2], np.uint8, hi - lo, offset=lo)
-            if hi > lo
-            else np.empty(0, np.uint8)
-        )
-        starts = (offs[:-1] - lo).astype(np.int64)
-        lens = np.diff(offs).astype(np.int64)
         doc_take: list[np.ndarray] = []
         idx_parts: list[np.ndarray] = []
         off_parts: list[np.ndarray] = []
@@ -125,15 +124,17 @@ def cdc_chunks(
             idx_parts.append(np.arange(m, dtype=np.int64))
             off_parts.append(bounds[:-1])
             len_parts.append(np.diff(bounds))
-            if hexout:
-                hashes.extend(
-                    factory(d[a:b]).hexdigest()
+            if hexslice:
+                spans = (
+                    binascii.hexlify(d[a:b]).upper()
                     for a, b in zip(bounds[:-1], bounds[1:])
                 )
             else:
-                hashes.extend(
-                    factory(d[a:b]).digest() for a, b in zip(bounds[:-1], bounds[1:])
-                )
+                spans = (d[a:b] for a, b in zip(bounds[:-1], bounds[1:]))
+            if hexout:
+                hashes.extend(factory(s).hexdigest() for s in spans)
+            else:
+                hashes.extend(factory(s).digest() for s in spans)
         if not doc_take:
             return empty
         take = np.concatenate(doc_take)
@@ -164,11 +165,20 @@ def chunk_dup_stats(chunks_ds, min_copies: int = 2, n_parts: int = 64):
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
-        g = (
+        agg = (
             t.select(["chunk_hash", "chunk_len"])
             .group_by("chunk_hash")
             .aggregate([("chunk_len", "count"), ("chunk_len", "max")])
-        ).rename_columns(["chunk_hash", "n", "chunk_len"])
+        )
+        # select generated names, not positions: pyarrow group_by column
+        # order (keys-first vs aggregates-first) has varied across versions
+        g = pa.table(
+            {
+                "chunk_hash": agg["chunk_hash"],
+                "n": agg["chunk_len_count"],
+                "chunk_len": agg["chunk_len_max"],
+            }
+        )
         col = g["chunk_hash"]
         if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
             from ..functions.hashing import digest_prefix_u64

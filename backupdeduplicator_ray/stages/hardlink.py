@@ -102,6 +102,12 @@ def hardlink_sets(
     colliding = keys_with_count_between(
         keyed, ["__hk"], min_count=2, distributed=distributed
     )
+    if distributed:
+        # pin the groupby().count() result: partitioned_semi_join's
+        # .schema()/select_columns probes re-execute a lazy all-to-all
+        # upstream (joins.py caller contract); the surviving key set is
+        # count-pruned and tiny relative to the walk
+        colliding = colliding.materialize()
     cand = filter_by_key_set(keyed, ["__hk"], colliding, keep=True)
 
     def group_sets(g) -> pa.Table:
@@ -152,6 +158,10 @@ def collapse_hardlinks(
     colliding = keys_with_count_between(
         nonnull, ["__hk"], min_count=2, distributed=distributed
     )
+    if distributed:
+        # consumed TWICE below (anti for singles, semi for linked): without
+        # this the count shuffle re-executes up to 4x (joins.py contract)
+        colliding = colliding.materialize()
     singles = filter_by_key_set(nonnull, ["__hk"], colliding, keep=False).map_batches(
         lambda t: t.drop_columns(["__hk"]), batch_format="pyarrow"
     )

@@ -184,7 +184,10 @@ def partitioned_hash_join(
         import pyarrow.compute as pc
 
         vocab = None
-        if how != "inner" and pa.types.is_string(g.schema.field(key).type):
+        key_type = g.schema.field(key).type
+        if how != "inner" and (
+            pa.types.is_string(key_type) or pa.types.is_large_string(key_type)
+        ):
             # non-inner string-key path: pandas 2.2 hashes merge keys
             # through a NUL-truncating C-string table on this path, so
             # fused repo\x00path keys that share the pre-NUL prefix raise
@@ -194,9 +197,18 @@ def partitioned_hash_join(
             # which is NUL-exact).  Merge on int codes, restore after.
             enc = pc.dictionary_encode(g[key].combine_chunks())
             vocab = enc.dictionary
-            g = g.set_column(
-                g.schema.get_field_index(key), key, pc.cast(enc.indices, pa.int64())
-            )
+            codes = pc.cast(enc.indices, pa.int64())
+            if enc.null_count:
+                # SQL join semantics: null keys never match (pandas would
+                # merge NA keys together) — give each null row its own
+                # negative code; restore maps negatives back to null
+                import numpy as np
+
+                cn = pc.fill_null(codes, 0).to_numpy().copy()
+                mask = pc.is_null(codes).to_numpy(zero_copy_only=False)
+                cn[mask] = -1 - np.flatnonzero(mask)
+                codes = pa.array(cn, pa.int64())
+            g = g.set_column(g.schema.get_field_index(key), key, codes)
         lmask = pc.equal(g["__side"], "l")
         left = g.filter(lmask).select(left_cols).to_pandas(types_mapper=_i64_mapper)
         right = (
@@ -206,9 +218,14 @@ def partitioned_hash_join(
         )
         merged = left.merge(right, on=key, how=how)[all_cols]
         if vocab is not None:
-            merged[key] = vocab.take(
-                pa.array(merged[key].astype("int64").to_numpy(), pa.int64())
-            ).to_pandas()
+            # from_pandas keeps pd.NA (belt-and-braces; .astype('int64')
+            # would raise on it); negative codes are the null-key rows and
+            # take() maps null indices back to null keys
+            codes = pa.Array.from_pandas(merged[key]).cast(pa.int64())
+            codes = pc.if_else(
+                pc.less(codes, 0), pa.nulls(len(codes), pa.int64()), codes
+            )
+            merged[key] = vocab.take(codes).to_pandas()
         # strip the from_pandas metadata: Ray's schema-dedup warns on the
         # unhashable pandas dict, and downstream unions compare schemas
         return pa.Table.from_pandas(

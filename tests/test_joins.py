@@ -172,3 +172,34 @@ def test_outer_join_nul_fused_keys(ray_session):
         "r0\x00f_1.txt": (2, 20),
         "r0\x00f_10.txt": (None, 10),
     }
+
+
+def test_outer_join_null_string_keys(ray_session):
+    """A NULL key row must survive the non-inner string-key path unmatched
+    (SQL join semantics), not crash it: the vocab restore maps null
+    dictionary indices back to null keys (merge_part), where a plain
+    .astype('int64') would raise on pd.NA."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.state.joins import partitioned_hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"__key": pa.array(["a", None], pa.string()), "l": [1, 2]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"__key": pa.array(["a", None], pa.string()), "r": [10, 20]})
+    )
+    rows = sorted(
+        (
+            (r["__key"], r["l"], r["r"])
+            for r in partitioned_hash_join(
+                left, right, key="__key", n_parts=4, how="outer", native="never"
+            ).take_all()
+        ),
+        key=repr,
+    )
+    # null keys never match each other: one unmatched row per side
+    assert rows == sorted(
+        [("a", 1, 10), (None, 2, None), (None, None, 20)], key=repr
+    )

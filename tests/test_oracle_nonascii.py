@@ -1,0 +1,102 @@
+"""Byte-domain oracle parity on a NON-ASCII corpus with ≥1M doc ids.
+
+The sf testdata is pure ASCII with small ids, so the driver gate cannot
+catch two hazard classes the round-4 review surfaced:
+
+- char-vs-byte divergence (the ADVICE-r3 media_frames class): DuckDB's
+  length()/substring()/ord() count CHARACTERS while the engine kernels
+  slice UTF-8 BYTES — any multi-byte document splits the two;
+- cdc_delta's union-view id layout: additive id offsets (+2M/+3M) merge
+  two distinct documents into one SQL hash-chain partition once real ids
+  cross the offset (repro: ids 33 and 1000033 both landed on 3000033).
+
+This file re-runs every affected query family end-to-end (engine vs its
+oracle SQL, same canonicalization as test_driver_contract) over a corpus
+built to trip both: multi-byte UTF-8 text and id pairs straddling 1e6.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+QUERIES = [
+    "snapshot_diff",
+    "snapshot_diff_stats",
+    "cdc_chunks",
+    "cdc_dup_chunks",
+    "cdc_ratio",
+    "cdc_delta",
+    "media_frames",
+    "media_features",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    rng = np.random.default_rng(41)
+    alphabet = list("abcdefgh ĳκλé中ü🙂")  # 1-, 2-, 3- and 4-byte code points
+
+    def text(n):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    shared = text(900)
+    # id pairs (i, i+1_000_000) reproduce the additive-offset collision:
+    # 33 % 11 == 0 (re-added at gen 2) while 1000033 % 7 != 0 (kept)
+    ids = [3, 5, 14, 22, 33, 35, 55, 70, 77, 1000033, 1000035, 1000070]
+    texts = [
+        (shared if i % 2 else text(700)) + text(300) for i in ids
+    ]
+    d = tmp_path_factory.mktemp("nonascii_sf")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck(corpus_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{corpus_dir}/documents.parquet')"
+    )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_nonascii_oracle_parity(ray_session, corpus_dir, duck, name):
+    import ray.data
+
+    import __ray_entry__
+
+    res = __ray_entry__.queries()[name](corpus_dir)
+    if isinstance(res, ray.data.Dataset):
+        res = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        res = res.to_pandas()
+    oracle = duck.execute(__ray_entry__.oracle_sql()[name]).df()
+    got, want = _canon(res), _canon(oracle)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -183,6 +183,29 @@ def test_chunk_dup_stats_and_ratio(ray_session):
     assert ratio["dup_bytes"] >= 1500  # most of the shared 2000 bytes dedup
 
 
+def test_cdc_hash_mode_relabeling():
+    """hash_mode='hexslice' (the SQL fixed point) is an injective relabeling
+    of the default raw-byte ids: identical boundaries, and each hexslice
+    hash is sha256 over the UPPERCASE hex of the same byte span — on
+    non-ASCII content whose chunk cuts split code points."""
+    rng = np.random.default_rng(13)
+    base = "".join(rng.choice(list("abcd é中🙂")) for _ in range(1200))
+    raw = _chunk_table([base], window=16, divisor=64).to_pandas()
+    hexs = _chunk_table(
+        [base], window=16, divisor=64, hash_mode="hexslice"
+    ).to_pandas()
+    cols = ["id", "chunk_idx", "chunk_off", "chunk_len"]
+    assert raw[cols].equals(hexs[cols])
+    data = base.encode()
+    assert len(raw) > 3
+    for _, r in hexs.iterrows():
+        span = data[r["chunk_off"] : r["chunk_off"] + r["chunk_len"]]
+        assert r["chunk_hash"] == hashlib.sha256(span.hex().upper().encode()).hexdigest()
+    for _, r in raw.iterrows():
+        span = data[r["chunk_off"] : r["chunk_off"] + r["chunk_len"]]
+        assert r["chunk_hash"] == hashlib.sha256(span).hexdigest()
+
+
 def test_snapshot_diff_null_hashes(ray_session):
     """Degrade rows (M4: unhashable nodes, NULL hash) present in both
     generations are 'unchanged', not 'added' — presence is keyed on the
