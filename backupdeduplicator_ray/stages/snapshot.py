@@ -81,6 +81,13 @@ def snapshot_diff(
     proportional to the CHANGE SET, not the corpus — on a 10^12-file backup
     with a 0.1% daily delta the shuffle moves lean key+hash rows and the
     result is 10^9 rows, never the full tree.
+
+    NULL-hash semantics (pinned by test_snapshot_diff_null_hashes):
+    presence is keyed on the JOIN, not on hash nullity, so an unhashable
+    (M4 degrade) path present in both generations is 'unchanged'; a
+    real-hash ↔ null transition is 'changed' with the surviving side's
+    hash intact and the degraded side null — hash-availability loss is
+    readable from the null side, there is no separate status for it.
     """
     import pyarrow.compute as pc
 
