@@ -313,24 +313,9 @@ def crc32_column(col) -> np.ndarray:
     column (state/joins, stages/select, pipelines/curate) runs one
     lockstep pass over the column's UTF-8 buffer instead of a per-row
     Python loop."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    from .rollhash import string_buffer_view
 
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    arr = pc.fill_null(col, "").cast(pa.large_string())
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    n = len(arr)
-    if n == 0:
+    d, starts, lens = string_buffer_view(col)
+    if len(starts) == 0:
         return np.empty(0, np.uint32)
-    offs = np.frombuffer(arr.buffers()[1], np.int64, n + 1, offset=arr.offset * 8)
-    lo, hi = int(offs[0]), int(offs[-1])
-    d = (
-        np.frombuffer(arr.buffers()[2], np.uint8, hi - lo, offset=lo)
-        if hi > lo
-        else np.empty(0, np.uint8)
-    )
-    starts = (offs[:-1] - lo).astype(np.int64)
-    lens = np.diff(offs).astype(np.int64)
     return _crc32_many(d, starts, lens)

@@ -1128,9 +1128,9 @@ def q_substring_pairs(sf_dir: str):
     """Suffix-window substring near-dup pairs (north-rule 'suffix-array
     substring' variant): docs sharing any length-40 byte window, with the
     count of distinct shared windows.  ORACLE-verified: the SQL enumerates
-    every length-40 substring literally and intersects them — an exact,
-    hash-free restatement (documents are ASCII, so SQL's char windows ARE
-    the engine's byte windows)."""
+    every length-40 BYTE window literally (as a hex slice of
+    hex(encode(text)) — byte-exact on any input, the CDC-oracle technique)
+    and intersects them — an exact, hash-free restatement."""
     from ..stages.substring import substring_dup_pairs
 
     return substring_dup_pairs(
@@ -1142,11 +1142,18 @@ def q_substring_pairs(sf_dir: str):
 
 
 SQL_SUBSTRING_PAIRS = f"""
-WITH w AS (
-  SELECT CAST(doc_id AS VARCHAR) AS id,
-         substring(text, CAST(r.i AS INTEGER), {_SUBSTR_LEN}) AS sub
-  FROM documents CROSS JOIN UNNEST(range(1, length(text) - {_SUBSTR_LEN} + 2)) AS r(i)
-  WHERE text IS NOT NULL AND length(text) >= {_SUBSTR_LEN}
+WITH hx AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, hex(encode(text)) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+w AS (
+  -- byte window s (1-based) = hex chars [ (s-1)*2+1 , +2*len ): injective,
+  -- so intersecting hex slices == intersecting the byte windows themselves
+  SELECT id,
+         substr(h, CAST((r.i - 1) * 2 + 1 AS INTEGER), {2 * _SUBSTR_LEN}) AS sub
+  FROM hx CROSS JOIN UNNEST(range(1, n - {_SUBSTR_LEN} + 2)) AS r(i)
+  WHERE n >= {_SUBSTR_LEN}
 ),
 dw0 AS (SELECT DISTINCT id, sub FROM w),
 -- doc-freq valve: windows shared by more than DEFAULT_MAX_DOC_FREQ docs

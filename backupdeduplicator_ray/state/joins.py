@@ -183,6 +183,15 @@ def partitioned_hash_join(
     def merge_part(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # SQL join semantics: a NULL key matches NOTHING, on every path —
+        # pandas would NA-match null keys to each other (inner included),
+        # so split them out before the merge; non-inner joins re-emit each
+        # null-key row unmatched below (the union's pad() already filled
+        # the other side's columns with typed nulls)
+        null_mask = pc.is_null(g[key])
+        null_rows = g.filter(null_mask) if bool(pc.any(null_mask).as_py()) else None
+        if null_rows is not None:
+            g = g.filter(pc.invert(null_mask))
         vocab = None
         key_type = g.schema.field(key).type
         if how != "inner" and (
@@ -197,18 +206,9 @@ def partitioned_hash_join(
             # which is NUL-exact).  Merge on int codes, restore after.
             enc = pc.dictionary_encode(g[key].combine_chunks())
             vocab = enc.dictionary
-            codes = pc.cast(enc.indices, pa.int64())
-            if enc.null_count:
-                # SQL join semantics: null keys never match (pandas would
-                # merge NA keys together) — give each null row its own
-                # negative code; restore maps negatives back to null
-                import numpy as np
-
-                cn = pc.fill_null(codes, 0).to_numpy().copy()
-                mask = pc.is_null(codes).to_numpy(zero_copy_only=False)
-                cn[mask] = -1 - np.flatnonzero(mask)
-                codes = pa.array(cn, pa.int64())
-            g = g.set_column(g.schema.get_field_index(key), key, codes)
+            g = g.set_column(
+                g.schema.get_field_index(key), key, pc.cast(enc.indices, pa.int64())
+            )
         lmask = pc.equal(g["__side"], "l")
         left = g.filter(lmask).select(left_cols).to_pandas(types_mapper=_i64_mapper)
         right = (
@@ -219,18 +219,29 @@ def partitioned_hash_join(
         merged = left.merge(right, on=key, how=how)[all_cols]
         if vocab is not None:
             # from_pandas keeps pd.NA (belt-and-braces; .astype('int64')
-            # would raise on it); negative codes are the null-key rows and
-            # take() maps null indices back to null keys
-            codes = pa.Array.from_pandas(merged[key]).cast(pa.int64())
-            codes = pc.if_else(
-                pc.less(codes, 0), pa.nulls(len(codes), pa.int64()), codes
-            )
-            merged[key] = vocab.take(codes).to_pandas()
+            # would raise on it); null keys were split out above, so every
+            # code here indexes the vocab
+            merged[key] = vocab.take(
+                pa.Array.from_pandas(merged[key]).cast(pa.int64())
+            ).to_pandas()
         # strip the from_pandas metadata: Ray's schema-dedup warns on the
         # unhashable pandas dict, and downstream unions compare schemas
-        return pa.Table.from_pandas(
+        out = pa.Table.from_pandas(
             merged, schema=out_schema, preserve_index=False
         ).replace_schema_metadata(None)
+        if null_rows is not None and how != "inner":
+            keep_sides = {"left": ("l",), "right": ("r",), "outer": ("l", "r")}
+            unmatched = null_rows.filter(
+                pc.is_in(
+                    null_rows["__side"],
+                    value_set=pa.array(keep_sides.get(how, ()), pa.string()),
+                )
+            )
+            if len(unmatched):
+                out = pa.concat_tables(
+                    [out, unmatched.select(all_cols).cast(out_schema)]
+                )
+        return out
 
     return tagged.groupby("__part").map_groups(merge_part, batch_format="pyarrow")
 

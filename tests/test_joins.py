@@ -203,3 +203,39 @@ def test_outer_join_null_string_keys(ray_session):
     assert rows == sorted(
         [("a", 1, 10), (None, 2, None), (None, None, 20)], key=repr
     )
+
+
+def test_null_keys_never_match_any_how(ray_session):
+    """SQL semantics on every path: null keys match nothing — dropped by
+    inner joins, kept unmatched by left/outer — for string AND int keys
+    (pandas alone would NA-match them to each other)."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.state.joins import partitioned_hash_join
+
+    for key_arr in (
+        pa.array(["a", None], pa.string()),
+        pa.array([7, None], pa.int64()),
+    ):
+        left = ray.data.from_arrow(pa.table({"__key": key_arr, "l": [1, 2]}))
+        right = ray.data.from_arrow(pa.table({"__key": key_arr, "r": [10, 20]}))
+
+        def rows(how):
+            return sorted(
+                (
+                    (r["__key"], r["l"], r["r"])
+                    for r in partitioned_hash_join(
+                        left, right, key="__key", n_parts=4, how=how,
+                        native="never",
+                    ).take_all()
+                ),
+                key=repr,
+            )
+
+        k = key_arr[0].as_py()
+        assert rows("inner") == [(k, 1, 10)]
+        assert rows("left") == sorted([(k, 1, 10), (None, 2, None)], key=repr)
+        assert rows("outer") == sorted(
+            [(k, 1, 10), (None, 2, None), (None, None, 20)], key=repr
+        )

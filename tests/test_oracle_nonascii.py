@@ -31,6 +31,7 @@ QUERIES = [
     "cdc_delta",
     "media_frames",
     "media_features",
+    "substring_pairs",
 ]
 
 
@@ -72,16 +73,9 @@ def duck(corpus_dir):
     return con
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+# the one canonicalization both gates share — import, don't restate, so
+# a change to the driver-contract rules cannot silently diverge the two
+from test_driver_contract import _canon  # noqa: E402
 
 
 @pytest.mark.parametrize("name", QUERIES)
