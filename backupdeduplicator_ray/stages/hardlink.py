@@ -147,6 +147,12 @@ def collapse_hardlinks(
 
     schema = ds.schema()
     arrow_schema = pa.schema(list(zip(schema.names, schema.types)))
+    # keyed feeds FOUR consumers (null passthrough, the collision count,
+    # and both filter sides); unmaterialized, the lazy read+key-append
+    # would re-execute per consumer.  Pinning the keyed corpus is
+    # spill-backed (object store spills to disk under pressure) — one
+    # write pass traded against 3 repeat input reads; flip if input
+    # re-reads are cheaper than local spill on the target cluster.
     keyed = _with_fused_key(ds, inode_col, drive_col).materialize()
 
     def null_key(t: pa.Table) -> pa.Table:
