@@ -1057,6 +1057,63 @@ FROM documents
 """
 
 
+_PACK_BUDGET = 2048
+
+
+def q_pack_sequences(sf_dir: str):
+    from ..stages.pack import pack_sequences
+
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), budget=_PACK_BUDGET)
+
+
+def q_pack_stats(sf_dir: str):
+    from ..stages.pack import pack_sequences, pack_stats
+
+    return pack_stats(
+        pack_sequences(_docs(sf_dir, ["doc_id", "text"]), budget=_PACK_BUDGET)
+    )
+
+
+# the concat-then-chunk packing stream: exclusive window cumsum over
+# id-ordered token counts, then each doc explodes into the sequences its
+# token span [tok_start, tok_start+n) overlaps (stages/pack.py semantics)
+_SQL_PACK_BODY = f"""
+WITH n AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), s AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM n WHERE n > 0
+), e AS (
+  SELECT doc_id, n, tok_start,
+         unnest(generate_series(tok_start // {_PACK_BUDGET},
+                                (tok_start + n - 1) // {_PACK_BUDGET})) AS b
+  FROM s
+)
+SELECT CAST(b AS BIGINT) AS seq_id,
+       doc_id,
+       CAST(GREATEST(0, tok_start - b * {_PACK_BUDGET}) AS BIGINT) AS seq_off,
+       CAST(GREATEST(0, b * {_PACK_BUDGET} - tok_start) AS BIGINT) AS doc_off,
+       CAST(LEAST(tok_start + n, (b + 1) * {_PACK_BUDGET})
+            - GREATEST(tok_start, b * {_PACK_BUDGET}) AS BIGINT) AS n_tokens
+FROM e
+"""
+
+SQL_PACK_SEQUENCES = _SQL_PACK_BODY
+
+SQL_PACK_STATS = f"""
+SELECT seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM ({_SQL_PACK_BODY})
+GROUP BY seq_id
+"""
+
+
 def q_quality_flags(sf_dir: str):
     from ..stages.textops import quality_flags
 
@@ -2356,6 +2413,8 @@ QUERIES = {
     "archive_roundtrip": q_archive_roundtrip,
     "archive_dedup_members": q_archive_dedup_members,
     "token_stats": q_token_stats,
+    "pack_sequences": q_pack_sequences,
+    "pack_stats": q_pack_stats,
     "quality_flags": q_quality_flags,
     "lang_agg": q_lang_agg,
     "jaccard_pairs": q_jaccard_pairs,
@@ -2418,6 +2477,8 @@ ORACLE_SQL = {
     "archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
     "archive_dedup_members": SQL_ARCHIVE_DEDUP_MEMBERS,
     "token_stats": SQL_TOKEN_STATS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "pack_stats": SQL_PACK_STATS,
     "quality_flags": SQL_QUALITY_FLAGS,
     "lang_agg": SQL_LANG_AGG,
     "jaccard_pairs": SQL_JACCARD_PAIRS,

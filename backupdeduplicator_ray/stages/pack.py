@@ -1,0 +1,196 @@
+"""Sequence packing — fixed-token-budget training sequences.
+
+Beyond the reference's scope (mandated LLM-training-data extension): the
+standard pre-training packing step concatenates the corpus token stream in
+a deterministic document order and cuts it every `budget` tokens, so every
+training sequence is exactly full and a document may straddle a cut (the
+public GPT-style "concat then chunk" recipe — no padding, no greedy
+bin-packing recurrence, exactly restatable in SQL for the oracle gate).
+
+Semantics: documents ordered by id ascending (null ids and token-empty
+docs contribute nothing); doc d with token count n_d starts at global
+token offset start_d = sum(n_e for e < d).  Sequence k owns token span
+[k*budget, (k+1)*budget); the output has ONE ROW PER (sequence, document)
+OVERLAP:
+
+    (seq_id, doc_id, seq_off, doc_off, n_tokens)
+
+seq_off = where the doc's slice begins inside the sequence, doc_off =
+where the slice begins inside the doc, n_tokens = slice length.  Tokens
+are `textops.TOKEN_PATTERN` matches (engine and DuckDB count with the
+same RE2 regex).
+
+Scale shape (the distributed exclusive prefix sum):
+
+1. ONE corpus scan reduces each doc to a lean (doc_id, n) row — 16
+   bytes/doc, materialized (the regex count is the expensive part and
+   three consumers need the lean table; at 10^12 docs it is ~16 TB,
+   spill-backed, vs re-scanning the corpus text per consumer).
+2. docs are range-bucketed by id ((id - min) // width, ~`n_buckets`
+   buckets auto-widened so a bucket stays ~`target_bucket_docs` docs —
+   the in-memory bound of the per-bucket kernel); per-BATCH partial sums
+   then one tiny groupby deliver per-bucket token totals to the driver
+   (<= n_buckets rows — bounded, never corpus-shaped), which turns them
+   into exclusive per-bucket offsets, broadcast once via ray.put.
+3. one lean exchange co-locates each bucket; a per-bucket kernel sorts
+   by id and adds the local exclusive cumsum to the bucket offset.
+4. the (start, n) -> spanned-sequence explode is a whole-batch numpy
+   kernel (repeat + offset arange), streaming — no shuffle after step 3.
+
+Assumes ids are unique (the corpus contract everywhere else in this
+package); range bucketing only needs them orderable — skew from sparse
+id ranges shifts docs between buckets but each bucket still carries
+~contiguous id runs, and `target_bucket_docs` bounds the kernel because
+bucket count scales with the corpus, not the id span alone.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from .textops import TOKEN_PATTERN
+
+PACK_SCHEMA = pa.schema(
+    [
+        ("seq_id", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("seq_off", pa.int64()),
+        ("doc_off", pa.int64()),
+        ("n_tokens", pa.int64()),
+    ]
+)
+
+
+def pack_sequences(
+    ds,
+    budget: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    target_bucket_docs: int = 1_000_000,
+):
+    """Document Dataset → (seq_id, doc_id, seq_off, doc_off, n_tokens),
+    one row per (fixed-budget sequence, document) overlap.  See module
+    docstring for semantics and the distributed prefix-sum shape."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t[text_col], TOKEN_PATTERN), pa.int64())
+        out = pa.table({"doc_id": pc.cast(t[id_col], pa.int64()), "n": n})
+        return out.filter(
+            pc.and_(
+                pc.is_valid(out["doc_id"]),
+                pc.greater(pc.fill_null(out["n"], 0), 0),
+            )
+        )
+
+    lean = ds.map_batches(count_tokens, batch_format="pyarrow").materialize()
+    n_docs = lean.count()
+    empty = pa.table({f.name: pa.array([], f.type) for f in PACK_SCHEMA})
+    if n_docs == 0:
+        return ray.data.from_arrow(empty)
+
+    bounds = lean.aggregate(Min("doc_id"), Max("doc_id"))
+    id_min, id_max = int(bounds["min(doc_id)"]), int(bounds["max(doc_id)"])
+    k = max(n_buckets, math.ceil(n_docs / target_bucket_docs))
+    width = max(1, math.ceil((id_max - id_min + 1) / k))
+    w = np.int64(width)
+    base_id = np.int64(id_min)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t["doc_id"].to_numpy() - base_id) // w
+        return t.append_column("__bucket", pa.array(b, pa.int64()))
+
+    keyed = lean.map_batches(add_bucket, batch_format="pyarrow")
+
+    # per-batch partial sums -> one tiny groupby: the driver receives at
+    # most one row per bucket (bounded by k, never by the corpus)
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        agg = t.select(["__bucket", "n"]).group_by("__bucket").aggregate([("n", "sum")])
+        return pa.table({"__bucket": agg["__bucket"], "n": agg["n_sum"]})
+
+    totals = (
+        keyed.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .aggregate(Sum("n"))
+        .take_all()
+    )
+    totals.sort(key=lambda r: r["__bucket"])
+    offsets = np.zeros(int(totals[-1]["__bucket"]) + 1, dtype=np.int64)
+    acc = 0
+    for r in totals:
+        offsets[int(r["__bucket"])] = acc
+        acc += int(r["sum(n)"])
+    off_ref = ray.put(offsets)
+
+    def bucket_prefix(g) -> pa.Table:
+        g = g.sort_values("doc_id", kind="mergesort")
+        n = g["n"].to_numpy(dtype=np.int64)
+        base = ray.get(off_ref)[int(g["__bucket"].iloc[0])]
+        start = base + np.concatenate([[np.int64(0)], np.cumsum(n[:-1])])
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64)),
+                "n": pa.array(n),
+                "tok_start": pa.array(start.astype(np.int64)),
+            }
+        )
+
+    placed = keyed.groupby("__bucket").map_groups(bucket_prefix, batch_format="pandas")
+
+    bud = np.int64(budget)
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        start = t["tok_start"].to_numpy()
+        n = t["n"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        end = start + n
+        first = start // bud
+        cnt = (end - 1) // bud - first + 1
+        ridx = np.repeat(np.arange(len(n), dtype=np.int64), cnt)
+        csum = np.concatenate([[np.int64(0)], np.cumsum(cnt)[:-1]])
+        b = first[ridx] + (np.arange(int(cnt.sum()), dtype=np.int64) - csum[ridx])
+        s, e = start[ridx], end[ridx]
+        lo = b * bud
+        return pa.table(
+            {
+                "seq_id": pa.array(b),
+                "doc_id": pa.array(ids[ridx]),
+                "seq_off": pa.array(np.maximum(s - lo, 0)),
+                "doc_off": pa.array(np.maximum(lo - s, 0)),
+                "n_tokens": pa.array(np.minimum(e, lo + bud) - np.maximum(s, lo)),
+            }
+        )
+
+    return placed.map_batches(explode, batch_format="pyarrow")
+
+
+def pack_stats(pack_ds):
+    """Per-sequence rollup of a pack_sequences result: (seq_id, n_docs,
+    n_tokens).  Every sequence but the last sums to exactly `budget`
+    tokens.  One groupby exchange on dense int64 seq_ids."""
+    from ray.data.aggregate import Count, Sum
+
+    agg = pack_ds.groupby("seq_id").aggregate(Count(), Sum("n_tokens"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "seq_id": t["seq_id"],
+                "n_docs": t["count()"].cast(pa.int64()),
+                "n_tokens": t["sum(n_tokens)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

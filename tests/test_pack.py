@@ -1,0 +1,120 @@
+"""Sequence packing (stages/pack.py): engine vs a pure-Python reference,
+bucket-layout invariance, and the full-sequence invariant."""
+
+import re
+
+import pandas as pd
+import pytest
+
+
+def _ref_pack(docs: pd.DataFrame, budget: int):
+    """Pure-Python concat-then-chunk reference."""
+    rows = []
+    start = 0
+    it = docs.dropna(subset=["doc_id", "text"]).sort_values("doc_id")
+    for doc_id, text in zip(it["doc_id"], it["text"]):
+        n = len(re.findall(r"[A-Za-z0-9_]+", text))
+        if n == 0:
+            continue
+        end = start + n
+        for b in range(start // budget, (end - 1) // budget + 1):
+            lo, hi = b * budget, (b + 1) * budget
+            rows.append(
+                {
+                    "seq_id": b,
+                    "doc_id": int(doc_id),
+                    "seq_off": max(0, start - lo),
+                    "doc_off": max(0, lo - start),
+                    "n_tokens": min(end, hi) - max(start, lo),
+                }
+            )
+        start = end
+    return (
+        pd.DataFrame(rows, columns=["seq_id", "doc_id", "seq_off", "doc_off", "n_tokens"])
+        .sort_values(["seq_id", "doc_id"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+FIXTURE = pd.DataFrame(
+    {
+        "doc_id": [0, 1, 2, 3, 4, 7, 10, 11],
+        "text": [
+            "a b c",          # 3 tokens
+            "",               # empty -> dropped
+            "d e f g h",      # straddles the first cut
+            None,             # null text -> dropped
+            "i j",
+            "k " * 300,       # spans many sequences
+            "z",
+            "exactly four tokens right_here",  # 4 tokens: exact fill
+        ],
+    }
+)
+
+
+def _run(ds_docs, budget, **kw):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.pack import pack_sequences
+
+    out = pack_sequences(ray.data.from_pandas(ds_docs), budget=budget, **kw)
+    return (
+        out.to_pandas()
+        .sort_values(["seq_id", "doc_id"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+@pytest.mark.parametrize("budget", [1, 4, 7, 300, 10_000])
+def test_pack_matches_reference(ray_session, budget):
+    got = _run(FIXTURE, budget, n_buckets=3, target_bucket_docs=2)
+    want = _ref_pack(FIXTURE, budget)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pack_bucket_layout_invariance(ray_session):
+    a = _run(FIXTURE, 4, n_buckets=1, target_bucket_docs=10_000)
+    b = _run(FIXTURE, 4, n_buckets=7, target_bucket_docs=1)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_stats_full_sequences(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.pack import pack_sequences, pack_stats
+
+    budget = 16
+    st = (
+        pack_stats(pack_sequences(ray.data.from_pandas(FIXTURE), budget=budget))
+        .to_pandas()
+        .sort_values("seq_id")
+        .reset_index(drop=True)
+    )
+    # every sequence but the last is exactly full; the last holds the tail
+    assert (st["n_tokens"].iloc[:-1] == budget).all()
+    total = _ref_pack(FIXTURE, budget)["n_tokens"].sum()
+    assert st["n_tokens"].sum() == total
+    assert 0 < st["n_tokens"].iloc[-1] <= budget
+
+
+def test_pack_empty_input(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.pack import pack_sequences
+
+    empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"), "text": pd.array([], dtype=object)})
+    out = pack_sequences(ray.data.from_pandas(empty), budget=8)
+    assert out.count() == 0
+    assert out.schema().names == ["seq_id", "doc_id", "seq_off", "doc_off", "n_tokens"]
+
+
+def test_pack_rejects_bad_budget(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.pack import pack_sequences
+
+    with pytest.raises(ValueError):
+        pack_sequences(ray.data.from_pandas(FIXTURE), budget=0)
