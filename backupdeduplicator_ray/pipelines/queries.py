@@ -2357,6 +2357,66 @@ WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) <
 """
 
 
+_MIX_WEIGHTS = {"en": 50, "fr": 25, "de": 25}  # target 2:1:1; es/zh dropped
+
+
+def q_mix_plan(sf_dir: str):
+    from ..stages.mix import mix_plan
+
+    return mix_plan(_docs(sf_dir, ["doc_id", "lang"]), _MIX_WEIGHTS, group_col="lang")
+
+
+def q_mix_corpus(sf_dir: str):
+    from ..stages.mix import mix_corpus
+
+    return mix_corpus(
+        _docs(sf_dir, ["doc_id", "lang"]), _MIX_WEIGHTS, group_col="lang"
+    )
+
+
+def _mix_plan_cte() -> str:
+    """The integer plan math of stages/mix.compute_mix_plan restated in SQL
+    (HUGEINT for the 16^8 threshold product; LEFT JOIN keeps absent strata
+    visible with n_docs = 0 -> t_total = 0 -> empty sample)."""
+    w = sum(_MIX_WEIGHTS.values())
+    values = ", ".join(f"('{s}', {_MIX_WEIGHTS[s]})" for s in sorted(_MIX_WEIGHTS))
+    return f"""
+w(stratum, weight) AS (VALUES {values}),
+c AS (
+  SELECT CAST(lang AS VARCHAR) AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+),
+j AS (
+  SELECT w.stratum, CAST(w.weight AS BIGINT) AS weight,
+         COALESCE(c.n_docs, 0) AS n_docs
+  FROM w LEFT JOIN c USING (stratum)
+),
+t AS (SELECT MIN(n_docs * {w} // weight) AS t_total FROM j),
+p AS (
+  SELECT stratum, weight, n_docs,
+         CAST(t_total * weight // {w} AS BIGINT) AS n_target,
+         CASE WHEN n_docs = 0 THEN '00000000'
+              ELSE lpad(lower(to_hex(CAST(LEAST(
+                     CAST(n_target AS HUGEINT) * 4294967296 // n_docs,
+                     4294967295) AS BIGINT))), 8, '0')
+         END AS thr_hex
+  FROM j, t
+)"""
+
+
+SQL_MIX_PLAN = f"""
+WITH {_mix_plan_cte()}
+SELECT stratum, weight, n_docs, n_target, thr_hex FROM p
+"""
+
+SQL_MIX_CORPUS = f"""
+WITH {_mix_plan_cte()}
+SELECT d.doc_id, d.lang
+FROM documents d JOIN p ON CAST(d.lang AS VARCHAR) = p.stratum
+WHERE substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8) < p.thr_hex
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Train/eval contamination: src0 documents sharing >= 1 distinct
     4-token shingle with any other source's document (string-shingle
@@ -2446,6 +2506,8 @@ QUERIES = {
     "token_freq_stats": q_token_freq_stats,
     "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
+    "mix_plan": q_mix_plan,
+    "mix_corpus": q_mix_corpus,
     "decontaminate": q_decontaminate,
     "region_revenue": q_region_revenue,
     "lang_len_quantiles": q_lang_len_quantiles,
@@ -2512,6 +2574,8 @@ ORACLE_SQL = {
     "token_freq_stats": SQL_TOKEN_FREQ_STATS,
     "repetition_stats": SQL_REPETITION_STATS,
     "stratified_sample": _strat_sql(),
+    "mix_plan": SQL_MIX_PLAN,
+    "mix_corpus": SQL_MIX_CORPUS,
     "decontaminate": SQL_DECONTAMINATE,
     "region_revenue": SQL_REGION_REVENUE,
     "lang_len_quantiles": SQL_LANG_LEN_QUANTILES,

@@ -1,0 +1,134 @@
+"""Corpus mixing to target stratum weights — the data-mixing knob.
+
+Beyond the reference's scope (mandated LLM-training-data extension): a
+pre-training corpus is mixed to TARGET proportions over a stratum column
+(language, source, domain) — "50% en, 25% fr, 25% de" — not to fixed
+per-group rates (that is `select.stratified_sample`).  Given integer
+relative weights, `mix_plan` computes the largest total sample whose
+strata can honor the proportions and `mix_corpus` selects it
+deterministically.
+
+Integer-exact math, so the DuckDB oracle reproduces the plan bit-for-bit
+(no float rate ever exists):
+
+    W        = sum(weights)
+    capacity = floor(n_s * W / w_s)        per weighted stratum s
+    T        = min(capacity)               largest proportional total
+    n_target = floor(T * w_s / W)          docs to draw from stratum s
+    thr      = min(floor(n_target * 16^8 / n_s), 16^8 - 1)
+
+A row is kept iff sha256(str(key))'s first 8 hex chars compare strictly
+below its stratum's 8-hex `thr` — `select.threshold_filter`, the same
+reproducible Bernoulli selection as every sampler here, so the DRAWN
+count is Binomial(n_s, ~n_target/n_s): proportions hold in expectation
+with deterministic membership (re-runs and re-shardings select the same
+rows).  Exact-count selection would need a per-group rank pass; rate
+semantics is the package-wide sampling contract (stages/select.py).
+
+A weighted stratum absent from the corpus (n_s = 0) makes the target mix
+unsatisfiable: T = 0 and the sample is empty — visible in the plan, never
+silent.  Strata not in `weights` are dropped (rate 0).
+
+Scale shape: stratum counts are per-batch C++ group_by partials -> one
+tiny groupby (one row per distinct stratum — bounded by the mixing
+contract: strata are languages/sources/domains, not ids) -> driver plan
+(pure integer arithmetic over len(weights) rows) -> the shuffle-free
+threshold filter.  One lean exchange total; nothing corpus-shaped ever
+lands on the driver.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+HEX_SPACE = 16**8
+
+PLAN_SCHEMA = pa.schema(
+    [
+        ("stratum", pa.string()),
+        ("weight", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("n_target", pa.int64()),
+        ("thr_hex", pa.string()),
+    ]
+)
+
+
+def stratum_counts(ds, group_col: str) -> dict[str, int]:
+    """Per-stratum row counts: per-batch Arrow group_by partials -> one
+    groupby over the (tiny) partials -> driver dict, one entry per
+    distinct stratum.  Null strata are not counted (they can never be
+    selected)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pc.cast(t[group_col], pa.string())
+        agg = (
+            pa.table({"stratum": g})
+            .filter(pc.is_valid(g))
+            .group_by("stratum")
+            .aggregate([("stratum", "count")])
+        )
+        return pa.table(
+            {
+                "stratum": agg["stratum"],
+                "n": pc.cast(agg["stratum_count"], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("stratum")
+        .aggregate(Sum("n"))
+        .take_all()
+    )
+    return {r["stratum"]: int(r["sum(n)"]) for r in rows}
+
+
+def compute_mix_plan(counts: dict[str, int], weights: dict[str, int]) -> pa.Table:
+    """Pure integer plan (see module docstring): one row per weighted
+    stratum — (stratum, weight, n_docs, n_target, thr_hex)."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    total_w = sum(weights.values())
+    caps = {s: counts.get(s, 0) * total_w // w for s, w in weights.items()}
+    t_total = min(caps.values())
+    rows = []
+    for s in sorted(weights):
+        n_docs = counts.get(s, 0)
+        n_target = t_total * weights[s] // total_w
+        thr = min(n_target * HEX_SPACE // n_docs, HEX_SPACE - 1) if n_docs else 0
+        rows.append((s, weights[s], n_docs, n_target, format(thr, "08x")))
+    cols = list(zip(*rows))
+    return pa.table(
+        {f.name: pa.array(list(c), f.type) for f, c in zip(PLAN_SCHEMA, cols)}
+    )
+
+
+def mix_plan(ds, weights: dict[str, int], group_col: str = "lang"):
+    """Dataset form of the plan (for the driver-contract gate)."""
+    import ray.data
+
+    return ray.data.from_arrow(compute_mix_plan(stratum_counts(ds, group_col), weights))
+
+
+def mix_corpus(
+    ds,
+    weights: dict[str, int],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+):
+    """Deterministic sample of `ds` hitting the target stratum proportions
+    (in expectation; see module docstring).  Strata outside `weights` are
+    dropped."""
+    from .select import threshold_filter
+
+    plan = compute_mix_plan(stratum_counts(ds, group_col), weights)
+    thr = {
+        s.as_py(): h.as_py()
+        for s, h in zip(plan["stratum"], plan["thr_hex"])
+    }
+    return threshold_filter(ds, key_col, group_col, thr, "00000000")

@@ -135,10 +135,22 @@ def stratified_sample(
     null keys are never selected.  The SQL oracle is the same hex-prefix
     comparison against a CASE over group values.
     """
-    import numpy as np
-
     thr = {g: sample_threshold_hex(r) for g, r in rates.items()}
-    default_thr = sample_threshold_hex(default_rate)
+    return threshold_filter(
+        ds, key_col, group_col, thr, sample_threshold_hex(default_rate)
+    )
+
+
+def threshold_filter(
+    ds, key_col: str, group_col: str, thr_hex: dict[str, str], default_hex: str
+):
+    """Per-group hex-threshold filter — the shared primitive under
+    `stratified_sample` (float rates) and `stages/mix.mix_corpus`
+    (integer-exact targets): keep a row iff sha256(str(key))'s first 8 hex
+    chars compare strictly below its group's threshold.  Pure per-batch
+    filter, no shuffle; null keys never selected; groups absent from
+    `thr_hex` (and null groups) use `default_hex`."""
+    import numpy as np
 
     def flt(t: pa.Table) -> pa.Table:
         digests = hash_string_column(t[key_col].cast(pa.string()))
@@ -147,7 +159,7 @@ def stratified_sample(
         enc = (groups.combine_chunks() if isinstance(groups, pa.ChunkedArray)
                else groups).dictionary_encode()
         dict_vals = enc.dictionary.to_pylist()
-        lut = np.array([thr.get(v, default_thr) for v in dict_vals] + [default_thr])
+        lut = np.array([thr_hex.get(v, default_hex) for v in dict_vals] + [default_hex])
         codes = enc.indices.to_numpy(zero_copy_only=False)
         codes = np.where(np.isnan(codes), len(lut) - 1, codes).astype(np.int64) \
             if codes.dtype.kind == "f" else codes.astype(np.int64)

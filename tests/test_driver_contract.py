@@ -89,7 +89,7 @@ def test_oracle_keys_subset(entry_mod):
         "hardlink_sets", "hardlink_aware_dups",
         "snapshot_diff", "snapshot_diff_stats",
         "cdc_chunks", "cdc_dup_chunks", "cdc_ratio", "cdc_delta",
-        "pack_sequences", "pack_stats",
+        "pack_sequences", "pack_stats", "mix_plan", "mix_corpus",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):

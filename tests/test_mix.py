@@ -1,0 +1,86 @@
+"""Corpus mixing (stages/mix.py): integer plan math, selection semantics,
+and determinism of the threshold filter composition."""
+
+import pandas as pd
+import pytest
+
+from backupdeduplicator_ray.stages.mix import HEX_SPACE, compute_mix_plan
+
+
+def test_plan_math_exact():
+    plan = compute_mix_plan(
+        {"en": 200, "fr": 80, "de": 70}, {"en": 50, "fr": 25, "de": 25}
+    ).to_pandas()
+    # de limits: T = min(200*100//50, 80*100//25, 70*100//25) = min(400, 320, 280)
+    assert dict(zip(plan["stratum"], plan["n_target"])) == {
+        "en": 140, "fr": 70, "de": 70,
+    }
+    row = plan.set_index("stratum")
+    assert row.loc["de", "thr_hex"] == "ffffffff"  # keep-all stratum
+    assert row.loc["en", "thr_hex"] == format(140 * HEX_SPACE // 200, "08x")
+
+
+def test_plan_absent_stratum_unsatisfiable():
+    plan = compute_mix_plan({"en": 100}, {"en": 1, "xx": 1}).to_pandas()
+    assert (plan["n_target"] == 0).all()
+    assert set(plan["stratum"]) == {"en", "xx"}
+    assert plan.set_index("stratum").loc["xx", "n_docs"] == 0
+
+
+def test_plan_rejects_bad_weights():
+    with pytest.raises(ValueError):
+        compute_mix_plan({"en": 10}, {})
+    with pytest.raises(ValueError):
+        compute_mix_plan({"en": 10}, {"en": 0})
+
+
+FIXTURE = pd.DataFrame(
+    {
+        "doc_id": range(1000),
+        "lang": (["en"] * 6 + ["fr"] * 2 + ["de"] + [None]) * 100,
+    }
+)
+
+
+def test_mix_corpus_selection(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.mix import mix_corpus
+
+    weights = {"en": 2, "fr": 1, "de": 1}
+    out = mix_corpus(ray.data.from_pandas(FIXTURE), weights).to_pandas()
+    # de limits: T = 100*4//1 = 400 -> targets en 200, fr 100, de 100
+    counts = out["lang"].value_counts().to_dict()
+    assert set(counts) <= {"en", "fr", "de"}  # null + unweighted dropped
+    assert counts.get("de", 0) == 100  # thr ffffffff keeps every de row
+    # Bernoulli draws: within a generous 4-sigma band of the target
+    assert 150 <= counts.get("en", 0) <= 250
+    assert 70 <= counts.get("fr", 0) <= 130
+
+
+def test_mix_corpus_deterministic_and_partition_invariant(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.mix import mix_corpus
+
+    weights = {"en": 2, "fr": 1, "de": 1}
+    a = (
+        mix_corpus(ray.data.from_pandas(FIXTURE), weights)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        mix_corpus(ray.data.from_pandas(FIXTURE).repartition(7), weights)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_mix_corpus_unsatisfiable_is_empty(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.mix import mix_corpus
+
+    out = mix_corpus(
+        ray.data.from_pandas(FIXTURE), {"en": 1, "missing": 1}
+    ).to_pandas()
+    assert len(out) == 0
