@@ -2417,6 +2417,85 @@ WHERE substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8) < p.thr_hex
 """
 
 
+# Line-dedup demo grain: the fixture docs are single-line word streams, so
+# the driver queries derive a line-structured view (2-word spans, one per
+# line) with ONE RE2 rewrite that Arrow and DuckDB execute byte-identically,
+# then run the general \n-grain operator on it.  max_df=20 bans the hottest
+# ~10% of distinct spans at both sf0.001 and sf0.01 (df spread 1..31).
+_LINE_MAX_DF = 20
+_LINE_SPLIT_RE = r"(\S+ \S+) "
+
+
+def _docs_as_lines(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pc.replace_substring_regex(
+                    t["text"], pattern=_LINE_SPLIT_RE, replacement="\\1\n"
+                ),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def q_boilerplate_lines(sf_dir: str):
+    from ..stages.linededup import banned_line_report
+
+    return banned_line_report(_docs_as_lines(sf_dir), max_df=_LINE_MAX_DF)
+
+
+def q_line_dedup(sf_dir: str):
+    from ..stages.linededup import line_dedup
+
+    return line_dedup(_docs_as_lines(sf_dir), max_df=_LINE_MAX_DF)
+
+
+def q_line_dedup_distributed(sf_dir: str):
+    """Forced distributed route (anti-join + doc-hash reassembly) under the
+    SAME SQL oracle as the broadcast twin — the prepare_corpus precedent."""
+    from ..stages.linededup import line_dedup
+
+    return line_dedup(
+        _docs_as_lines(sf_dir), max_df=_LINE_MAX_DF, distributed=True
+    )
+
+
+_LINES_CTE = rf"""
+src AS (
+  SELECT doc_id, regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g') AS t
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         generate_subscripts(string_split(t, chr(10)), 1) AS ord
+  FROM src
+),
+ldf AS (
+  SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM l GROUP BY line
+)"""
+
+SQL_BOILERPLATE_LINES = f"""
+WITH {_LINES_CTE}
+SELECT line, df FROM ldf WHERE df > {_LINE_MAX_DF}
+"""
+
+SQL_LINE_DEDUP = f"""
+WITH {_LINES_CTE}
+SELECT l.doc_id,
+       string_agg(l.line, chr(10) ORDER BY l.ord) AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM l JOIN ldf USING (line)
+WHERE ldf.df <= {_LINE_MAX_DF}
+GROUP BY l.doc_id
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Train/eval contamination: src0 documents sharing >= 1 distinct
     4-token shingle with any other source's document (string-shingle
@@ -2508,6 +2587,9 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "mix_plan": q_mix_plan,
     "mix_corpus": q_mix_corpus,
+    "boilerplate_lines": q_boilerplate_lines,
+    "line_dedup": q_line_dedup,
+    "line_dedup_distributed": q_line_dedup_distributed,
     "decontaminate": q_decontaminate,
     "region_revenue": q_region_revenue,
     "lang_len_quantiles": q_lang_len_quantiles,
@@ -2576,6 +2658,9 @@ ORACLE_SQL = {
     "stratified_sample": _strat_sql(),
     "mix_plan": SQL_MIX_PLAN,
     "mix_corpus": SQL_MIX_CORPUS,
+    "boilerplate_lines": SQL_BOILERPLATE_LINES,
+    "line_dedup": SQL_LINE_DEDUP,
+    "line_dedup_distributed": SQL_LINE_DEDUP,
     "decontaminate": SQL_DECONTAMINATE,
     "region_revenue": SQL_REGION_REVENUE,
     "lang_len_quantiles": SQL_LANG_LEN_QUANTILES,

@@ -1,0 +1,250 @@
+"""Line-grain boilerplate removal (RefinedWeb / C4-family line dedup).
+
+Beyond the reference's scope (mandated LLM-training-data extension):
+web-scale corpora carry boilerplate LINES — cookie banners, navigation
+menus, license headers — that repeat across many otherwise-distinct
+documents.  Doc-level dedup (stages/analyze) and sub-file chunk dedup
+(stages/cdc) never see them; the line-dedup family removes them at their
+own grain:
+
+    banned_line_report : (line, df) for every line whose document
+                         frequency exceeds `max_df` — the boilerplate set.
+    line_dedup         : every document rewritten with those lines
+                         removed, original line order preserved.
+
+"Line" is any `delim`-separated unit (newline for prose, or a derived
+unit — the driver queries demo on 2-word spans of the single-line
+fixture corpus).  Semantics are exact and SQL-reproducible: a line is
+banned iff COUNT(DISTINCT doc_id) > max_df over its EXACT text; a doc
+whose every line is banned disappears from the output (SQL inner-join +
+GROUP BY semantics), as do NULL-text docs (no lines).
+
+Scale shape (two passes, like textops.token_freq_stats):
+  pass 1  explode per batch (vectorized Arrow split), DISTINCT
+          (doc, line) locally — exact globally because a document never
+          spans blocks — then per-batch Arrow group_by partial counts
+          -> ONE line-key groupby over partials.  The exchange is
+          O(distinct lines), never O(total lines); binary-safe
+          throughout (Arrow hash tables, no pandas str hashing — see
+          functions/groups.py NUL note).
+  pass 2  the banned set is BOUNDED by construction — at most
+          total_lines / max_df lines can each appear in > max_df docs —
+          so the default route ships it once via ray.put and each batch
+          re-splits its own text and masks with one C-speed pc.is_in
+          (no shuffle at all).  `distributed=True` (or banned sets past
+          `broadcast_cap`) instead anti-joins the exploded lean
+          (doc_id, ord, line) table through state.joins
+          .partitioned_semi_join and reassembles with one doc-hash
+          exchange + a vectorized per-partition kernel (sort ->
+          boundary offsets -> pc.binary_join), mirroring the
+          prepare_corpus broadcast/distributed twin-route doctrine.
+Reassembly is zero-Python-per-row on both routes: list offsets are
+numpy cumsums and the join-back is pyarrow binary_join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+OUT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("text", pa.string()), ("n_kept", pa.int64())]
+)
+
+REPORT_SCHEMA = pa.schema([("line", pa.string()), ("df", pa.int64())])
+
+#: pass-2 route valve: a banned set larger than this refuses the ray.put
+#: broadcast (mirrors pipelines/curate.prepare_corpus's 5M-row valve).
+BROADCAST_CAP = 5_000_000
+
+
+def _split(t: pa.Table, text_col: str, id_col: str, delim: str):
+    """Drop NULL-text rows, split the rest; returns (ids, list_array,
+    flat_lines, lens) — the shared explode primitives."""
+    t = t.filter(pc.is_valid(t[text_col]))
+    col = t[text_col].combine_chunks()
+    ls = pc.split_pattern(col, pattern=delim)
+    flat = pc.list_flatten(ls)
+    lens = pc.list_value_length(ls).to_numpy(zero_copy_only=False).astype(np.int64)
+    return t[id_col], ls, flat, lens
+
+
+def banned_line_report(
+    ds, max_df: int, text_col: str = "text", id_col: str = "doc_id",
+    delim: str = "\n",
+):
+    """Dataset of (line, df) for lines in > `max_df` distinct documents.
+
+    Per-batch: split -> Arrow group_by DISTINCT (doc, line) (binary-safe,
+    exact because docs never span blocks) -> partial per-line counts.
+    Then one groupby over the tiny partials.  df is exact
+    COUNT(DISTINCT doc_id)."""
+    from ray.data.aggregate import Sum
+
+    if max_df < 1:
+        raise ValueError("max_df must be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, _, flat, lens = _split(t, text_col, id_col, delim)
+        idx = np.repeat(np.arange(len(lens)), lens)
+        pairs = (
+            pa.table({"d": pc.take(ids, pa.array(idx)), "line": flat})
+            .group_by(["d", "line"]).aggregate([])   # distinct pairs
+        )
+        agg = pairs.group_by("line").aggregate([("line", "count")])
+        return pa.table(
+            {
+                "line": pc.cast(agg["line"], pa.string()),
+                "n": pc.cast(agg["line_count"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda t: pa.table(
+                {"line": t["line"], "df": pc.cast(t["sum(n)"], pa.int64())},
+                schema=REPORT_SCHEMA,
+            ).filter(pc.greater(t["sum(n)"], max_df)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _rebuild_from_lists(ids, flat, lens, keep_mask, delim: str) -> pa.Table:
+    """Shared reassembly kernel: per-doc kept counts via bincount, new
+    list offsets via cumsum, text via pc.binary_join.  Docs with zero
+    kept lines are dropped (SQL inner-join + GROUP BY)."""
+    idx = np.repeat(np.arange(len(lens)), lens)
+    kept_counts = np.bincount(idx, weights=keep_mask, minlength=len(lens)).astype(
+        np.int64
+    )
+    offsets = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(kept_counts, out=offsets[1:])
+    kept_vals = flat.filter(pa.array(keep_mask))
+    joined = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), kept_vals),
+        delim,
+    )
+    out = pa.table(
+        {
+            "doc_id": pc.cast(ids, pa.int64()),
+            "text": pc.cast(joined, pa.string()),
+            "n_kept": pa.array(kept_counts),
+        },
+        schema=OUT_SCHEMA,
+    )
+    return out.filter(pc.greater(out["n_kept"], 0))
+
+
+def line_dedup(
+    ds,
+    max_df: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    distributed: bool = False,
+    broadcast_cap: int = BROADCAST_CAP,
+):
+    """Rewrite every document with its > `max_df`-df lines removed
+    (module docstring).  Returns (doc_id, text, n_kept); docs with no
+    surviving lines (or NULL text) are absent.
+
+    Default route: banned lines ship ONCE via ray.put (bounded by
+    total_lines/max_df; `broadcast_cap` valve), each batch masks its own
+    re-split with pc.is_in — zero shuffle.  `distributed=True`: lean
+    exploded table anti-joined against the banned Dataset, one doc-hash
+    exchange, vectorized per-partition reassembly."""
+    import ray
+
+    report = banned_line_report(ds, max_df, text_col, id_col, delim)
+    if not distributed:
+        banned = report.select_columns(["line"]).take_all()
+        if len(banned) > broadcast_cap:
+            raise ValueError(
+                f"banned-line set ({len(banned)}) exceeds broadcast_cap "
+                f"({broadcast_cap}); rerun with distributed=True or raise max_df"
+            )
+        banned_arr = pa.array([r["line"] for r in banned], pa.string())
+        ref = ray.put(banned_arr)
+
+        def rebuild(t: pa.Table) -> pa.Table:
+            from ..functions.groups import cached_get
+
+            ids, _, flat, lens = _split(t, text_col, id_col, delim)
+            s = cached_get(ref)
+            keep = (
+                np.ones(len(flat), bool)
+                if len(s) == 0
+                else pc.invert(pc.is_in(flat, value_set=s)).to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            return _rebuild_from_lists(ids, flat, lens, keep, delim)
+
+        return ds.map_batches(rebuild, batch_format="pyarrow")
+
+    # distributed route: explode lean, anti-join, one doc-hash exchange
+    from ..state.joins import partitioned_semi_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, _, flat, lens = _split(t, text_col, id_col, delim)
+        starts = np.zeros(len(lens), np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        ord_ = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens) + 1
+        idx = np.repeat(np.arange(len(lens)), lens)
+        return pa.table(
+            {
+                "doc_id": pc.cast(pc.take(ids, pa.array(idx)), pa.int64()),
+                "ord": pa.array(ord_),
+                "line": pc.cast(flat, pa.string()),
+            }
+        )
+
+    kept = partitioned_semi_join(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        report.select_columns(["line"]),
+        "line",
+        keep=False,
+    )
+
+    n_parts = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__part", pa.array((d % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        o = t["ord"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, d))
+        d, lines = d[order], t["line"].combine_chunks().take(pa.array(order))
+        bounds = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        offsets = np.concatenate((bounds, [len(d)])).astype(np.int64)
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offsets), lines), delim
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d[bounds]),
+                "text": pc.cast(joined, pa.string()),
+                "n_kept": pa.array(np.diff(offsets)),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    return (
+        kept.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda t: per_partition(t.drop_columns(["__part"])),
+            batch_format="pyarrow",
+        )
+    )

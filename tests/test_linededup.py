@@ -1,0 +1,125 @@
+"""Line-grain boilerplate dedup (stages/linededup.py): exact df semantics,
+order-preserving reassembly, route parity, and the drop rules."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+BOILER = "COOKIE NOTICE: we use cookies"
+NAV = "home | products | about"
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            f"{BOILER}\nunique alpha\n{NAV}\nunique beta",
+            f"{BOILER}\nunique gamma\n{NAV}",
+            f"{BOILER}\n{NAV}",          # all lines banned -> doc vanishes
+            "only original content here",
+            None,                         # null text -> doc vanishes
+        ],
+    }
+)
+
+
+def _dedup_df(ds, **kw):
+    from backupdeduplicator_ray.stages.linededup import line_dedup
+
+    out = line_dedup(ds, **kw).to_pandas()
+    if len(out) == 0:  # a fully-empty Dataset's to_pandas has no columns
+        return pd.DataFrame(columns=["doc_id", "text", "n_kept"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_report_and_dedup_hand_built(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.linededup import banned_line_report
+
+    ds = ray.data.from_pandas(DOCS)
+    rep = banned_line_report(ds, max_df=2).to_pandas()
+    assert dict(zip(rep["line"], rep["df"])) == {BOILER: 3, NAV: 3}
+
+    out = _dedup_df(ray.data.from_pandas(DOCS), max_df=2)
+    assert out["doc_id"].tolist() == [1, 2, 4]  # 3 all-banned, 5 null
+    assert out["text"].tolist() == [
+        "unique alpha\nunique beta",
+        "unique gamma",
+        "only original content here",
+    ]
+    assert out["n_kept"].tolist() == [2, 1, 1]
+
+
+def test_high_max_df_is_identity(ray_session):
+    import ray.data
+
+    out = _dedup_df(ray.data.from_pandas(DOCS), max_df=100)
+    src = DOCS.dropna(subset=["text"])
+    assert out["text"].tolist() == src["text"].tolist()
+    assert out["n_kept"].tolist() == [t.count("\n") + 1 for t in src["text"]]
+
+
+def _random_docs(n_docs=200, seed=7):
+    rng = np.random.default_rng(seed)
+    pool = [f"line {i}" for i in range(30)]  # small pool -> real df spread
+    texts = [
+        "\n".join(rng.choice(pool, size=rng.integers(1, 12)))
+        for _ in range(n_docs)
+    ]
+    return pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64), "text": texts})
+
+
+def _reference(docs: pd.DataFrame, max_df: int) -> pd.DataFrame:
+    from collections import Counter
+
+    df = Counter()
+    for t in docs["text"].dropna():
+        for line in set(t.split("\n")):
+            df[line] += 1
+    rows = []
+    for i, t in zip(docs["doc_id"], docs["text"]):
+        if t is None:
+            continue
+        kept = [ln for ln in t.split("\n") if df[ln] <= max_df]
+        if kept:
+            rows.append((i, "\n".join(kept), len(kept)))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "n_kept"])
+
+
+@pytest.mark.parametrize("max_df", [1, 40, 120])
+def test_reference_parity_and_routes(ray_session, max_df):
+    import ray.data
+
+    docs = _random_docs()
+    ref = _reference(docs, max_df).reset_index(drop=True)
+    a = _dedup_df(ray.data.from_pandas(docs), max_df=max_df)
+    b = _dedup_df(ray.data.from_pandas(docs), max_df=max_df, distributed=True)
+    pd.testing.assert_frame_equal(a, ref.astype(a.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(b, ref.astype(b.dtypes.to_dict()))
+
+
+def test_repartition_invariance(ray_session):
+    import ray.data
+
+    docs = _random_docs(seed=11)
+    a = _dedup_df(ray.data.from_pandas(docs), max_df=30)
+    b = _dedup_df(ray.data.from_pandas(docs).repartition(9), max_df=30)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_broadcast_cap_valve(ray_session):
+    import ray.data
+
+    with pytest.raises(ValueError, match="broadcast_cap"):
+        _dedup_df(
+            ray.data.from_pandas(DOCS), max_df=1, broadcast_cap=1
+        )
+
+
+def test_rejects_bad_max_df(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.linededup import banned_line_report
+
+    with pytest.raises(ValueError):
+        banned_line_report(ray.data.from_pandas(DOCS), max_df=0)
