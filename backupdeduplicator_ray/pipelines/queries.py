@@ -2051,6 +2051,85 @@ FROM events GROUP BY event_type
 """
 
 
+def q_hll_user_buckets(sf_dir: str):
+    """Mergeable HLL register table over events.user_id — the bounded-memory
+    cardinality sketch itself (<= 1024 rows regardless of corpus size)."""
+    from ..stages.sketch import hll_buckets
+
+    return hll_buckets(_events(sf_dir, ["user_id"]), "user_id")
+
+
+def q_hll_users(sf_dir: str):
+    """Approximate distinct users via the HLL sketch: one row
+    (approx_distinct, empty_buckets), ~3.2% relative error at m=1024."""
+    from ..stages.sketch import hll_estimate
+
+    return hll_estimate(_events(sf_dir, ["user_id"]), "user_id")
+
+
+# The HLL hash is the corpus-wide sha256 fixed point (first 16 hex chars as
+# uint64), so the whole sketch — registers AND the float estimate — is
+# restatable in SQL.  The estimate expression mirrors
+# stages/sketch.estimate_from_registers verbatim (exact HUGEINT indicator
+# numerator, then ONE double expression in the same operation order;
+# 36028797018963968 = 2^55, the indicator-numerator scale: each register
+# contributes 2^(55-rho), an empty one 2^55, so E = alpha*m^2*2^55/S).
+_HLL_REGS_CTE = """
+h AS (
+  SELECT CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 16) AS UBIGINT) AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT hv >> 54 AS bucket,
+         max(55 - strlen(ltrim(bin(hv & ((1::UBIGINT << 54) - 1)), '0'))) AS rho
+  FROM h GROUP BY 1
+)
+"""
+
+SQL_HLL_USER_BUCKETS = f"""
+WITH {_HLL_REGS_CTE}
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rho AS BIGINT) AS rho
+FROM regs
+"""
+
+SQL_HLL_USERS = f"""
+WITH {_HLL_REGS_CTE},
+agg AS (
+  SELECT count(*) AS nb,
+         sum(1::HUGEINT << CAST(55 - rho AS INTEGER)) AS s_nz
+  FROM regs
+),
+fin AS (
+  SELECT 1024 - nb AS v_empty,
+         s_nz + CAST(1024 - nb AS HUGEINT) * (1::HUGEINT << 55) AS s_num
+  FROM agg
+),
+est AS (
+  SELECT v_empty,
+         ((0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024 * 36028797018963968.0)
+           / CAST(s_num AS DOUBLE) AS raw
+  FROM fin
+)
+SELECT round(CASE WHEN raw <= 2.5 * 1024 AND v_empty > 0
+             THEN 1024 * ln(1024 / CAST(v_empty AS DOUBLE)) ELSE raw END, 6)
+         AS approx_distinct,
+       CAST(v_empty AS BIGINT) AS empty_buckets
+FROM est
+"""
+
+
+def q_hll_events(sf_dir: str):
+    """HLL distinct estimate over events.event_id — a high-cardinality key,
+    so the RAW estimator branch runs at sf0.01 (user_id's small cardinality
+    exercises the linear-counting branch; together the oracle covers both)."""
+    from ..stages.sketch import hll_estimate
+
+    return hll_estimate(_events(sf_dir, ["event_id"]), "event_id")
+
+
+SQL_HLL_EVENTS = SQL_HLL_USERS.replace("user_id", "event_id")
+
+
 def q_curate(sf_dir: str):
     """Composed curation pipeline: quality gate (>=10 tokens) -> exact
     dedup keep-min-id per distinct text -> deterministic 50% sample."""
@@ -2579,6 +2658,9 @@ QUERIES = {
     "len_quantiles": q_len_quantiles,
     "curate": q_curate,
     "distinct_users": q_distinct_users,
+    "hll_user_buckets": q_hll_user_buckets,
+    "hll_users": q_hll_users,
+    "hll_events": q_hll_events,
     "order_revenue": q_order_revenue,
     "redact_pii": q_redact_pii,
     "normalize_text": q_normalize_text,
@@ -2650,6 +2732,9 @@ ORACLE_SQL = {
     "len_quantiles": SQL_LEN_QUANTILES,
     "curate": SQL_CURATE,
     "distinct_users": SQL_DISTINCT_USERS,
+    "hll_user_buckets": SQL_HLL_USER_BUCKETS,
+    "hll_users": SQL_HLL_USERS,
+    "hll_events": SQL_HLL_EVENTS,
     "order_revenue": SQL_ORDER_REVENUE,
     "redact_pii": SQL_REDACT_PII,
     "normalize_text": SQL_NORMALIZE_TEXT,

@@ -1,0 +1,140 @@
+"""HyperLogLog approximate distinct count — the bounded-memory cardinality
+sketch (Flajolet et al. 2007, original HLL estimator).
+
+Beyond the reference's scope (mandated LLM-training-data extension): exact
+distinct counting (`stages/stats.distinct_count`) moves O(distinct keys)
+through the exchange; at 100 TB a cardinality QUESTION ("how many distinct
+users / tokens / urls?") should cost O(m) fixed memory instead.  This HLL
+keeps the standard contract — one pass, mergeable register table, relative
+error ~1.04/sqrt(m) (~3.2% at m=1024) — while staying fully DETERMINISTIC
+and SQL-restatable, because the row hash is the corpus-wide sha256
+fixed point, not a seeded runtime hash:
+
+    h      = first 16 hex chars of sha256(str(key))  as uint64
+    bucket = h >> 54            (p = 10, m = 1024 registers)
+    w      = h & (2^54 - 1)
+    rho    = 55 - bitlen(w)     (1..54; w = 0 -> 55)
+
+`hll_buckets` is the mergeable sketch (bucket, max rho) — per-batch
+numpy `maximum.at` partials (<= m rows per block, regardless of block
+size) then ONE m-bounded groupby; union of corpora == elementwise max of
+their bucket tables, tested.  `hll_estimate` finishes on the driver from
+<= m rows.  The indicator sum is carried as an EXACT integer numerator
+(S = sum of 2^(55-rho), < 2^65) so the float estimate is one determinate
+expression over exact ints — the DuckDB oracle reproduces the estimate
+bit-for-bit including the small-range linear-counting branch (the
+mirrored SQL keeps the same operation order; see queries.SQL_HLL_USERS).
+
+bitlen is exact on both sides: SQL via strlen(ltrim(bin(w))), numpy via
+frexp's exponent corrected down by one where the float rounding bumped a
+near-power-of-two up (frexp never underestimates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+P = 10
+M = 1 << P  # 1024 registers
+Q = 64 - P  # 54 low bits feed rho
+#: Flajolet alpha_m for m >= 128 — keep this exact literal in the SQL too.
+ALPHA = 0.7213 / (1.0 + 1.079 / M)
+
+BUCKET_SCHEMA = pa.schema([("bucket", pa.int64()), ("rho", pa.int64())])
+EST_SCHEMA = pa.schema(
+    [("approx_distinct", pa.float64()), ("empty_buckets", pa.int64())]
+)
+
+
+def _hash64(col) -> np.ndarray:
+    """uint64 from the first 8 digest bytes (== first 16 hex chars) of
+    sha256(str(key)) — the same corpus-wide hash fixed point every sampler
+    here keys on.  Nulls must be filtered by the caller."""
+    from ..functions.hashing import hash_binary_column
+
+    dig = hash_binary_column(pc.cast(col, pa.string()))
+    if isinstance(dig, pa.ChunkedArray):
+        dig = dig.combine_chunks()
+    buf = np.frombuffer(dig.buffers()[2], np.uint8)
+    return np.ascontiguousarray(
+        buf.reshape(len(dig), 32)[:, :8]
+    ).view(">u8").astype(np.uint64).ravel()
+
+
+def _rho(w: np.ndarray) -> np.ndarray:
+    """55 - exact_bitlen(w) for 54-bit w (w = 0 -> 55), vectorized.
+    frexp's exponent IS bitlen for exactly-representable ints and can only
+    overestimate by one (round-to-nearest may bump w just below 2^k up to
+    2^k); one compare corrects it exactly."""
+    bl = np.frexp(w.astype(np.float64))[1].astype(np.int64)  # 0 for w == 0
+    pow_prev = np.left_shift(
+        np.uint64(1), np.maximum(bl - 1, 0).astype(np.uint64)
+    )
+    bl -= (bl > 0) & (w < pow_prev)
+    return (Q + 1) - bl
+
+
+def hll_buckets(ds, key_col: str):
+    """Mergeable register table: (bucket, rho) with rho = MAX over the
+    bucket's keys — at most m = 1024 rows.  Per-batch partials are bounded
+    by m (numpy maximum.at), so the exchange is O(m x blocks) no matter
+    the corpus size; null keys are skipped (no hash)."""
+    from ray.data.aggregate import Max
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        col = col.filter(pc.is_valid(col))
+        if len(col) == 0:
+            return BUCKET_SCHEMA.empty_table()
+        h = _hash64(col)
+        bucket = (h >> np.uint64(Q)).astype(np.int64)
+        rho = _rho(h & np.uint64((1 << Q) - 1))
+        regs = np.zeros(M, np.int64)
+        np.maximum.at(regs, bucket, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {"bucket": pa.array(nz), "rho": pa.array(regs[nz])},
+            schema=BUCKET_SCHEMA,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("rho"))
+        .map_batches(
+            lambda t: pa.table(
+                {"bucket": t["bucket"], "rho": pc.cast(t["max(rho)"], pa.int64())},
+                schema=BUCKET_SCHEMA,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def estimate_from_registers(rows: list[tuple[int, int]]) -> tuple[float, int]:
+    """(estimate, empty_buckets) from (bucket, rho) rows — exact-integer
+    indicator sum, then ONE float expression mirrored verbatim in SQL."""
+    v_empty = M - len(rows)
+    s_num = v_empty * (1 << (Q + 1))  # empty register: 2^-0 -> 2^(Q+1)
+    for _, rho in rows:
+        s_num += 1 << ((Q + 1) - rho)
+    est = ALPHA * M * M * float(1 << (Q + 1)) / float(s_num)
+    if est <= 2.5 * M and v_empty > 0:
+        est = M * np.log(M / float(v_empty))
+    return round(float(est), 6), v_empty
+
+
+def hll_estimate(ds, key_col: str):
+    """One-row Dataset: (approx_distinct, empty_buckets)."""
+    import ray.data
+
+    rows = [(r["bucket"], r["rho"]) for r in hll_buckets(ds, key_col).take_all()]
+    est, v_empty = estimate_from_registers(rows)
+    return ray.data.from_arrow(
+        pa.table(
+            {"approx_distinct": [est], "empty_buckets": [v_empty]},
+            schema=EST_SCHEMA,
+        )
+    )

@@ -91,6 +91,7 @@ def test_oracle_keys_subset(entry_mod):
         "cdc_chunks", "cdc_dup_chunks", "cdc_ratio", "cdc_delta",
         "pack_sequences", "pack_stats", "mix_plan", "mix_corpus",
         "boilerplate_lines", "line_dedup", "line_dedup_distributed",
+        "hll_user_buckets", "hll_users", "hll_events",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):

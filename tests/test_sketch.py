@@ -1,0 +1,104 @@
+"""HLL sketch: estimator accuracy (both branches), mergeability (union ==
+elementwise register max), repartition invariance, null handling, and the
+exact-integer numerator's agreement with the float textbook formula."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from backupdeduplicator_ray.stages.sketch import (
+    ALPHA,
+    M,
+    Q,
+    estimate_from_registers,
+    hll_buckets,
+    hll_estimate,
+)
+
+
+def _ds(keys, parts=1):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)}))
+    return ds.repartition(parts) if parts > 1 else ds
+
+
+def _regs(ds):
+    t = hll_buckets(ds, "k").to_pandas().sort_values("bucket")
+    return dict(zip(t["bucket"], t["rho"]))
+
+
+def test_estimate_accuracy_raw_branch(ray_session):
+    # 60k distinct >> 2.5*m: the raw HLL branch; 1.04/sqrt(1024) ~ 3.25%
+    # stderr, assert within 5 sigma.
+    n = 60_000
+    est = hll_estimate(_ds(list(range(n)), parts=7), "k").take_all()[0]
+    assert est["empty_buckets"] == 0
+    assert abs(est["approx_distinct"] - n) / n < 5 * 1.04 / math.sqrt(M)
+
+
+def test_estimate_linear_counting_branch(ray_session):
+    # 40 distinct << m: the small-range correction must fire and be tight.
+    est = hll_estimate(_ds([f"u{i}" for i in range(40)]), "k").take_all()[0]
+    assert est["empty_buckets"] > 0
+    assert abs(est["approx_distinct"] - 40) <= 6
+
+
+def test_duplicates_do_not_move_estimate(ray_session):
+    a = hll_estimate(_ds(list(range(500))), "k").take_all()[0]
+    b = hll_estimate(_ds(list(range(500)) * 9, parts=5), "k").take_all()[0]
+    assert a == b
+
+
+def test_buckets_merge_is_elementwise_max(ray_session):
+    # sketch(A | B) == per-bucket max of sketch(A) and sketch(B) — the
+    # property that lets register tables from disjoint corpora combine
+    # without re-reading either corpus.
+    a_keys = [f"a{i}" for i in range(800)]
+    b_keys = [f"b{i}" for i in range(300)] + a_keys[:100]
+    ra, rb = _regs(_ds(a_keys)), _regs(_ds(b_keys))
+    merged = {
+        b: max(ra.get(b, 0), rb.get(b, 0)) for b in set(ra) | set(rb)
+    }
+    assert _regs(_ds(a_keys + b_keys, parts=6)) == merged
+
+
+def test_repartition_invariance_and_schema(ray_session):
+    keys = [f"k{i % 700}" for i in range(5000)]
+    one = _regs(_ds(keys))
+    assert one == _regs(_ds(keys, parts=13))
+    t = hll_buckets(_ds(keys), "k").to_pandas()
+    assert list(t.columns) == ["bucket", "rho"]
+    assert t["bucket"].between(0, M - 1).all()
+    assert t["rho"].between(1, Q + 1).all()
+
+
+def test_null_keys_skipped(ray_session):
+    with_nulls = _regs(_ds(pa.array(["x", None, "y", None], pa.string())))
+    assert with_nulls == _regs(_ds(pa.array(["x", "y"], pa.string())))
+
+
+def test_exact_numerator_matches_float_formula():
+    # The HUGEINT numerator S = sum 2^(55-rho) is the textbook
+    # sum(2^-rho) scaled by 2^(Q+1) exactly; check the estimate against an
+    # independent float evaluation on a fabricated register table.
+    rows = [(b, (b % 9) + 1) for b in range(0, M, 3)]
+    est, v_empty = estimate_from_registers(rows)
+    z = (M - len(rows)) * 1.0 + sum(2.0 ** -rho for _, rho in rows)
+    raw = ALPHA * M * M / z
+    expect = M * np.log(M / v_empty) if raw <= 2.5 * M and v_empty else raw
+    # est is rounded to 6 decimals at the engine boundary; the linear branch
+    # is the identical expression, so equality is exact.
+    assert est == round(expect, 6)
+    assert v_empty == M - len(rows)
+
+    # Raw branch (no empty buckets, so the correction cannot fire): the
+    # integer-numerator evaluation may differ from the naive float sum only
+    # in the last ulps.
+    full = [(b, (b % 13) + 1) for b in range(M)]
+    est2, v2 = estimate_from_registers(full)
+    assert v2 == 0
+    z2 = sum(2.0 ** -rho for _, rho in full)
+    assert est2 == pytest.approx(ALPHA * M * M / z2, rel=1e-9)
