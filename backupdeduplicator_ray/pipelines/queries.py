@@ -2118,6 +2118,78 @@ FROM est
 """
 
 
+def q_cms_sketch(sf_dir: str):
+    """Count-Min counter table over events.user_id — the mergeable
+    frequency sketch itself (<= 4*2048 rows regardless of corpus size)."""
+    from ..stages.sketch import cms_table
+
+    return cms_table(_events(sf_dir, ["user_id"]), "user_id")
+
+
+def q_cms_user_counts(sf_dir: str):
+    """CMS point-frequency estimates for the 10 smallest distinct user ids
+    (deterministic probe set).  Probe discovery is k-bounded per batch
+    (unique + cut to k), merged driver-side from k x blocks rows."""
+    from ..stages.sketch import cms_estimate
+
+    k = 10
+
+    def part(t: pa.Table) -> pa.Table:
+        c = t["user_id"]
+        c = c.filter(pc.is_valid(c))
+        u = np.unique(c.to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u[:k], pa.int64())})
+
+    parts = (
+        _events(sf_dir, ["user_id"])
+        .map_batches(part, batch_format="pyarrow")
+        .take_all()
+    )
+    probes = np.unique(np.array([r["user_id"] for r in parts], np.int64))[:k]
+    return cms_estimate(
+        _events(sf_dir, ["user_id"]), "user_id", pa.array(probes, pa.int64())
+    )
+
+
+# The CMS cell hashes are the FOUR disjoint 16-hex-char words of the same
+# sha256 fixed point (word j = hex chars [16j, 16j+16)), column = word mod
+# 2048 — so both the counter table and the min-over-rows estimates replay
+# exactly in SQL.
+_CMS_CELLS_CTE = """
+h AS (
+  SELECT sha256(CAST(user_id AS VARCHAR)) AS d
+  FROM events WHERE user_id IS NOT NULL
+),
+cells AS (
+  SELECT r.rw,
+         CAST(CAST('0x' || substr(d, 1 + 16 * r.rw, 16) AS UBIGINT) % 2048 AS BIGINT) AS col
+  FROM h, (SELECT unnest([0, 1, 2, 3]) AS rw) r
+)
+"""
+
+SQL_CMS_SKETCH = f"""
+WITH {_CMS_CELLS_CTE}
+SELECT rw, col, count(*) AS cnt FROM cells GROUP BY 1, 2
+"""
+
+SQL_CMS_USER_COUNTS = f"""
+WITH {_CMS_CELLS_CTE},
+sk AS (SELECT rw, col, count(*) AS cnt FROM cells GROUP BY 1, 2),
+probes AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+  ORDER BY 1 LIMIT 10
+),
+pc AS (
+  SELECT p.user_id, r.rw,
+         CAST(CAST('0x' || substr(sha256(CAST(p.user_id AS VARCHAR)), 1 + 16 * r.rw, 16) AS UBIGINT) % 2048 AS BIGINT) AS col
+  FROM probes p, (SELECT unnest([0, 1, 2, 3]) AS rw) r
+)
+SELECT pc.user_id, CAST(min(sk.cnt) AS BIGINT) AS est_count
+FROM pc JOIN sk ON sk.rw = pc.rw AND sk.col = pc.col
+GROUP BY 1
+"""
+
+
 def q_hll_events(sf_dir: str):
     """HLL distinct estimate over events.event_id — a high-cardinality key,
     so the RAW estimator branch runs at sf0.01 (user_id's small cardinality
@@ -2661,6 +2733,8 @@ QUERIES = {
     "hll_user_buckets": q_hll_user_buckets,
     "hll_users": q_hll_users,
     "hll_events": q_hll_events,
+    "cms_sketch": q_cms_sketch,
+    "cms_user_counts": q_cms_user_counts,
     "order_revenue": q_order_revenue,
     "redact_pii": q_redact_pii,
     "normalize_text": q_normalize_text,
@@ -2735,6 +2809,8 @@ ORACLE_SQL = {
     "hll_user_buckets": SQL_HLL_USER_BUCKETS,
     "hll_users": SQL_HLL_USERS,
     "hll_events": SQL_HLL_EVENTS,
+    "cms_sketch": SQL_CMS_SKETCH,
+    "cms_user_counts": SQL_CMS_USER_COUNTS,
     "order_revenue": SQL_ORDER_REVENUE,
     "redact_pii": SQL_REDACT_PII,
     "normalize_text": SQL_NORMALIZE_TEXT,

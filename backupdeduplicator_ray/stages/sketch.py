@@ -48,19 +48,25 @@ EST_SCHEMA = pa.schema(
 )
 
 
-def _hash64(col) -> np.ndarray:
-    """uint64 from the first 8 digest bytes (== first 16 hex chars) of
-    sha256(str(key)) — the same corpus-wide hash fixed point every sampler
-    here keys on.  Nulls must be filtered by the caller."""
+def _digest_matrix(col) -> np.ndarray:
+    """(n, 4) uint64: the four disjoint 8-byte big-endian words of
+    sha256(str(key)) — word j == hex chars [16j, 16j+16) of the digest, so
+    each is independently restatable in SQL.  Nulls must be filtered by
+    the caller."""
     from ..functions.hashing import hash_binary_column
 
     dig = hash_binary_column(pc.cast(col, pa.string()))
     if isinstance(dig, pa.ChunkedArray):
         dig = dig.combine_chunks()
-    buf = np.frombuffer(dig.buffers()[2], np.uint8)
-    return np.ascontiguousarray(
-        buf.reshape(len(dig), 32)[:, :8]
-    ).view(">u8").astype(np.uint64).ravel()
+    buf = np.frombuffer(dig.buffers()[2], np.uint8).reshape(len(dig), 32)
+    return np.ascontiguousarray(buf).view(">u8").astype(np.uint64)
+
+
+def _hash64(col) -> np.ndarray:
+    """uint64 from the first 8 digest bytes (== first 16 hex chars) of
+    sha256(str(key)) — the same corpus-wide hash fixed point every sampler
+    here keys on."""
+    return _digest_matrix(col)[:, 0].copy()
 
 
 def _rho(w: np.ndarray) -> np.ndarray:
@@ -137,4 +143,76 @@ def hll_estimate(ds, key_col: str):
             {"approx_distinct": [est], "empty_buckets": [v_empty]},
             schema=EST_SCHEMA,
         )
+    )
+
+
+# --- Count-Min sketch: bounded-memory FREQUENCY estimation (Cormode &
+# Muthukrishnan 2005).  Where HLL answers "how many distinct", CMS answers
+# "about how often does key x occur" in d*w counters regardless of corpus
+# size, with one-sided error (never an underestimate; overestimate
+# <= e/w * total per row w.h.p., and the min over d rows is reported).
+# The d row hashes are the four disjoint 64-bit words of the same sha256
+# fixed point, so the sketch is deterministic and SQL-restatable.
+
+CMS_D = 4
+CMS_W = 2048
+
+CMS_SCHEMA = pa.schema(
+    [("rw", pa.int64()), ("col", pa.int64()), ("cnt", pa.int64())]
+)
+
+
+def cms_table(ds, key_col: str):
+    """Mergeable CMS counter table: (rw, col, cnt) — at most d*w = 8192
+    rows.  Per-batch partials are np.bincount over fused cell ids (bounded
+    by d*w whatever the batch size), the exchange is ONE d*w-bounded
+    groupby; cellwise SUM of two corpora's tables == the union's table.
+    Null keys are skipped (no hash)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        col = col.filter(pc.is_valid(col))
+        if len(col) == 0:
+            return pa.schema([("cell", pa.int64()), ("cnt", pa.int64())]).empty_table()
+        cols_ = (_digest_matrix(col) % np.uint64(CMS_W)).astype(np.int64)
+        cells = cols_ + np.arange(CMS_D, dtype=np.int64)[None, :] * CMS_W
+        cnt = np.bincount(cells.ravel(), minlength=CMS_D * CMS_W)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz), "cnt": pa.array(cnt[nz])})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy()
+        return pa.table(
+            {
+                "rw": pa.array(cell // CMS_W),
+                "col": pa.array(cell % CMS_W),
+                "cnt": pc.cast(t["sum(cnt)"], pa.int64()),
+            },
+            schema=CMS_SCHEMA,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("cnt"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def cms_estimate(ds, key_col: str, probes: pa.Array):
+    """Point-frequency estimates for `probes`: (key_col, est_count) with
+    est = MIN over the d rows of the probed counter (0 if a cell is empty,
+    i.e. the key never occurred).  The sketch is <= d*w rows, so the
+    driver-side lookup is O(d*w + len(probes))."""
+    import ray.data
+
+    sk = np.zeros(CMS_D * CMS_W, np.int64)
+    for r in cms_table(ds, key_col).take_all():
+        sk[r["rw"] * CMS_W + r["col"]] = r["cnt"]
+    cols_ = (_digest_matrix(probes) % np.uint64(CMS_W)).astype(np.int64)
+    cells = cols_ + np.arange(CMS_D, dtype=np.int64)[None, :] * CMS_W
+    est = sk[cells].min(axis=1)
+    return ray.data.from_arrow(
+        pa.table({key_col: probes, "est_count": pa.array(est, pa.int64())})
     )

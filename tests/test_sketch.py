@@ -1,7 +1,10 @@
 """HLL sketch: estimator accuracy (both branches), mergeability (union ==
 elementwise register max), repartition invariance, null handling, and the
-exact-integer numerator's agreement with the float textbook formula."""
+exact-integer numerator's agreement with the float textbook formula.
+Count-Min sketch: bit-exactness vs a naive dict reference, the one-sided
+error invariant, mergeability (cellwise sum), row-sum == total count."""
 
+import hashlib
 import math
 
 import numpy as np
@@ -10,8 +13,12 @@ import pytest
 
 from backupdeduplicator_ray.stages.sketch import (
     ALPHA,
+    CMS_D,
+    CMS_W,
     M,
     Q,
+    cms_estimate,
+    cms_table,
     estimate_from_registers,
     hll_buckets,
     hll_estimate,
@@ -102,3 +109,69 @@ def test_exact_numerator_matches_float_formula():
     assert v2 == 0
     z2 = sum(2.0 ** -rho for _, rho in full)
     assert est2 == pytest.approx(ALPHA * M * M / z2, rel=1e-9)
+
+
+# --- Count-Min sketch ---
+
+
+def _cms_ref(keys):
+    """Naive dict CMS over str(key): the spec the distributed table must
+    match bit-for-bit."""
+    cells: dict[tuple[int, int], int] = {}
+    for k in keys:
+        d = hashlib.sha256(str(k).encode()).digest()
+        for rw in range(CMS_D):
+            w = int.from_bytes(d[8 * rw : 8 * rw + 8], "big") % CMS_W
+            cells[(rw, w)] = cells.get((rw, w), 0) + 1
+    return cells
+
+
+def _cms_cells(ds):
+    t = cms_table(ds, "k").to_pandas()
+    return {(r, c): n for r, c, n in zip(t["rw"], t["col"], t["cnt"])}
+
+
+def test_cms_matches_reference_and_row_sums(ray_session):
+    keys = [i % 97 for i in range(3000)] + list(range(1000, 1300))
+    got = _cms_cells(_ds(keys, parts=8))
+    assert got == _cms_ref(keys)
+    # every row hashes every key once: each row's counters sum to n
+    for rw in range(CMS_D):
+        assert sum(n for (r, _), n in got.items() if r == rw) == len(keys)
+
+
+def test_cms_estimate_one_sided(ray_session):
+    # zipf-ish duplication: est >= exact always; equality unless all 4
+    # cells of a key collide with other keys.
+    keys = [i % 50 for i in range(5000) if i % (1 + i % 7) == 0]
+    exact = {k: keys.count(k) for k in set(keys)}
+    probes = pa.array(sorted(exact), pa.int64())
+    est = cms_estimate(_ds(keys, parts=5), "k", probes).to_pandas()
+    for k, e in zip(est["k"], est["est_count"]):
+        assert e >= exact[k]
+    # at 50 distinct keys vs 4x2048 cells, collisions across all 4 rows
+    # are impossible: estimates are exact
+    assert all(est["est_count"][i] == exact[k] for i, k in enumerate(est["k"]))
+
+
+def test_cms_merge_is_cellwise_sum(ray_session):
+    a = [f"a{i % 30}" for i in range(400)]
+    b = [f"b{i % 20}" for i in range(250)] + a[:50]
+    ca, cb = _cms_cells(_ds(a)), _cms_cells(_ds(b))
+    merged = {
+        cell: ca.get(cell, 0) + cb.get(cell, 0) for cell in set(ca) | set(cb)
+    }
+    assert _cms_cells(_ds(a + b, parts=6)) == merged
+
+
+def test_cms_nulls_and_unseen_probe(ray_session):
+    ds = _ds(pa.array(["x", None, "x", "y"], pa.string()))
+    t = cms_table(ds, "k").to_pandas()
+    assert t["cnt"].sum() == 3 * CMS_D  # nulls never hashed
+    est = cms_estimate(
+        _ds(pa.array(["x", "x", "y"], pa.string())),
+        "k",
+        pa.array(["x", "zzz-unseen"], pa.string()),
+    ).to_pandas()
+    got = dict(zip(est["k"], est["est_count"]))
+    assert got["x"] == 2 and got["zzz-unseen"] == 0
