@@ -2118,6 +2118,72 @@ FROM est
 """
 
 
+_BM25_TERMS = ["hash", "join", "vector"]
+
+
+def q_bm25_topk(sf_dir: str):
+    """Top-10 documents by BM25 relevance to the fixed query
+    'hash join vector' — two streaming passes (scalar df/avgdl partials,
+    then vectorized scoring with local top-k)."""
+    from ..stages.search import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir, ["doc_id", "text"]), _BM25_TERMS, k=10
+    )
+
+
+# Mirrors stages/search.bm25_topk expression by expression: same operand
+# order in every float step (contributions added in query-term order,
+# k1+1 written as an addition, norm = k1*(1-b+b*(dl/avgdl))), score
+# rounded to 6 dp and ranked on the ROUNDED value then doc_id — bit-exact
+# against the engine (np.log == DuckDB ln on this libm, the HLL
+# linear-counting precedent).
+SQL_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS BIGINT) AS sdl
+  FROM documents WHERE text IS NOT NULL
+),
+dfs AS (
+  SELECT
+    (SELECT count(DISTINCT doc_id) FROM toks WHERE tok = 'hash')   AS df0,
+    (SELECT count(DISTINCT doc_id) FROM toks WHERE tok = 'join')   AS df1,
+    (SELECT count(DISTINCT doc_id) FROM toks WHERE tok = 'vector') AS df2
+),
+consts AS (
+  SELECT CAST(sdl AS DOUBLE) / n AS avgdl,
+         ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) AS idf0,
+         ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) AS idf1,
+         ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) AS idf2
+  FROM stats, dfs
+),
+ptf AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS dl,
+         CAST(coalesce(sum(CASE WHEN tok = 'hash'   THEN 1 END), 0) AS BIGINT) AS tf0,
+         CAST(coalesce(sum(CASE WHEN tok = 'join'   THEN 1 END), 0) AS BIGINT) AS tf1,
+         CAST(coalesce(sum(CASE WHEN tok = 'vector' THEN 1 END), 0) AS BIGINT) AS tf2
+  FROM toks GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+         round(
+             idf0 * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+           + idf1 * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+           + idf2 * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))),
+           6) AS score
+  FROM ptf, consts
+  WHERE tf0 + tf1 + tf2 > 0
+)
+SELECT doc_id, score FROM scored
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
+"""
+
+
 def q_cms_sketch(sf_dir: str):
     """Count-Min counter table over events.user_id — the mergeable
     frequency sketch itself (<= 4*2048 rows regardless of corpus size)."""
@@ -2735,6 +2801,7 @@ QUERIES = {
     "hll_events": q_hll_events,
     "cms_sketch": q_cms_sketch,
     "cms_user_counts": q_cms_user_counts,
+    "bm25_topk": q_bm25_topk,
     "order_revenue": q_order_revenue,
     "redact_pii": q_redact_pii,
     "normalize_text": q_normalize_text,
@@ -2811,6 +2878,7 @@ ORACLE_SQL = {
     "hll_events": SQL_HLL_EVENTS,
     "cms_sketch": SQL_CMS_SKETCH,
     "cms_user_counts": SQL_CMS_USER_COUNTS,
+    "bm25_topk": SQL_BM25_TOPK,
     "order_revenue": SQL_ORDER_REVENUE,
     "redact_pii": SQL_REDACT_PII,
     "normalize_text": SQL_NORMALIZE_TEXT,

@@ -1,0 +1,129 @@
+"""BM25 keyword relevance search (Robertson & Sparck Jones; the Okapi
+BM25 ranking function) — the lexical-retrieval baseline a training-data
+pipeline needs for corpus inspection ("which documents are about X").
+
+Beyond the reference's scope (mandated LLM-data extension).  Two streaming
+passes, no shuffle:
+
+  pass 1  per-batch scalar partials: n_docs, sum(dl), and per-query-term
+          document frequencies — O(|q| + 2) rows per batch to the driver,
+          regardless of corpus size.  idf and avgdl are computed once from
+          the combined partials.
+  pass 2  per-batch vectorized scoring (Arrow tokenize -> bincount tf per
+          term) + a local top-k, merged on the driver from k x blocks rows.
+
+Float discipline (the oracle doctrine): every arithmetic step is written
+in the exact operation order the SQL oracle uses — contributions are
+summed in query-term order, k1+1 is computed (not a folded literal), and
+the final score is rounded to 6 dp, with ranking on the ROUNDED score then
+doc id (`queries.SQL_BM25_TOPK` mirrors each expression verbatim), so the
+engine and DuckDB agree bit-for-bit.  Zero-tf terms contribute exactly
+0.0 on both sides, so only docs containing >= 1 query term are ranked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SPLIT_PATTERN = "[^A-Za-z0-9_]+"  # complement of textops.TOKEN_PATTERN
+
+
+def _term_counts(t: pa.Table, id_col: str, text_col: str, terms: list[str]):
+    """(ids, dl, tf) for one batch: per-valid-doc token length and an
+    (n, |terms|) whole-token occurrence matrix, all vectorized (Arrow
+    split + equality kernels, numpy bincount — no Python per row)."""
+    text = t[text_col].combine_chunks()
+    valid = pc.is_valid(text)
+    ids = t[id_col].combine_chunks().filter(valid)
+    lists = pc.split_pattern_regex(text.filter(valid), SPLIT_PATTERN)
+    toks = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    n = len(ids)
+    nonempty = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+    dl = np.bincount(parents[nonempty], minlength=n).astype(np.int64)
+    tf = np.zeros((n, len(terms)), np.int64)
+    for j, term in enumerate(terms):
+        m = pc.equal(toks, term).to_numpy(zero_copy_only=False)
+        tf[:, j] = np.bincount(parents[m], minlength=n)
+    return ids, dl, tf
+
+
+def bm25_topk(
+    ds,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Top-k documents by BM25 score for the query `terms`:
+    (id_col, score) with score rounded to 6 dp, ranked by (score desc,
+    id asc).  idf = ln((N - df + 0.5) / (df + 0.5) + 1)  (the BM25+
+    non-negative variant)."""
+    import ray.data
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        _, dl, tf = _term_counts(t, id_col, text_col, terms)
+        return pa.table(
+            {
+                "key": pa.array(["__n__", "__dl__", *terms], pa.string()),
+                "val": pa.array(
+                    [len(dl), int(dl.sum())]
+                    + [int((tf[:, j] > 0).sum()) for j in range(len(terms))],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    n_docs, sum_dl = 0, 0
+    df = {term: 0 for term in terms}
+    for r in ds.map_batches(stats_partial, batch_format="pyarrow").take_all():
+        if r["key"] == "__n__":
+            n_docs += r["val"]
+        elif r["key"] == "__dl__":
+            sum_dl += r["val"]
+        else:
+            df[r["key"]] += r["val"]
+    if n_docs == 0:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
+        )
+    avgdl = sum_dl / n_docs
+    idf = [np.log((n_docs - df[t_] + 0.5) / (df[t_] + 0.5) + 1.0) for t_ in terms]
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        ids, dl, tf = _term_counts(t, id_col, text_col, terms)
+        norm = k1 * (1.0 - b + b * (dl / avgdl))
+        s = np.zeros(len(dl), np.float64)
+        for j in range(len(terms)):
+            tfj = tf[:, j].astype(np.float64)
+            s = s + idf[j] * (tfj * (k1 + 1.0)) / (tfj + norm)
+        keep = tf.sum(axis=1) > 0
+        s = np.round(s[keep], 6)
+        ids = ids.filter(pa.array(keep))
+        # local top-k on the fused (rounded-score, id) rank key
+        order = np.lexsort(
+            (ids.to_numpy(zero_copy_only=False), -np.rint(s * 1e6).astype(np.int64))
+        )[:k]
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(order)),
+                "score": pa.array(s[order], pa.float64()),
+            }
+        )
+
+    rows = ds.map_batches(score_partial, batch_format="pyarrow").take_all()
+    ids_all = np.array([r[id_col] for r in rows])
+    s_all = np.array([r["score"] for r in rows], np.float64)
+    order = np.lexsort((ids_all, -np.rint(s_all * 1e6).astype(np.int64)))[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array(ids_all[order]),
+                "score": pa.array(s_all[order], pa.float64()),
+            }
+        )
+    )

@@ -1,0 +1,97 @@
+"""BM25 search: agreement with an independent reference scorer, ranking
+properties (idf ordering, tf saturation), repartition invariance, and the
+match-only / top-k contract."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from backupdeduplicator_ray.stages.search import bm25_topk
+
+K1, B = 1.2, 0.75
+
+
+def _ds(rows, parts=1):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    return ds.repartition(parts) if parts > 1 else ds
+
+
+def _ref_bm25(rows, terms, k=10):
+    """Loop-based reference: same formula, independent code path."""
+    import re
+
+    docs = [(i, re.findall(r"[A-Za-z0-9_]+", txt or "")) for i, txt in rows if txt is not None]
+    n = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n
+    out = []
+    for i, toks in docs:
+        score = 0.0
+        for term in terms:
+            tf = toks.count(term)
+            df = sum(1 for _, t2 in docs if term in t2)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            score += idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * (len(toks) / avgdl)))
+        if any(t in toks for t in terms):
+            out.append((i, round(score, 6)))
+    out.sort(key=lambda p: (-round(p[1] * 1e6), p[0]))
+    return out[:k]
+
+
+FIXTURE = [
+    (1, "alpha beta beta gamma delta"),
+    (2, "alpha alpha alpha beta"),          # high tf(alpha)
+    (3, "gamma delta epsilon zeta eta"),    # no query terms
+    (4, "rare_token beta gamma"),           # the only doc with rare_token
+    (5, "beta beta beta beta beta beta"),   # long doc, common term only
+    (6, None),                              # null text ignored
+    (7, "alpha"),                           # short doc, one hit
+]
+
+
+def test_matches_reference_scorer(ray_session):
+    got = bm25_topk(_ds(FIXTURE, parts=3), ["alpha", "rare_token"], k=10).take_all()
+    ref = _ref_bm25(FIXTURE, ["alpha", "rare_token"])
+    assert [(r["doc_id"], r["score"]) for r in got] == ref
+
+
+def test_rare_term_outranks_common(ray_session):
+    # every doc has beta; only doc 4 has rare_token -> idf(rare) >> idf(beta)
+    got = bm25_topk(_ds(FIXTURE), ["rare_token", "beta"], k=3).take_all()
+    assert got[0]["doc_id"] == 4
+
+
+def test_only_matching_docs_and_k_cut(ray_session):
+    got = bm25_topk(_ds(FIXTURE), ["alpha"], k=2).take_all()
+    assert len(got) == 2
+    all_hits = bm25_topk(_ds(FIXTURE), ["alpha"], k=10).take_all()
+    assert sorted(r["doc_id"] for r in all_hits) == [1, 2, 7]  # docs with alpha
+
+
+def test_repartition_invariance(ray_session):
+    terms = ["alpha", "beta", "gamma"]
+    a = bm25_topk(_ds(FIXTURE), terms, k=10).take_all()
+    b = bm25_topk(_ds(FIXTURE, parts=5), terms, k=10).take_all()
+    assert a == b
+
+
+def test_tf_saturation(ray_session):
+    # same dl, higher tf scores higher — but sublinearly (BM25 saturation):
+    # going 1->2 occurrences gains more than 5->6.
+    rows = [
+        (1, "q x x x x x"),
+        (2, "q q x x x x"),
+        (3, "q q q q q x"),
+        (4, "q q q q q q"),
+    ]
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(_ds(rows), ["q"], k=4).take_all()}
+    assert got[2] > got[1] and got[4] > got[3]
+    assert (got[2] - got[1]) > (got[4] - got[3])
