@@ -2184,6 +2184,53 @@ QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
 """
 
 
+def q_hll_users_by_type(sf_dir: str):
+    """Per-event-type approximate distinct users — the bounded-memory
+    companion to `distinct_users` (grouped HLL: one group-key exchange of
+    <= groups x 1024 register rows)."""
+    from ..stages.sketch import hll_by_key
+
+    return hll_by_key(
+        _events(sf_dir, ["event_type", "user_id"]), "event_type", "user_id"
+    )
+
+
+SQL_HLL_USERS_BY_TYPE = """
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 16) AS UBIGINT) AS hv
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+regs AS (
+  SELECT event_type, hv >> 54 AS bucket,
+         max(55 - strlen(ltrim(bin(hv & ((1::UBIGINT << 54) - 1)), '0'))) AS rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, count(*) AS nb,
+         sum(1::HUGEINT << CAST(55 - rho AS INTEGER)) AS s_nz
+  FROM regs GROUP BY 1
+),
+fin AS (
+  SELECT event_type, 1024 - nb AS v_empty,
+         s_nz + CAST(1024 - nb AS HUGEINT) * (1::HUGEINT << 55) AS s_num
+  FROM agg
+),
+est AS (
+  SELECT event_type, v_empty,
+         ((0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024 * 36028797018963968.0)
+           / CAST(s_num AS DOUBLE) AS raw
+  FROM fin
+)
+SELECT event_type,
+       round(CASE WHEN raw <= 2.5 * 1024 AND v_empty > 0
+             THEN 1024 * ln(1024 / CAST(v_empty AS DOUBLE)) ELSE raw END, 6)
+         AS approx_distinct,
+       CAST(v_empty AS BIGINT) AS empty_buckets
+FROM est
+"""
+
+
 def q_cms_sketch(sf_dir: str):
     """Count-Min counter table over events.user_id — the mergeable
     frequency sketch itself (<= 4*2048 rows regardless of corpus size)."""
@@ -2799,6 +2846,7 @@ QUERIES = {
     "hll_user_buckets": q_hll_user_buckets,
     "hll_users": q_hll_users,
     "hll_events": q_hll_events,
+    "hll_users_by_type": q_hll_users_by_type,
     "cms_sketch": q_cms_sketch,
     "cms_user_counts": q_cms_user_counts,
     "bm25_topk": q_bm25_topk,
@@ -2876,6 +2924,7 @@ ORACLE_SQL = {
     "hll_user_buckets": SQL_HLL_USER_BUCKETS,
     "hll_users": SQL_HLL_USERS,
     "hll_events": SQL_HLL_EVENTS,
+    "hll_users_by_type": SQL_HLL_USERS_BY_TYPE,
     "cms_sketch": SQL_CMS_SKETCH,
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "bm25_topk": SQL_BM25_TOPK,

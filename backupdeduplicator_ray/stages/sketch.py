@@ -146,6 +146,73 @@ def hll_estimate(ds, key_col: str):
     )
 
 
+def hll_by_key(ds, group_col: str, key_col: str):
+    """Per-group approximate distinct: one row (group_col, approx_distinct,
+    empty_buckets) per group — the bounded-memory answer to
+    `stats.distinct_count` when per-group cardinalities are huge.
+
+    Per-batch partials collapse to (group, bucket, max rho) — at most
+    groups-in-batch x m rows whatever the batch size — then ONE group-key
+    exchange feeds `map_groups`, which folds each group's <= m x blocks
+    partial registers and finishes with the same exact-integer estimator as
+    the global sketch.  Rows with a null group or key are skipped, matching
+    the SQL WHERE clause."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        k = t[key_col]
+        valid = pc.and_(pc.is_valid(g), pc.is_valid(k))
+        g = g.filter(valid).combine_chunks()
+        k = k.filter(valid)
+        if len(k) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], t[group_col].type),
+                    "bucket": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        h = _hash64(k)
+        bucket = (h >> np.uint64(Q)).astype(np.int64)
+        rho = _rho(h & np.uint64((1 << Q) - 1))
+        enc = pc.dictionary_encode(g)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary
+        regs = np.zeros(len(uniq) * M, np.int64)
+        np.maximum.at(regs, codes * M + bucket, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                group_col: uniq.take(pa.array(nz // M)),
+                "bucket": pa.array(nz % M),
+                "rho": pa.array(regs[nz]),
+            }
+        )
+
+    def estimate_group(t: pa.Table) -> pa.Table:
+        regs = np.zeros(M, np.int64)
+        np.maximum.at(
+            regs, t["bucket"].to_numpy(), t["rho"].to_numpy()
+        )
+        nz = np.flatnonzero(regs)
+        est, v_empty = estimate_from_registers(list(zip(nz, regs[nz])))
+        return pa.table(
+            {
+                group_col: t[group_col].slice(0, 1),
+                "approx_distinct": pa.array([est], pa.float64()),
+                "empty_buckets": pa.array([v_empty], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(estimate_group, batch_format="pyarrow")
+    )
+
+
 # --- Count-Min sketch: bounded-memory FREQUENCY estimation (Cormode &
 # Muthukrishnan 2005).  Where HLL answers "how many distinct", CMS answers
 # "about how often does key x occur" in d*w counters regardless of corpus

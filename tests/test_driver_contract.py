@@ -92,7 +92,7 @@ def test_oracle_keys_subset(entry_mod):
         "pack_sequences", "pack_stats", "mix_plan", "mix_corpus",
         "boilerplate_lines", "line_dedup", "line_dedup_distributed",
         "hll_user_buckets", "hll_users", "hll_events",
-        "cms_sketch", "cms_user_counts", "bm25_topk",
+        "cms_sketch", "cms_user_counts", "bm25_topk", "hll_users_by_type",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):

@@ -21,6 +21,7 @@ from backupdeduplicator_ray.stages.sketch import (
     cms_table,
     estimate_from_registers,
     hll_buckets,
+    hll_by_key,
     hll_estimate,
 )
 
@@ -109,6 +110,44 @@ def test_exact_numerator_matches_float_formula():
     assert v2 == 0
     z2 = sum(2.0 ** -rho for _, rho in full)
     assert est2 == pytest.approx(ALPHA * M * M / z2, rel=1e-9)
+
+
+def _gds(rows, parts=1):
+    import ray.data
+
+    t = pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "k": pa.array([r[1] for r in rows]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    return ds.repartition(parts) if parts > 1 else ds
+
+
+def test_hll_by_key_matches_per_group_global(ray_session):
+    # each group's row must equal the GLOBAL sketch run on that group's
+    # slice — grouped partial-fold == filtered whole-corpus fold.
+    rows = (
+        [("a", i) for i in range(900)]
+        + [("b", i % 37) for i in range(500)]
+        + [("c", 1)]
+        + [(None, 5), ("a", None)]  # skipped
+    )
+    got = {
+        r["g"]: (r["approx_distinct"], r["empty_buckets"])
+        for r in hll_by_key(_gds(rows, parts=7), "g", "k").take_all()
+    }
+    assert set(got) == {"a", "b", "c"}
+    for g, keys in [("a", range(900)), ("b", range(37)), ("c", [1])]:
+        ref = hll_estimate(_ds(list(keys)), "k").take_all()[0]
+        assert got[g] == (ref["approx_distinct"], ref["empty_buckets"]), g
+    # invariance under a different sharding
+    again = {
+        r["g"]: (r["approx_distinct"], r["empty_buckets"])
+        for r in hll_by_key(_gds(rows, parts=2), "g", "k").take_all()
+    }
+    assert again == got
 
 
 # --- Count-Min sketch ---
