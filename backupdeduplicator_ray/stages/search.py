@@ -8,9 +8,17 @@ passes, no shuffle:
   pass 1  per-batch scalar partials: n_docs, sum(dl), and per-query-term
           document frequencies — O(|q| + 2) rows per batch to the driver,
           regardless of corpus size.  idf and avgdl are computed once from
-          the combined partials.
-  pass 2  per-batch vectorized scoring (Arrow tokenize -> bincount tf per
-          term) + a local top-k, merged on the driver from k x blocks rows.
+          the combined partials.  No tokenize: dl comes from
+          count_substring_regex (== len(regexp_extract_all), the token_stats
+          equivalence) and df from a boundary-pattern PRESENCE regex —
+          boolean presence is exact under leftmost scanning because the
+          pattern only matches whole-token occurrences, so non-token
+          occurrences never consume characters (counting with the same
+          pattern would undercount adjacent repeats; presence does not).
+  pass 2  per-batch vectorized scoring + a local top-k, merged on the
+          driver from k x blocks rows.  Only docs containing >= 1 query
+          term (the same presence mask) are tokenized — tf needs exact
+          whole-token counts, which the boundary regex cannot give.
 
 Float discipline (the oracle doctrine): every arithmetic step is written
 in the exact operation order the SQL oracle uses — contributions are
@@ -28,16 +36,33 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 SPLIT_PATTERN = "[^A-Za-z0-9_]+"  # complement of textops.TOKEN_PATTERN
+TOKEN_PATTERN = "[A-Za-z0-9_]+"
+
+
+def _presence_pattern(term: str) -> str:
+    """RE2 pattern matching `term` as a whole token.  Exact for PRESENCE
+    only: a counting scan would miss adjacent repeats ('x x' — the shared
+    separator is consumed), but the first whole-token occurrence always
+    has its leading boundary unconsumed, so a boolean match never misses."""
+    import re as _re
+
+    return f"(?:^|[^A-Za-z0-9_]){_re.escape(term)}(?:$|[^A-Za-z0-9_])"
 
 
 def _term_counts(t: pa.Table, id_col: str, text_col: str, terms: list[str]):
-    """(ids, dl, tf) for one batch: per-valid-doc token length and an
-    (n, |terms|) whole-token occurrence matrix, all vectorized (Arrow
-    split + equality kernels, numpy bincount — no Python per row)."""
+    """(ids, dl, tf) for the batch's MATCHING docs (>= 1 query term
+    present): per-doc token length and an (n, |terms|) exact whole-token
+    count matrix, all vectorized (Arrow split + equality kernels, numpy
+    bincount — no Python per row).  Non-matching docs are dropped before
+    the tokenize — they can only score 0."""
     text = t[text_col].combine_chunks()
-    valid = pc.is_valid(text)
-    ids = t[id_col].combine_chunks().filter(valid)
-    lists = pc.split_pattern_regex(text.filter(valid), SPLIT_PATTERN)
+    any_hit = None
+    for term in terms:
+        hit = pc.match_substring_regex(text, _presence_pattern(term))
+        any_hit = hit if any_hit is None else pc.or_(any_hit, hit)
+    keep = pc.fill_null(pc.and_(pc.is_valid(text), any_hit), False)
+    ids = t[id_col].combine_chunks().filter(keep)
+    lists = pc.split_pattern_regex(text.filter(keep), SPLIT_PATTERN)
     toks = pc.list_flatten(lists)
     parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
     n = len(ids)
@@ -66,15 +91,23 @@ def bm25_topk(
     import ray.data
 
     def stats_partial(t: pa.Table) -> pa.Table:
-        _, dl, tf = _term_counts(t, id_col, text_col, terms)
+        text = t[text_col].combine_chunks()
+        vtext = text.filter(pc.is_valid(text))
+        sdl = pc.sum(pc.count_substring_regex(vtext, TOKEN_PATTERN)).as_py() or 0
+        dfs = [
+            pc.sum(
+                pc.cast(
+                    pc.match_substring_regex(vtext, _presence_pattern(term)),
+                    pa.int64(),
+                )
+            ).as_py()
+            or 0
+            for term in terms
+        ]
         return pa.table(
             {
                 "key": pa.array(["__n__", "__dl__", *terms], pa.string()),
-                "val": pa.array(
-                    [len(dl), int(dl.sum())]
-                    + [int((tf[:, j] > 0).sum()) for j in range(len(terms))],
-                    pa.int64(),
-                ),
+                "val": pa.array([len(vtext), int(sdl), *map(int, dfs)], pa.int64()),
             }
         )
 
@@ -95,15 +128,15 @@ def bm25_topk(
     idf = [np.log((n_docs - df[t_] + 0.5) / (df[t_] + 0.5) + 1.0) for t_ in terms]
 
     def score_partial(t: pa.Table) -> pa.Table:
+        # _term_counts keeps only docs containing >= 1 term (tf > 0 iff a
+        # whole-token occurrence exists, so the presence mask is exact)
         ids, dl, tf = _term_counts(t, id_col, text_col, terms)
         norm = k1 * (1.0 - b + b * (dl / avgdl))
         s = np.zeros(len(dl), np.float64)
         for j in range(len(terms)):
             tfj = tf[:, j].astype(np.float64)
             s = s + idf[j] * (tfj * (k1 + 1.0)) / (tfj + norm)
-        keep = tf.sum(axis=1) > 0
-        s = np.round(s[keep], 6)
-        ids = ids.filter(pa.array(keep))
+        s = np.round(s, 6)
         # local top-k on the fused (rounded-score, id) rank key
         order = np.lexsort(
             (ids.to_numpy(zero_copy_only=False), -np.rint(s * 1e6).astype(np.int64))
@@ -116,6 +149,13 @@ def bm25_topk(
         )
 
     rows = ds.map_batches(score_partial, batch_format="pyarrow").take_all()
+    if not rows:
+        id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+        return ray.data.from_arrow(
+            pa.table(
+                {id_col: pa.array([], id_type), "score": pa.array([], pa.float64())}
+            )
+        )
     ids_all = np.array([r[id_col] for r in rows])
     s_all = np.array([r["score"] for r in rows], np.float64)
     order = np.lexsort((ids_all, -np.rint(s_all * 1e6).astype(np.int64)))[:k]
