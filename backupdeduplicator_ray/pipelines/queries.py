@@ -846,6 +846,51 @@ SQL_SNAPSHOT_DIFF = (
 )
 
 
+def q_bloom_new_paths(sf_dir: str):
+    """Definitely-new files in generation 2: a Bloom filter (m = 2^17
+    bits) built over generation 1's content hashes, probed by every
+    generation-2 row — the O(m)-memory complement of the exact incremental
+    cache join (a bloom-NEGATIVE hash certainly wasn't in the old
+    generation; positives would fall back to the exact join)."""
+    from ..stages.sketch import bloom_build, bloom_new_rows
+
+    old_ds, new_ds = _snapshot_sides(sf_dir)
+    out = bloom_new_rows(new_ds, "hash", bloom_build(old_ds, "hash"))
+    return out.map_batches(
+        lambda t: pa.table(
+            {"repo": t["repo"], "path": t["path"], "hash": t["hash"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# Bloom positions are the four sha256 words of the (hex) content hash mod
+# 2^17 — the sketch-family hash contract, so membership replays in SQL:
+# a new-generation row is reported iff >= 1 of its 4 positions is absent
+# from the old generation's distinct-position set.
+SQL_BLOOM_NEW_PATHS = _SQL_SNAPSHOT_PRELUDE + """
+, rws AS (SELECT unnest([0, 1, 2, 3]) AS rw),
+oldpos AS (
+  SELECT DISTINCT
+         CAST(CAST('0x' || substr(sha256(hash), 1 + 16 * rw, 16) AS UBIGINT)
+              % 131072 AS BIGINT) AS pos
+  FROM olds, rws
+),
+npos AS (
+  SELECT n.repo, n.path, n.hash,
+         CAST(CAST('0x' || substr(sha256(n.hash), 1 + 16 * rw, 16) AS UBIGINT)
+              % 131072 AS BIGINT) AS pos
+  FROM news n, rws
+),
+flag AS (
+  SELECT repo, path, hash, bool_and(o.pos IS NOT NULL) AS all_seen
+  FROM npos LEFT JOIN oldpos o USING (pos)
+  GROUP BY 1, 2, 3
+)
+SELECT repo, path, hash FROM flag WHERE NOT all_seen
+"""
+
+
 def q_snapshot_diff_stats(sf_dir: str):
     """Single-row rollup of the full diff (unchanged rows included):
     per-status counts + byte movement, streaming partial sums."""
@@ -2808,6 +2853,7 @@ QUERIES = {
     "compact_latest": q_compact_latest,
     "incremental_file_hash": q_incremental_file_hash,
     "snapshot_diff": q_snapshot_diff,
+    "bloom_new_paths": q_bloom_new_paths,
     "snapshot_diff_stats": q_snapshot_diff_stats,
     "cdc_chunks": q_cdc_chunks,
     "cdc_dup_chunks": q_cdc_dup_chunks,
@@ -2925,6 +2971,7 @@ ORACLE_SQL = {
     "hll_users": SQL_HLL_USERS,
     "hll_events": SQL_HLL_EVENTS,
     "hll_users_by_type": SQL_HLL_USERS_BY_TYPE,
+    "bloom_new_paths": SQL_BLOOM_NEW_PATHS,
     "cms_sketch": SQL_CMS_SKETCH,
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "bm25_topk": SQL_BM25_TOPK,

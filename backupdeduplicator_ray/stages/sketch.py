@@ -267,6 +267,77 @@ def cms_table(ds, key_col: str):
     )
 
 
+# --- Bloom filter: bounded-memory MEMBERSHIP (Bloom 1970).  The backup
+# use case (reference ST1/J1 territory: "which files are NEW since the
+# last run") normally needs the previous generation's full hash set; the
+# Bloom filter answers "definitely new" from m bits however large that
+# set is.  One-sided like CMS: a bloom-NEGATIVE key is certainly absent
+# from the old generation (the sound direction for triggering work); a
+# positive may be a false positive, so positives fall back to the exact
+# incremental join (stages/incremental.py) when exactness matters.
+# Same determinism contract: d = 4 positions from the four sha256 words.
+
+BLOOM_M = 1 << 17  # bits; ~131k -> <1% FP at ~15k keys with d=4
+BLOOM_D = 4
+
+BLOOM_SCHEMA = pa.schema([("pos", pa.int64())])
+
+
+def _bloom_positions_matrix(col) -> np.ndarray:
+    return (_digest_matrix(col) % np.uint64(BLOOM_M)).astype(np.int64)
+
+
+def bloom_build(ds, key_col: str):
+    """The filter as a Dataset of DISTINCT set bit positions — at most m
+    rows whatever the corpus size; union of two corpora's filters ==
+    union of their position sets.  Per-batch partials are np.unique over
+    the batch's d x n positions (bounded by m); one m-bounded groupby
+    dedups globally.  Null keys are skipped."""
+    from ray.data.aggregate import Count
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        col = col.filter(pc.is_valid(col))
+        if len(col) == 0:
+            return BLOOM_SCHEMA.empty_table()
+        pos = np.unique(_bloom_positions_matrix(col))
+        return pa.table({"pos": pa.array(pos)}, schema=BLOOM_SCHEMA)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pos")
+        .aggregate(Count())
+        .map_batches(
+            lambda t: pa.table({"pos": t["pos"]}, schema=BLOOM_SCHEMA),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def bloom_new_rows(ds, key_col: str, bloom_ds):
+    """Rows of `ds` whose key is DEFINITELY absent from the corpus
+    `bloom_ds` was built on (>= 1 of the key's d bits unset).  The filter
+    is <= m positions — pulled once to an m-bit driver array and shipped
+    in the batch closure (fixed ~16 KiB of bits at m = 2^17), never
+    re-derived per batch.  Null keys are dropped (membership of null is
+    undefined, matching the build-side skip)."""
+    bits = np.zeros(BLOOM_M, bool)
+    pos_rows = [r["pos"] for r in bloom_ds.take_all()]
+    if pos_rows:
+        bits[np.asarray(pos_rows, np.int64)] = True
+
+    def flt(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        valid = pc.is_valid(col)
+        t = t.filter(valid)
+        if len(t) == 0:
+            return t
+        seen = bits[_bloom_positions_matrix(t[key_col])].all(axis=1)
+        return t.filter(pa.array(~seen))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 def cms_estimate(ds, key_col: str, probes: pa.Array):
     """Point-frequency estimates for `probes`: (key_col, est_count) with
     est = MIN over the d rows of the probed counter (0 if a cell is empty,

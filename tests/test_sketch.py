@@ -17,6 +17,10 @@ from backupdeduplicator_ray.stages.sketch import (
     CMS_W,
     M,
     Q,
+    BLOOM_D,
+    BLOOM_M,
+    bloom_build,
+    bloom_new_rows,
     cms_estimate,
     cms_table,
     estimate_from_registers,
@@ -201,6 +205,56 @@ def test_cms_merge_is_cellwise_sum(ray_session):
         cell: ca.get(cell, 0) + cb.get(cell, 0) for cell in set(ca) | set(cb)
     }
     assert _cms_cells(_ds(a + b, parts=6)) == merged
+
+
+# --- Bloom filter ---
+
+
+def _bloom_ref_positions(keys):
+    pos = set()
+    for k in keys:
+        d = hashlib.sha256(str(k).encode()).digest()
+        for rw in range(BLOOM_D):
+            pos.add(int.from_bytes(d[8 * rw : 8 * rw + 8], "big") % BLOOM_M)
+    return pos
+
+
+def test_bloom_build_matches_reference(ray_session):
+    keys = [f"h{i}" for i in range(2000)]
+    got = {r["pos"] for r in bloom_build(_ds(keys, parts=6), "k").take_all()}
+    assert got == _bloom_ref_positions(keys)
+    # union semantics: filter(A + B) == filter(A) | filter(B)
+    more = [f"x{i}" for i in range(300)]
+    both = {r["pos"] for r in bloom_build(_ds(keys + more, parts=4), "k").take_all()}
+    assert both == got | _bloom_ref_positions(more)
+
+
+def test_bloom_new_rows_sound_and_reference_exact(ray_session):
+    old_keys = [f"old{i}" for i in range(1500)]
+    probe = [f"old{i}" for i in range(0, 1500, 7)] + [f"new{i}" for i in range(400)]
+    out = bloom_new_rows(
+        _ds(probe, parts=5), "k", bloom_build(_ds(old_keys, parts=3), "k")
+    ).take_all()
+    reported = sorted(r["k"] for r in out)
+    # soundness: a key present in the old corpus is NEVER reported new
+    assert not any(k.startswith("old") for k in reported)
+    # bit-exact vs the reference filter: reported == keys with >= 1 unset bit
+    bits = _bloom_ref_positions(old_keys)
+    expect = sorted(
+        k for k in probe if not _bloom_ref_positions([k]) <= bits
+    )
+    assert reported == expect
+    # at this density (6k/131k bits) the FP rate is tiny but nonzero;
+    # sanity: nearly all truly-new keys surface
+    assert len([k for k in reported if k.startswith("new")]) >= 390
+
+
+def test_bloom_null_keys_skipped(ray_session):
+    flt = bloom_build(_ds(pa.array(["a", None], pa.string())), "k")
+    out = bloom_new_rows(
+        _ds(pa.array(["a", None, "b"], pa.string())), "k", flt
+    ).take_all()
+    assert [r["k"] for r in out] == ["b"]
 
 
 def test_cms_nulls_and_unseen_probe(ray_session):
