@@ -1,5 +1,9 @@
-"""HyperLogLog approximate distinct count — the bounded-memory cardinality
-sketch (Flajolet et al. 2007, original HLL estimator).
+"""Bounded-memory sketches: HyperLogLog cardinality (global + grouped),
+Count-Min frequency, and Bloom membership — all deterministic on the
+corpus-wide sha256 fixed point, so registers/counters/positions AND the
+derived estimates replay bit-exactly in the DuckDB oracles.
+
+HyperLogLog (Flajolet et al. 2007, original HLL estimator):
 
 Beyond the reference's scope (mandated LLM-training-data extension): exact
 distinct counting (`stages/stats.distinct_count`) moves O(distinct keys)
