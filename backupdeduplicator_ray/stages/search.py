@@ -90,6 +90,9 @@ def bm25_topk(
     non-negative variant)."""
     import ray.data
 
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+
     def stats_partial(t: pa.Table) -> pa.Table:
         text = t[text_col].combine_chunks()
         vtext = text.filter(pc.is_valid(text))

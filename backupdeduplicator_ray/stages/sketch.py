@@ -349,6 +349,12 @@ def cms_estimate(ds, key_col: str, probes: pa.Array):
     driver-side lookup is O(d*w + len(probes))."""
     import ray.data
 
+    if len(probes) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {key_col: probes, "est_count": pa.array([], pa.int64())}
+            )
+        )
     sk = np.zeros(CMS_D * CMS_W, np.int64)
     for r in cms_table(ds, key_col).take_all():
         sk[r["rw"] * CMS_W + r["col"]] = r["cnt"]

@@ -83,6 +83,13 @@ def test_repartition_invariance(ray_session):
     assert a == b
 
 
+def test_empty_terms_rejected(ray_session):
+    import pytest
+
+    with pytest.raises(ValueError):
+        bm25_topk(_ds(FIXTURE), [], k=5)
+
+
 def test_tf_saturation(ray_session):
     # same dl, higher tf scores higher — but sublinearly (BM25 saturation):
     # going 1->2 occurrences gains more than 5->6.

@@ -257,6 +257,11 @@ def test_bloom_null_keys_skipped(ray_session):
     assert [r["k"] for r in out] == ["b"]
 
 
+def test_cms_empty_probe_set(ray_session):
+    out = cms_estimate(_ds(["a", "b"]), "k", pa.array([], pa.string())).take_all()
+    assert out == []
+
+
 def test_cms_nulls_and_unseen_probe(ray_session):
     ds = _ds(pa.array(["x", None, "x", "y"], pa.string()))
     t = cms_table(ds, "k").to_pandas()
