@@ -2229,6 +2229,37 @@ QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
 """
 
 
+def q_props_field_agg(sf_dir: str):
+    """Semi-structured aggregate: integer field `k` extracted from the
+    flat-JSON `props` column by one RE2 kernel, partial-combined per
+    event type (no JSON parser, no Python per row)."""
+    from ..stages.events import json_field_agg
+
+    return json_field_agg(
+        _events(sf_dir, ["event_type", "props"]),
+        json_col="props",
+        field="k",
+        key_col="event_type",
+    )
+
+
+SQL_PROPS_FIELD_AGG = r"""
+WITH x AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IS NOT NULL
+    AND regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) <> ''
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(min(v) AS BIGINT) AS min_val,
+       CAST(max(v) AS BIGINT) AS max_val
+FROM x GROUP BY 1
+"""
+
+
 def q_hll_users_by_type(sf_dir: str):
     """Per-event-type approximate distinct users — the bounded-memory
     companion to `distinct_users` (grouped HLL: one group-key exchange of
@@ -2893,6 +2924,7 @@ QUERIES = {
     "hll_users": q_hll_users,
     "hll_events": q_hll_events,
     "hll_users_by_type": q_hll_users_by_type,
+    "props_field_agg": q_props_field_agg,
     "cms_sketch": q_cms_sketch,
     "cms_user_counts": q_cms_user_counts,
     "bm25_topk": q_bm25_topk,
@@ -2972,6 +3004,7 @@ ORACLE_SQL = {
     "hll_events": SQL_HLL_EVENTS,
     "hll_users_by_type": SQL_HLL_USERS_BY_TYPE,
     "bloom_new_paths": SQL_BLOOM_NEW_PATHS,
+    "props_field_agg": SQL_PROPS_FIELD_AGG,
     "cms_sketch": SQL_CMS_SKETCH,
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "bm25_topk": SQL_BM25_TOPK,

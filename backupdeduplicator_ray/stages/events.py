@@ -314,3 +314,74 @@ def asof_join(
         return pa.Table.from_pandas(merged, preserve_index=False).cast(out_schema)
 
     return tagged.groupby("__part").map_groups(merge_part, batch_format="pandas")
+
+
+def json_field_agg(ds, json_col: str = "props", field: str = "k", key_col: str = "event_type"):
+    """Semi-structured extraction + aggregate: pull an integer `field` out
+    of a flat-JSON string column with ONE vectorized RE2 kernel
+    (pc.extract_regex — the same regex class DuckDB's regexp_extract runs,
+    so the oracle replays the extraction verbatim; no JSON parser in the
+    hot path, no Python per row), then the windowed_agg partial-combine:
+    per-batch pandas groupby partials -> one key groupby of partials.
+
+    Output per key: n_vals (rows with a parsable field), sum_val, min_val,
+    max_val — all int64.  Rows where the field is absent/unparsable or the
+    key is null are excluded, matching the SQL WHERE clause.
+    """
+    import re as _re
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    pattern = f'"{_re.escape(field)}":\\s*(?P<v>-?[0-9]+)'
+
+    partial_schema = pa.schema(
+        [
+            (key_col, pa.string()),
+            ("n_vals", pa.int64()),
+            ("sum_val", pa.int64()),
+            ("min_val", pa.int64()),
+            ("max_val", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].combine_chunks()
+        ex = pc.extract_regex(t[json_col].combine_chunks(), pattern)
+        v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        keep = pc.and_(pc.is_valid(v), pc.is_valid(keys))
+        if pc.sum(pc.cast(keep, pa.int64())).as_py() in (0, None):
+            return partial_schema.empty_table()
+        df = pd.DataFrame(
+            {
+                key_col: keys.filter(keep).to_pandas(),
+                "v": v.filter(keep).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(key_col, sort=False, observed=True).agg(
+            n_vals=("v", "size"),
+            sum_val=("v", "sum"),
+            min_val=("v", "min"),
+            max_val=("v", "max"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False).cast(
+            partial_schema
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n_vals"), Sum("sum_val"), Min("min_val"), Max("max_val"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "n_vals": t["sum(n_vals)"].cast(pa.int64()),
+                "sum_val": t["sum(sum_val)"].cast(pa.int64()),
+                "min_val": t["min(min_val)"].cast(pa.int64()),
+                "max_val": t["max(max_val)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

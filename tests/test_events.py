@@ -107,3 +107,43 @@ def test_sessionize_partition_invariance(ray_session, events_tbl):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_json_field_agg_semantics(ray_session):
+    """Malformed JSON / missing field / null key rows are excluded;
+    negatives parse; results match a brute computation and are
+    partition-invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.events import json_field_agg
+
+    rows = [
+        ("a", '{"k": 5}'),
+        ("a", '{"k": -3}'),
+        ("a", '{"other": 9}'),      # field absent -> excluded
+        ("a", "not json at all"),   # unparsable -> excluded
+        ("b", '{"k": 7, "x": 1}'),
+        ("b", None),                # null props -> excluded
+        (None, '{"k": 100}'),       # null key -> excluded
+    ]
+    t = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "props": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+    def run(parts):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = json_field_agg(ds, "props", "k", "event_type").take_all()
+        return {
+            r["event_type"]: (r["n_vals"], r["sum_val"], r["min_val"], r["max_val"])
+            for r in out
+        }
+
+    expect = {"a": (2, 2, -3, 5), "b": (1, 7, 7, 7)}
+    assert run(1) == expect
+    assert run(5) == expect
