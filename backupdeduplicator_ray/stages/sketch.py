@@ -281,17 +281,23 @@ def cms_table(ds, key_col: str):
 # incremental join (stages/incremental.py) when exactness matters.
 # Same determinism contract: d = 4 positions from the four sha256 words.
 
-BLOOM_M = 1 << 17  # bits; ~131k -> <1% FP at ~15k keys with d=4
+#: Default bits — <1% FP at ~15k keys with d=4.  SIZE m TO THE KEY COUNT:
+#: at n keys aim for m >= ~10n bits (FP ~ (1-e^(-dn/m))^d); a saturated
+#: filter stays SOUND (never reports a present key as new) but reports
+#: nothing new — measured at 1.63M keys the 2^17 default sets every bit.
+#: The probe side broadcasts m/8 bytes once per worker (2^27 bits = 16 MiB
+#: is still a cheap ray.put at cluster scale).
+BLOOM_M = 1 << 17
 BLOOM_D = 4
 
 BLOOM_SCHEMA = pa.schema([("pos", pa.int64())])
 
 
-def _bloom_positions_matrix(col) -> np.ndarray:
-    return (_digest_matrix(col) % np.uint64(BLOOM_M)).astype(np.int64)
+def _bloom_positions_matrix(col, m: int) -> np.ndarray:
+    return (_digest_matrix(col) % np.uint64(m)).astype(np.int64)
 
 
-def bloom_build(ds, key_col: str):
+def bloom_build(ds, key_col: str, m: int = BLOOM_M):
     """The filter as a Dataset of DISTINCT set bit positions — at most m
     rows whatever the corpus size; union of two corpora's filters ==
     union of their position sets.  Per-batch partials are np.unique over
@@ -304,7 +310,7 @@ def bloom_build(ds, key_col: str):
         col = col.filter(pc.is_valid(col))
         if len(col) == 0:
             return BLOOM_SCHEMA.empty_table()
-        pos = np.unique(_bloom_positions_matrix(col))
+        pos = np.unique(_bloom_positions_matrix(col, m))
         return pa.table({"pos": pa.array(pos)}, schema=BLOOM_SCHEMA)
 
     return (
@@ -318,14 +324,15 @@ def bloom_build(ds, key_col: str):
     )
 
 
-def bloom_new_rows(ds, key_col: str, bloom_ds):
+def bloom_new_rows(ds, key_col: str, bloom_ds, m: int = BLOOM_M):
     """Rows of `ds` whose key is DEFINITELY absent from the corpus
-    `bloom_ds` was built on (>= 1 of the key's d bits unset).  The filter
-    is <= m positions — pulled once to an m-bit driver array and shipped
-    in the batch closure (fixed ~16 KiB of bits at m = 2^17), never
-    re-derived per batch.  Null keys are dropped (membership of null is
-    undefined, matching the build-side skip)."""
-    bits = np.zeros(BLOOM_M, bool)
+    `bloom_ds` was built on (>= 1 of the key's d bits unset; pass the SAME
+    m as the build).  The filter is <= m positions — pulled once to an
+    m-bit driver array and shipped in the batch closure (m/8 bytes: 16 KiB
+    at the 2^17 default), never re-derived per batch.  Null keys are
+    dropped (membership of null is undefined, matching the build-side
+    skip)."""
+    bits = np.zeros(m, bool)
     pos_rows = [r["pos"] for r in bloom_ds.take_all()]
     if pos_rows:
         bits[np.asarray(pos_rows, np.int64)] = True
@@ -336,7 +343,7 @@ def bloom_new_rows(ds, key_col: str, bloom_ds):
         t = t.filter(valid)
         if len(t) == 0:
             return t
-        seen = bits[_bloom_positions_matrix(t[key_col])].all(axis=1)
+        seen = bits[_bloom_positions_matrix(t[key_col], m)].all(axis=1)
         return t.filter(pa.array(~seen))
 
     return ds.map_batches(flt, batch_format="pyarrow")

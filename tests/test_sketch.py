@@ -249,6 +249,26 @@ def test_bloom_new_rows_sound_and_reference_exact(ray_session):
     assert len([k for k in reported if k.startswith("new")]) >= 390
 
 
+def test_bloom_m_sizing(ray_session):
+    # an undersized filter saturates: still SOUND (nothing truly-old is
+    # reported new) but reports nothing; a right-sized m recovers recall.
+    old = [f"o{i}" for i in range(3000)]
+    new = [f"n{i}" for i in range(100)]
+    tiny = bloom_new_rows(
+        _ds(old + new, parts=3), "k", bloom_build(_ds(old), "k", m=256), m=256
+    ).take_all()
+    assert tiny == []  # 3000 keys x 4 bits >> 256: every bit set
+    sized = bloom_new_rows(
+        _ds(old + new, parts=3),
+        "k",
+        bloom_build(_ds(old), "k", m=1 << 20),
+        m=1 << 20,
+    ).take_all()
+    got = sorted(r["k"] for r in sized)
+    assert not any(k.startswith("o") for k in got)
+    assert len(got) >= 99  # ~all new keys surface at n/m ~ 0.01
+
+
 def test_bloom_null_keys_skipped(ray_session):
     flt = bloom_build(_ds(pa.array(["a", None], pa.string())), "k")
     out = bloom_new_rows(
