@@ -2441,6 +2441,39 @@ LIMIT 100
 """
 
 
+def q_strip_stopwords(sf_dir: str):
+    """Corpus-frequency boilerplate stripping: remove the top-5 most
+    frequent tokens from every document (vocab_topk -> broadcast list ->
+    one vectorized map stage; survivors keep their original order)."""
+    from ..stages.textops import remove_stopwords, vocab_topk
+
+    stops = [
+        r["token"] for r in vocab_topk(_docs(sf_dir, ["text"]), "text", k=5).take_all()
+    ]
+    return remove_stopwords(_docs(sf_dir, ["doc_id", "text"]), stops)
+
+
+SQL_STRIP_STOPWORDS = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS arr
+  FROM documents WHERE text IS NOT NULL
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS tok, unnest(generate_series(1, len(arr))) AS ord
+  FROM arrs
+),
+stop AS (
+  SELECT token FROM (
+    SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY token ORDER BY count(*) DESC, token LIMIT 5
+)
+SELECT doc_id, string_agg(tok, ' ' ORDER BY ord) AS text_clean
+FROM toks WHERE tok NOT IN (SELECT token FROM stop)
+GROUP BY doc_id
+"""
+
+
 def q_near_dedup(sf_dir: str):
     """Near-dedup drop list: every doc a MinHash+LSH dedup pass removes
     (min-id representative kept per cluster)."""
@@ -2925,6 +2958,7 @@ QUERIES = {
     "hll_events": q_hll_events,
     "hll_users_by_type": q_hll_users_by_type,
     "props_field_agg": q_props_field_agg,
+    "strip_stopwords": q_strip_stopwords,
     "cms_sketch": q_cms_sketch,
     "cms_user_counts": q_cms_user_counts,
     "bm25_topk": q_bm25_topk,
@@ -3005,6 +3039,7 @@ ORACLE_SQL = {
     "hll_users_by_type": SQL_HLL_USERS_BY_TYPE,
     "bloom_new_paths": SQL_BLOOM_NEW_PATHS,
     "props_field_agg": SQL_PROPS_FIELD_AGG,
+    "strip_stopwords": SQL_STRIP_STOPWORDS,
     "cms_sketch": SQL_CMS_SKETCH,
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "bm25_topk": SQL_BM25_TOPK,

@@ -528,3 +528,56 @@ def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def remove_stopwords(
+    ds, stopwords: list[str], id_col: str = "doc_id", text_col: str = "text"
+):
+    """Strip the given tokens from every document, preserving the order of
+    the survivors: output (id_col, text_clean) where text_clean is the
+    kept tokens joined by single spaces.  Docs left with ZERO kept tokens
+    (all-stopword, token-free, or null text) are dropped — the SQL inner
+    group semantics.
+
+    Fully vectorized rebuild: Arrow split -> is_in mask over the flattened
+    token stream -> a NEW ListArray from bincount-derived offsets ->
+    pc.binary_join.  No Python joins per doc; the stopword set rides the
+    closure (a handful of strings), and nothing shuffles — this is a pure
+    map stage, composable after `vocab_topk` for corpus-frequency-derived
+    boilerplate lists.
+    """
+    import pyarrow.compute as pc
+
+    stop_set = pa.array(sorted(set(stopwords)), pa.string())
+
+    def strip(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks()
+        valid = pc.is_valid(text)
+        ids = t[id_col].combine_chunks().filter(valid)
+        lists = pc.split_pattern_regex(text.filter(valid), "[^A-Za-z0-9_]+")
+        toks = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.and_(
+            pc.not_equal(toks, ""),
+            pc.invert(pc.is_in(toks, value_set=stop_set)),
+        ).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        kept_per_doc = np.bincount(parents[keep], minlength=n)
+        nonempty = kept_per_doc > 0
+        # offsets over ONLY the surviving docs; token order is preserved
+        # because `keep` filters a stream already sorted by (doc, position)
+        offsets = np.zeros(int(nonempty.sum()) + 1, np.int32)
+        np.cumsum(kept_per_doc[nonempty], out=offsets[1:])
+        kept_toks = toks.filter(pa.array(keep))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_toks),
+            " ",
+        )
+        return pa.table(
+            {
+                id_col: ids.filter(pa.array(nonempty)),
+                "text_clean": joined,
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow")

@@ -107,3 +107,38 @@ def test_fingerprints_deterministic(ray_session):
     assert rows[1]["max_fingerprint"] == rows[2]["max_fingerprint"]
     # < k tokens still fingerprints (falls back to shorter gram)
     assert rows[3]["n_fingerprints"] >= 1
+
+
+def test_remove_stopwords_semantics(ray_session):
+    """Order preserved, all-stopword / token-free / null docs dropped,
+    punctuation boundaries respected, partition-invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.textops import remove_stopwords
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the"),            # all stopwords -> dropped
+        (3, "...!!!"),                 # no tokens -> dropped
+        (4, None),                     # null -> dropped
+        (5, "on-the-mat, cat!"),       # punctuation splits tokens
+        (6, "CAT the cat"),            # case-sensitive: CAT kept
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+    def run(parts):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = remove_stopwords(ds, ["the", "on"]).take_all()
+        return {r["doc_id"]: r["text_clean"] for r in out}
+
+    expect = {1: "cat sat mat", 5: "mat cat", 6: "CAT cat"}
+    assert run(1) == expect
+    assert run(4) == expect
