@@ -2441,6 +2441,23 @@ LIMIT 100
 """
 
 
+def q_normalize_nfc(sf_dir: str):
+    """Unicode NFC canonicalization per doc (composes decomposed
+    sequences; null text passes through).  ASCII fixture text is a no-op
+    — the real coverage is tests/test_oracle_nonascii.py, which runs this
+    same query over composed/decomposed multi-byte pairs."""
+    from ..stages.scrub import normalize_nfc
+
+    return normalize_nfc(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_NORMALIZE_NFC = """
+SELECT doc_id, nfc_normalize(text) AS text_nfc,
+       CAST(coalesce(nfc_normalize(text) <> text, FALSE) AS BIGINT) AS changed
+FROM documents
+"""
+
+
 def q_strip_stopwords(sf_dir: str):
     """Corpus-frequency boilerplate stripping: remove the top-5 most
     frequent tokens from every document (vocab_topk -> broadcast list ->
@@ -2959,6 +2976,7 @@ QUERIES = {
     "hll_users_by_type": q_hll_users_by_type,
     "props_field_agg": q_props_field_agg,
     "strip_stopwords": q_strip_stopwords,
+    "normalize_nfc": q_normalize_nfc,
     "cms_sketch": q_cms_sketch,
     "cms_user_counts": q_cms_user_counts,
     "bm25_topk": q_bm25_topk,
@@ -3040,6 +3058,7 @@ ORACLE_SQL = {
     "bloom_new_paths": SQL_BLOOM_NEW_PATHS,
     "props_field_agg": SQL_PROPS_FIELD_AGG,
     "strip_stopwords": SQL_STRIP_STOPWORDS,
+    "normalize_nfc": SQL_NORMALIZE_NFC,
     "cms_sketch": SQL_CMS_SKETCH,
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "bm25_topk": SQL_BM25_TOPK,

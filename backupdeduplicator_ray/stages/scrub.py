@@ -90,3 +90,47 @@ def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def normalize_nfc(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Unicode NFC canonicalization: composes decomposed sequences
+    (e + combining acute -> é) so byte-level dedup/hashing treats
+    canonically-equal text as equal — the standard first step before
+    exact dedup on multilingual corpora.
+
+    NOT `pc.utf8_normalize`: pyarrow 16's NFC/NFKC forms only DECOMPOSE
+    (measured here: 'e\\u0301' stays decomposed and NFC == NFD output),
+    so the kernel is unusable for composition.  Instead: a vectorized
+    `string_is_ascii` fast path (ASCII is NFC by definition — on
+    mostly-ASCII corpora the whole batch short-circuits), then ONE
+    C-level `unicodedata.normalize` call per non-ASCII row, guarded by
+    the C `is_normalized` quick check.  DuckDB's `nfc_normalize` is the
+    same UAX #15 form — byte-exact in tests and the non-ASCII oracle
+    harness.  Null text passes through.  Output: (id_col, text_nfc,
+    changed int64 flag)."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks()
+        ascii_or_null = pc.fill_null(pc.string_is_ascii(text), True)
+        if pc.all(ascii_or_null).as_py():
+            s = text
+        else:
+            vals = text.to_pylist()
+            s = pa.array(
+                [
+                    v
+                    if v is None or unicodedata.is_normalized("NFC", v)
+                    else unicodedata.normalize("NFC", v)
+                    for v in vals
+                ],
+                pa.string(),
+            )
+        changed = pc.cast(
+            pc.fill_null(pc.not_equal(s, text), False), pa.int64()
+        )
+        return pa.table({id_col: t[id_col], "text_nfc": s, "changed": changed})
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -32,13 +32,20 @@ QUERIES = [
     "media_frames",
     "media_features",
     "substring_pairs",
+    # multi-byte text is exactly what these two must survive: NFC composes
+    # decomposed sequences; stopword stripping rebuilds docs from a
+    # byte-sliced token stream
+    "normalize_nfc",
+    "strip_stopwords",
 ]
 
 
 @pytest.fixture(scope="module")
 def corpus_dir(tmp_path_factory):
     rng = np.random.default_rng(41)
-    alphabet = list("abcdefgh ĳκλé中ü🙂")  # 1-, 2-, 3- and 4-byte code points
+    # 1-, 2-, 3- and 4-byte code points PLUS a decomposed sequence
+    # (e + combining acute) so NFC normalization actually composes
+    alphabet = list("abcdefgh ĳκλé中ü🙂") + ["é"]
 
     def text(n):
         return "".join(rng.choice(alphabet) for _ in range(n))

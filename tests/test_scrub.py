@@ -108,3 +108,35 @@ def test_token_freq_stats(ray_session):
         assert got[i]["min_tf"] == min(freqs)
         assert got[i]["sum_tf"] == sum(freqs)
         assert got[i]["avg_tf_milli"] == sum(freqs) * 1000 // len(ts)
+
+
+def test_normalize_nfc_composes(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.scrub import normalize_nfc
+
+    rows = [
+        (1, "café"),        # decomposed -> café
+        (2, "café"),         # already composed: unchanged
+        (3, "Ångström"),  # A+ring, o+diaeresis -> Ångström
+        (4, None),
+        (5, "plain ascii"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    out = {
+        r["doc_id"]: (r["text_nfc"], r["changed"])
+        for r in normalize_nfc(ray.data.from_arrow(t)).take_all()
+    }
+    assert out[1] == ("café", 1)
+    assert out[2] == ("café", 0)
+    assert out[3] == ("Ångström", 1)
+    assert out[4] == (None, 0)
+    assert out[5] == ("plain ascii", 0)
+    # canonically-equal inputs now hash equal — the dedup motivation
+    assert out[1][0] == out[2][0]
