@@ -2441,6 +2441,24 @@ LIMIT 100
 """
 
 
+def q_shuffle_rank(sf_dir: str):
+    """Deterministic global shuffle order for training: dense rank in
+    sha256-key order via bucketed exclusive prefix sums (uniform hash
+    buckets — no skew), reproducible across runs and shardings."""
+    from ..stages.select import shuffle_rank
+
+    return shuffle_rank(_docs(sf_dir, ["doc_id"]))
+
+
+SQL_SHUFFLE_RANK = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16), doc_id
+       ) - 1 AS BIGINT) AS shuffle_rank
+FROM documents WHERE doc_id IS NOT NULL
+"""
+
+
 def q_normalize_nfc(sf_dir: str):
     """Unicode NFC canonicalization per doc (composes decomposed
     sequences; null text passes through).  ASCII fixture text is a no-op
@@ -2977,6 +2995,7 @@ QUERIES = {
     "props_field_agg": q_props_field_agg,
     "strip_stopwords": q_strip_stopwords,
     "normalize_nfc": q_normalize_nfc,
+    "shuffle_rank": q_shuffle_rank,
     "cms_sketch": q_cms_sketch,
     "cms_user_counts": q_cms_user_counts,
     "bm25_topk": q_bm25_topk,
@@ -3059,6 +3078,7 @@ ORACLE_SQL = {
     "props_field_agg": SQL_PROPS_FIELD_AGG,
     "strip_stopwords": SQL_STRIP_STOPWORDS,
     "normalize_nfc": SQL_NORMALIZE_NFC,
+    "shuffle_rank": SQL_SHUFFLE_RANK,
     "cms_sketch": SQL_CMS_SKETCH,
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "bm25_topk": SQL_BM25_TOPK,

@@ -168,3 +168,86 @@ def threshold_filter(
         return t.filter(keep)
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def shuffle_rank(ds, id_col: str = "doc_id", n_buckets: int = 256):
+    """Deterministic global training-order shuffle: every row gets a dense
+    rank 0..n-1 in sha256-key order (ties broken by id) — the reproducible
+    equivalent of `random_shuffle` for training-data ordering.  Re-running
+    the pipeline, or running it over a differently-sharded copy, assigns
+    the SAME order; the DuckDB oracle restates it as row_number() over the
+    hex prefix.
+
+    Scale shape (the pack.py exclusive-prefix-sum doctrine, but bucketed
+    on the HASH KEY, which is uniform by construction — no skew, no
+    range-width estimation):
+
+    1. one lean pass: (id, key = first sha256 word, bucket = key's top
+       bits), materialized once for its two consumers (16 B/row; the
+       sha256 is the expensive part);
+    2. per-batch bincounts -> one tiny groupby -> <= n_buckets rows to the
+       driver, turned into exclusive bucket offsets, broadcast in the
+       group-kernel closure;
+    3. one key exchange co-locates each bucket; the kernel sorts by
+       (key, id) and adds the local arange to the bucket offset.
+
+    Output: (id_col, shuffle_rank int64), null ids skipped.
+    """
+    import numpy as np
+
+    from .sketch import _hash64
+
+    if n_buckets < 1 or (n_buckets & (n_buckets - 1)):
+        raise ValueError("n_buckets must be a power of two")
+    shift = np.uint64(64 - (n_buckets.bit_length() - 1))
+
+    def lean(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        ids = ids.filter(pc.is_valid(ids))
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], t[id_col].type),
+                    "__key": pa.array([], pa.uint64()),
+                    "__bucket": pa.array([], pa.int64()),
+                }
+            )
+        key = _hash64(ids)
+        return pa.table(
+            {
+                id_col: ids,
+                "__key": pa.array(key, pa.uint64()),
+                "__bucket": pa.array((key >> shift).astype(np.int64)),
+            }
+        )
+
+    keyed = ds.map_batches(lean, batch_format="pyarrow").materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        cnt = np.bincount(t["__bucket"].to_numpy(), minlength=n_buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"__bucket": pa.array(nz), "n": pa.array(cnt[nz])})
+
+    from ray.data.aggregate import Sum
+
+    totals = np.zeros(n_buckets, np.int64)
+    for r in (
+        keyed.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .aggregate(Sum("n"))
+        .take_all()
+    ):
+        totals[r["__bucket"]] = r["sum(n)"]
+    offsets = np.zeros(n_buckets, np.int64)
+    np.cumsum(totals[:-1], out=offsets[1:])
+
+    def rank_bucket(t: pa.Table) -> pa.Table:
+        key = t["__key"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].combine_chunks()
+        order = np.lexsort((ids.to_numpy(zero_copy_only=False), key))
+        base = offsets[int(t["__bucket"][0].as_py())]
+        ranks = np.empty(len(key), np.int64)
+        ranks[order] = base + np.arange(len(key), dtype=np.int64)
+        return pa.table({id_col: ids, "shuffle_rank": pa.array(ranks)})
+
+    return keyed.groupby("__bucket").map_groups(rank_bucket, batch_format="pyarrow")

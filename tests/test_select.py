@@ -59,3 +59,36 @@ def test_deterministic_sample_stability_and_rate(ray_session):
     assert 0.15 < len(a) / 5000 < 0.25  # Bernoulli(0.2) at n=5000
     bigger = set(deterministic_sample(_ds(ids), "k", 0.5).to_pandas()["k"])
     assert a <= bigger  # nested samples: raising the rate only adds rows
+
+
+def test_shuffle_rank_dense_deterministic(ray_session):
+    """Ranks are a dense 0..n-1 permutation in sha256 order, identical
+    across shardings and bucket counts; null ids skipped; power-of-two
+    bucket validation."""
+    import hashlib
+
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from backupdeduplicator_ray.stages.select import shuffle_rank
+
+    ids = list(range(500)) + [10**6 + 3, 10**6 + 7]
+    t = pa.table({"doc_id": pa.array(ids + [None], pa.int64())})
+
+    def run(parts, n_buckets):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = shuffle_rank(ds, "doc_id", n_buckets=n_buckets).take_all()
+        return {r["doc_id"]: r["shuffle_rank"] for r in out}
+
+    got = run(1, 256)
+    assert sorted(got.values()) == list(range(len(ids)))  # dense permutation
+    expect_order = sorted(
+        ids, key=lambda i: (hashlib.sha256(str(i).encode()).hexdigest()[:16], i)
+    )
+    assert [i for i, _ in sorted(got.items(), key=lambda kv: kv[1])] == expect_order
+    assert run(7, 16) == got  # sharding- and bucket-count-invariant
+    with pytest.raises(ValueError):
+        shuffle_rank(ray.data.from_arrow(t), "doc_id", n_buckets=100)
