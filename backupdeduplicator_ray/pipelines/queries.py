@@ -2307,6 +2307,33 @@ FROM est
 """
 
 
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "props"]
+
+
+def q_profile_events(sf_dir: str):
+    """One-pass table profiler over events: per column n_rows / n_null /
+    HLL approximate distinct — the bounded-memory SUMMARIZE (int + string
+    columns only: float/timestamp VARCHAR casts are not engine-portable)."""
+    from ..stages.sketch import profile_table
+
+    return profile_table(_events(sf_dir, _PROFILE_COLS), _PROFILE_COLS)
+
+
+def _profile_block_sql(col: str) -> str:
+    est = SQL_HLL_USERS.replace("user_id", col)
+    return f"""
+SELECT '{col}' AS col_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+       (SELECT CAST(count(*) - count({col}) AS BIGINT) FROM events) AS n_null,
+       est.approx_distinct, est.empty_buckets
+FROM ({est}) est"""
+
+
+SQL_PROFILE_EVENTS = " UNION ALL ".join(
+    _profile_block_sql(c) for c in _PROFILE_COLS
+)
+
+
 def q_cms_sketch(sf_dir: str):
     """Count-Min counter table over events.user_id — the mergeable
     frequency sketch itself (<= 4*2048 rows regardless of corpus size)."""
@@ -2996,6 +3023,7 @@ QUERIES = {
     "strip_stopwords": q_strip_stopwords,
     "normalize_nfc": q_normalize_nfc,
     "shuffle_rank": q_shuffle_rank,
+    "profile_events": q_profile_events,
     "cms_sketch": q_cms_sketch,
     "cms_user_counts": q_cms_user_counts,
     "bm25_topk": q_bm25_topk,
@@ -3079,6 +3107,7 @@ ORACLE_SQL = {
     "strip_stopwords": SQL_STRIP_STOPWORDS,
     "normalize_nfc": SQL_NORMALIZE_NFC,
     "shuffle_rank": SQL_SHUFFLE_RANK,
+    "profile_events": SQL_PROFILE_EVENTS,
     "cms_sketch": SQL_CMS_SKETCH,
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "bm25_topk": SQL_BM25_TOPK,

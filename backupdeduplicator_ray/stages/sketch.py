@@ -217,6 +217,102 @@ def hll_by_key(ds, group_col: str, key_col: str):
     )
 
 
+def profile_table(ds, columns: list[str]):
+    """One-pass column profiler — the bounded-memory `SUMMARIZE` for a
+    100 TB table: per column (col_name, n_rows, n_null, approx_distinct,
+    empty_buckets), with distinct counts from the HLL registers, all in a
+    SINGLE scan of the input.
+
+    Per-batch partials fuse both kinds of row into one stream — HLL
+    register rows (col, bucket, rho) plus one counter row per column
+    (bucket = -1 carrying n/n_null) — so the scan happens once and the
+    partial stream (materialized; <= cols x (m+1) rows per block) feeds
+    the two tiny groupbys that want different combine ops (MAX for
+    registers, SUM for counters).  Estimates finish on the driver from
+    <= cols x m rows.  Column str() casts are the corpus-wide sha256
+    fixed point, so the whole profile replays in SQL — profile string /
+    integer columns; float/timestamp VARCHAR casts are not guaranteed to
+    format identically across engines."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_col, out_bucket, out_rho, out_n, out_null = [], [], [], [], []
+        for c in columns:
+            col = t[c]
+            n = len(col)
+            valid = col.filter(pc.is_valid(col))
+            out_col.append(c)
+            out_bucket.append(-1)
+            out_rho.append(0)
+            out_n.append(n)
+            out_null.append(n - len(valid))
+            if len(valid) == 0:
+                continue
+            h = _hash64(valid)
+            bucket = (h >> np.uint64(Q)).astype(np.int64)
+            rho = _rho(h & np.uint64((1 << Q) - 1))
+            regs = np.zeros(M, np.int64)
+            np.maximum.at(regs, bucket, rho)
+            nz = np.flatnonzero(regs)
+            out_col.extend([c] * len(nz))
+            out_bucket.extend(nz.tolist())
+            out_rho.extend(regs[nz].tolist())
+            out_n.extend([0] * len(nz))
+            out_null.extend([0] * len(nz))
+        return pa.table(
+            {
+                "col_name": pa.array(out_col, pa.string()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+                "rho": pa.array(out_rho, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+                "n_null": pa.array(out_null, pa.int64()),
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def only(pred):
+        return part.map_batches(
+            lambda t, p=pred: t.filter(p(t["bucket"])), batch_format="pyarrow"
+        )
+
+    counts = {}
+    for r in (
+        only(lambda b: pc.equal(b, -1))
+        .groupby("col_name")
+        .aggregate(Sum("n"), Sum("n_null"))
+        .take_all()
+    ):
+        counts[r["col_name"]] = (r["sum(n)"], r["sum(n_null)"])
+    regs = {c: [] for c in columns}
+    for r in (
+        only(lambda b: pc.greater_equal(b, 0))
+        .groupby(["col_name", "bucket"])
+        .aggregate(Max("rho"))
+        .take_all()
+    ):
+        regs[r["col_name"]].append((r["bucket"], r["max(rho)"]))
+
+    rows = []
+    for c in columns:
+        n, n_null = counts.get(c, (0, 0))
+        # no registers (all-null column) -> v_empty = m -> ln(1) = 0.0
+        est, v_empty = estimate_from_registers(regs[c])
+        rows.append((c, n, n_null, est, v_empty))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "col_name": pa.array([r[0] for r in rows], pa.string()),
+                "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+                "n_null": pa.array([r[2] for r in rows], pa.int64()),
+                "approx_distinct": pa.array([r[3] for r in rows], pa.float64()),
+                "empty_buckets": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
 # --- Count-Min sketch: bounded-memory FREQUENCY estimation (Cormode &
 # Muthukrishnan 2005).  Where HLL answers "how many distinct", CMS answers
 # "about how often does key x occur" in d*w counters regardless of corpus

@@ -94,7 +94,7 @@ def test_oracle_keys_subset(entry_mod):
         "hll_user_buckets", "hll_users", "hll_events",
         "cms_sketch", "cms_user_counts", "bm25_topk", "hll_users_by_type",
         "bloom_new_paths", "props_field_agg", "strip_stopwords",
-        "normalize_nfc", "shuffle_rank",
+        "normalize_nfc", "shuffle_rank", "profile_events",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):

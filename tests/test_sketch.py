@@ -207,6 +207,34 @@ def test_cms_merge_is_cellwise_sum(ray_session):
     assert _cms_cells(_ds(a + b, parts=6)) == merged
 
 
+def test_profile_table_one_pass(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.sketch import profile_table
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 2, None, 3], pa.int64()),
+            "b": pa.array(["x", "x", None, None, "y"], pa.string()),
+            "c": pa.array([None] * 5, pa.string()),  # all-null column
+        }
+    )
+    out = {
+        r["col_name"]: r
+        for r in profile_table(
+            ray.data.from_arrow(t).repartition(3), ["a", "b", "c"]
+        ).take_all()
+    }
+    assert out["a"]["n_rows"] == 5 and out["a"]["n_null"] == 1
+    assert out["b"]["n_rows"] == 5 and out["b"]["n_null"] == 2
+    assert out["c"]["n_null"] == 5 and out["c"]["approx_distinct"] == 0.0
+    # per-column estimate must equal the standalone sketch on that column
+    for col, keys in [("a", [1, 2, 3]), ("b", ["x", "y"])]:
+        ref = hll_estimate(_ds(keys), "k").take_all()[0]
+        assert out[col]["approx_distinct"] == ref["approx_distinct"], col
+        assert out[col]["empty_buckets"] == ref["empty_buckets"], col
+
+
 # --- Bloom filter ---
 
 
