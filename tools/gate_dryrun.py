@@ -1,0 +1,65 @@
+"""Full driver-gate dry run at sf0.01: every queries() entry vs its
+oracle_sql() in DuckDB with driver-identical canonicalization (sorted
+columns, 6-dp floats, order-insensitive rows).  Run from anywhere:
+
+    python tools/gate_dryrun.py
+
+Prints one line per query (ORACLE-PASS / ORACLE-FAIL / ERR) and a TOTAL.
+Owns its own Ray session (the driver contract forbids ray.init only in
+__ray_entry__ / the library, not in tools)."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time, duckdb, pandas as pd
+import ray
+ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import logging; logging.getLogger("ray.data").setLevel(logging.ERROR)
+import __ray_entry__ as e
+import pyarrow as pa, ray.data
+
+SF = "/root/testdata/sf0.01"
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def to_pd(res):
+    if isinstance(res, ray.data.Dataset): return res.to_pandas()
+    if isinstance(res, pa.Table): return res.to_pandas()
+    return res
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object: df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]): df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]): df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+qs, sql = e.queries(), e.oracle_sql()
+npass = nfail = 0
+fails = []
+for name in sorted(qs):
+    t0 = time.time()
+    try:
+        r = canon(to_pd(qs[name](SF)))
+        if name in sql:
+            s = canon(con.sql(sql[name]).df())
+            ok = (list(r.columns) == list(s.columns)) and (len(r) == len(s))
+            if ok:
+                try:
+                    pd.testing.assert_frame_equal(r, s, check_dtype=False, atol=1e-9)
+                except AssertionError:
+                    ok = False
+            status = "ORACLE-PASS" if ok else "ORACLE-FAIL"
+        else:
+            status = f"ROWS-ONLY({len(r)})"
+            ok = True
+    except Exception as ex:
+        status, ok = f"ERR {type(ex).__name__}: {ex}", False
+    npass += ok; nfail += (not ok)
+    if not ok: fails.append(name)
+    print(f"{name:32s} {status:14s} {time.time()-t0:6.1f}s", flush=True)
+print(f"TOTAL {npass}/{len(qs)} pass, fails: {fails}")
+ray.shutdown()
