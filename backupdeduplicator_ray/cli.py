@@ -6,6 +6,7 @@ build / analyze / clean` commands (`src/main.rs:13-98`), Ray-Data-backed.
     python -m backupdeduplicator_ray.cli cluster --input corpus.parquet --output clusters/
     python -m backupdeduplicator_ray.cli clean   --input nodes/ --snapshot corpus.parquet --output clean/
     python -m backupdeduplicator_ray.cli diff    --input old_nodes/ --snapshot new_nodes/ --output diff/
+    python -m backupdeduplicator_ray.cli profile --input any.parquet --output profile/ [--columns a,b]
 
 Owns a Ray session (scripts only — library code never calls ray.init;
 the driver contract in __ray_entry__.py relies on that).
@@ -36,7 +37,9 @@ def _init_ray(num_cpus: int | None):
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="backupdeduplicator_ray")
-    p.add_argument("command", choices=["build", "analyze", "cluster", "clean", "diff"])
+    p.add_argument(
+        "command", choices=["build", "analyze", "cluster", "clean", "diff", "profile"]
+    )
     p.add_argument("--input", required=True, help="corpus parquet file/dir (nodes dir for clean/diff)")
     p.add_argument("--output", required=True, help="output parquet dir")
     p.add_argument(
@@ -48,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
         "--include-unchanged",
         action="store_true",
         help="diff: emit unchanged rows too (default: change set only)",
+    )
+    p.add_argument(
+        "--columns",
+        default=None,
+        help="profile: comma-separated columns (default: every int/string "
+        "column — float/timestamp excluded, their str() casts are not "
+        "engine-portable)",
     )
     p.add_argument("--hash", default="sha256", help="hash algorithm (reference --hash)")
     p.add_argument("--threads", type=int, default=None, help="num_cpus for ray.init (reference --threads)")
@@ -172,6 +182,31 @@ def main(argv: list[str] | None = None) -> int:
                 include_unchanged=args.include_unchanged,
             )
         )
+    elif args.command == "profile":
+        from .stages.sketch import profile_table
+
+        ds = ray.data.read_parquet(args.input, file_extensions=["parquet"])
+        schema = ds.schema()
+        if args.columns:
+            cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+            missing = [c for c in cols if c not in schema.names]
+            if missing:
+                print(f"error: unknown columns {missing}", file=sys.stderr)
+                ray.shutdown()
+                return 1
+        else:
+            cols = [
+                n
+                for n, t in zip(schema.names, schema.types)
+                if pa.types.is_integer(t)
+                or pa.types.is_string(t)
+                or pa.types.is_large_string(t)
+            ]
+        if not cols:
+            print("error: no profilable (int/string) columns", file=sys.stderr)
+            ray.shutdown()
+            return 1
+        emit(profile_table(ds, cols))
     elif args.command == "clean":
         from .stages.clean import clean as clean_stage
 

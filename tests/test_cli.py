@@ -97,3 +97,38 @@ def test_cli_diff(tmp_path):
     # hex at the boundary: hashes in the diff are hex strings
     ch = dd[dd["status"] == "changed"].iloc[0]
     assert len(ch["old_hash"]) == 64 and len(ch["new_hash"]) == 64
+
+
+def test_cli_profile(tmp_path):
+    """profile writes one row per int/string column with counts + HLL
+    distinct; --columns selects, unknown columns refuse."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "t.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 2, None], pa.int64()),
+                "s": pa.array(["a", "a", "b", "c"], pa.string()),
+                "f": pa.array([1.5, 2.5, None, 0.0], pa.float64()),  # skipped
+            }
+        ),
+        src,
+    )
+    out = str(tmp_path / "profile")
+    r = _run_cli("profile", "--input", str(src), "--output", out)
+    assert r.returncode == 0, r.stderr
+    got = {
+        row["col_name"]: row
+        for row in pq.read_table(out).to_pylist()
+    }
+    assert set(got) == {"k", "s"}  # float column auto-excluded
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_null"] == 1
+    assert round(got["s"]["approx_distinct"]) == 3
+
+    r2 = _run_cli(
+        "profile", "--input", str(src), "--output", str(tmp_path / "p2"),
+        "--columns", "s,nope",
+    )
+    assert r2.returncode == 1 and "unknown columns" in r2.stderr
