@@ -80,6 +80,36 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _write_merged_json(path: str, result: dict) -> dict:
+    """Merge `result` into an existing JSON record instead of overwriting:
+    keys the new run does not produce are carried forward verbatim, and the
+    previous run's values for keys the new run CHANGES are archived onto an
+    `additional_runs` history list — so a protocol re-run never loses
+    previously recorded evidence (scaling replications, confirm probes)."""
+    prev: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            prev = {}
+    hist = list(prev.get("additional_runs", []))
+    snap = {
+        k: v
+        for k, v in prev.items()
+        if k in result and k != "additional_runs" and result[k] != v
+    }
+    if snap:
+        hist.append(snap)
+    merged = dict(prev)
+    merged.update(result)
+    if hist:
+        merged["additional_runs"] = hist
+    with open(path, "w") as f:
+        f.write(json.dumps(merged) + "\n")
+    return merged
+
+
 def _fresh_session():
     """Restart Ray between queries: lingering object-store blocks and actor
     teardown from one query otherwise contaminate the next one's timing."""
@@ -438,8 +468,7 @@ def run_scaling_compute() -> None:
     r_lo = min(runs[lo], key=lambda r: r["sec"])
     r_hi = min(runs[hi], key=lambda r: r["sec"])
     probes = run_probes()
-    out = json.dumps(
-        {
+    result = {
             "metric": f"CPU-bound scaling: signature stage {lo} -> {hi} cpus + host probes",
             "cpus_lo": lo,
             "cpus_hi": hi,
@@ -454,14 +483,12 @@ def run_scaling_compute() -> None:
             "loadavg_lo": r_lo.get("loadavg_end"),
             "loadavg_hi": r_hi.get("loadavg_end"),
             "probes": probes,
-        }
-    )
-    with open(
+    }
+    _write_merged_json(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING_COMPUTE.json"),
-        "w",
-    ) as f:
-        f.write(out + "\n")
-    print(out)
+        result,
+    )
+    print(json.dumps(result))
 
 
 def run_cluster_leg() -> dict:
@@ -543,13 +570,7 @@ def run_scaling_confirm() -> None:
         "loadavg_hi": r_hi["loadavg_end"],
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
-    data = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            data = json.load(f)
-    data["confirm_8_32_full_pipeline"] = confirm
-    with open(path, "w") as f:
-        f.write(json.dumps(data) + "\n")
+    _write_merged_json(path, {"confirm_8_32_full_pipeline": confirm})
     print(json.dumps(confirm))
 
 
@@ -659,20 +680,10 @@ def run_scaling() -> None:
     }
     # merge, don't overwrite: the confirm_8_32_full_pipeline entry (and any
     # other auxiliary probe) written by --scaling-confirm must survive a
-    # protocol re-run
+    # protocol re-run, and the previous protocol result is archived onto
+    # additional_runs as a replication record
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
-    merged = {}
-    if os.path.exists(path):
-        try:
-            with open(path) as f:
-                prev = json.load(f)
-            merged = {k: v for k, v in prev.items() if k == "confirm_8_32_full_pipeline"}
-        except (json.JSONDecodeError, OSError):
-            pass
-    merged.update(result)
-    out = json.dumps(merged)
-    with open(path, "w") as f:
-        f.write(out + "\n")
+    _write_merged_json(path, result)
     print(json.dumps(result))
 
 
