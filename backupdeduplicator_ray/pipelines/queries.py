@@ -2593,6 +2593,50 @@ FROM documents
 """
 
 
+def q_strip_markup(sf_dir: str):
+    """HTML/markup stripping (web-corpus scrub): block removal → tag strip
+    → entity decode → whitespace collapse, all RE2/literal kernels.  The
+    fixture corpus is plain text, so the block/tag patterns mostly no-op
+    here (entity + whitespace legs still exercise) — the markup-heavy
+    coverage is tests/test_scrub.py's synthetic HTML."""
+    from ..stages.scrub import strip_markup
+
+    return strip_markup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _strip_markup_sql() -> str:
+    from ..stages.scrub import (
+        _ENTITIES,
+        _HTML_COMMENT,
+        _HTML_TAG,
+        _SCRIPT_BLOCK,
+        _STYLE_BLOCK,
+    )
+
+    # DuckDB single-quoted literals keep backslashes literal — only quotes
+    # need escaping; the regex reaches RE2 exactly as written in Python
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    ent = "regexp_replace(s, '{}', ' ', 'g')".format(q(_HTML_TAG))
+    for e, ch in _ENTITIES:
+        ent = "replace({}, '{}', '{}')".format(ent, e, ch.replace("'", "''"))
+    return f"""
+WITH s1 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+            '{q(_SCRIPT_BLOCK)}', ' ', 'g'),
+            '{q(_STYLE_BLOCK)}', ' ', 'g'),
+            '{q(_HTML_COMMENT)}', ' ', 'g') AS s
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace({ent}, '\\s+', ' ', 'g')) AS clean,
+       CAST(len(regexp_extract_all(s, '{q(_HTML_TAG)}')) AS BIGINT) AS n_tags
+FROM s1
+"""
+
+
 def q_token_freq_stats(sf_dir: str):
     """Per-doc corpus-frequency stats (rarity scoring primitive)."""
     from ..stages.textops import token_freq_stats
@@ -2789,6 +2833,37 @@ SELECT doc_id, source, lang, n_chars
 FROM documents
 WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) <
       CASE source {whens} ELSE '{sample_threshold_hex(_STRAT_DEFAULT)}' END
+"""
+
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic disjoint train/val/test assignment keyed on
+    sha256(doc_id) — every non-null-key row gets exactly one split,
+    reproducibly across runs/shardings/engines."""
+    from ..stages.select import split_assign
+
+    return split_assign(_docs(sf_dir, ["doc_id", "lang"]), key_col="doc_id", splits=_SPLITS)
+
+
+def _split_sql() -> str:
+    from ..stages.select import sample_threshold_hex
+
+    names = list(_SPLITS)
+    cum = 0.0
+    whens = []
+    for n in names[:-1]:
+        cum += _SPLITS[n]
+        whens.append(
+            f"WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) < "
+            f"'{sample_threshold_hex(cum)}' THEN '{n}'"
+        )
+    return f"""
+SELECT doc_id, lang,
+       CASE {' '.join(whens)} ELSE '{names[-1]}' END AS split
+FROM documents WHERE doc_id IS NOT NULL
 """
 
 
@@ -3030,9 +3105,11 @@ QUERIES = {
     "order_revenue": q_order_revenue,
     "redact_pii": q_redact_pii,
     "normalize_text": q_normalize_text,
+    "strip_markup": q_strip_markup,
     "token_freq_stats": q_token_freq_stats,
     "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
+    "split_assign": q_split_assign,
     "mix_plan": q_mix_plan,
     "mix_corpus": q_mix_corpus,
     "boilerplate_lines": q_boilerplate_lines,
@@ -3114,9 +3191,11 @@ ORACLE_SQL = {
     "order_revenue": SQL_ORDER_REVENUE,
     "redact_pii": SQL_REDACT_PII,
     "normalize_text": SQL_NORMALIZE_TEXT,
+    "strip_markup": _strip_markup_sql(),
     "token_freq_stats": SQL_TOKEN_FREQ_STATS,
     "repetition_stats": SQL_REPETITION_STATS,
     "stratified_sample": _strat_sql(),
+    "split_assign": _split_sql(),
     "mix_plan": SQL_MIX_PLAN,
     "mix_corpus": SQL_MIX_CORPUS,
     "boilerplate_lines": SQL_BOILERPLATE_LINES,

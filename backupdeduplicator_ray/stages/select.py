@@ -170,6 +170,45 @@ def threshold_filter(
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
+def split_assign(ds, key_col: str, splits: dict[str, float]):
+    """Deterministic disjoint split assignment (train/val/test): every row
+    gets the split whose cumulative-fraction interval contains
+    sha256(str(key))'s first 8 hex chars.  Same reproducibility contract as
+    `deterministic_sample` — stable across runs, shardings and engines, and
+    a row's split never depends on any other row — plus the split guarantees
+    a partition: splits are DISJOINT and COVER every non-null key (the last
+    split absorbs the hex-granularity rounding remainder).
+
+    Pure per-batch map, no shuffle: one sha256 pass + one vectorized
+    searchsorted over the (tiny) boundary list.  Fractions must sum to 1;
+    rows with a null key are dropped (no identity, no split).  Output:
+    input columns + a `split` string column.  The SQL oracle restates the
+    assignment as a CASE chain over the same hex-prefix comparisons.
+    """
+    import numpy as np
+
+    names = list(splits)
+    if len(names) < 2:
+        raise ValueError("need at least 2 splits")
+    fracs = [splits[n] for n in names]
+    if any(f < 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must be >=0 and sum to 1, got {splits}")
+    # boundaries between split i and i+1: cumulative fraction thresholds;
+    # the last split has no upper boundary (covers through 'ffffffff')
+    cum = np.cumsum(fracs[:-1])
+    bounds = np.array([sample_threshold_hex(float(c)) for c in cum])
+    labels = pa.array(names, pa.string())
+
+    def assign(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[key_col]))
+        digests = hash_string_column(t[key_col].cast(pa.string()))
+        prefix = pc.utf8_slice_codeunits(digests, 0, 8).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(bounds, prefix, side="right")
+        return t.append_column("split", labels.take(pa.array(idx, pa.int64())))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def shuffle_rank(ds, id_col: str = "doc_id", n_buckets: int = 256):
     """Deterministic global training-order shuffle: every row gets a dense
     rank 0..n-1 in sha256-key order (ties broken by id) — the reproducible

@@ -61,6 +61,36 @@ def test_deterministic_sample_stability_and_rate(ray_session):
     assert a <= bigger  # nested samples: raising the rate only adds rows
 
 
+def test_split_assign_partition_properties(ray_session):
+    """Splits are disjoint, cover every non-null key, match an independent
+    hashlib restatement, and are sharding-invariant; bad fractions raise."""
+    import hashlib
+
+    import pytest
+
+    from backupdeduplicator_ray.stages.select import split_assign
+
+    t = pa.table({"k": pa.array([str(i) for i in range(2000)] + [None], pa.string())})
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(_ds(t, parts=5), "k", splits).to_pandas()
+    assert len(out) == 2000  # null key dropped, everything else assigned once
+    assert out["k"].is_unique
+
+    b1 = format(int(0.8 * 16**8), "08x")
+    b2 = format(int((0.8 + 0.1) * 16**8), "08x")
+    for k, s in zip(out["k"], out["split"]):
+        p = hashlib.sha256(k.encode()).hexdigest()[:8]
+        expect = "train" if p < b1 else ("val" if p < b2 else "test")
+        assert s == expect
+    # sharding-invariant
+    out2 = split_assign(_ds(t), "k", splits).to_pandas()
+    assert dict(zip(out["k"], out["split"])) == dict(zip(out2["k"], out2["split"]))
+    with pytest.raises(ValueError):
+        split_assign(_ds(t), "k", {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError):
+        split_assign(_ds(t), "k", {"a": 1.0})
+
+
 def test_shuffle_rank_dense_deterministic(ray_session):
     """Ranks are a dense 0..n-1 permutation in sha256 order, identical
     across shardings and bucket counts; null ids skipped; power-of-two
