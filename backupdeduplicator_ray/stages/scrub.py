@@ -65,6 +65,57 @@ def redact_pii(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(scrub, batch_format="pyarrow")
 
 
+# Markup-stripping patterns, applied in this order (script/style/comment
+# blocks first so their CONTENT goes too, then remaining tags).  All
+# RE2-safe; `(?is)` = case-insensitive + dot-matches-newline.  The tag
+# pattern requires a letter or `/` or `!` after `<` so prose like
+# "a < b > c" survives.
+_SCRIPT_BLOCK = r"(?is)<script\b[^>]*>.*?</script>"
+_STYLE_BLOCK = r"(?is)<style\b[^>]*>.*?</style>"
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+_HTML_TAG = r"(?s)</?[A-Za-z][^>]*>|<![^>]*>"
+
+# entity decode table: literal (non-regex) replaces; `&amp;` LAST so
+# double-escaped entities decode one level only ("&amp;lt;" -> "&lt;")
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_markup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """HTML/markup removal — the standard first scrub on web-crawled
+    corpora: drop script/style/comment blocks (content included), strip
+    remaining tags (replaced by a space so words don't concatenate),
+    decode the common entities, collapse whitespace runs, trim.
+
+    Pure Arrow RE2 kernels + literal replaces, zero Python per row — the
+    same task-pool shape as `redact_pii`.  Output: (id_col, clean string,
+    n_tags int64 = tag matches stripped after block removal).  Entity
+    decoding runs AFTER tag stripping, so escaped markup in prose
+    ("&lt;b&gt;") decodes to visible text instead of becoming a tag.
+    The SQL oracle nests the same regexp_replace/replace chain.
+    """
+    import pyarrow.compute as pc
+
+    def strip(t: pa.Table) -> pa.Table:
+        s = pc.replace_substring_regex(t[text_col], _SCRIPT_BLOCK, " ")
+        s = pc.replace_substring_regex(s, _STYLE_BLOCK, " ")
+        s = pc.replace_substring_regex(s, _HTML_COMMENT, " ")
+        n_tags = pc.cast(pc.count_substring_regex(s, _HTML_TAG), pa.int64())
+        s = pc.replace_substring_regex(s, _HTML_TAG, " ")
+        for ent, ch in _ENTITIES:
+            s = pc.replace_substring(s, ent, ch)
+        s = pc.utf8_trim_whitespace(pc.replace_substring_regex(s, _WS_RUN, " "))
+        return pa.table({id_col: t[id_col], "clean": s, "n_tags": n_tags})
+
+    return ds.map_batches(strip, batch_format="pyarrow")
+
+
 def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Canonical text form: lowercase, collapse whitespace runs to one
     space, strip leading/trailing whitespace.  Output: (id_col, norm,

@@ -140,3 +140,40 @@ def test_normalize_nfc_composes(ray_session):
     assert out[5] == ("plain ascii", 0)
     # canonically-equal inputs now hash equal — the dedup motivation
     assert out[1][0] == out[2][0]
+
+
+def test_strip_markup(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.scrub import strip_markup
+
+    rows = [
+        (1, "<html><body><p>Hello <b>world</b></p></body></html>"),
+        (2, "before <script type='x'>var a = '<p>';\nmore()</script> after"),
+        (3, "css <style>\n.a { color: red } </style> tail"),
+        (4, "keep a < b > c math"),  # bare comparison is NOT a tag
+        (5, "ents: &lt;b&gt; &amp;amp; &quot;q&quot; &#39;s&#39; x&nbsp;y"),
+        (6, "<!-- hidden\ncomment --> visible <!DOCTYPE html> done"),
+        (7, None),
+        (8, "  plain   text\twith\nspaces  "),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    out = {
+        r["doc_id"]: (r["clean"], r["n_tags"])
+        for r in strip_markup(ray.data.from_arrow(t)).take_all()
+    }
+    assert out[1] == ("Hello world", 8)
+    assert out[2] == ("before after", 0)  # script content removed whole
+    assert out[3] == ("css tail", 0)
+    assert out[4] == ("keep a < b > c math", 0)
+    # escaped markup decodes to TEXT (after tag strip), double-escape one level
+    assert out[5] == ("ents: <b> &amp; \"q\" 's' x y", 0)
+    assert out[6] == ("visible done", 1)  # doctype is a tag; comment is not
+    assert out[7] == (None, None)
+    assert out[8] == ("plain text with spaces", 0)
