@@ -1924,6 +1924,43 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+def q_funnel(sf_dir: str):
+    """Ordered funnel view → click → purchase: per user, the earliest
+    strict-order completion time of each stage + stages completed."""
+    from ..stages.events import funnel
+
+    return funnel(_events(sf_dir, ["ts", "user_id", "event_type"]))
+
+
+SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(CAST(epoch_us(ts) AS BIGINT)) AS t1_us
+  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(CAST(epoch_us(e.ts) AS BIGINT)) AS t2_us
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts IS NOT NULL
+    AND CAST(epoch_us(e.ts) AS BIGINT) > s1.t1_us
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(CAST(epoch_us(e.ts) AS BIGINT)) AS t3_us
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+    AND CAST(epoch_us(e.ts) AS BIGINT) > s2.t2_us
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+       CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+            AS BIGINT) AS steps
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 # --- selection operators (stages/select.py) --------------------------------
 
 
@@ -3084,6 +3121,7 @@ QUERIES = {
     "window_agg": q_window_agg,
     "sessionize": q_sessionize,
     "asof_lag": q_asof_lag,
+    "funnel": q_funnel,
     "doc_sample": q_doc_sample,
     "lang_topk": q_lang_topk,
     "vocab_topk": q_vocab_topk,
@@ -3169,6 +3207,7 @@ ORACLE_SQL = {
     "window_agg": SQL_WINDOW_AGG,
     "sessionize": SQL_SESSIONIZE,
     "asof_lag": SQL_ASOF_LAG,
+    "funnel": SQL_FUNNEL,
     "doc_sample": SQL_DOC_SAMPLE,
     "lang_topk": SQL_LANG_TOPK,
     "vocab_topk": SQL_VOCAB_TOPK,

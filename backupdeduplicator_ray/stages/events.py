@@ -316,6 +316,82 @@ def asof_join(
     return tagged.groupby("__part").map_groups(merge_part, batch_format="pandas")
 
 
+def funnel(
+    ds,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    n_parts: int = 32,
+):
+    """Ordered-funnel analysis: per user, the earliest strict-order
+    completion times of an event-type sequence — t1 = min ts of steps[0];
+    t_{i+1} = min ts of steps[i+1] with ts STRICTLY AFTER t_i (an
+    equal-timestamp event cannot chain).  The standard product-analytics
+    operator Ray Data has no built-in for.
+
+    Same shape as `sessionize`: prune to the step types at the read (only
+    funnel events ride the exchange), ONE hash exchange on the user key,
+    then one vectorized pandas kernel per partition — per step: a
+    merge-against-previous-step + filter + groupby-min, all column-level.
+    Rows with a null user or null timestamp are dropped (no identity / no
+    order).  Output: one row per user that completed step 1 —
+    (user_id, t1_us..tn_us int64 with nulls past the reached stage,
+    steps int64 = stages completed).  The SQL oracle chains the same
+    min-over-strictly-later joins.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+
+    ev = _events_us(ds, ts_col, {"user_id": user_col, "etype": type_col})
+    step_set = pa.array(list(steps), pa.string())
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts_us"]))
+        keep = pc.and_(keep, pc.fill_null(pc.is_in(t["etype"], value_set=step_set), False))
+        t = t.filter(keep)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__part", pa.array((u % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    t_cols = [f"t{i + 1}_us" for i in range(len(steps))]
+    out_schema = pa.schema(
+        [("user_id", pa.int64())]
+        + [(c, pa.int64()) for c in t_cols]
+        + [("steps", pa.int64())]
+    )
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        mins: dict[str, pd.Series] = {}
+        for i, s in enumerate(steps):
+            sub = g[g["etype"] == s][["user_id", "ts_us"]]
+            if i > 0:
+                prev = mins[t_cols[i - 1]]
+                sub = sub.merge(
+                    prev.rename("__prev"), left_on="user_id", right_index=True
+                ).reset_index(drop=True)  # merge names the index 'user_id'
+                sub = sub[sub["ts_us"] > sub["__prev"]]
+            mins[t_cols[i]] = sub.groupby("user_id")["ts_us"].min()
+        base = mins[t_cols[0]]
+        if len(base) == 0:
+            return out_schema.empty_table()
+        df = pd.DataFrame({"user_id": base.index.to_numpy(), t_cols[0]: base.to_numpy()})
+        done = pd.Series(1, index=df.index)
+        for c in t_cols[1:]:
+            col = df["user_id"].map(mins[c])
+            df[c] = col.astype("Int64")
+            done = done + col.notna().astype(int)
+        df["steps"] = done
+        return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )
+
+
 def json_field_agg(ds, json_col: str = "props", field: str = "k", key_col: str = "event_type"):
     """Semi-structured extraction + aggregate: pull an integer `field` out
     of a flat-JSON string column with ONE vectorized RE2 kernel

@@ -147,3 +147,94 @@ def test_json_field_agg_semantics(ray_session):
     expect = {"a": (2, 2, -3, 5), "b": (1, 7, 7, 7)}
     assert run(1) == expect
     assert run(5) == expect
+
+
+def test_funnel_strict_order_semantics(ray_session):
+    """Partial funnels, equal-timestamp non-chaining, pre-step events
+    ignored, null user/ts dropped, partition invariance."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.events import funnel
+
+    US = 1_000_000
+    rows = [
+        # user, ts_sec, type
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),   # full funnel
+        (2, 10, "view"), (2, 10, "click"), (2, 50, "purchase"),   # tie: click can't chain
+        (3, 5, "click"), (3, 10, "view"), (3, 15, "click"), (3, 12, "purchase"),
+        # user 3: pre-view click ignored; purchase precedes t2 -> 2 steps
+        (4, 40, "purchase"),                                       # no view: excluded
+        (5, 10, "view"), (5, 9, "click"),                          # click before view
+        (6, 7, "error"), (6, 8, "view"),                           # non-step types ignored
+        (None, 10, "view"),
+    ]
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [r[1] * US for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+    def run(parts):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        return {
+            r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"], r["steps"])
+            for r in funnel(ds).take_all()
+        }
+
+    expect = {
+        1: (10 * US, 20 * US, 30 * US, 3),
+        2: (10 * US, None, None, 1),
+        3: (10 * US, 15 * US, None, 2),
+        5: (10 * US, None, None, 1),
+        6: (8 * US, None, None, 1),
+    }
+    got = run(1)
+    assert got == expect
+    assert run(6) == expect  # one user's events split across blocks
+    with pytest.raises(ValueError):
+        funnel(ray.data.from_arrow(t), steps=("view",))
+
+
+def test_funnel_matches_duckdb(ray_session):
+    """Engine == SQL oracle on a synthetic table with partial funnels."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from backupdeduplicator_ray.pipelines.queries import SQL_FUNNEL
+    from backupdeduplicator_ray.stages.events import funnel
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table(
+        {
+            "ts": pa.array(
+                (rng.integers(0, 1000, n) * 1_000_000).tolist(), pa.timestamp("us")
+            ),
+            "user_id": pa.array(rng.integers(0, 60, n).tolist(), pa.int64()),
+            "event_type": pa.array(
+                rng.choice(["view", "click", "purchase", "error"], n).tolist(),
+                pa.string(),
+            ),
+        }
+    )
+    eng = (
+        funnel(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    orc = con.execute(SQL_FUNNEL).df().sort_values("user_id").reset_index(drop=True)
+    assert len(eng) > 0 and (eng["steps"] < 3).any()  # partial funnels exercised
+    pd.testing.assert_frame_equal(
+        eng[sorted(eng.columns)].astype("float64"),
+        orc[sorted(orc.columns)].astype("float64"),
+    )
