@@ -2674,6 +2674,47 @@ FROM s1
 """
 
 
+def q_token_drift(sf_dir: str):
+    """Token-distribution drift: the 50 tokens whose per-million occurrence
+    rates diverge most between the en and fr slices — exact integer-ppm
+    ranking, no float k-boundary."""
+    from ..stages.textops import token_drift
+
+    return token_drift(
+        _docs(sf_dir, ["lang", "text"]), side_col="lang", side_a="en", side_b="fr", k=50
+    )
+
+
+SQL_TOKEN_DRIFT = """
+WITH ca AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt_a FROM (
+    SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+    FROM documents WHERE lang = 'en' AND text IS NOT NULL
+  ) GROUP BY token
+),
+cb AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt_b FROM (
+    SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+    FROM documents WHERE lang = 'fr' AND text IS NOT NULL
+  ) GROUP BY token
+),
+m AS (
+  SELECT coalesce(ca.token, cb.token) AS token,
+         coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+),
+t AS (SELECT (SELECT sum(cnt_a) FROM ca) AS tot_a,
+             (SELECT sum(cnt_b) FROM cb) AS tot_b)
+SELECT token, cnt_a, cnt_b,
+       CAST(cnt_a * 1000000 // tot_a AS BIGINT) AS ppm_a,
+       CAST(cnt_b * 1000000 // tot_b AS BIGINT) AS ppm_b,
+       CAST(cnt_a * 1000000 // tot_a - cnt_b * 1000000 // tot_b AS BIGINT) AS delta_ppm
+FROM m, t
+ORDER BY abs(cnt_a * 1000000 // tot_a - cnt_b * 1000000 // tot_b) DESC, token
+LIMIT 50
+"""
+
+
 def q_token_freq_stats(sf_dir: str):
     """Per-doc corpus-frequency stats (rarity scoring primitive)."""
     from ..stages.textops import token_freq_stats
@@ -3145,6 +3186,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "strip_markup": q_strip_markup,
     "token_freq_stats": q_token_freq_stats,
+    "token_drift": q_token_drift,
     "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
     "split_assign": q_split_assign,
@@ -3232,6 +3274,7 @@ ORACLE_SQL = {
     "normalize_text": SQL_NORMALIZE_TEXT,
     "strip_markup": _strip_markup_sql(),
     "token_freq_stats": SQL_TOKEN_FREQ_STATS,
+    "token_drift": SQL_TOKEN_DRIFT,
     "repetition_stats": SQL_REPETITION_STATS,
     "stratified_sample": _strat_sql(),
     "split_assign": _split_sql(),

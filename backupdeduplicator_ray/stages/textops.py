@@ -329,6 +329,121 @@ def vocab_topk(ds, text_col: str = "text", k: int = 100):
     )
 
 
+def token_drift(
+    ds,
+    side_col: str = "lang",
+    side_a: str = "en",
+    side_b: str = "fr",
+    text_col: str = "text",
+    k: int = 50,
+):
+    """Corpus-distribution drift: the k tokens whose per-side occurrence
+    RATES diverge most between two corpus slices (the data-quality monitor
+    for generation-over-generation or source-vs-source token drift).
+
+    Rates are integer parts-per-million (cnt * 1e6 // side_total), so the
+    ranking key |ppm_a - ppm_b| is EXACT integer arithmetic — no float
+    division whose k-boundary could order differently across engines.
+    cnt * 1e6 stays in int64 up to ~9.2e12 occurrences per side; beyond
+    that, pre-sample the sides (the rate estimate, not the mechanism, is
+    what degrades).
+
+    Shuffle discipline (the vocab_topk pattern, two-sided): each batch
+    collapses to per-batch (token, n_a, n_b) partial counts before the one
+    token-key groupby; side totals come from the SAME materialized count
+    table (vocab-bounded) — no second scan of the corpus; then per-block
+    local top-k prune bounds the final sort+limit.
+
+    Output, ranked by (|delta_ppm| DESC, token ASC): token, cnt_a, cnt_b,
+    ppm_a, ppm_b, delta_ppm — counts/rates int64.  Raises if a side has no
+    tokens (a rate against an empty side is undefined).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        out = {"token": [], "n_a": [], "n_b": []}
+        tabs = []
+        for side, col in ((side_a, "n_a"), (side_b, "n_b")):
+            mask = pc.fill_null(pc.equal(t[side_col], side), False)
+            text = pc.drop_null(t.filter(mask)[text_col].combine_chunks())
+            toks = pc.list_flatten(pc.split_pattern_regex(text, "[^A-Za-z0-9_]+"))
+            toks = toks.filter(pc.not_equal(toks, ""))
+            if len(toks) == 0:
+                continue
+            vc = toks.value_counts()
+            n = vc.field("counts").cast(pa.int64())
+            zero = pa.nulls(len(n), pa.int64()).fill_null(0)
+            tabs.append(
+                pa.table(
+                    {
+                        "token": vc.field("values"),
+                        "n_a": n if col == "n_a" else zero,
+                        "n_b": n if col == "n_b" else zero,
+                    }
+                )
+            )
+        if not tabs:
+            return pa.schema(
+                [("token", pa.string()), ("n_a", pa.int64()), ("n_b", pa.int64())]
+            ).empty_table()
+        return pa.concat_tables(tabs)
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_a"), Sum("n_b"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "token": t["token"],
+                    "cnt_a": t["sum(n_a)"].cast(pa.int64()),
+                    "cnt_b": t["sum(n_b)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # vocab-bounded; feeds the totals AND the ranking
+    )
+    sums = counts.sum(["cnt_a", "cnt_b"]) or {}
+    tot_a = int(sums.get("sum(cnt_a)") or 0)
+    tot_b = int(sums.get("sum(cnt_b)") or 0)
+    if tot_a == 0 or tot_b == 0:
+        raise ValueError(
+            f"token_drift: side {side_a!r} has {tot_a} tokens, "
+            f"{side_b!r} has {tot_b} — rates need non-empty sides"
+        )
+
+    def score(t: pa.Table) -> pa.Table:
+        na = t["cnt_a"].to_numpy(zero_copy_only=False)
+        nb = t["cnt_b"].to_numpy(zero_copy_only=False)
+        ppm_a = na * 1_000_000 // tot_a
+        ppm_b = nb * 1_000_000 // tot_b
+        delta = ppm_a - ppm_b
+        out = pa.table(
+            {
+                "token": t["token"],
+                "cnt_a": t["cnt_a"],
+                "cnt_b": t["cnt_b"],
+                "ppm_a": pa.array(ppm_a, pa.int64()),
+                "ppm_b": pa.array(ppm_b, pa.int64()),
+                "delta_ppm": pa.array(delta, pa.int64()),
+                "__abs": pa.array(np.abs(delta), pa.int64()),
+            }
+        )
+        order = pc.sort_indices(
+            out, sort_keys=[("__abs", "descending"), ("token", "ascending")]
+        )
+        return out.take(order[: min(k, len(out))])
+
+    return (
+        counts.map_batches(score, batch_format="pyarrow")
+        .sort(["__abs", "token"], descending=[True, False])
+        .limit(k)
+        .drop_columns(["__abs"])
+    )
+
+
 def token_freq_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Per-doc corpus-frequency stats — the distributed primitive behind
     rarity/quality scoring: every token occurrence scored by its GLOBAL

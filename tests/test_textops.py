@@ -142,3 +142,59 @@ def test_remove_stopwords_semantics(ray_session):
     expect = {1: "cat sat mat", 5: "mat cat", 6: "CAT cat"}
     assert run(1) == expect
     assert run(4) == expect
+
+
+def test_token_drift_exact_ppm_and_k_boundary(ray_session):
+    """Integer-ppm math checked by hand; k-boundary tie breaks on token;
+    sharding-invariant; empty side raises."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from backupdeduplicator_ray.stages.textops import token_drift
+
+    # side a: 10 tokens total; side b: 5 tokens total
+    rows = [
+        ("a", "x x x y zz"),      # a: x3 y1 zz1
+        ("a", "x y y weird aa"),  # a: x1 y2 weird1 aa1
+        ("b", "x y zz bb aa"),    # b: 1 each
+        ("c", "noise ignored entirely"),
+        ("a", None),
+    ]
+    t = pa.table(
+        {
+            "side": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+    def run(parts, k):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = token_drift(ds, side_col="side", side_a="a", side_b="b", text_col="text", k=k)
+        return [tuple(r.values()) for r in out.take_all()]
+
+    # hand-computed: tot_a=10, tot_b=5
+    exp = {
+        "x": (4, 1, 400000, 200000, 200000),
+        "y": (3, 1, 300000, 200000, 100000),
+        "zz": (1, 1, 100000, 200000, -100000),
+        "bb": (0, 1, 0, 200000, -200000),
+        "aa": (1, 1, 100000, 200000, -100000),
+        "weird": (1, 0, 100000, 0, 100000),
+    }
+    got = run(1, 10)
+    assert {r[0]: r[1:] for r in got} == exp
+    # ranked by |delta| desc then token: x(200k), bb(200k) -> 'bb' < 'x'
+    assert [r[0] for r in got[:2]] == ["bb", "x"]
+    # k=2 boundary: among the 100k-tie group nothing enters; exact cut
+    assert [r[0] for r in run(1, 2)] == ["bb", "x"]
+    # k=4 boundary inside the 100k tie (aa, weird, y, zz all 100k):
+    # tokens sort ascending -> aa, weird
+    assert [r[0] for r in run(1, 4)] == ["bb", "x", "aa", "weird"]
+    assert run(5, 10) == got  # sharding-invariant
+    with pytest.raises(ValueError, match="non-empty"):
+        token_drift(
+            ray.data.from_arrow(t), side_col="side", side_a="a", side_b="missing"
+        ).take_all()
