@@ -2674,6 +2674,35 @@ FROM s1
 """
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Per-doc unigram log-likelihood score against the corpus unigram
+    model — fixed-point per-token contributions, order-independent sums."""
+    from ..stages.textops import unigram_logprob
+
+    return unigram_logprob(_docs(sf_dir, ["doc_id", "text"]))
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH occ AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n_occ FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+    FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+  ) GROUP BY doc_id, token
+),
+tf AS (SELECT token, CAST(sum(n_occ) AS BIGINT) AS tf FROM occ GROUP BY token),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tot FROM tf)
+SELECT o.doc_id,
+       CAST(sum(o.n_occ) AS BIGINT) AS n_tok,
+       CAST(sum(o.n_occ * CAST(floor(ln(CAST(t.tf AS DOUBLE) / CAST(tot.tot AS DOUBLE))
+                                     * 1000000.0) AS BIGINT)) AS BIGINT) AS logprob_micro,
+       round(CAST(sum(o.n_occ * CAST(floor(ln(CAST(t.tf AS DOUBLE) / CAST(tot.tot AS DOUBLE))
+                                           * 1000000.0) AS BIGINT)) AS BIGINT)
+             / 1000000.0 / CAST(sum(o.n_occ) AS BIGINT), 6) AS avg_logprob
+FROM occ o JOIN tf t ON o.token = t.token, tot
+GROUP BY o.doc_id
+"""
+
+
 def q_token_drift(sf_dir: str):
     """Token-distribution drift: the 50 tokens whose per-million occurrence
     rates diverge most between the en and fr slices — exact integer-ppm
@@ -3187,6 +3216,7 @@ QUERIES = {
     "strip_markup": q_strip_markup,
     "token_freq_stats": q_token_freq_stats,
     "token_drift": q_token_drift,
+    "unigram_logprob": q_unigram_logprob,
     "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
     "split_assign": q_split_assign,
@@ -3275,6 +3305,7 @@ ORACLE_SQL = {
     "strip_markup": _strip_markup_sql(),
     "token_freq_stats": SQL_TOKEN_FREQ_STATS,
     "token_drift": SQL_TOKEN_DRIFT,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "repetition_stats": SQL_REPETITION_STATS,
     "stratified_sample": _strat_sql(),
     "split_assign": _split_sql(),

@@ -444,29 +444,13 @@ def token_drift(
     )
 
 
-def token_freq_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Per-doc corpus-frequency stats — the distributed primitive behind
-    rarity/quality scoring: every token occurrence scored by its GLOBAL
-    corpus frequency, aggregated per doc.
-
-    Output: (id_col, n_tok, min_tf, sum_tf, avg_tf_milli) — all int64.
-    min_tf = the rarest token's corpus count (1 ⇒ the doc holds a
-    corpus-unique token), sum_tf/avg_tf_milli = total / integer-milli mean
-    corpus frequency (floor'd, so value-hash comparison with the SQL
-    oracle is exact — float means would be order-sensitive).  Docs with
-    zero tokens are absent, matching the SQL inner join.
-
-    Shuffle discipline: occurrences collapse to per-(doc, distinct-token)
-    counts inside each batch BEFORE anything moves (n_occ carries the
-    multiplicity), so the token-frequency join exchanges per-doc distinct
-    tokens, never the raw token stream; global counts come from the same
-    collapsed partials via one token groupby.
-    """
+def _doc_token_counts(id_col: str, text_col: str):
+    """Per-batch kernel: collapse token occurrences to per-(doc,
+    distinct-token) counts — the combiner both corpus-frequency operators
+    share, so their exchanges carry per-doc distinct tokens, never the raw
+    token stream."""
     import pandas as pd
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min, Sum
-
-    from ..state.joins import partitioned_hash_join
 
     def doc_token_counts(t: pa.Table) -> pa.Table:
         text = t[text_col].combine_chunks()
@@ -501,7 +485,134 @@ def token_freq_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
             }
         )
 
-    occ = ds.map_batches(doc_token_counts, batch_format="pyarrow")
+    return doc_token_counts
+
+
+def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc unigram log-likelihood quality score (the CCNet-style
+    language-model filter signal, with the corpus itself as the unigram
+    model): every token occurrence contributes ln(tf/total); low-scoring
+    docs are gibberish/rare-token soup, high-scoring docs are stereotyped.
+
+    Float discipline: the per-DISTINCT-token contribution is fixed-point —
+    floor(ln(tf/tot) * 1e6) as int64 — so the per-doc sum is integer
+    arithmetic and ORDER-INDEPENDENT (a float SUM's order is unspecified
+    in both engines; BM25 could sum floats only because its term order is
+    fixed and tiny).  ln/division/floor are written in the exact operand
+    order the SQL oracle uses; np.log and DuckDB ln agree bit-for-bit on
+    this host (the BM25 measurement).  The one float output, avg_logprob =
+    round(micro_sum/1e6/n_tok, 6), divides two exact integers.
+
+    Shuffle discipline = token_freq_stats: per-batch (doc, token, n_occ)
+    combiner, one token groupby for the frequency table (vocab-bounded,
+    materialized as the join's small side), one hash join, one doc-key
+    groupby of integer partials.  Docs with zero tokens (or a null id) are
+    absent, matching the SQL inner join/WHERE.
+
+    Output: (id_col, n_tok int64, logprob_micro int64, avg_logprob double).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..state.joins import partitioned_hash_join
+
+    ids_ok = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[id_col])), batch_format="pyarrow"
+    )
+    occ = ids_ok.map_batches(_doc_token_counts(id_col, text_col), batch_format="pyarrow")
+
+    tf = (
+        occ.map_batches(
+            lambda t: pa.table({"token": t["token"], "n_occ": t["n_occ"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("token")
+        .aggregate(Sum("n_occ"))
+        .map_batches(
+            lambda t: pa.table(
+                {"token": t["token"], "tf": t["sum(n_occ)"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # vocab-bounded small side; also feeds the total
+    )
+    tot = int((tf.sum("tf") or 0))
+    if tot == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    (id_col, pa.int64()),
+                    ("n_tok", pa.int64()),
+                    ("logprob_micro", pa.int64()),
+                    ("avg_logprob", pa.float64()),
+                ]
+            ).empty_table()
+        )
+
+    joined = partitioned_hash_join(occ, tf, key="token", n_parts=64)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        n_occ = t["n_occ"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf_v = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # exact operand order mirrored in SQL: floor(ln(tf / tot) * 1e6)
+        lp = np.floor(np.log(tf_v / float(tot)) * 1_000_000.0).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_occ": pa.array(n_occ, pa.int64()),
+                "lp": pa.array(n_occ * lp, pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(contrib, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("n_occ"), Sum("lp"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["sum(n_occ)"].to_numpy().astype(np.int64)
+        s = t["sum(lp)"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tok": pa.array(n, pa.int64()),
+                "logprob_micro": pa.array(s, pa.int64()),
+                "avg_logprob": pa.array(
+                    np.round(s / 1_000_000.0 / n, 6), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def token_freq_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc corpus-frequency stats — the distributed primitive behind
+    rarity/quality scoring: every token occurrence scored by its GLOBAL
+    corpus frequency, aggregated per doc.
+
+    Output: (id_col, n_tok, min_tf, sum_tf, avg_tf_milli) — all int64.
+    min_tf = the rarest token's corpus count (1 ⇒ the doc holds a
+    corpus-unique token), sum_tf/avg_tf_milli = total / integer-milli mean
+    corpus frequency (floor'd, so value-hash comparison with the SQL
+    oracle is exact — float means would be order-sensitive).  Docs with
+    zero tokens are absent, matching the SQL inner join.
+
+    Shuffle discipline: occurrences collapse to per-(doc, distinct-token)
+    counts inside each batch BEFORE anything moves (n_occ carries the
+    multiplicity), so the token-frequency join exchanges per-doc distinct
+    tokens, never the raw token stream; global counts come from the same
+    collapsed partials via one token groupby.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from ..state.joins import partitioned_hash_join
+
+    occ = ds.map_batches(_doc_token_counts(id_col, text_col), batch_format="pyarrow")
 
     tf = (
         occ.map_batches(

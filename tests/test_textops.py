@@ -198,3 +198,53 @@ def test_token_drift_exact_ppm_and_k_boundary(ray_session):
         token_drift(
             ray.data.from_arrow(t), side_col="side", side_a="a", side_b="missing"
         ).take_all()
+
+
+def test_unigram_logprob_fixed_point(ray_session):
+    """Hand-checked fixed-point contributions; zero-token docs absent;
+    empty corpus returns the typed empty table; sharding-invariant."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.textops import unigram_logprob
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, None], pa.int64()),
+            "text": pa.array(["x x y", "y z", "", None, "x"], pa.string()),
+        }
+    )
+    # corpus (null id dropped): x:2 y:2 z:1, tot=5
+    def lp(tf):
+        return math.floor(math.log(tf / 5.0) * 1_000_000)
+
+    expect = {
+        1: (3, 2 * lp(2) + lp(2)),
+        2: (2, lp(2) + lp(1)),
+    }
+
+    def run(parts):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        return {
+            r["doc_id"]: (r["n_tok"], r["logprob_micro"])
+            for r in unigram_logprob(ds).take_all()
+        }
+
+    got = run(1)
+    assert got == expect
+    assert run(4) == expect
+    out = unigram_logprob(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([9], pa.int64()),
+                    "text": pa.array([None], pa.string()),
+                }
+            )
+        )
+    )
+    assert out.count() == 0 and "avg_logprob" in out.schema().names
