@@ -1457,6 +1457,38 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup drop list at the exact-invariant setting: n_lists=1 puts
+    every pair in one cluster, so the drops are EXACTLY the cosine>=0.35
+    threshold-graph connected components minus their min-id reps (the
+    full-probe==brute doctrine; n_lists>1 recall is pytest-covered)."""
+    from ..stages.embedding import semantic_dedup
+
+    return semantic_dedup(
+        _embeddings(sf_dir), threshold=0.35, n_lists=1, train_sample=512
+    ).drop_columns(["list_id"])
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.35
+),
+bi(x, y) AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+nodes(nid) AS (SELECT DISTINCT x FROM bi),
+lab(nid, c) AS (
+  SELECT nid, nid FROM nodes
+  UNION
+  SELECT bi.x, l.c FROM bi JOIN lab l ON l.nid = bi.y
+)
+SELECT nid AS vec_id, CAST(min(c) AS BIGINT) AS rep_id
+FROM lab GROUP BY nid HAVING nid <> min(c)
+"""
+
+
 # --- non-SQL-expressible (rows-only checks) -------------------------------
 
 
@@ -3179,6 +3211,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "cosine_pairs": q_cosine_pairs,
+    "semantic_dedup": q_semantic_dedup,
     "minhash_clusters": q_minhash_clusters,
     "minhash_signatures": q_minhash_signatures,
     "simhash_clusters": q_simhash_clusters,
@@ -3265,6 +3298,7 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "cosine_pairs": SQL_COSINE_PAIRS,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     # generated oracles (oracle_hashes.py): the crc32→splitmix64→shingle
     # chain, LSH planes, band fusion and even connected components
     # (recursive transitive closure) rebuilt in SQL — simhash_fingerprints,

@@ -882,3 +882,92 @@ def _knn_join_ivf(
         .groupby("__part")
         .map_groups(merge_part, batch_format="pyarrow")
     )
+
+
+SEMDEDUP_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("rep_id", pa.int64()), ("list_id", pa.int32())]
+)
+
+
+def semantic_dedup(
+    ds,
+    threshold: float = 0.95,
+    n_lists: int = 64,
+    train_sample: int = 65536,
+    chunk: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): k-means-cluster the embeddings, compare pairs WITHIN each
+    cluster only, and drop every member of a cosine>=threshold connected
+    component except its min-id representative.
+
+    Returns the DROP list: (vec_id, rep_id, list_id) — one row per removed
+    vector; keepers are the complement.  Cross-cluster near-dups are missed
+    by design (that is the SemDeDup approximation); with `n_lists=1` every
+    pair is compared, so the result is EXACTLY the threshold-graph
+    connected components — the oracle-checked invariant, same doctrine as
+    ivf_topk's full-probe == brute-force.
+
+    Scale shape: centroids from a bounded deterministic sample
+    (train_centroids), one broadcast-assign pass (ivf_assign), then ONE
+    list_id group exchange; the per-cluster kernel computes sims in
+    row-chunks (chunk x cluster_size matmuls — never a full c x c matrix)
+    and runs a local index-keyed DSU over the hit pairs.  Partitioning
+    assumption: one cluster's vectors fit a worker (size n/n_lists under
+    balanced k-means; size n_lists to the corpus).
+    """
+
+    centroids = train_centroids(
+        ds, n_lists=n_lists, train_sample=train_sample, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assigned = ivf_assign(ds, centroids, id_col=id_col, vec_col=vec_col)
+
+    def group_dedup(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _normalize(_batch_matrix(t, vec_col))[order]
+        n = len(ids)
+        if n < 2:
+            return SEMDEDUP_SCHEMA.empty_table()
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for lo in range(0, n - 1, chunk):
+            hi = min(lo + chunk, n)
+            sims = m[lo:hi] @ m.T  # (chunk, n)
+            rows, cols = np.nonzero(sims >= threshold)
+            rows = rows + lo
+            upper = cols > rows  # j > i only: each pair once, no self
+            for i, j in zip(rows[upper], cols[upper]):
+                ri, rj = find(int(i)), find(int(j))
+                if ri != rj:
+                    # smaller index wins: ids are sorted, so every root
+                    # is its component's min id
+                    if ri > rj:
+                        ri, rj = rj, ri
+                    parent[rj] = ri
+        roots = np.array([find(int(i)) for i in range(n)])
+        dropped = roots != np.arange(n)
+        if not dropped.any():
+            return SEMDEDUP_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[dropped], pa.int64()),
+                "rep_id": pa.array(ids[roots[dropped]], pa.int64()),
+                "list_id": pa.array(
+                    np.full(int(dropped.sum()), t["list_id"][0].as_py()), pa.int32()
+                ),
+            }
+        )
+
+    return assigned.groupby("list_id").map_groups(group_dedup, batch_format="pyarrow")

@@ -237,3 +237,51 @@ def test_knn_join_ivf_partial_probe_recall(ray_session, vec_table):
     ).groupby("vec_id").head(1).set_index("vec_id")["neighbor_id"]
     hits = sum(top.get(q, -1) == q + 50 for q in range(10))
     assert hits >= 8  # twin found for nearly every copied row
+
+
+def test_semantic_dedup_exact_at_one_list(ray_session, vec_table):
+    """n_lists=1 == threshold-graph connected components minus min-id reps
+    (the full-probe doctrine); chunking is invariant; near-dup copies drop
+    to their originals."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.embedding import semantic_dedup
+
+    sims = _brute_cosine(vec_table)
+    th = 0.95
+    n = sims.shape[0]
+    # reference: DSU over all pairs >= th
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sims[i, j] >= th:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    expect = {i: find(i) for i in range(n) if find(i) != i}
+
+    def run(**kw):
+        out = semantic_dedup(
+            ray.data.from_arrow(vec_table), threshold=th, train_sample=64, **kw
+        ).take_all()
+        return {r["vec_id"]: r["rep_id"] for r in out}
+
+    got = run(n_lists=1)
+    assert got == expect
+    assert len(got) >= 10  # the 10 injected copies all dropped
+    assert run(n_lists=1, chunk=3) == got  # chunked pair scan invariant
+
+    # bucketed run: approximation can only MISS pairs -> drops ⊆ exact drops
+    # (per-cluster components are sub-components of the global graph, and
+    # a sub-component's min is >= the global component's min... so rep may
+    # differ; check the drop SET is a subset of exact drops)
+    bucketed = run(n_lists=4)
+    assert set(bucketed) <= set(expect)
+    assert run(n_lists=4) == bucketed  # deterministic
