@@ -2706,6 +2706,41 @@ FROM s1
 """
 
 
+def q_bigram_pmi(sf_dir: str):
+    """Top-50 collocations by fixed-point PMI (min pair count 5)."""
+    from ..stages.textops import bigram_pmi
+
+    return bigram_pmi(_docs(sf_dir, ["text"]), k=50, min_count=5)
+
+
+SQL_BIGRAM_PMI = """
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS arr
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (
+  SELECT doc_id, unnest(arr) AS tok, unnest(generate_series(1, len(arr))) AS ord
+  FROM arrs
+),
+cu AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tok),
+bg AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+),
+cb AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cu) AS tot_u,
+               (SELECT CAST(sum(c_ab) AS BIGINT) FROM cb) AS tot_b)
+SELECT cb.tok_a, cb.tok_b, cb.c_ab,
+       CAST(floor(ln((CAST(cb.c_ab AS DOUBLE) / tot_b) /
+                     ((CAST(ca.c AS DOUBLE) / tot_u) * (CAST(cbb.c AS DOUBLE) / tot_u)))
+                  * 1000000.0) AS BIGINT) AS pmi_micro
+FROM cb JOIN cu ca ON cb.tok_a = ca.tok JOIN cu cbb ON cb.tok_b = cbb.tok, tot
+WHERE cb.c_ab >= 5
+ORDER BY pmi_micro DESC, cb.tok_a, cb.tok_b
+LIMIT 50
+"""
+
+
 def q_unigram_logprob(sf_dir: str):
     """Per-doc unigram log-likelihood score against the corpus unigram
     model — fixed-point per-token contributions, order-independent sums."""
@@ -3250,6 +3285,7 @@ QUERIES = {
     "token_freq_stats": q_token_freq_stats,
     "token_drift": q_token_drift,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_pmi": q_bigram_pmi,
     "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
     "split_assign": q_split_assign,
@@ -3340,6 +3376,7 @@ ORACLE_SQL = {
     "token_freq_stats": SQL_TOKEN_FREQ_STATS,
     "token_drift": SQL_TOKEN_DRIFT,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "bigram_pmi": SQL_BIGRAM_PMI,
     "repetition_stats": SQL_REPETITION_STATS,
     "stratified_sample": _strat_sql(),
     "split_assign": _split_sql(),

@@ -589,6 +589,195 @@ def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text"):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def bigram_pmi(
+    ds,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+):
+    """Top-k collocations by pointwise mutual information — which adjacent
+    token pairs co-occur far more than their unigram rates predict (the
+    corpus-analysis primitive behind phrase mining / tokenizer auditing).
+
+    pmi = ln( (c_ab/tot_bigrams) / ((c_a/tot_unigrams) * (c_b/tot_unigrams)) ),
+    carried as fixed-point floor(pmi * 1e6) int64, so ranking
+    (pmi_micro DESC, tok_a, tok_b) has a stable k boundary; the ln operand
+    tree is mirrored verbatim in the SQL oracle.  `min_count` floors c_ab —
+    rare pairs otherwise dominate PMI with noise (the standard guard).
+
+    Shuffle discipline: ONE tokenize pass emits both per-batch unigram and
+    per-batch adjacent-bigram partial counts (bigrams never cross batch
+    boundaries of the same doc — docs are whole within a batch); one
+    groupby each; the bigram side is count-pruned BEFORE its two
+    vocab-table hash joins; local top-k prune bounds the final sort+limit.
+
+    Output: (tok_a, tok_b, c_ab int64, pmi_micro int64).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..state.joins import partitioned_hash_join
+
+    uni_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+    bi_schema = pa.schema(
+        [("tok_a", pa.string()), ("tok_b", pa.string()), ("n", pa.int64())]
+    )
+
+    def partials(t: pa.Table):
+        text = pc.drop_null(t[text_col].combine_chunks())
+        lists = pc.split_pattern_regex(text, "[^A-Za-z0-9_]+")
+        toks = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        mask = pc.not_equal(toks, "")
+        toks = toks.filter(mask)
+        parents = parents.filter(mask).to_numpy(zero_copy_only=False)
+        if len(toks) == 0:
+            return {"uni": uni_schema.empty_table(), "bi": bi_schema.empty_table()}
+        vc = toks.value_counts()
+        uni = pa.table(
+            {"token": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+        s = toks.to_pandas()
+        adj = parents[1:] == parents[:-1]
+        df = pd.DataFrame({"tok_a": s.iloc[:-1][adj].values, "tok_b": s.iloc[1:][adj].values})
+        if len(df) == 0:
+            return {"uni": uni, "bi": bi_schema.empty_table()}
+        g = df.groupby(["tok_a", "tok_b"], sort=False).size().rename("n").reset_index()
+        bi = pa.table(
+            {
+                "tok_a": pa.array(g["tok_a"], pa.string()),
+                "tok_b": pa.array(g["tok_b"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+        return {"uni": uni, "bi": bi}
+
+    # one tokenize pass, two partial streams: tag rows and split after
+    def tagged(t: pa.Table) -> pa.Table:
+        p = partials(t)
+        uni, bi = p["uni"], p["bi"]
+        return pa.table(
+            {
+                "tok_a": pa.concat_arrays(
+                    [uni["token"].combine_chunks(), bi["tok_a"].combine_chunks()]
+                ),
+                "tok_b": pa.concat_arrays(
+                    [
+                        pa.nulls(len(uni), pa.string()),
+                        bi["tok_b"].combine_chunks(),
+                    ]
+                ),
+                "n": pa.concat_arrays(
+                    [uni["n"].combine_chunks(), bi["n"].combine_chunks()]
+                ),
+            }
+        )
+
+    both = ds.map_batches(tagged, batch_format="pyarrow").materialize()
+    uni_counts = (
+        both.map_batches(
+            lambda t: t.filter(pc.is_null(t["tok_b"])).drop_columns(["tok_b"]),
+            batch_format="pyarrow",
+        )
+        .groupby("tok_a")
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda t: pa.table(
+                {"token": t["tok_a"], "c": t["sum(n)"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # vocab-bounded; the joins' small side + totals
+    )
+    bi_counts = (
+        both.map_batches(
+            lambda t: t.filter(pc.is_valid(t["tok_b"])), batch_format="pyarrow"
+        )
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "tok_a": t["tok_a"],
+                    "tok_b": t["tok_b"],
+                    "c_ab": t["sum(n)"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    tot_u = int(uni_counts.sum("c") or 0)
+    tot_b = int(bi_counts.sum("c_ab") or 0)
+    out_schema = pa.schema(
+        [
+            ("tok_a", pa.string()),
+            ("tok_b", pa.string()),
+            ("c_ab", pa.int64()),
+            ("pmi_micro", pa.int64()),
+        ]
+    )
+    if tot_u == 0 or tot_b == 0:
+        import ray.data
+
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    pruned = bi_counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["c_ab"], int(min_count))),
+        batch_format="pyarrow",
+    )
+    j1 = partitioned_hash_join(
+        pruned,
+        uni_counts.map_batches(
+            lambda t: pa.table({"tok_a": t["token"], "c_a": t["c"]}),
+            batch_format="pyarrow",
+        ),
+        key="tok_a",
+        n_parts=64,
+    )
+    j2 = partitioned_hash_join(
+        j1,
+        uni_counts.map_batches(
+            lambda t: pa.table({"tok_b": t["token"], "c_b": t["c"]}),
+            batch_format="pyarrow",
+        ),
+        key="tok_b",
+        n_parts=64,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c_ab = t["c_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_a = t["c_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_b = t["c_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # exact SQL operand order: (c_ab/tot_b) / ((c_a/tot_u) * (c_b/tot_u))
+        ratio = (c_ab / float(tot_b)) / ((c_a / float(tot_u)) * (c_b / float(tot_u)))
+        pmi = np.floor(np.log(ratio) * 1_000_000.0).astype(np.int64)
+        out = pa.table(
+            {
+                "tok_a": t["tok_a"],
+                "tok_b": t["tok_b"],
+                "c_ab": t["c_ab"].cast(pa.int64()),
+                "pmi_micro": pa.array(pmi, pa.int64()),
+            }
+        )
+        order = pc.sort_indices(
+            out,
+            sort_keys=[
+                ("pmi_micro", "descending"),
+                ("tok_a", "ascending"),
+                ("tok_b", "ascending"),
+            ],
+        )
+        return out.take(order[: min(k, len(out))])
+
+    return (
+        j2.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi_micro", "tok_a", "tok_b"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
 def token_freq_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Per-doc corpus-frequency stats — the distributed primitive behind
     rarity/quality scoring: every token occurrence scored by its GLOBAL

@@ -248,3 +248,53 @@ def test_unigram_logprob_fixed_point(ray_session):
         )
     )
     assert out.count() == 0 and "avg_logprob" in out.schema().names
+
+
+def test_bigram_pmi_hand_checked(ray_session):
+    """Hand-computed PMI on a controlled corpus: adjacency never crosses
+    docs, min_count prunes, ranking and fixed point are exact."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.textops import bigram_pmi
+
+    # docs engineered so "a b" occurs 3x, "b a" 2x, "c" only ends docs
+    t = pa.table(
+        {
+            "text": pa.array(
+                ["a b a b c", "a b c", None, "b a", "b a c"], pa.string()
+            )
+        }
+    )
+    # unigrams: a=5 b=5 c=3, tot_u=13
+    # bigrams: (a,b)=3 (b,a)=3 (b,c)=2 (a,c)=1, tot_b=9
+    # NOTE doc1: "a b a b c" -> (a,b),(b,a),(a,b),(b,c); doc2 -> (a,b),(b,c)
+    # doc4 -> (b,a); doc5 -> (b,a),(a,c)
+    def pmi(c_ab, c_a, c_b, tot_b=9, tot_u=13):
+        return math.floor(
+            math.log((c_ab / tot_b) / ((c_a / tot_u) * (c_b / tot_u))) * 1_000_000
+        )
+
+    def run(parts, min_count, k=10):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        return [
+            (r["tok_a"], r["tok_b"], r["c_ab"], r["pmi_micro"])
+            for r in bigram_pmi(ds, k=k, min_count=min_count).take_all()
+        ]
+
+    got = run(1, min_count=2)
+    expect = {
+        ("a", "b"): (3, pmi(3, 5, 5)),
+        ("b", "a"): (3, pmi(3, 5, 5)),
+        ("b", "c"): (2, pmi(2, 5, 3)),
+    }
+    assert {(a, b): (c, p) for a, b, c, p in got} == expect
+    # ranking: (b,c) has higher pmi than the (a,b)/(b,a) tie; tie breaks a<b
+    assert [(r[0], r[1]) for r in got] == [("b", "c"), ("a", "b"), ("b", "a")]
+    assert run(4, min_count=2) == got  # sharding-invariant
+    assert [(r[0], r[1]) for r in run(1, min_count=2, k=2)] == [("b", "c"), ("a", "b")]
+    assert len(run(1, min_count=4)) == 0  # min_count prunes everything
