@@ -933,6 +933,48 @@ def _cdc_chunks_ds(sf_dir: str):
     )
 
 
+_CHUNK_SIZE, _CHUNK_OVERLAP = 96, 32  # stride 64; fixture docs ~300 B → ~5 chunks
+
+
+def q_fixed_chunks(sf_dir: str):
+    """Fixed-size byte chunking with overlap (RAG window prep): one row per
+    96-byte window every 64 bytes, payload as uppercase hex."""
+    from ..stages.cdc import fixed_chunks
+
+    return fixed_chunks(
+        _docs(sf_dir, ["doc_id", "text"]),
+        size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
+        id_col="doc_id",
+        text_col="text",
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id", "chunk_idx", "chunk_off", "chunk_len", "chunk_hex"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FIXED_CHUNKS = f"""
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes, text
+  FROM documents WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+),
+c AS (
+  SELECT doc_id, n_bytes, text,
+         unnest(generate_series(0, (n_bytes - 1) // {_CHUNK_SIZE - _CHUNK_OVERLAP})) AS i
+  FROM m
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {_CHUNK_SIZE - _CHUNK_OVERLAP} AS BIGINT) AS chunk_off,
+       CAST(least({_CHUNK_SIZE}, n_bytes - i * {_CHUNK_SIZE - _CHUNK_OVERLAP}) AS BIGINT) AS chunk_len,
+       substr(hex(encode(text)),
+              CAST(i * {_CHUNK_SIZE - _CHUNK_OVERLAP} * 2 + 1 AS INTEGER),
+              {_CHUNK_SIZE} * 2) AS chunk_hex
+FROM c WHERE i * {_CHUNK_SIZE - _CHUNK_OVERLAP} < n_bytes
+"""
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking (stages/cdc.py): every document split at
     rolling-hash-selected boundaries; one row per chunk with offset,
@@ -3231,6 +3273,7 @@ QUERIES = {
     "bloom_new_paths": q_bloom_new_paths,
     "snapshot_diff_stats": q_snapshot_diff_stats,
     "cdc_chunks": q_cdc_chunks,
+    "fixed_chunks": q_fixed_chunks,
     "cdc_dup_chunks": q_cdc_dup_chunks,
     "cdc_ratio": q_cdc_ratio,
     "cdc_delta": q_cdc_delta,
@@ -3319,6 +3362,7 @@ ORACLE_SQL = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "snapshot_diff_stats": SQL_SNAPSHOT_DIFF_STATS,
     "cdc_chunks": SQL_CDC_CHUNKS,
+    "fixed_chunks": SQL_FIXED_CHUNKS,
     "cdc_dup_chunks": SQL_CDC_DUP_CHUNKS,
     "cdc_ratio": SQL_CDC_RATIO,
     "cdc_delta": SQL_CDC_DELTA,

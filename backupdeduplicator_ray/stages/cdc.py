@@ -349,3 +349,75 @@ def chunk_dedup_ratio(chunks_ds):
         .repartition(1)
         .map_batches(reduce_all, batch_format="pyarrow")
     )
+
+
+def fixed_chunks(
+    ds,
+    size: int = 256,
+    overlap: int = 64,
+    id_col: str = "id",
+    text_col: str = "text",
+):
+    """Fixed-size byte chunking with overlap — the RAG/embedding-prep
+    sibling of `cdc_chunks`: windows of `size` bytes starting every
+    `stride = size - overlap` bytes (the standard sliding-window chunker
+    for retrieval corpora).  Output: (id, chunk_idx, chunk_off, chunk_len,
+    chunk_hex) — chunk payload as UPPERCASE HEX of the raw bytes, the
+    code-point-safe exact representation (a byte window can split UTF-8;
+    hex round-trips it losslessly, and the SQL oracle windows
+    `hex(encode(text))` directly — the media_frames precedent).
+
+    Pure per-batch explode over the shared string-buffer view — no
+    shuffle; empty/null docs yield no rows; the final chunk is short
+    (n_bytes - off), never padded.
+    """
+    import binascii
+
+    from ..functions.rollhash import string_buffer_view
+
+    if size <= 0 or overlap < 0 or overlap >= size:
+        raise ValueError(f"need 0 <= overlap < size, got size={size} overlap={overlap}")
+    stride = size - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        empty = pa.table(
+            {
+                "id": pa.array([], ids.type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_off": pa.array([], pa.int64()),
+                "chunk_len": pa.array([], pa.int64()),
+                "chunk_hex": pa.array([], pa.string()),
+            }
+        )
+        data, starts, lens = string_buffer_view(batch[text_col])
+        n = len(starts)
+        if n == 0:
+            return empty
+        counts = np.where(lens > 0, (lens + stride - 1) // stride, 0).astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        take = np.repeat(np.arange(n, dtype=np.int64), counts)
+        # chunk_idx: 0..count-1 within each doc via a global arange minus
+        # each doc's exclusive prefix
+        excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        idx = np.arange(total, dtype=np.int64) - np.repeat(excl, counts)
+        offs = idx * stride
+        clens = np.minimum(size, lens[take] - offs)
+        base = starts[take]
+        hexes = [
+            binascii.hexlify(data[a : a + l]).upper().decode()
+            for a, l in zip(base + offs, clens)
+        ]
+        return pa.table(
+            {
+                "id": ids.take(pa.array(take)),
+                "chunk_idx": pa.array(idx),
+                "chunk_off": pa.array(offs),
+                "chunk_len": pa.array(clens),
+                "chunk_hex": pa.array(hexes, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

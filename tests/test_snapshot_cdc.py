@@ -305,3 +305,46 @@ def test_cdc_binary_hash_parity(ray_session):
     (rx,) = chunk_dedup_ratio(hx).take_all()
     (rb,) = chunk_dedup_ratio(bn).take_all()
     assert rx == rb
+
+
+def test_fixed_chunks_windows(ray_session):
+    """Exact offsets/lengths, overlap property (adjacent chunks share
+    `overlap` bytes), short last chunk, UTF-8-splitting safety via hex,
+    empty/null docs skipped, parameter validation."""
+    import binascii
+
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from backupdeduplicator_ray.stages.cdc import fixed_chunks
+
+    text = "abcdefghijklmnopqrstuvwxyz"  # 26 bytes
+    docs = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([text, "héllo", "", None], pa.string()),
+        }
+    )
+    out = (
+        fixed_chunks(ray.data.from_arrow(docs), size=10, overlap=4)
+        .to_pandas()
+        .sort_values(["id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out["id"] == 1]
+    # stride 6: offsets 0,6,12,18,24; last chunk 2 bytes
+    assert list(d1["chunk_off"]) == [0, 6, 12, 18, 24]
+    assert list(d1["chunk_len"]) == [10, 10, 10, 8, 2]
+    payloads = [binascii.unhexlify(h).decode() for h in d1["chunk_hex"]]
+    assert payloads[0] == "abcdefghij" and payloads[-1] == "yz"
+    # overlap property: chunk i's tail == chunk i+1's head (4 bytes)
+    for a, b in zip(payloads, payloads[1:]):
+        assert a[-4:] == b[: len(a[-4:])] or len(b) < 4
+    # doc 2: "héllo" is 6 UTF-8 bytes -> one 6-byte chunk; hex round-trips
+    d2 = out[out["id"] == 2]
+    assert list(d2["chunk_len"]) == [6]
+    assert binascii.unhexlify(d2["chunk_hex"].iloc[0]).decode() == "héllo"
+    assert set(out["id"]) == {1, 2}  # empty + null skipped
+    with pytest.raises(ValueError):
+        fixed_chunks(ray.data.from_arrow(docs), size=8, overlap=8)
