@@ -1998,6 +1998,28 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention triangle over the events stream."""
+    from ..stages.events import cohort_retention
+
+    return cohort_retention(_events(sf_dir, ["ts", "user_id"]))
+
+
+SQL_COHORT_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS period
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+fw AS (SELECT user_id, min(period) AS cohort_period FROM act GROUP BY user_id)
+SELECT f.cohort_period,
+       CAST(a.period - f.cohort_period AS BIGINT) AS period_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act a JOIN fw f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 def q_funnel(sf_dir: str):
     """Ordered funnel view → click → purchase: per user, the earliest
     strict-order completion time of each stage + stages completed."""
@@ -3303,6 +3325,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "asof_lag": q_asof_lag,
     "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
     "doc_sample": q_doc_sample,
     "lang_topk": q_lang_topk,
     "vocab_topk": q_vocab_topk,
@@ -3394,6 +3417,7 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "asof_lag": SQL_ASOF_LAG,
     "funnel": SQL_FUNNEL,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "doc_sample": SQL_DOC_SAMPLE,
     "lang_topk": SQL_LANG_TOPK,
     "vocab_topk": SQL_VOCAB_TOPK,

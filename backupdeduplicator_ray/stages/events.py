@@ -392,6 +392,90 @@ def funnel(
     )
 
 
+WEEK_US = 7 * 86400 * US
+
+
+def cohort_retention(
+    ds,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period_us: int = WEEK_US,
+    n_parts: int = 32,
+):
+    """Cohort retention: users bucketed by their FIRST active period
+    (cohort), counted per (cohort, period offset) they were active in —
+    the standard retention-triangle analytics operator.
+
+    Shuffle discipline: per-batch (user, period) dedup partials, ONE hash
+    exchange on the user key (the per-user min must see all the user's
+    periods), a vectorized per-partition kernel (exact dedup → per-user
+    min → offsets → partial cell counts), then one tiny groupby of
+    (cohort, offset) partials.  Null user/ts rows drop.  Periods are
+    int64 floor(epoch_us / period_us) — exact integer arithmetic on both
+    engines.  Output: (cohort_period, period_offset, n_users) int64.
+    """
+    ev = _events_us(ds, ts_col, {"user_id": user_col})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts_us"]))
+        t = t.filter(keep)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["ts_us"].to_numpy(zero_copy_only=False) // period_us
+        uw = np.unique(np.stack([u, w], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(uw[:, 0], pa.int64()),
+                "period": pa.array(uw[:, 1], pa.int64()),
+                "__part": pa.array(
+                    (uw[:, 0].astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    cell_schema = pa.schema(
+        [
+            ("cohort_period", pa.int64()),
+            ("period_offset", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["user_id", "period"])
+        first = g.groupby("user_id")["period"].transform("min")
+        df = pd.DataFrame(
+            {"cohort_period": first, "period_offset": g["period"] - first}
+        )
+        out = (
+            df.groupby(["cohort_period", "period_offset"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(cell_schema)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ev.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+        .groupby(["cohort_period", "period_offset"])
+        .aggregate(Sum("n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_period": t["cohort_period"].cast(pa.int64()),
+                "period_offset": t["period_offset"].cast(pa.int64()),
+                "n_users": t["sum(n)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def json_field_agg(ds, json_col: str = "props", field: str = "k", key_col: str = "event_type"):
     """Semi-structured extraction + aggregate: pull an integer `field` out
     of a flat-JSON string column with ONE vectorized RE2 kernel

@@ -238,3 +238,46 @@ def test_funnel_matches_duckdb(ray_session):
         eng[sorted(eng.columns)].astype("float64"),
         orc[sorted(orc.columns)].astype("float64"),
     )
+
+
+def test_cohort_retention_triangle(ray_session):
+    """Multi-cohort, gap weeks, duplicate events collapse to one active
+    mark, nulls dropped, partition invariance."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.events import cohort_retention
+
+    WK = 7 * 86400 * 1_000_000
+    rows = [
+        # user, week
+        (1, 0), (1, 0), (1, 1), (1, 3),      # cohort 0, offsets 0,1,3 (dup wk0)
+        (2, 0), (2, 2),                      # cohort 0, offsets 0,2
+        (3, 1),                              # cohort 1, offset 0
+        (4, 1), (4, 2),                      # cohort 1, offsets 0,1
+        (None, 0),
+    ]
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [r[1] * WK + 5 for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        }
+    )
+
+    def run(parts):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        return {
+            (r["cohort_period"], r["period_offset"]): r["n_users"]
+            for r in cohort_retention(ds).take_all()
+        }
+
+    expect = {
+        (0, 0): 2, (0, 1): 1, (0, 2): 1, (0, 3): 1,
+        (1, 0): 2, (1, 1): 1,
+    }
+    got = run(1)
+    assert got == expect
+    assert run(5) == expect  # user's weeks split across blocks
