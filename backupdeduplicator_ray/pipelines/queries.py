@@ -2099,6 +2099,28 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 5
 """
 
 
+def q_length_percentile(sf_dir: str):
+    """Per-doc percentile rank of length within its language — the
+    distributed RANK() window function (histogram + broadcast, no sort)."""
+    from ..stages.stats import group_percentile
+
+    return group_percentile(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        group_col="lang",
+        value_col="n_chars",
+    )
+
+
+SQL_LENGTH_PERCENTILE = """
+SELECT doc_id, lang, n_chars,
+       CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS BIGINT) AS n_smaller,
+       CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_group,
+       CAST((rank() OVER (PARTITION BY lang ORDER BY n_chars) - 1) * 1000
+            // count(*) OVER (PARTITION BY lang) AS BIGINT) AS pct_milli
+FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+"""
+
+
 def q_len_quantiles(sf_dir: str):
     """Exact discrete quantiles of document length via distributed
     histogram aggregation (no global sort; exchange is O(distinct))."""
@@ -3330,6 +3352,7 @@ QUERIES = {
     "lang_topk": q_lang_topk,
     "vocab_topk": q_vocab_topk,
     "len_quantiles": q_len_quantiles,
+    "length_percentile": q_length_percentile,
     "curate": q_curate,
     "distinct_users": q_distinct_users,
     "hll_user_buckets": q_hll_user_buckets,
@@ -3422,6 +3445,7 @@ ORACLE_SQL = {
     "lang_topk": SQL_LANG_TOPK,
     "vocab_topk": SQL_VOCAB_TOPK,
     "len_quantiles": SQL_LEN_QUANTILES,
+    "length_percentile": SQL_LENGTH_PERCENTILE,
     "curate": SQL_CURATE,
     "distinct_users": SQL_DISTINCT_USERS,
     "hll_user_buckets": SQL_HLL_USER_BUCKETS,

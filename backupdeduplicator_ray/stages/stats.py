@@ -233,3 +233,84 @@ def group_quantiles(ds, group_col: str, col: str, qs: list[float], n_parts: int 
         .groupby("__part")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def group_percentile(
+    ds,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+):
+    """Per-row percentile rank within its group — the RANK()-class window
+    function WITHOUT a global sort: SQL's
+    `rank() OVER (PARTITION BY g ORDER BY v) - 1` (count of strictly
+    smaller values in the group) re-expressed through the histogram
+    doctrine.
+
+    Shape: one O(distinct (group, value)) histogram exchange → driver
+    per-group exclusive cumsum (the same k-row reduce envelope as
+    column_quantiles) → `ray.put` lookup broadcast → one annotate pass
+    (vectorized pandas merge per batch).  No row ever moves; the rank
+    table moves once.  For high-cardinality value columns, pre-bucket
+    first (module doctrine).
+
+    Rows with a null group or value are dropped (no rank without both).
+    Output: input columns + n_smaller, n_group, pct_milli =
+    1000 * n_smaller // n_group — all int64, SQL-exact.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.groups import cached_get
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[value_col]))
+        df = pd.DataFrame(
+            {
+                "g": t[group_col].filter(keep).to_pandas(),
+                "v": t[value_col].filter(keep).to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby(["g", "v"], sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .aggregate(Sum("n"))
+    )
+    blocks = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    if not blocks:
+        # no (group, value) rows at all → annotated output is empty too
+        return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+    tbl = pa.concat_tables(blocks, promote_options="default").to_pandas()
+    tbl = tbl.sort_values(["g", "v"], kind="mergesort").reset_index(drop=True)
+    counts = tbl["sum(n)"].to_numpy().astype(np.int64)
+    grp = tbl.groupby("g", sort=False)["sum(n)"]
+    n_group = grp.transform("sum").to_numpy().astype(np.int64)
+    incl = grp.cumsum().to_numpy().astype(np.int64)
+    lookup = pd.DataFrame(
+        {
+            "g": tbl["g"],
+            "v": tbl["v"],
+            "n_smaller": incl - counts,  # exclusive prefix within group
+            "n_group": n_group,
+        }
+    )
+    ref = ray.put(lookup)
+
+    def annotate(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[value_col]))
+        t = t.filter(keep)
+        lk = cached_get(ref)
+        df = t.to_pandas()
+        merged = df.merge(
+            lk, left_on=[group_col, value_col], right_on=["g", "v"], how="left"
+        ).drop(columns=["g", "v"])
+        merged["n_smaller"] = merged["n_smaller"].astype("int64")
+        merged["n_group"] = merged["n_group"].astype("int64")
+        merged["pct_milli"] = merged["n_smaller"] * 1000 // merged["n_group"]
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    return ds.map_batches(annotate, batch_format="pyarrow")

@@ -90,3 +90,40 @@ def test_group_quantiles_vs_brute(ray_session):
         ray.data.from_arrow(t).repartition(7), "g", "v", qs
     ).to_pandas()
     assert got == {(r["g"], r["q"]): r["value"] for _, r in out2.iterrows()}
+
+
+def test_group_percentile_rank_semantics(ray_session):
+    """n_smaller == strictly-smaller count (ties share rank), per-group
+    totals, null group/value dropped, sharding-invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.stats import group_percentile
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(9), pa.int64()),
+            "g": pa.array(["a", "a", "a", "a", "b", "b", None, "a", "b"], pa.string()),
+            "v": pa.array([10, 20, 20, 30, 5, 5, 1, None, 7], pa.int64()),
+        }
+    )
+
+    def run(parts):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        out = group_percentile(ds, group_col="g", value_col="v").take_all()
+        return {r["doc_id"]: (r["n_smaller"], r["n_group"], r["pct_milli"]) for r in out}
+
+    got = run(1)
+    expect = {
+        0: (0, 4, 0),       # a: 10 -> 0 smaller of 4
+        1: (1, 4, 250),     # a: 20 -> 1 smaller (tie shares rank)
+        2: (1, 4, 250),
+        3: (3, 4, 750),
+        4: (0, 3, 0),       # b: 5,5 tie at rank 0
+        5: (0, 3, 0),
+        8: (2, 3, 666),     # b: 7 -> 2 smaller; floor(2000/3)
+    }
+    assert got == expect  # doc 6 (null g) and 7 (null v) absent
+    assert run(4) == got
