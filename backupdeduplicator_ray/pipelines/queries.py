@@ -3301,7 +3301,87 @@ GROUP BY 1
 
 # --- registry --------------------------------------------------------------
 
+def q_fuzzy_pairs(sf_dir: str):
+    """Blocked fuzzy join (record linkage) over part names: pairs sharing
+    >= 1 token whose names are within 4 byte-Levenshtein edits.  Token
+    blocking rides the same inverted-index pair machinery as jaccard_pairs;
+    the distance kernel is vectorized across pairs (stages/fuzzy.py)."""
+    import ray.data
+
+    from ..stages.fuzzy import fuzzy_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    return fuzzy_pairs(ds, id_col="p_partkey", name_col="p_name", max_dist=4)
+
+
+SQL_FUZZY_PAIRS = """
+WITH tok0 AS (
+  SELECT p_partkey AS id, unnest(string_split(p_name, ' ')) AS t FROM part
+),
+tok AS (SELECT DISTINCT id, t FROM tok0),
+-- blocking tokens must be shared by >= 2 parts (the engine's
+-- keys_with_count_between min_count=2; no hot-token cap in this query)
+tf AS (SELECT * FROM tok QUALIFY count(*) OVER (PARTITION BY t) >= 2),
+cand AS (
+  SELECT a.id AS a_id, b.id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM tf a JOIN tf b ON a.t = b.t AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT c.a_id, c.b_id, c.n_shared,
+       levenshtein(x.p_name, y.p_name) AS dist
+FROM cand c
+JOIN part x ON x.p_partkey = c.a_id
+JOIN part y ON y.p_partkey = c.b_id
+WHERE levenshtein(x.p_name, y.p_name) <= 4
+"""
+
+
+def q_fuzzy_best_match(sf_dir: str):
+    """Each part's best fuzzy neighbor (min dist, tie to lower id) — the
+    record-linkage best-candidate selection over the fuzzy pair set."""
+    import ray.data
+
+    from ..stages.fuzzy import fuzzy_best_match
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    return fuzzy_best_match(ds, id_col="p_partkey", name_col="p_name", max_dist=4)
+
+
+SQL_FUZZY_BEST_MATCH = """
+WITH tok0 AS (
+  SELECT p_partkey AS id, unnest(string_split(p_name, ' ')) AS t FROM part
+),
+tok AS (SELECT DISTINCT id, t FROM tok0),
+tf AS (SELECT * FROM tok QUALIFY count(*) OVER (PARTITION BY t) >= 2),
+cand AS (
+  SELECT a.id AS a_id, b.id AS b_id
+  FROM tf a JOIN tf b ON a.t = b.t AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.a_id, c.b_id, levenshtein(x.p_name, y.p_name) AS dist
+  FROM cand c
+  JOIN part x ON x.p_partkey = c.a_id
+  JOIN part y ON y.p_partkey = c.b_id
+  WHERE levenshtein(x.p_name, y.p_name) <= 4
+),
+sym AS (
+  SELECT a_id AS id, b_id AS match_id, dist FROM pairs
+  UNION ALL
+  SELECT b_id AS id, a_id AS match_id, dist FROM pairs
+)
+SELECT id, match_id, dist FROM sym
+QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, match_id) = 1
+"""
+
+
 QUERIES = {
+    "fuzzy_pairs": q_fuzzy_pairs,
+    "fuzzy_best_match": q_fuzzy_best_match,
     "file_hash": q_file_hash,
     "exact_dup_groups": q_exact_dup_groups,
     "hardlink_sets": q_hardlink_sets,
@@ -3394,6 +3474,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "fuzzy_pairs": SQL_FUZZY_PAIRS,
+    "fuzzy_best_match": SQL_FUZZY_BEST_MATCH,
     "file_hash": SQL_FILE_HASH,
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
     "hardlink_sets": SQL_HARDLINK_SETS,

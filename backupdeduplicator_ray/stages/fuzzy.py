@@ -1,0 +1,335 @@
+"""Blocked fuzzy join (record linkage) over short name/title columns.
+
+Reference counterpart: none — a mandated training-data extension (entity
+resolution: near-identical titles/names that exact hashing misses, the
+string-side sibling of `stages/neardup`).  Candidate generation is token
+blocking — a pair is considered iff it shares >= 1 surviving
+space-separated token — reusing the SAME inverted-index machinery as
+n-gram Jaccard (`stages/neardup.cooccur_pair_hits`: count-pruned token
+survivors, hash-partitioned co-location, one vectorized pair-expansion
+kernel per partition).  Survivor pairs then pass a byte-exact Levenshtein
+filter `dist <= max_dist`.
+
+DuckDB's `levenshtein()` measures edit distance over UTF-8 BYTES
+(probe: levenshtein('café','cafe') = 2 — a substitution on the first
+continuation byte plus a deletion), so the kernel here runs on uint8 byte
+matrices: oracle parity holds on non-ASCII names too.
+
+Scale notes (100 TB doctrine):
+  - the token doc-freq valve bounds the quadratic blowup of hot blocking
+    tokens exactly as in jaccard_pairs (stopword-removal-before-blocking,
+    mirrored in the SQL oracle);
+  - name delivery to pair rows is valve-gated: below `broadcast_limit`
+    distinct ids the (id, name) lookup ships ONCE via ray.put (dimension
+    doctrine, `state.joins.broadcast_hash_join`); above it — or with
+    `distributed=True` — names ride to the pair rows through two
+    partitioned hash joins and the driver never holds them;
+  - the Levenshtein kernel is vectorized ACROSS pairs (loop length = max
+    name length, everything else is (pairs x len) numpy), so a batch of a
+    million candidate pairs is a few hundred numpy ops, not a million
+    Python calls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+BROADCAST_LIMIT = 2_000_000
+
+
+def levenshtein_bytes(a_list, b_list) -> np.ndarray:
+    """Exact byte-domain Levenshtein distance, vectorized across pairs.
+
+    Standard row DP with the in-row insertion chain eliminated by the
+    prefix-min identity: with tmp[j] = min(prev[j]+1, prev[j-1]+cost[j])
+    (tmp[0] = i), the sequential recurrence cur[j] = min(tmp[j],
+    cur[j-1]+1) unrolls to min_{k<=j}(tmp[k] + (j-k)) =
+    j + running_min(tmp[k] - k), i.e. ONE np.minimum.accumulate per row.
+    The loop runs max-len(shorter side) times; every step is a
+    (pairs x len) numpy kernel.  Matches DuckDB levenshtein() (byte
+    domain) exactly, non-ASCII included.
+
+    `a_list` / `b_list`: sequences of `bytes` (same length P).  Returns
+    int32[P].
+    """
+    P = len(a_list)
+    if P == 0:
+        return np.empty(0, np.int32)
+    n1 = np.fromiter((len(x) for x in a_list), np.int32, P)
+    n2 = np.fromiter((len(x) for x in b_list), np.int32, P)
+    # loop over the side with the smaller max length (distance symmetric)
+    if int(n1.max()) > int(n2.max()):
+        a_list, b_list, n1, n2 = b_list, a_list, n2, n1
+    m1, m2 = int(n1.max()), int(n2.max())
+    res = np.where(n1 == 0, n2, 0).astype(np.int32)
+    if m1 == 0:
+        return res
+    # vectorized padded fill: one flat byte buffer per side, scattered by
+    # (row, col) index arrays — padding content is irrelevant because the
+    # DP flows strictly left/up/diag and each pair's result is snapshotted
+    # at its own (n1[p], n2[p]) cell before padding rows are reached
+    A = np.zeros((P, m1), np.uint8)
+    B = np.zeros((P, m2), np.uint8)
+    for mat, lst, ln in ((A, a_list, n1), (B, b_list, n2)):
+        flat = np.frombuffer(b"".join(lst), np.uint8)
+        if len(flat):
+            rows = np.repeat(np.arange(P), ln)
+            cols = np.arange(len(flat)) - np.repeat(np.cumsum(ln) - ln, ln)
+            mat[rows, cols] = flat
+    jr = np.arange(m2 + 1, dtype=np.int32)
+    prev = np.broadcast_to(jr, (P, m2 + 1)).astype(np.int32).copy()
+    tmp = np.empty((P, m2 + 1), np.int32)
+    for i in range(1, m1 + 1):
+        cost = (A[:, i - 1 : i] != B).astype(np.int32)
+        tmp[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=tmp[:, 1:])
+        cur = np.minimum.accumulate(tmp - jr, axis=1)
+        cur += jr
+        done = n1 == i
+        if done.any():
+            res[done] = cur[done, n2[done]]
+        prev, tmp = cur, prev
+    return res
+
+
+def _token_explode(id_col: str, name_col: str):
+    """(id, name) batch → DISTINCT (token, id) inverted-index rows.
+
+    Tokenization is single-space `string_split` (DuckDB semantics: empty
+    tokens from runs of spaces survive; a NULL name yields no rows).
+    Per-doc dedup keeps the downstream doc-freq valve counting DISTINCT
+    docs per token, matching the oracle's `SELECT DISTINCT id, t`.
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        names = t[name_col].combine_chunks()
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        mask = pc.is_valid(names).to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(names, " ")
+        flat = toks.flatten()
+        counts = np.zeros(len(t), np.int64)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        counts[mask] = lens[mask]
+        rows = np.repeat(np.arange(len(t)), counts)
+        df = pd.DataFrame(
+            {"token": flat.to_numpy(zero_copy_only=False), "__row": rows}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "token": pa.array(df["token"], pa.string()),
+                "id": pa.array(ids[df["__row"].to_numpy()], pa.int64()),
+            }
+        )
+
+    return explode
+
+
+def fuzzy_pairs(
+    ds,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_dist: int = 4,
+    max_doc_freq: int | None = None,
+    distributed: bool = False,
+    broadcast_limit: int = BROADCAST_LIMIT,
+):
+    """All id pairs (a < b, int64 ids) sharing >= 1 surviving token whose
+    names are within `max_dist` byte-Levenshtein edits.
+
+    Returns a Dataset (a_id int64, b_id int64, n_shared int64, dist
+    int64).  `max_doc_freq=None` disables the hot-token valve (every
+    shared token blocks); with a value, tokens shared by more docs are
+    dropped from blocking entirely (recall valve, mirrored in SQL).
+    """
+    import ray
+
+    from ..functions.groups import cached_get
+    from ..state.joins import partitioned_hash_join
+    from .neardup import cooccur_pair_hits
+
+    ds = ds.select_columns([id_col, name_col])
+    inv = ds.map_batches(_token_explode(id_col, name_col), batch_format="pyarrow")
+    hits = cooccur_pair_hits(
+        inv, key_col="token", id_col="id", max_doc_freq=max_doc_freq,
+        id_type=pa.int64(),
+    )
+    # sum partial hit counts per pair.  A two-key groupby().sum() is a
+    # full sort shuffle on (a,b) — measured 13 s on a 0.5M-partial input
+    # where this hash-partition + lexsort/reduceat combine takes ~1 s.
+    n_comb = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        a = t["a_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = (
+            a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ b.astype(np.uint64)
+        ) % np.uint64(n_comb)
+        return t.append_column("__part", pa.array(h.astype(np.int32)))
+
+    def combine(g: pa.Table) -> pa.Table:
+        a = g["a_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = g["b_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, n = a[order], b[order], n[order]
+        new = np.empty(len(a), np.bool_)
+        new[:1] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(n, starts) if len(starts) else n[:0]
+        return pa.table(
+            {
+                "a_id": pa.array(a[starts], pa.int64()),
+                "b_id": pa.array(b[starts], pa.int64()),
+                "n_shared": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = (
+        hits.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(combine, batch_format="pyarrow")
+        .materialize()
+    )
+
+    pair_schema = pa.schema(
+        [
+            ("a_id", pa.int64()),
+            ("b_id", pa.int64()),
+            ("n_shared", pa.int64()),
+            ("dist", pa.int64()),
+        ]
+    )
+    if pairs.count() == 0:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=pair_schema))
+
+    def dist_filter(t: pa.Table, a_name: str, b_name: str) -> pa.Table:
+        an = t[a_name].cast(pa.binary()).combine_chunks().to_pylist()
+        bn = t[b_name].cast(pa.binary()).combine_chunks().to_pylist()
+        d = levenshtein_bytes(an, bn)
+        keep = d <= max_dist
+        t = t.append_column("dist", pa.array(d.astype(np.int64), pa.int64()))
+        return t.filter(pa.array(keep)).select(
+            ["a_id", "b_id", "n_shared", "dist"]
+        )
+
+    n_ids = ds.count()
+    if distributed or n_ids > broadcast_limit:
+        # 100 TB route: names ride to pair rows via two partitioned hash
+        # joins; the driver never materializes the name table
+        def renamed(col_id: str, col_name: str):
+            def fn(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        col_id: t[id_col].cast(pa.int64()),
+                        col_name: t[name_col],
+                    }
+                )
+
+            return fn
+
+        with_a = partitioned_hash_join(
+            pairs,
+            ds.map_batches(renamed("a_id", "__a_name"), batch_format="pyarrow"),
+            "a_id",
+        )
+        with_b = partitioned_hash_join(
+            with_a.materialize(),
+            ds.map_batches(renamed("b_id", "__b_name"), batch_format="pyarrow"),
+            "b_id",
+        )
+        return with_b.map_batches(
+            lambda t: dist_filter(t, "__a_name", "__b_name"),
+            batch_format="pyarrow",
+        )
+
+    # dimension route: the (id -> name) lookup ships once via ray.put
+    name_tbl = pa.concat_tables(
+        ray.get(ds.materialize().to_arrow_refs())
+    ).combine_chunks()
+    lk_ids = name_tbl[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.argsort(lk_ids, kind="stable")
+    lookup_ref = ray.put(
+        (
+            lk_ids[order],
+            name_tbl[name_col].cast(pa.binary()).take(pa.array(order)),
+        )
+    )
+
+    def annotate(t: pa.Table) -> pa.Table:
+        ids_sorted, names_sorted = cached_get(lookup_ref)
+        out = pa.table(
+            {
+                "a_id": t["a_id"],
+                "b_id": t["b_id"],
+                "n_shared": t["n_shared"],
+            }
+        )
+        a = t["a_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(ids_sorted, a)
+        ib = np.searchsorted(ids_sorted, b)
+        out = out.append_column("__a_name", names_sorted.take(pa.array(ia)))
+        out = out.append_column("__b_name", names_sorted.take(pa.array(ib)))
+        return dist_filter(out, "__a_name", "__b_name")
+
+    return pairs.map_batches(annotate, batch_format="pyarrow")
+
+
+def fuzzy_best_match(
+    ds,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_dist: int = 4,
+    max_doc_freq: int | None = None,
+    **kw,
+):
+    """Each id's single best fuzzy neighbor (min dist, ties to the lower
+    neighbor id) among its `fuzzy_pairs` matches — the classic record-
+    linkage "best candidate" selection.
+
+    Both pair orientations compete: a pair (a, b, d) is a candidate match
+    for BOTH a and b.  One symmetrize pass, then the shared
+    `select.topk_per_group` primitive (local per-batch top-1 combiner →
+    one id-hash exchange → per-partition finalize) — no global sort.  Ids
+    with no pair within max_dist don't appear.
+    Returns (id int64, match_id int64, dist int64).
+    """
+    from .select import topk_per_group
+
+    pairs = fuzzy_pairs(
+        ds, id_col=id_col, name_col=name_col, max_dist=max_dist,
+        max_doc_freq=max_doc_freq, **kw,
+    )
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [
+                        t["a_id"].combine_chunks(),
+                        t["b_id"].combine_chunks(),
+                    ]
+                ),
+                "match_id": pa.concat_arrays(
+                    [
+                        t["b_id"].combine_chunks(),
+                        t["a_id"].combine_chunks(),
+                    ]
+                ),
+                "dist": pa.concat_arrays(
+                    [t["dist"].combine_chunks()] * 2
+                ),
+            }
+        )
+
+    sym = pairs.map_batches(symmetrize, batch_format="pyarrow")
+    return topk_per_group(
+        sym, group_col="id", order_col="dist", k=1, id_col="match_id",
+        descending=False,
+    )

@@ -1,0 +1,185 @@
+"""Blocked fuzzy join (stages/fuzzy.py): byte-exact Levenshtein kernel,
+token-blocking candidate semantics, route parity, best-match selection."""
+
+import random
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _lev_ref(a: bytes, b: bytes) -> int:
+    """Textbook O(len*len) DP — the independent reference."""
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i]
+        for j in range(1, len(b) + 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_kernel_vs_reference():
+    from backupdeduplicator_ray.stages.fuzzy import levenshtein_bytes
+
+    rng = random.Random(11)
+    alpha = "abcé漢 xyz"
+    pairs = [("", ""), ("abc", ""), ("", "xyz"), ("kitten", "sitting"),
+             ("café", "cafe"), ("same", "same")]
+    for _ in range(400):
+        s1 = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 15)))
+        s2 = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 15)))
+        pairs.append((s1, s2))
+    a = [s.encode() for s, _ in pairs]
+    b = [s.encode() for _, s in pairs]
+    got = levenshtein_bytes(a, b)
+    exp = np.array([_lev_ref(x, y) for x, y in zip(a, b)])
+    assert (got == exp).all()
+    assert len(levenshtein_bytes([], [])) == 0
+
+
+def test_levenshtein_byte_domain_matches_duckdb():
+    """DuckDB levenshtein() is byte-domain; the kernel must agree on
+    non-ASCII (the parity contract of the SQL oracle)."""
+    import duckdb
+
+    from backupdeduplicator_ray.stages.fuzzy import levenshtein_bytes
+
+    cases = [("café", "cafe"), ("漢字", "漢"), ("naïve", "naive"), ("ß", "ss")]
+    got = levenshtein_bytes(
+        [a.encode() for a, _ in cases], [b.encode() for _, b in cases]
+    )
+    con = duckdb.connect()
+    exp = [
+        con.sql("select levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+        for a, b in cases
+    ]
+    assert list(got) == exp
+
+
+NAMES = pd.DataFrame(
+    {
+        "id": range(10),
+        "name": [
+            "red widget",       # 0
+            "red widgit",       # 1: dist 1 to 0
+            "red bolt",         # 2
+            "blue bolt",        # 3: dist 4 to 2 ("red"->"blue")
+            "blue bolt",        # 4: exact dup of 3
+            "green gear",       # 5
+            "green gear",       # 6: exact dup of 5
+            "solo uniquetoken", # 7: no shared token -> never a candidate
+            None,               # 8: null name -> no blocking rows
+            "red  widget",      # 9: double space -> tokens red,'',widget
+        ],
+    }
+)
+
+
+def _brute(df: pd.DataFrame, max_dist: int, mdf=None):
+    """Independent restatement: token blocking + byte distance."""
+    toks = {}
+    for _, r in df.iterrows():
+        if r["name"] is None:
+            continue
+        toks[r["id"]] = set(r["name"].split(" "))
+    df_cnt = {}
+    for ts in toks.values():
+        for t in ts:
+            df_cnt[t] = df_cnt.get(t, 0) + 1
+    ok = {t for t, c in df_cnt.items() if c >= 2 and (mdf is None or c <= mdf)}
+    names = dict(zip(df["id"], df["name"]))
+    out = []
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(toks[a] & toks[b] & ok)
+            if shared == 0:
+                continue
+            d = _lev_ref(names[a].encode(), names[b].encode())
+            if d <= max_dist:
+                out.append((a, b, shared, d))
+    return sorted(out)
+
+
+def _run_pairs(df, **kw):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.fuzzy import fuzzy_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(df["id"], pa.int64()), "name": df["name"]})
+    )
+    res = fuzzy_pairs(ds, id_col="id", name_col="name", **kw).to_pandas()
+    return sorted(map(tuple, res[["a_id", "b_id", "n_shared", "dist"]].values))
+
+
+def test_fuzzy_pairs_matches_brute(ray_session):
+    assert _run_pairs(NAMES, max_dist=4) == _brute(NAMES, 4)
+    # exact dups (dist 0) present
+    got = _run_pairs(NAMES, max_dist=0)
+    assert (3, 4, 2, 0) in got and (5, 6, 2, 0) in got
+
+
+def test_fuzzy_pairs_doc_freq_valve(ray_session):
+    # "red" has df 4 (ids 0,1,2,9); with mdf=3 it stops blocking — pairs
+    # must match the brute restatement with the same valve
+    assert _run_pairs(NAMES, max_dist=10, max_doc_freq=3) == _brute(
+        NAMES, 10, mdf=3
+    )
+
+
+def test_fuzzy_pairs_distributed_route_parity(ray_session):
+    bc = _run_pairs(NAMES, max_dist=6)
+    dist = _run_pairs(NAMES, max_dist=6, distributed=True)
+    assert bc == dist and len(bc) > 0
+
+
+def test_fuzzy_pairs_repartition_invariance(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.fuzzy import fuzzy_pairs
+
+    t = pa.table(
+        {"id": pa.array(NAMES["id"], pa.int64()), "name": NAMES["name"]}
+    )
+    base = _run_pairs(NAMES, max_dist=4)
+    res = fuzzy_pairs(
+        ray.data.from_arrow(t).repartition(7),
+        id_col="id", name_col="name", max_dist=4,
+    ).to_pandas()
+    assert sorted(map(tuple, res[["a_id", "b_id", "n_shared", "dist"]].values)) == base
+
+
+def test_fuzzy_best_match(ray_session):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.fuzzy import fuzzy_best_match
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(NAMES["id"], pa.int64()), "name": NAMES["name"]})
+    )
+    res = (
+        fuzzy_best_match(ds, id_col="id", name_col="name", max_dist=4)
+        .to_pandas()
+        .set_index("id")
+    )
+    pairs = _brute(NAMES, 4)
+    # independent best-match: min dist then min neighbor id, both orientations
+    best = {}
+    for a, b, _, d in pairs:
+        for x, y in ((a, b), (b, a)):
+            if x not in best or (d, y) < best[x]:
+                best[x] = (d, y)
+    assert len(res) == len(best)
+    for i, (d, y) in best.items():
+        assert (res.loc[i, "match_id"], res.loc[i, "dist"]) == (y, d)
+    # exact-dup tie: 3 matches 4 at dist 0 and vice versa
+    assert res.loc[3, "match_id"] == 4 and res.loc[4, "match_id"] == 3

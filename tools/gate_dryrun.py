@@ -2,8 +2,10 @@
 oracle_sql() in DuckDB with driver-identical canonicalization (sorted
 columns, 6-dp floats, order-insensitive rows).  Run from anywhere:
 
-    python tools/gate_dryrun.py
+    python tools/gate_dryrun.py [query_name ...]
 
+With names given, checks only those queries (fast iteration on a new
+entry); with none, sweeps the whole registry.
 Prints one line per query (ORACLE-PASS / ORACLE-FAIL / ERR) and a TOTAL.
 Owns its own Ray session (the driver contract forbids ray.init only in
 __ray_entry__ / the library, not in tools)."""
@@ -38,6 +40,11 @@ def canon(df):
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 qs, sql = e.queries(), e.oracle_sql()
+if len(sys.argv) > 1:
+    missing = [n for n in sys.argv[1:] if n not in qs]
+    if missing:
+        sys.exit(f"unknown queries: {missing}")
+    qs = {n: qs[n] for n in sys.argv[1:]}
 npass = nfail = 0
 fails = []
 for name in sorted(qs):
