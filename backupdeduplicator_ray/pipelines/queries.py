@@ -3301,6 +3301,31 @@ GROUP BY 1
 
 # --- registry --------------------------------------------------------------
 
+def q_tfidf_topk(sf_dir: str):
+    """Per-doc top-5 TF-IDF keywords — exact integer rank key
+    (fixed-point IDF), deterministic tie-break on token."""
+    from ..stages.textops import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir, ["doc_id", "text"]), k=5)
+
+
+SQL_TFIDF_TOPK = """
+WITH occ AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n_occ FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+    FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+  ) GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM occ GROUP BY token),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM occ)
+SELECT o.doc_id, o.token, o.n_occ,
+       CAST(o.n_occ * CAST(floor(ln(CAST(nd.n AS DOUBLE) / CAST(d.df AS DOUBLE))
+                                 * 1000000.0) AS BIGINT) AS BIGINT) AS tfidf_micro
+FROM occ o JOIN dfreq d USING (token), nd
+QUALIFY row_number() OVER (PARTITION BY o.doc_id ORDER BY tfidf_micro DESC, o.token) <= 5
+"""
+
+
 def q_fuzzy_pairs(sf_dir: str):
     """Blocked fuzzy join (record linkage) over part names: pairs sharing
     >= 1 token whose names are within 4 byte-Levenshtein edits.  Token
@@ -3380,6 +3405,7 @@ QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, match_id) = 1
 
 
 QUERIES = {
+    "tfidf_topk": q_tfidf_topk,
     "fuzzy_pairs": q_fuzzy_pairs,
     "fuzzy_best_match": q_fuzzy_best_match,
     "file_hash": q_file_hash,
@@ -3474,6 +3500,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "tfidf_topk": SQL_TFIDF_TOPK,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "fuzzy_best_match": SQL_FUZZY_BEST_MATCH,
     "file_hash": SQL_FILE_HASH,

@@ -996,3 +996,103 @@ def remove_stopwords(
         )
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def tfidf_topk(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 5):
+    """Per-doc top-k keywords by TF-IDF — the document-side sibling of
+    BM25 (`stages/search.py` scores docs for a query; this extracts each
+    doc's most distinctive terms, the classic keyword/tag stage of a
+    training-data pipeline).
+
+    Float discipline (the unigram_logprob doctrine): the per-token IDF is
+    fixed-point — floor(ln(N/df) * 1e6) as int64, N = docs with >= 1
+    token, df = docs containing the token — so scores and the top-k rank
+    key are exact integers; ties break on ascending token, making the cut
+    deterministic and SQL-reproducible.
+
+    Shuffle discipline: per-batch (doc, token, n_occ) combiner
+    (`_doc_token_counts`; occ rows are already DISTINCT per doc), ONE
+    token groupby for the df table (vocab-bounded, materialized as the
+    join's small side), one hash join, then the shared
+    `select.topk_per_group` primitive (local top-k combiner -> one
+    doc-hash exchange).  N costs no exchange: docs never span input rows,
+    so per-batch distinct-id counts sum exactly.
+
+    Output: (id_col, token, n_occ int64, tfidf_micro int64), <= k rows
+    per doc.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from ..state.joins import partitioned_hash_join
+    from .select import topk_per_group
+
+    ids_ok = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[id_col])), batch_format="pyarrow"
+    )
+    # occ feeds THREE consumers (N, df table, the scoring join); without a
+    # materialize each one re-runs the tokenizer — the expensive stage —
+    # end to end (measured 17 s -> ~6 s at sf0.01).  The blocks live in
+    # the object store and spill, never on the driver.
+    occ = ids_ok.map_batches(
+        _doc_token_counts(id_col, text_col), batch_format="pyarrow"
+    ).materialize()
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([len(pc.unique(t[id_col].combine_chunks()))], pa.int64())}
+        )
+
+    n_docs = int(
+        occ.map_batches(doc_partial, batch_format="pyarrow").sum("n") or 0
+    )
+    if n_docs == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    (id_col, pa.int64()),
+                    ("token", pa.string()),
+                    ("n_occ", pa.int64()),
+                    ("tfidf_micro", pa.int64()),
+                ]
+            ).empty_table()
+        )
+
+    dfreq = (
+        occ.map_batches(
+            lambda t: pa.table({"token": t["token"]}), batch_format="pyarrow"
+        )
+        .groupby("token")
+        .aggregate(Count())
+        .map_batches(
+            lambda t: pa.table(
+                {"token": t["token"], "df": t["count()"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # vocab-bounded small side
+    )
+
+    joined = partitioned_hash_join(occ, dfreq, key="token", n_parts=64)
+
+    def score(t: pa.Table) -> pa.Table:
+        n_occ = t["n_occ"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_v = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # exact operand order mirrored in SQL: floor(ln(N / df) * 1e6)
+        idf = np.floor(np.log(float(n_docs) / df_v) * 1_000_000.0).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "token": t["token"],
+                "n_occ": pa.array(n_occ, pa.int64()),
+                "tfidf_micro": pa.array(n_occ * idf, pa.int64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return topk_per_group(
+        scored, group_col=id_col, order_col="tfidf_micro", k=k,
+        id_col="token", descending=True,
+    )

@@ -298,3 +298,90 @@ def test_bigram_pmi_hand_checked(ray_session):
     assert run(4, min_count=2) == got  # sharding-invariant
     assert [(r[0], r[1]) for r in run(1, min_count=2, k=2)] == [("b", "c"), ("a", "b")]
     assert len(run(1, min_count=4)) == 0  # min_count prunes everything
+
+
+def test_tfidf_topk_hand_checked(ray_session):
+    """Hand-computed fixed-point TF-IDF, deterministic tie-break on token,
+    k cut, zero-token/null-id docs absent, sharding-invariant."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.textops import tfidf_topk
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, None], pa.int64()),
+            "text": pa.array(
+                ["aa aa bb", "bb cc", "", None, "aa"], pa.string()
+            ),
+        }
+    )
+    # docs with tokens (null id dropped): {1,2} -> N=2
+    # df: aa->1 (doc1), bb->2, cc->1
+    def idf(df):
+        return math.floor(math.log(2.0 / df) * 1_000_000)
+
+    expect = {
+        (1, "aa"): (2, 2 * idf(1)),
+        (1, "bb"): (1, idf(2)),   # ln(1)=0 -> score 0
+        (2, "bb"): (1, idf(2)),
+        (2, "cc"): (1, idf(1)),
+    }
+
+    def run(parts, k=5):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        return {
+            (r["doc_id"], r["token"]): (r["n_occ"], r["tfidf_micro"])
+            for r in tfidf_topk(ds, k=k).take_all()
+        }
+
+    assert run(1) == expect
+    assert run(4) == expect
+    # k=1 keeps the best keyword per doc; doc2's tie (cc>0=bb) resolves
+    # by score first
+    top1 = run(1, k=1)
+    assert top1 == {(1, "aa"): (2, 2 * idf(1)), (2, "cc"): (1, idf(1))}
+
+
+def test_tfidf_topk_tie_on_token(ray_session):
+    """Equal scores at the k boundary cut on ascending token."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.textops import tfidf_topk
+
+    # one doc, three tokens all df=1, same n_occ -> identical scores;
+    # k=2 must keep the two lexicographically smallest
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["zz mm aa", "qq", "rr"], pa.string()),
+        }
+    )
+    got = sorted(
+        r["token"]
+        for r in tfidf_topk(ray.data.from_arrow(t), k=2).take_all()
+        if r["doc_id"] == 1
+    )
+    assert got == ["aa", "mm"]
+
+
+def test_tfidf_topk_empty_corpus(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.textops import tfidf_topk
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array([None], pa.string()),
+        }
+    )
+    out = tfidf_topk(ray.data.from_arrow(t))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "token", "n_occ", "tfidf_micro"}
