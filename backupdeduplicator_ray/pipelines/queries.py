@@ -3301,6 +3301,36 @@ GROUP BY 1
 
 # --- registry --------------------------------------------------------------
 
+def q_throttle_dedup(sf_dir: str):
+    """Within-window event dedup: drop events <= 1 day after the previous
+    raw event of the same (user, type) stream — SQL lag semantics, one
+    user-key exchange + a vectorized per-partition kernel."""
+    import ray.data
+
+    from ..stages.events import throttle_dedup
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return throttle_dedup(ev, window_sec=86400)
+
+
+SQL_THROTTLE_DEDUP = """
+WITH o AS (
+  SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+g AS (
+  SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts_us, event_id) AS gap_us
+  FROM o
+)
+SELECT event_id, user_id, event_type, ts_us, CAST(gap_us AS BIGINT) AS gap_us
+FROM g WHERE gap_us IS NULL OR gap_us > 86400000000
+"""
+
+
 def q_tfidf_topk(sf_dir: str):
     """Per-doc top-5 TF-IDF keywords — exact integer rank key
     (fixed-point IDF), deterministic tie-break on token."""
@@ -3405,6 +3435,7 @@ QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, match_id) = 1
 
 
 QUERIES = {
+    "throttle_dedup": q_throttle_dedup,
     "tfidf_topk": q_tfidf_topk,
     "fuzzy_pairs": q_fuzzy_pairs,
     "fuzzy_best_match": q_fuzzy_best_match,
@@ -3500,6 +3531,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "throttle_dedup": SQL_THROTTLE_DEDUP,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "fuzzy_best_match": SQL_FUZZY_BEST_MATCH,

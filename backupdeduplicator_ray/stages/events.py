@@ -39,10 +39,17 @@ US = 1_000_000  # microseconds per second
 
 def _events_us(ds, ts_col: str, cols: dict[str, str]):
     """Project events to int64 epoch-us + requested columns (pruned early:
-    only what the operator needs rides the shuffle)."""
+    only what the operator needs rides the shuffle).  Any timestamp unit
+    is normalized to MICROSECONDS first — a raw int64 cast of a
+    timestamp[ns] column would silently read nanoseconds as us and skew
+    every window/gap/as-of comparison by 1000x (epoch_us() in the SQL
+    oracles is unit-safe; the engine must be too)."""
 
     def proj(t: pa.Table) -> pa.Table:
-        out = {"ts_us": t[ts_col].cast(pa.int64())}
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = ts.cast(pa.timestamp("us", tz=ts.type.tz))
+        out = {"ts_us": ts.cast(pa.int64())}
         for name, col in cols.items():
             out[name] = t[col]
         return pa.table(out)
@@ -545,3 +552,87 @@ def json_field_agg(ds, json_col: str = "props", field: str = "k", key_col: str =
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+THROTTLE_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("ts_us", pa.int64()),
+        ("gap_us", pa.int64()),
+    ]
+)
+
+
+def throttle_dedup(
+    ds,
+    window_sec: int = 86400,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    n_parts: int = 32,
+):
+    """Within-window duplicate suppression over an event stream: an event
+    survives iff it is the FIRST of its (user, type) stream or arrives
+    strictly more than `window_sec` after the PREVIOUS RAW event of that
+    stream, ordered by (ts, order_col) — SQL `lag()` semantics.  (The
+    gap-to-last-KEPT variant is inherently sequential per stream; that
+    chained shape is what `sessionize` models.)  The classic tracking /
+    telemetry dedup: repeated pings inside the window collapse to the
+    first.
+
+    One hash exchange on the user key (streams of one (user, type) never
+    split across partitions), then one vectorized kernel per partition:
+    sort -> stream-boundary mask -> shifted diff -> filter.  Equal
+    timestamps dedup (gap 0 is never > window); `gap_us` is null for
+    stream firsts.  Rows with a NULL user or type are DROPPED (same
+    contract as sessionize: a null key has no stream; the SQL oracle
+    filters them identically).
+    """
+    win_us = window_sec * US
+
+    ev = _events_us(
+        ds, ts_col, {"user_id": user_col, "etype": type_col, "order": order_col}
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["etype"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__part", pa.array((u % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def per_partition(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "etype", "ts_us", "order"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["etype"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        first = np.empty(len(g), dtype=bool)
+        first[:1] = True
+        first[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        gap = np.empty(len(g), np.int64)
+        gap[:1] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        keep = first | (gap > win_us)
+        return pa.table(
+            {
+                "event_id": pa.array(g["order"].to_numpy()[keep], pa.int64()),
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "event_type": pa.array(et[keep], pa.string()),
+                "ts_us": pa.array(ts[keep], pa.int64()),
+                # stream firsts carry a NULL gap (SQL lag of the first row)
+                "gap_us": pa.array(gap[keep], pa.int64(), mask=first[keep]),
+            }
+        ).cast(THROTTLE_SCHEMA)
+
+    return (
+        ev.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

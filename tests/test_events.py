@@ -281,3 +281,113 @@ def test_cohort_retention_triangle(ray_session):
     got = run(1)
     assert got == expect
     assert run(5) == expect  # user's weeks split across blocks
+
+
+def test_throttle_dedup_semantics(ray_session):
+    """Lag-vs-previous-RAW-event semantics: equal timestamps collapse,
+    gaps strictly greater than the window survive, streams are
+    independent per (user, type), null keys drop, firsts carry null gap."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.events import throttle_dedup
+
+    us = 1_000_000
+
+    def ts(sec):
+        return sec * us
+
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(10)), pa.int64()),
+            "ts": pa.array(
+                [ts(0), ts(5), ts(20), ts(20), ts(100),   # u1/a
+                 ts(0), ts(50),                            # u1/b
+                 ts(0),                                    # u2/a
+                 ts(1), ts(2)],                            # null keys
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 1, 1, 1, 1, 1, 2, None, 3], pa.int64()),
+            "event_type": pa.array(
+                ["a", "a", "a", "a", "a", "b", "b", "a", "a", None], pa.string()
+            ),
+        }
+    )
+    got = {
+        r["event_id"]: r["gap_us"]
+        for r in throttle_dedup(
+            ray.data.from_arrow(t), window_sec=10
+        ).take_all()
+    }
+    # u1/a: 0 first (null gap); 5 dropped (gap 5 <= 10); 20 kept (gap 15);
+    # the second ts(20) dropped (gap 0); 100 kept (gap 80).
+    # u1/b: first kept, 50 kept (gap 50). u2/a first kept. nulls dropped.
+    assert got == {
+        0: None, 2: 15 * us, 4: 80 * us, 5: None, 6: 50 * us, 7: None,
+    }
+    # boundary: gap exactly == window does NOT survive (strictly greater)
+    t2 = pa.table(
+        {
+            "event_id": pa.array([0, 1], pa.int64()),
+            "ts": pa.array([ts(0), ts(10)], pa.timestamp("us")),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["a", "a"], pa.string()),
+        }
+    )
+    got2 = [
+        r["event_id"]
+        for r in throttle_dedup(ray.data.from_arrow(t2), window_sec=10).take_all()
+    ]
+    assert got2 == [0]
+
+
+def test_throttle_dedup_duckdb_parity_and_sharding(ray_session):
+    """Synthetic stream vs the exact SQL restatement; repartition
+    invariance (streams never split across user-hash partitions)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.events import throttle_dedup
+
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 3600, n).cumsum() * 7, unit="s"
+            ),
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    con = duckdb.connect()
+    con.register("events", df)
+    exp = con.sql(
+        """
+        WITH o AS (SELECT event_id, user_id, event_type,
+                          CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        g AS (SELECT *, ts_us - lag(ts_us) OVER (
+                 PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+                 AS gap_us FROM o)
+        SELECT event_id, gap_us FROM g
+        WHERE gap_us IS NULL OR gap_us > 7200000000
+        ORDER BY event_id
+        """
+    ).df()
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (
+            throttle_dedup(ds, window_sec=7200)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["event_id"]) == list(exp["event_id"])
+        assert got["gap_us"].astype("Int64").equals(exp["gap_us"].astype("Int64"))
