@@ -3331,6 +3331,35 @@ FROM g WHERE gap_us IS NULL OR gap_us > 86400000000
 """
 
 
+def q_rolling_agg(sf_dir: str):
+    """Sliding trailing-1-day window per user: every event annotated with
+    the count + fixed-point value sum of the window — SQL RANGE frame
+    semantics via per-partition prefix sums + searchsorted."""
+    import ray.data
+
+    from ..stages.events import rolling_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return rolling_agg(ev, window_sec=86400)
+
+
+SQL_ROLLING_AGG = """
+WITH o AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(floor(coalesce(value, 0.0) * 1000) AS BIGINT) AS v_milli
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT event_id, user_id, ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       CAST(sum(v_milli) OVER w AS BIGINT) AS sum_value_milli
+FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_tfidf_topk(sf_dir: str):
     """Per-doc top-5 TF-IDF keywords — exact integer rank key
     (fixed-point IDF), deterministic tie-break on token."""
@@ -3436,6 +3465,7 @@ QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, match_id) = 1
 
 QUERIES = {
     "throttle_dedup": q_throttle_dedup,
+    "rolling_agg": q_rolling_agg,
     "tfidf_topk": q_tfidf_topk,
     "fuzzy_pairs": q_fuzzy_pairs,
     "fuzzy_best_match": q_fuzzy_best_match,
@@ -3532,6 +3562,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "throttle_dedup": SQL_THROTTLE_DEDUP,
+    "rolling_agg": SQL_ROLLING_AGG,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "fuzzy_best_match": SQL_FUZZY_BEST_MATCH,

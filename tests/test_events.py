@@ -391,3 +391,95 @@ def test_throttle_dedup_duckdb_parity_and_sharding(ray_session):
         )
         assert list(got["event_id"]) == list(exp["event_id"])
         assert got["gap_us"].astype("Int64").equals(exp["gap_us"].astype("Int64"))
+
+
+def test_rolling_agg_range_frame_semantics(ray_session):
+    """RANGE-frame sliding window: inclusive [ts-W, ts] bounds, timestamp
+    peers all count (regardless of event order), per-user isolation,
+    null values add 0 but count, null users drop."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.events import rolling_agg
+
+    us = 1_000_000
+
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(8)), pa.int64()),
+            "ts": pa.array(
+                [0, 5 * us, 10 * us, 10 * us, 21 * us, 0, 3 * us, 0],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 1, 1, 1, 2, 2, None], pa.int64()),
+            "value": pa.array([1.0, 2.0, None, 4.0, 8.0, 1.5, None, 9.9],
+                              pa.float64()),
+        }
+    )
+    got = {
+        r["event_id"]: (r["n_window"], r["sum_value_milli"])
+        for r in rolling_agg(ray.data.from_arrow(t), window_sec=10).take_all()
+    }
+    # u1 W=10s inclusive: ev0 [0]: (1,1000); ev1 [0,5]: (2,3000);
+    # ev2/ev3 at ts=10 are PEERS: window [0,10] = {0,5,10,10} ->
+    # (4, 1000+2000+0+4000=7000) for BOTH; ev4 at 21: [11,21] = {21} only
+    # (gap 11 > 10) -> (1,8000).  u2: ev5 (1,1500); ev6 [0,3] ->
+    # (2,1500).  ev7 null user dropped.
+    assert got == {
+        0: (1, 1000), 1: (2, 3000), 2: (4, 7000), 3: (4, 7000),
+        4: (1, 8000), 5: (1, 1500), 6: (2, 1500),
+    }
+
+
+def test_rolling_agg_duckdb_parity_and_sharding(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.events import rolling_agg
+
+    rng = np.random.default_rng(17)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 900, n).cumsum() * 11, unit="s"
+            ).astype("datetime64[us]"),
+            "user_id": rng.integers(0, 9, n).astype(np.int64),
+            "value": np.where(rng.random(n) < 0.1, np.nan, rng.random(n) * 50),
+        }
+    )
+    df["value"] = df["value"].astype(object).where(df["value"].notna(), None)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.sql(
+        """
+        WITH o AS (SELECT event_id, user_id,
+                          CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                          CAST(floor(coalesce(value, 0.0) * 1000) AS BIGINT) AS v_milli
+                   FROM events WHERE user_id IS NOT NULL)
+        SELECT event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_window,
+               CAST(sum(v_milli) OVER w AS BIGINT) AS sum_value_milli
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    ).df()
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = (
+            rolling_agg(ds, window_sec=3600)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["event_id"]) == list(exp["event_id"])
+        assert list(got["n_window"]) == list(exp["n_window"])
+        assert list(got["sum_value_milli"]) == list(exp["sum_value_milli"])
