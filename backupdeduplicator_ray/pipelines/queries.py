@@ -3331,6 +3331,50 @@ FROM g WHERE gap_us IS NULL OR gap_us > 86400000000
 """
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Per-doc average log-likelihood under an interpolated corpus bigram
+    LM (lam=0.7) — fixed-point per-bigram contributions, one fused-key
+    groupby + one scoring join."""
+    from ..stages.textops import bigram_logprob
+
+    return bigram_logprob(_docs(sf_dir, ["doc_id", "text"]), lam=0.7)
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS arr
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+),
+t AS (
+  SELECT doc_id, unnest(arr) AS tok, unnest(generate_series(1, len(arr))) AS ord
+  FROM arrs
+),
+bi AS (
+  SELECT a.doc_id, a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_occ
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  GROUP BY 1, 2, 3
+),
+cb AS (SELECT tok_a, tok_b, CAST(sum(n_occ) AS BIGINT) AS cb FROM bi GROUP BY 1, 2),
+c1 AS (SELECT tok_a, CAST(sum(cb) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+c2 AS (SELECT tok_b, CAST(sum(cb) AS BIGINT) AS c2 FROM cb GROUP BY 1),
+tot AS (SELECT CAST(sum(cb) AS BIGINT) AS tot FROM cb),
+fp AS (
+  SELECT cb.tok_a, cb.tok_b,
+         CAST(floor(ln(0.7 * (CAST(cb.cb AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+                       + 0.3 * (CAST(c2.c2 AS DOUBLE) / CAST(tot.tot AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) AS fp_micro
+  FROM cb JOIN c1 USING (tok_a) JOIN c2 USING (tok_b), tot
+)
+SELECT b.doc_id,
+       CAST(sum(b.n_occ) AS BIGINT) AS n_bigrams,
+       CAST(sum(b.n_occ * f.fp_micro) AS BIGINT) AS logprob_micro,
+       round(CAST(sum(b.n_occ * f.fp_micro) AS BIGINT) / 1000000.0
+             / CAST(sum(b.n_occ) AS BIGINT), 6) AS avg_logprob
+FROM bi b JOIN fp f ON b.tok_a = f.tok_a AND b.tok_b = f.tok_b
+GROUP BY b.doc_id
+"""
+
+
 def q_rolling_agg(sf_dir: str):
     """Sliding trailing-1-day window per user: every event annotated with
     the count + fixed-point value sum of the window — SQL RANGE frame
@@ -3466,6 +3510,7 @@ QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, match_id) = 1
 QUERIES = {
     "throttle_dedup": q_throttle_dedup,
     "rolling_agg": q_rolling_agg,
+    "bigram_logprob": q_bigram_logprob,
     "tfidf_topk": q_tfidf_topk,
     "fuzzy_pairs": q_fuzzy_pairs,
     "fuzzy_best_match": q_fuzzy_best_match,
@@ -3563,6 +3608,7 @@ QUERIES = {
 ORACLE_SQL = {
     "throttle_dedup": SQL_THROTTLE_DEDUP,
     "rolling_agg": SQL_ROLLING_AGG,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "fuzzy_best_match": SQL_FUZZY_BEST_MATCH,

@@ -1096,3 +1096,229 @@ def tfidf_topk(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 5):
         scored, group_col=id_col, order_col="tfidf_micro", k=k,
         id_col="token", descending=True,
     )
+
+
+def bigram_logprob(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+):
+    """Per-doc average log-likelihood under an INTERPOLATED bigram LM
+    trained on the corpus itself — the stronger cousin of
+    `unigram_logprob` (a doc of plausible words in implausible ORDER
+    scores high there but low here; the classic fluency/quality signal).
+
+    Model, closed under the corpus bigram table (every marginal derives
+    from it, so one tokenize pass builds everything):
+        P(w2|w1) = lam * cb(w1,w2)/c1(w1) + (1-lam) * c2(w2)/tot
+    with cb = corpus bigram counts, c1/c2 its left/right marginals, tot =
+    total bigrams.  Every doc bigram exists in cb (the corpus includes the
+    doc), so the probability is always positive — no OOV branch.
+
+    Float discipline (the unigram_logprob doctrine): the per-distinct-
+    bigram contribution is fixed-point — floor(ln(lam*(cb/c1) +
+    (1-lam)*(c2/tot)) * 1e6) int64, operand order mirrored verbatim in
+    SQL — so per-doc sums are order-independent integers.
+
+    Shuffle discipline: per-batch (doc, bigram, n_occ) combiner (adjacent
+    pairs never cross docs; docs are whole within rows); ONE fused-key
+    groupby for cb; marginals via per-block partial sums merged on the
+    driver (O(unigram vocab) — the keys_with_count_between envelope) and
+    broadcast back with ray.put; one partitioned hash join delivers the
+    per-bigram fixed point to doc rows; one doc groupby of int partials.
+    Docs with < 2 tokens are absent (no bigram event — SQL inner join).
+
+    Output: (id_col, n_bigrams int64, logprob_micro int64,
+    avg_logprob double).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.groups import cached_get
+    from ..state.joins import partitioned_hash_join
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("n_bigrams", pa.int64()),
+            ("logprob_micro", pa.int64()),
+            ("avg_logprob", pa.float64()),
+        ]
+    )
+    docbi_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("bg", pa.string()),
+            ("n_occ", pa.int64()),
+        ]
+    )
+
+    def doc_bigrams(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks()
+        valid = pc.and_(pc.is_valid(text), pc.is_valid(t[id_col].combine_chunks()))
+        ids = t[id_col].combine_chunks().filter(valid)
+        lists = pc.split_pattern_regex(text.filter(valid), "[^A-Za-z0-9_]+")
+        toks = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        mask = pc.not_equal(toks, "")
+        toks = toks.filter(mask)
+        parents = parents.filter(mask).to_numpy(zero_copy_only=False)
+        if len(toks) < 2:
+            return docbi_schema.empty_table()
+        s = toks.to_pandas()
+        adj = parents[1:] == parents[:-1]
+        if not adj.any():
+            return docbi_schema.empty_table()
+        # space-fused key: single-column groupbys/joins downstream.
+        # Tokens are [A-Za-z0-9_]+ so a space never collides — and unlike
+        # a \x00 fuse it survives Ray's groupby exchange (pandas object
+        # strings truncate at NUL in parts of that path; see
+        # functions/groups.py's binary-cast workaround)
+        df = pd.DataFrame(
+            {
+                "__row": parents[:-1][adj],
+                "bg": s.iloc[:-1][adj].values + " " + s.iloc[1:][adj].values,
+            }
+        )
+        g = df.groupby(["__row", "bg"], sort=False).size().rename("n_occ").reset_index()
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(g["__row"].to_numpy())),
+                "bg": pa.array(g["bg"], pa.string()),
+                "n_occ": pa.array(g["n_occ"].to_numpy(), pa.int64()),
+            }
+        ).cast(docbi_schema)
+
+    docbi = ds.map_batches(doc_bigrams, batch_format="pyarrow").materialize()
+
+    cb = (
+        docbi.map_batches(
+            lambda t: pa.table({"bg": t["bg"], "n_occ": t["n_occ"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("bg")
+        .aggregate(Sum("n_occ"))
+        .map_batches(
+            lambda t: pa.table(
+                {"bg": t["bg"], "cb": t["sum(n_occ)"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # bigram-vocab-bounded; feeds marginals + fp table
+    )
+
+    # marginals: per-block partial sums merged on the driver (unigram-
+    # vocab-bounded — the keys_with_count_between envelope), broadcast once
+    def marg_partial(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["bg"].combine_chunks(), " ")
+        w1 = pc.list_element(parts, 0)
+        w2 = pc.list_element(parts, 1)
+        n = t["cb"].combine_chunks().to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "w": np.concatenate(
+                    [w1.to_numpy(zero_copy_only=False), w2.to_numpy(zero_copy_only=False)]
+                ),
+                "side": np.repeat(np.array([0, 1], np.int8), len(t)),
+                "n": np.concatenate([n, n]),
+            }
+        )
+        g = df.groupby(["w", "side"], sort=False)["n"].sum().reset_index()
+        return pa.table(
+            {
+                "w": pa.array(g["w"], pa.string()),
+                "side": pa.array(g["side"].to_numpy(), pa.int8()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    # empty partitions surface as ZERO-COLUMN blocks — drop before concat
+    blocks = [
+        b
+        for b in ray.get(
+            cb.map_batches(marg_partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if b.num_columns
+    ]
+    partials = (
+        pa.concat_tables(blocks)
+        if blocks
+        else pa.schema(
+            [("w", pa.string()), ("side", pa.int8()), ("n", pa.int64())]
+        ).empty_table()
+    )
+    if len(partials) == 0:
+        import ray.data
+
+        return ray.data.from_arrow(out_schema.empty_table())
+    mdf = (
+        partials.to_pandas()
+        .groupby(["w", "side"], sort=False)["n"].sum().reset_index()
+    )
+    c1_df = mdf[mdf["side"] == 0].sort_values("w")
+    c2_df = mdf[mdf["side"] == 1].sort_values("w")
+    tot = int(c1_df["n"].sum())
+    lookup_ref = ray.put(
+        (
+            c1_df["w"].to_numpy(), c1_df["n"].to_numpy().astype(np.int64),
+            c2_df["w"].to_numpy(), c2_df["n"].to_numpy().astype(np.int64),
+        )
+    )
+    mu = 1.0 - lam
+
+    def fp_annotate(t: pa.Table) -> pa.Table:
+        k1, v1, k2, v2 = cached_get(lookup_ref)
+        parts = pc.split_pattern(t["bg"].combine_chunks(), " ")
+        w1 = pc.list_element(parts, 0).to_numpy(zero_copy_only=False)
+        w2 = pc.list_element(parts, 1).to_numpy(zero_copy_only=False)
+        cbv = t["cb"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = v1[np.searchsorted(k1, w1)].astype(np.float64)
+        c2 = v2[np.searchsorted(k2, w2)].astype(np.float64)
+        # exact operand order mirrored in SQL:
+        # floor(ln(lam*(cb/c1) + mu*(c2/tot)) * 1e6)
+        fp = np.floor(
+            np.log(lam * (cbv / c1) + mu * (c2 / float(tot))) * 1_000_000.0
+        ).astype(np.int64)
+        return pa.table(
+            {"bg": t["bg"], "fp_micro": pa.array(fp, pa.int64())}
+        )
+
+    fp_tbl = cb.map_batches(fp_annotate, batch_format="pyarrow")
+
+    joined = partitioned_hash_join(docbi, fp_tbl.materialize(), key="bg", n_parts=64)
+
+    agg = (
+        joined.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t[id_col],
+                    "n_occ": t["n_occ"],
+                    "lp": pc.multiply(t["n_occ"], t["fp_micro"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(id_col)
+        .aggregate(Sum("n_occ"), Sum("lp"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["sum(n_occ)"].to_numpy().astype(np.int64)
+        s = t["sum(lp)"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_bigrams": pa.array(n, pa.int64()),
+                "logprob_micro": pa.array(s, pa.int64()),
+                "avg_logprob": pa.array(
+                    np.round(s / 1_000_000.0 / n, 6), pa.float64()
+                ),
+            }
+        ).cast(out_schema)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

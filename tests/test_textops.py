@@ -385,3 +385,88 @@ def test_tfidf_topk_empty_corpus(ray_session):
     out = tfidf_topk(ray.data.from_arrow(t))
     assert out.count() == 0
     assert set(out.schema().names) == {"doc_id", "token", "n_occ", "tfidf_micro"}
+
+
+def test_bigram_logprob_hand_checked(ray_session):
+    """Interpolated bigram LM against an independent pure-Python model;
+    <2-token and null docs absent; sharding-invariant."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.textops import bigram_logprob
+
+    docs = {
+        1: "a b a b c",
+        2: "b c",
+        3: "a",          # 1 token -> no bigrams -> absent
+        4: "",           # absent
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs) + [None], pa.int64()),
+            "text": pa.array(list(docs.values()) + ["x y"], pa.string()),
+        }
+    )
+    # independent model: bigram counts over docs 1,2 (null id dropped)
+    cb = Counter()
+    per_doc = {}
+    for d, txt in docs.items():
+        toks = txt.split()
+        bgs = list(zip(toks, toks[1:]))
+        if bgs:
+            per_doc[d] = Counter(bgs)
+            cb.update(bgs)
+    c1 = Counter()
+    c2 = Counter()
+    for (w1, w2), n in cb.items():
+        c1[w1] += n
+        c2[w2] += n
+    tot = sum(cb.values())
+
+    def fp(w1, w2):
+        return math.floor(
+            math.log(0.7 * (cb[(w1, w2)] / c1[w1]) + 0.3 * (c2[w2] / tot))
+            * 1_000_000
+        )
+
+    expect = {
+        d: (
+            sum(cnt.values()),
+            sum(n * fp(*bg) for bg, n in cnt.items()),
+        )
+        for d, cnt in per_doc.items()
+    }
+
+    def run(parts):
+        ds = ray.data.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        return {
+            r["doc_id"]: (r["n_bigrams"], r["logprob_micro"])
+            for r in bigram_logprob(ds, lam=0.7).take_all()
+        }
+
+    assert run(1) == expect
+    assert run(5) == expect
+
+
+def test_bigram_logprob_empty_corpus(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.textops import bigram_logprob
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["solo", None], pa.string()),
+        }
+    )
+    out = bigram_logprob(ray.data.from_arrow(t))
+    assert out.count() == 0
+    assert set(out.schema().names) == {
+        "doc_id", "n_bigrams", "logprob_micro", "avg_logprob",
+    }
