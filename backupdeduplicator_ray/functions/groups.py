@@ -135,8 +135,26 @@ def keys_with_count_between(
         refs = list(parts.materialize().to_arrow_refs())
         if not refs:
             return (set(), set()) if also_above else set()
-        first = ray.get(refs[0])
-        numeric = len(first) == 0 or first["k"].to_numpy(zero_copy_only=False).dtype != object
+        # decide numeric-vs-object from the SCHEMA, not the data: an empty
+        # first block (object dtype never materializes) used to flip
+        # binary/string keys onto the numeric branch, which then crashed
+        # on astype(uint64) in shard_surv.  Empty input blocks pass
+        # through map_batches with the INPUT schema (no "k" column), so
+        # scan for the first block carrying the partial's output schema.
+        ktype = None
+        for r in refs:
+            t0 = ray.get(r)
+            if "k" in t0.schema.names:
+                ktype = t0.schema.field("k").type
+                break
+        if ktype is None:  # every block was an empty pass-through
+            return (set(), set()) if also_above else set()
+        numeric = (
+            pa.types.is_integer(ktype)
+            or pa.types.is_floating(ktype)
+            or pa.types.is_boolean(ktype)
+            or pa.types.is_temporal(ktype)
+        )
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         n_shards = max(8, min(64, cpus * 2))
 

@@ -1359,6 +1359,58 @@ WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
 """
 
 
+def q_fork_pairs(sf_dir: str):
+    """Repo-grain fork/mirror detection: content-digest Jaccard >= 0.2.
+
+    Over the derived corpus every mirror<k> repo holds a strict subset of
+    r<k>'s files (doc_id % 3 == 0), so (mirror<k>, r<k>) pairs score
+    ≈ 1/3 — above the 0.2 threshold, below any cross-repo noise."""
+    from ..sources.corpus import corpus_from_documents
+    from ..stages.forks import fork_pairs
+
+    return fork_pairs(corpus_from_documents(sf_dir), threshold=0.2)
+
+
+def q_fork_pairs_distributed(sf_dir: str):
+    """Same semantics, sizes forced through the partitioned-join route
+    (broadcast_limit=0) — the 10^8-repo shape under the driver gate."""
+    from ..sources.corpus import corpus_from_documents
+    from ..stages.forks import fork_pairs
+
+    return fork_pairs(
+        corpus_from_documents(sf_dir), threshold=0.2, broadcast_limit=0
+    )
+
+
+SQL_FORK_PAIRS = f"""
+WITH corpus AS ({derive_corpus_sql("documents")}),
+fh AS (
+  SELECT DISTINCT repo, sha256(content) AS h
+  FROM corpus WHERE content IS NOT NULL
+),
+-- repo-freq valve: digests in more than DEFAULT_MAX_DOC_FREQ repos
+-- (LICENSE files, empty __init__.py boilerplate) never reach pair
+-- expansion, and set sizes count the SAME post-valve vocabulary
+-- (identical repos score 1.0 whatever the valve drops)
+keep AS (
+  SELECT * FROM fh
+  QUALIFY count(*) OVER (PARTITION BY h) <= {_MAX_DOC_FREQ}
+),
+sizes AS (SELECT repo, CAST(count(*) AS BIGINT) AS sz FROM keep GROUP BY repo),
+inter AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM keep a JOIN keep b ON a.h = b.h AND a.repo < b.repo
+  GROUP BY 1, 2
+)
+SELECT repo_a, repo_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.repo = inter.repo_a
+JOIN sizes sb ON sb.repo = inter.repo_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.2
+"""
+
+
 # --- embeddings ------------------------------------------------------------
 
 _N_QUERIES = 4
@@ -3541,6 +3593,8 @@ QUERIES = {
     "quality_flags": q_quality_flags,
     "lang_agg": q_lang_agg,
     "jaccard_pairs": q_jaccard_pairs,
+    "fork_pairs": q_fork_pairs,
+    "fork_pairs_distributed": q_fork_pairs_distributed,
     "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -3638,6 +3692,9 @@ ORACLE_SQL = {
     "quality_flags": SQL_QUALITY_FLAGS,
     "lang_agg": SQL_LANG_AGG,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "fork_pairs": SQL_FORK_PAIRS,
+    # the distributed sizes route must produce the SAME rows
+    "fork_pairs_distributed": SQL_FORK_PAIRS,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -1,0 +1,220 @@
+"""Whole-repository fork/mirror detection (north-star extension).
+
+The north star frames the input as 10^12 files across ~10^8 source-code
+repositories; beyond file-grain (stages/analyze) and subtree-grain
+(stages/tree, reference directory.rs:89 Merkle digests) duplicates, the
+repo-grain question — "which repositories are forks/mirrors of each
+other?" — is exact set Jaccard over each repo's DISTINCT file-content
+digests.  It generalizes subtree dup detection the way jaccard_pairs
+generalizes exact file dedup: a fork with a handful of edited files still
+scores near 1.0 even though no directory digest matches.
+
+Plan (reuses the inverted-index machinery of stages/neardup):
+
+    corpus --explode (digest, repo), nulls dropped-->
+    groupby(digest, repo): EXACT global dedup (one sort exchange — a
+      repo's files span input blocks, so per-batch dedup cannot give
+      per-repo distinctness) -->
+    count digest repo-freqs (driver-merged partials, functions.groups) -->
+      survivor [2, max_repo_freq] + stopword sets (boilerplate digests:
+      LICENSE files, empty __init__.py — pair emission is quadratic in
+      repo-freq, the same valve doctrine as jaccard_pairs) -->
+    cooccur_pair_hits (partition-grain vectorized pair expansion,
+      per-partition combined partials) --> groupby(a,b): |A∩B| -->
+    per-repo post-valve sizes --broadcast below a repo-count valve /
+      partitioned hash join above--> J(A,B) >= threshold
+
+J(A,B) = c / (|A| + |B| - c) over the POST-VALVE digest vocabulary:
+digests above `max_repo_freq` leave BOTH the intersection and the sizes
+(stopword-removal-before-Jaccard; identical repos always score 1.0).
+The full 32-byte digest rides the exchanges — no u64 prefix, so results
+are bit-exact vs the SQL oracle at any collision density; the
+(digest, repo) exchange is the irreducible cost of global per-repo
+distinctness at 10^12-file scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash_binary_column
+from .neardup import DEFAULT_MAX_DOC_FREQ, cooccur_pair_hits
+
+PAIR_SCHEMA = pa.schema(
+    [
+        ("repo_a", pa.string()),
+        ("repo_b", pa.string()),
+        ("n_shared", pa.int64()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+#: Above this many repos the per-repo size table stops broadcasting via
+#: ray.put (~50 B/repo → ~1 GB at the valve) and reaches the pair
+#: aggregate through partitioned hash joins instead.  Env override:
+#: BDR_FORK_SIZES_BROADCAST_MAX_REPOS.
+_SIZES_BROADCAST_MAX_REPOS = 20_000_000
+
+
+def fork_pairs(
+    ds,
+    threshold: float = 0.2,
+    max_repo_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    broadcast_limit: int | None = None,
+):
+    """Repo pairs with post-valve content-digest Jaccard >= `threshold`.
+
+    Returns (repo_a, repo_b, n_shared, jaccard), repo_a < repo_b.  Rows
+    with null content are skipped (degrade-don't-fail, reference M4
+    semantics).  `broadcast_limit=0` forces the distributed sizes join
+    (route-parity tests use this, mirroring jaccard_pairs' valve).
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.groups import (
+        cached_get,
+        filter_by_key_set,
+        keys_with_count_between,
+    )
+    from ..state.joins import partitioned_hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[content_col]))
+        return pa.table(
+            {
+                "digest": hash_binary_column(t[content_col]),
+                "repo": t[repo_col].cast(pa.string()),
+            }
+        )
+
+    inv = ds.map_batches(explode, batch_format="pyarrow")
+    # exact global (digest, repo) dedup — the one big exchange
+    distinct = inv.groupby(["digest", "repo"]).count().drop_columns(["count()"])
+    # the deduped index feeds three consumers (freq count, pair hits,
+    # sizes); it is lean (digest + repo) and recomputing the upstream
+    # sort per consumer would triple the exchange — pin it
+    distinct = distinct.materialize()
+
+    if max_repo_freq is not None:
+        survivors, stops = keys_with_count_between(
+            distinct, ["digest"], min_count=2, max_count=max_repo_freq, also_above=True
+        )
+    else:
+        survivors = keys_with_count_between(distinct, ["digest"], min_count=2)
+        stops = set()
+
+    if not survivors:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=PAIR_SCHEMA))
+
+    hits = cooccur_pair_hits(
+        distinct,
+        "digest",
+        id_col="repo",
+        max_doc_freq=max_repo_freq,
+        survivors=survivors,
+    )
+    agg = hits.groupby(["a_id", "b_id"]).aggregate(Sum("n"))
+
+    # post-valve per-repo set sizes: distinct digests with repo-freq <=
+    # max_repo_freq (df == 1 digests count toward sizes, never pairs)
+    sized = (
+        filter_by_key_set(distinct, ["digest"], stops, keep=False)
+        if stops
+        else distinct
+    )
+    sizes = sized.groupby("repo").count().materialize()
+
+    limit = (
+        broadcast_limit
+        if broadcast_limit is not None
+        else int(
+            os.environ.get(
+                "BDR_FORK_SIZES_BROADCAST_MAX_REPOS", _SIZES_BROADCAST_MAX_REPOS
+            )
+        )
+    )
+
+    if sizes.count() <= limit:
+        tbls = [t for t in ray.get(sizes.to_arrow_refs()) if len(t)]
+        repos = (
+            np.concatenate(
+                [t["repo"].to_numpy(zero_copy_only=False) for t in tbls]
+            )
+            if tbls
+            else np.empty(0, object)
+        )
+        sz = (
+            np.concatenate([t["count()"].to_numpy() for t in tbls]).astype(
+                np.float64
+            )
+            if tbls
+            else np.empty(0, np.float64)
+        )
+        order = np.argsort(repos)
+        blob = ray.put((repos[order], sz[order]))
+
+        def finish_bcast(t: pa.Table) -> pa.Table:
+            r, s = cached_get(blob)
+            a = t["a_id"].to_numpy(zero_copy_only=False)
+            b = t["b_id"].to_numpy(zero_copy_only=False)
+            c = t["sum(n)"].to_numpy().astype(np.float64)
+            # every pair repo exists in sizes by construction: a repo
+            # reaches a pair only through surviving (df <= valve) digests,
+            # which also count toward its post-valve size
+            na = s[np.searchsorted(r, a)]
+            nb = s[np.searchsorted(r, b)]
+            j = c / (na + nb - c)
+            keep = j >= threshold
+            return pa.table(
+                {
+                    "repo_a": pa.array(a[keep], pa.string()),
+                    "repo_b": pa.array(b[keep], pa.string()),
+                    "n_shared": pa.array(c[keep].astype(np.int64), pa.int64()),
+                    "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+                }
+            )
+
+        return agg.map_batches(finish_bcast, batch_format="pyarrow")
+
+    # distributed route: sizes reach the pair aggregate through two hash
+    # joins (the pair aggregate is materialized per the joins' caller
+    # contract — .schema() on a lazy all-to-all plan executes it twice)
+    agg = agg.materialize()
+    sizes_a = sizes.map_batches(
+        lambda t: pa.table({"a_id": t["repo"], "na": t["count()"]}),
+        batch_format="pyarrow",
+    )
+    sizes_b = sizes.map_batches(
+        lambda t: pa.table({"b_id": t["repo"], "nb": t["count()"]}),
+        batch_format="pyarrow",
+    )
+    joined = partitioned_hash_join(agg, sizes_a, key="a_id", n_parts=64)
+    joined = partitioned_hash_join(
+        joined.materialize(), sizes_b, key="b_id", n_parts=64
+    )
+
+    def finish_join(t: pa.Table) -> pa.Table:
+        c = t["sum(n)"].to_numpy().astype(np.float64)
+        na = t["na"].to_numpy().astype(np.float64)
+        nb = t["nb"].to_numpy().astype(np.float64)
+        j = c / (na + nb - c)
+        keep = j >= threshold
+        kp = pa.array(keep)
+        return pa.table(
+            {
+                "repo_a": t["a_id"].filter(kp).cast(pa.string()),
+                "repo_b": t["b_id"].filter(kp).cast(pa.string()),
+                "n_shared": pa.array(c[keep].astype(np.int64), pa.int64()),
+                "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish_join, batch_format="pyarrow")

@@ -1,0 +1,113 @@
+"""Repo-grain fork detection vs a brute-force set-Jaccard oracle."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from backupdeduplicator_ray.stages.forks import fork_pairs
+
+
+def _corpus_table(rows):
+    """rows: list of (repo, path, content|None)."""
+    return pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows], pa.string()),
+            "path": pa.array([r[1] for r in rows], pa.string()),
+            "content": pa.array([r[2] for r in rows], pa.large_string()),
+        }
+    )
+
+
+def _brute(rows, threshold, max_repo_freq):
+    sets: dict[str, set] = {}
+    for repo, _, content in rows:
+        if content is None:
+            continue
+        sets.setdefault(repo, set()).add(hashlib.sha256(content.encode()).hexdigest())
+    df: dict[str, int] = {}
+    for s in sets.values():
+        for h in s:
+            df[h] = df.get(h, 0) + 1
+    keep = {h for h, c in df.items() if c <= max_repo_freq}
+    post = {r: s & keep for r, s in sets.items()}
+    out = {}
+    repos = sorted(post)
+    for i, a in enumerate(repos):
+        for b in repos[i + 1 :]:
+            c = len(post[a] & post[b])
+            if c == 0:
+                continue
+            j = c / (len(post[a]) + len(post[b]) - c)
+            if j >= threshold:
+                out[(a, b)] = (c, round(j, 6))
+    return out
+
+
+@pytest.fixture(scope="module")
+def rows():
+    # repo_x and repo_y share 3 of {4,5} files; repo_z is disjoint;
+    # "mirror" holds a strict subset of repo_x; every repo carries the
+    # empty file (the boilerplate hot key the valve must handle) and one
+    # null-content row (degrade semantics)
+    shared = [f"shared file number {i} alpha beta gamma" for i in range(3)]
+    rs = []
+    for i, c in enumerate(shared):
+        rs += [("repo_x", f"s{i}.txt", c), ("repo_y", f"s{i}.txt", c)]
+    rs += [
+        ("repo_x", "only_x.txt", "unique to x"),
+        ("repo_y", "only_y1.txt", "unique to y one"),
+        ("repo_y", "only_y2.txt", "unique to y two"),
+        ("repo_z", "z.txt", "totally different z content"),
+        ("mirror", "s0.txt", shared[0]),
+        ("mirror", "s1.txt", shared[1]),
+        # duplicate content WITHIN one repo (distinctness check)
+        ("repo_x", "s0_copy.txt", shared[0]),
+        ("repo_x", "broken.bin", None),
+    ]
+    for r in ["repo_x", "repo_y", "repo_z", "mirror"]:
+        rs.append((r, ".gitkeep", ""))
+    return rs
+
+
+def _run(rows, **kw):
+    import ray.data
+
+    ds = ray.data.from_arrow(_corpus_table(rows)).repartition(4)
+    got = fork_pairs(ds, **kw).to_pandas()
+    if got.empty:  # Ray's to_pandas drops columns on 0-row datasets
+        return {}
+    return {
+        (a, b): (int(n), float(j))
+        for a, b, n, j in zip(
+            got["repo_a"], got["repo_b"], got["n_shared"], got["jaccard"]
+        )
+    }
+
+
+def test_fork_pairs_matches_brute(ray_session, rows):
+    for threshold in (0.2, 0.5):
+        got = _run(rows, threshold=threshold)
+        want = _brute(rows, threshold, 256)
+        assert got == want
+
+
+def test_fork_pairs_valve_excludes_boilerplate(ray_session, rows):
+    # max_repo_freq=3: the empty file (df=4) and shared[0]/shared[1]
+    # (df=3 via mirror) straddle the valve; brute applies the same rule
+    got = _run(rows, threshold=0.1, max_repo_freq=3)
+    want = _brute(rows, 0.1, 3)
+    assert got == want
+    # the empty file must not connect repo_z to anything
+    assert not any("repo_z" in p for p in got)
+
+
+def test_fork_pairs_join_route_parity(ray_session, rows):
+    bcast = _run(rows, threshold=0.2)
+    joined = _run(rows, threshold=0.2, broadcast_limit=0)
+    assert bcast == joined
+
+
+def test_fork_pairs_no_survivors(ray_session):
+    rows = [("a", "f1", "x only"), ("b", "f1", "y only")]
+    assert _run(rows, threshold=0.1) == {}
