@@ -1359,6 +1359,42 @@ WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
 """
 
 
+def q_dup_ngram_fraction(sf_dir: str):
+    """Per-doc duplicate 3-gram fraction (string shingles — oracle path)."""
+    from ..stages.neardup import dup_ngram_fraction
+
+    return dup_ngram_fraction(
+        _docs(sf_dir, ["doc_id", "text"]), k=3, hashed=False
+    )
+
+
+def q_dup_ngram_fraction_distributed(sf_dir: str):
+    """Same semantics via the shingle-partitioned route (no driver df set)."""
+    from ..stages.neardup import dup_ngram_fraction
+
+    return dup_ngram_fraction(
+        _docs(sf_dir, ["doc_id", "text"]), k=3, hashed=False, distributed=True
+    )
+
+
+SQL_DUP_NGRAM_FRACTION = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM toks CROSS JOIN UNNEST(range(1, len(tk) - 1)) AS r(i)
+  WHERE len(tk) >= 3
+),
+df AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (WHERE d.c >= 2) AS BIGINT) AS n_dup,
+       round(CAST(count(*) FILTER (WHERE d.c >= 2) AS DOUBLE) / count(*), 6)
+         AS dup_fraction
+FROM sh s JOIN df d USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
 def q_fork_pairs(sf_dir: str):
     """Repo-grain fork/mirror detection: content-digest Jaccard >= 0.2.
 
@@ -3595,6 +3631,8 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "fork_pairs": q_fork_pairs,
     "fork_pairs_distributed": q_fork_pairs_distributed,
+    "dup_ngram_fraction": q_dup_ngram_fraction,
+    "dup_ngram_fraction_distributed": q_dup_ngram_fraction_distributed,
     "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -3695,6 +3733,8 @@ ORACLE_SQL = {
     "fork_pairs": SQL_FORK_PAIRS,
     # the distributed sizes route must produce the SAME rows
     "fork_pairs_distributed": SQL_FORK_PAIRS,
+    "dup_ngram_fraction": SQL_DUP_NGRAM_FRACTION,
+    "dup_ngram_fraction_distributed": SQL_DUP_NGRAM_FRACTION,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -1428,3 +1428,214 @@ def jaccard_pairs(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_ngram_fraction(
+    ds,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = True,
+    distributed: bool = False,
+    n_parts: int = 64,
+):
+    """Per-document duplicate n-gram fraction — the Gopher/RefinedWeb
+    "fraction of this doc's n-grams that appear in other docs" quality
+    signal (a cheap near-dup score that needs no pair expansion at all).
+
+    For each doc with >= k tokens: n_shingles = |distinct k-shingles|,
+    n_dup = how many of them occur in >= 2 docs (global doc-freq),
+    dup_fraction = n_dup / n_shingles.  Shorter docs emit no row (the
+    strict-shingle convention shared with jaccard_pairs).
+
+    Routes (same doctrine as jaccard_pairs):
+    - default: shingle doc-freqs counted via driver-merged partials
+      (functions.groups), the df>=2 set broadcast once via ray.put, ONE
+      vectorized membership pass per batch — zero all-to-all exchanges.
+      Bounded by the distinct DUPLICATED shingle count, which on a
+      template-heavy corpus is large —
+    - `distributed=True`: no driver state.  The inverted index is
+      hash-partitioned by shingle (all rows of a shingle co-locate, so
+      per-partition doc-freq IS global doc-freq), each partition emits
+      per-doc (total, dup) partials, and one groupby(id) sum finishes.
+      Exact, two exchanges, scales to any df distribution.
+
+    `hashed=True` rides u64 shingle hashes (lean shuffle, vectorized
+    batch kernels); `hashed=False` ships shingle strings — bit-identical
+    to the DuckDB oracle (the oracle-checked path).
+    """
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.groups import cached_get, keys_with_count_between
+
+    id_field = None
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_arr = batch[id_col]
+        if hashed:
+            sh_chunks, id_chunks = [], []
+            for base, nd, vals, offs in iter_shingle_parts(
+                batch[text_col], k, short_docs=False
+            ):
+                if len(vals) == 0:
+                    continue
+                counts = np.diff(offs)
+                sh_chunks.append(pa.array(vals, pa.uint64()))
+                rows = base + np.repeat(np.arange(nd), counts)
+                id_chunks.append(ids_arr.take(pa.array(rows)))
+            if not sh_chunks:
+                return pa.table(
+                    {
+                        "shingle": pa.array([], pa.uint64()),
+                        "id": pa.array([], batch.schema.field(id_col).type),
+                    }
+                )
+            return pa.table(
+                {
+                    "shingle": pa.chunked_array(sh_chunks),
+                    "id": pa.chunked_array(id_chunks),
+                }
+            )
+        ids_out, sh_out = [], []
+        for i, t in zip(ids_arr.to_pylist(), batch[text_col].to_pylist()):
+            if t is None:
+                continue
+            toks = tokenize(t)
+            if len(toks) < k:
+                continue
+            for s in sorted(
+                {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+            ):
+                ids_out.append(i)
+                sh_out.append(s)
+        return pa.table(
+            {
+                "shingle": pa.array(sh_out, pa.string()),
+                "id": pa.array(ids_out, batch.schema.field(id_col).type),
+            }
+        )
+
+    inv = ds.map_batches(explode, batch_format="pyarrow")
+
+    out_of = lambda ids, tot, dup: pa.table(
+        {
+            id_col: ids,
+            "n_shingles": pa.array(tot.astype(np.int64), pa.int64()),
+            "n_dup": pa.array(dup.astype(np.int64), pa.int64()),
+            "dup_fraction": pa.array(
+                np.round(dup / tot, 6), pa.float64()
+            ),
+        }
+    )
+
+    if not distributed:
+        dups = keys_with_count_between(inv, ["shingle"], min_count=2)
+        if hashed:
+            dup_ref = ray.put(
+                np.sort(np.fromiter(dups, dtype=np.uint64))
+                if dups
+                else np.empty(0, np.uint64)
+            )
+        else:
+            dup_ref = ray.put(dups)
+
+        def score(batch: pa.Table) -> pa.Table:
+            dup_set = cached_get(dup_ref)
+            ids_arr = batch[id_col]
+            if hashed:
+                rows_l, tot_l, dup_l = [], [], []
+                for base, nd, vals, offs in iter_shingle_parts(
+                    batch[text_col], k, short_docs=False
+                ):
+                    counts = np.diff(offs)
+                    nz = counts > 0
+                    if not nz.any():
+                        continue
+                    isdup = (
+                        np.zeros(len(vals), np.int64)
+                        if not len(dup_set)
+                        else np.isin(vals, dup_set).astype(np.int64)
+                    )
+                    starts = np.minimum(offs[:-1], max(len(vals) - 1, 0))
+                    nd_sum = np.add.reduceat(isdup, starts) if len(vals) else np.zeros(nd, np.int64)
+                    rows_l.append(base + np.nonzero(nz)[0])
+                    tot_l.append(counts[nz])
+                    dup_l.append(nd_sum[nz])
+                if not rows_l:
+                    return out_of(
+                        pa.array([], batch.schema.field(id_col).type),
+                        np.empty(0, np.int64),
+                        np.empty(0, np.int64),
+                    )
+                rows = np.concatenate(rows_l)
+                return out_of(
+                    ids_arr.take(pa.array(rows)),
+                    np.concatenate(tot_l).astype(np.float64),
+                    np.concatenate(dup_l).astype(np.float64),
+                )
+            ids_out, tot_out, dup_out = [], [], []
+            for i, t in zip(ids_arr.to_pylist(), batch[text_col].to_pylist()):
+                if t is None:
+                    continue
+                toks = tokenize(t)
+                if len(toks) < k:
+                    continue
+                sh = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+                ids_out.append(i)
+                tot_out.append(len(sh))
+                dup_out.append(len(sh & dup_set))
+            return out_of(
+                pa.array(ids_out, batch.schema.field(id_col).type),
+                np.asarray(tot_out, np.float64),
+                np.asarray(dup_out, np.float64),
+            )
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # distributed route: partition by shingle, per-partition df == global df
+    def add_part(t: pa.Table) -> pa.Table:
+        col = t["shingle"]
+        kk = (
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ).to_numpy(zero_copy_only=False)
+        if kk.dtype == object:
+            part = (pd.util.hash_array(kk) % np.uint64(n_parts)).astype(np.int32)
+        else:
+            part = (kk.astype(np.uint64, copy=False) % np.uint64(n_parts)).astype(
+                np.int32
+            )
+        return t.append_column("__part", pa.array(part))
+
+    def emit(g: pa.Table) -> pa.Table:
+        keys = g["shingle"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g["id"].combine_chunks()
+        _, kinv, kcounts = np.unique(keys, return_inverse=True, return_counts=True)
+        isdup = (kcounts[kinv] >= 2).astype(np.int64)
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        uids, iinv = np.unique(ids_np, return_inverse=True)
+        tot = np.bincount(iinv).astype(np.int64)
+        dup = np.bincount(iinv, weights=isdup).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(uids, g.schema.field("id").type),
+                "tot": pa.array(tot, pa.int64()),
+                "dup": pa.array(dup, pa.int64()),
+            }
+        )
+
+    partials = (
+        inv.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+    agg = partials.groupby("id").aggregate(Sum("tot"), Sum("dup"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t["sum(tot)"].to_numpy().astype(np.float64)
+        dup = t["sum(dup)"].to_numpy().astype(np.float64)
+        return out_of(t["id"], tot, dup)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,81 @@
+"""Duplicate n-gram fraction vs a brute-force shingle-df oracle."""
+
+import pyarrow as pa
+import pytest
+
+import oracle as orc
+from backupdeduplicator_ray.stages.neardup import dup_ngram_fraction
+
+
+def _shingles(text, k=3):
+    toks = orc._tokenize(text)
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _brute(docs, k=3):
+    sets = {i: _shingles(t, k) for i, t in docs.items() if t is not None}
+    sets = {i: s for i, s in sets.items() if s}
+    df: dict[str, int] = {}
+    for s in sets.values():
+        for sh in s:
+            df[sh] = df.get(sh, 0) + 1
+    out = {}
+    for i, s in sets.items():
+        dup = sum(1 for sh in s if df[sh] >= 2)
+        out[i] = (len(s), dup, round(dup / len(s), 6))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs():
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    return {
+        1: base,
+        2: base,  # exact dup: fraction 1.0
+        3: base.replace("delta", "DELTAX"),  # partial overlap
+        4: "unique words nowhere else repeated in the corpus at all",
+        5: "tiny doc",  # < k tokens: no row
+        6: None,  # null text: no row
+        7: base + " lambda mu nu xi",  # superset of base
+    }
+
+
+def _table(docs):
+    return pa.table(
+        {
+            "doc_id": pa.array(list(docs.keys()), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+
+
+def _run(docs, **kw):
+    import ray.data
+
+    ds = ray.data.from_arrow(_table(docs)).repartition(3)
+    got = dup_ngram_fraction(ds, k=3, **kw).to_pandas()
+    return {
+        int(r.doc_id): (int(r.n_shingles), int(r.n_dup), float(r.dup_fraction))
+        for r in got.itertuples()
+    }
+
+
+@pytest.mark.parametrize("hashed", [True, False])
+def test_matches_brute(ray_session, docs, hashed):
+    assert _run(docs, hashed=hashed) == _brute(docs)
+
+
+@pytest.mark.parametrize("hashed", [True, False])
+def test_distributed_route_parity(ray_session, docs, hashed):
+    driver = _run(docs, hashed=hashed)
+    dist = _run(docs, hashed=hashed, distributed=True, n_parts=5)
+    assert driver == dist
+
+
+def test_exact_dup_scores_one(ray_session, docs):
+    got = _run(docs, hashed=True)
+    assert got[1][2] == 1.0 and got[2][2] == 1.0
+    assert got[4][1] == 0  # fully unique doc
+    assert 5 not in got and 6 not in got
