@@ -1359,6 +1359,33 @@ WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
 """
 
 
+def q_char_entropy(sf_dir: str):
+    """Per-doc codepoint Shannon entropy (nats, 6 dp)."""
+    from ..stages.textops import char_entropy
+
+    return char_entropy(_docs(sf_dir, ["doc_id", "text"]))
+
+
+# H = ln(N) - sum(c*ln(c))/N, mirrored operand for operand with the
+# engine kernel (stages/textops.char_entropy); substr/length are
+# CHARACTER-based in DuckDB, matching the engine's codepoint stream.
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, length(text) AS n,
+         unicode(substr(text, CAST(i AS INTEGER), 1)) AS cp
+  FROM documents CROSS JOIN UNNEST(range(1, length(text) + 1)) AS r(i)
+  WHERE text IS NOT NULL AND length(text) > 0
+),
+cnt AS (
+  SELECT doc_id, any_value(n) AS n, cp, count(*) AS c
+  FROM chars GROUP BY doc_id, cp
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       round(ln(n) - sum(c * ln(c)) / n, 6) AS char_entropy
+FROM cnt GROUP BY doc_id, n
+"""
+
+
 def q_dup_ngram_fraction(sf_dir: str):
     """Per-doc duplicate 3-gram fraction (string shingles — oracle path)."""
     from ..stages.neardup import dup_ngram_fraction
@@ -3633,6 +3660,7 @@ QUERIES = {
     "fork_pairs_distributed": q_fork_pairs_distributed,
     "dup_ngram_fraction": q_dup_ngram_fraction,
     "dup_ngram_fraction_distributed": q_dup_ngram_fraction_distributed,
+    "char_entropy": q_char_entropy,
     "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -3735,6 +3763,7 @@ ORACLE_SQL = {
     "fork_pairs_distributed": SQL_FORK_PAIRS,
     "dup_ngram_fraction": SQL_DUP_NGRAM_FRACTION,
     "dup_ngram_fraction_distributed": SQL_DUP_NGRAM_FRACTION,
+    "char_entropy": SQL_CHAR_ENTROPY,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

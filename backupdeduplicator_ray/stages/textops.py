@@ -1322,3 +1322,93 @@ def bigram_logprob(
         ).cast(out_schema)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc Shannon entropy over Unicode codepoints, in nats (6 dp) —
+    the gibberish / binary-junk / single-char-spam quality signal (low
+    entropy = repeated characters, high = uniform noise).  Map-only: no
+    exchange, no state.
+
+    H = ln(N) - (Σ_cp c·ln(c)) / N over the doc's codepoint counts —
+    the SQL oracle mirrors this expression operand for operand.  Null and
+    empty texts emit no row.
+
+    Kernel: the all-ASCII majority is scored zero-copy off the Arrow
+    UTF-8 buffer (bytes == codepoints); non-ASCII rows decode via one
+    C-level encode('utf-32-le') each (the normalize_nfc doctrine —
+    Python touches only the non-ASCII minority).  Per-doc counts come
+    from ONE np.unique over (doc, cp) fused codes for the whole batch.
+    """
+    import pyarrow.compute as pc
+
+    _CP_SPAN = 0x110000  # codepoint space; fused code = doc_idx * span + cp
+
+    def ent(t: pa.Table) -> pa.Table:
+        text0 = t[text_col]
+        keep = pc.and_kleene(
+            pc.is_valid(text0), pc.greater(pc.utf8_length(text0), 0)
+        )
+        tbl = t.filter(pc.fill_null(keep, False))
+        out_schema = pa.schema(
+            [
+                (id_col, t.schema.field(id_col).type),
+                ("n_chars", pa.int64()),
+                ("char_entropy", pa.float64()),
+            ]
+        )
+        if tbl.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        text = tbl[text_col].combine_chunks()
+        n = len(text)
+        lens = pc.utf8_length(text).to_numpy().astype(np.int64)
+        ascii_mask = pc.string_is_ascii(text).to_numpy(zero_copy_only=False)
+
+        # codepoint stream in row order
+        if ascii_mask.all():
+            bin_arr = text.cast(pa.large_binary())
+            offs = np.frombuffer(bin_arr.buffers()[1], np.int64)[
+                bin_arr.offset : bin_arr.offset + n + 1
+            ]
+            data = np.frombuffer(bin_arr.buffers()[2], np.uint8)
+            cps = data[offs[0] : offs[-1]].astype(np.int64)
+        else:
+            parts = []
+            py = None
+            bin_arr = text.cast(pa.large_binary())
+            offs = np.frombuffer(bin_arr.buffers()[1], np.int64)[
+                bin_arr.offset : bin_arr.offset + n + 1
+            ]
+            data = np.frombuffer(bin_arr.buffers()[2], np.uint8)
+            for i in range(n):
+                if ascii_mask[i]:
+                    parts.append(data[offs[i] : offs[i + 1]].astype(np.int64))
+                else:
+                    if py is None:
+                        py = text.to_pylist()
+                    parts.append(
+                        np.frombuffer(
+                            py[i].encode("utf-32-le"), dtype="<u4"
+                        ).astype(np.int64)
+                    )
+            cps = np.concatenate(parts)
+
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        fused = doc_idx * _CP_SPAN + cps
+        uf, counts = np.unique(fused, return_counts=True)
+        ud = uf // _CP_SPAN
+        nlogn = counts * np.log(counts)
+        chg = np.nonzero(np.diff(ud))[0] + 1
+        starts = np.concatenate([[0], chg])
+        s = np.add.reduceat(nlogn, starts)
+        nf = lens.astype(np.float64)
+        h = np.log(nf) - s / nf
+        return pa.table(
+            {
+                id_col: tbl[id_col],
+                "n_chars": pa.array(lens, pa.int64()),
+                "char_entropy": pa.array(np.round(h, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(ent, batch_format="pyarrow")

@@ -1,0 +1,66 @@
+"""Codepoint entropy vs a pure-python oracle, incl. non-ASCII paths."""
+
+import math
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+
+from backupdeduplicator_ray.stages.textops import char_entropy
+
+
+def _brute(text):
+    c = Counter(text)
+    n = len(text)
+    return round(math.log(n) - sum(v * math.log(v) for v in c.values()) / n, 6)
+
+
+DOCS = {
+    1: "aaaa",  # zero entropy
+    2: "abcd",  # max entropy for n=4: ln 4
+    3: "hello world, this is a doc with ordinary text.",
+    4: "héllo wörld ünïcode ßtring",  # non-ASCII forces the utf-32 path
+    5: "日本語のテキストです",  # fully multi-byte
+    6: "",  # empty: no row
+    7: None,  # null: no row
+    8: "x",  # single char: entropy 0
+    9: "mix: ascii then émoji 🎉🎉 and back",
+}
+
+
+def _run(docs, batch_size=None):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs.keys()), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = char_entropy(ds).to_pandas()
+    return {int(r.doc_id): (int(r.n_chars), float(r.char_entropy)) for r in got.itertuples()}
+
+
+def test_char_entropy_matches_brute(ray_session):
+    got = _run(DOCS)
+    want = {
+        i: (len(t), _brute(t)) for i, t in DOCS.items() if t
+    }
+    assert got == want
+    assert 6 not in got and 7 not in got
+
+
+def test_char_entropy_extremes(ray_session):
+    got = _run(DOCS)
+    assert got[1][1] == 0.0
+    assert got[8][1] == 0.0
+    assert got[2][1] == round(math.log(4), 6)
+
+
+def test_char_entropy_all_ascii_batch(ray_session):
+    # exercises the zero-copy all-ASCII fast path end to end
+    docs = {i: f"ascii only doc number {i} " * (i + 1) for i in range(1, 6)}
+    got = _run(docs)
+    want = {i: (len(t), _brute(t)) for i, t in docs.items()}
+    assert got == want

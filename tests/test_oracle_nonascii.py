@@ -37,6 +37,9 @@ QUERIES = [
     # byte-sliced token stream
     "normalize_nfc",
     "strip_stopwords",
+    # codepoint entropy: the engine's ASCII fast path must agree with the
+    # utf-32 fallback AND DuckDB's character-based length()/substr()
+    "char_entropy",
 ]
 
 
