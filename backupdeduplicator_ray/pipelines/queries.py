@@ -1359,6 +1359,36 @@ WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
 """
 
 
+def q_outlier_events(sf_dir: str):
+    """Per-event-type z-score outliers (|z| > 3, population sd)."""
+    from ..stages.stats import outlier_events
+
+    return outlier_events(
+        _events(sf_dir, ["event_id", "event_type", "value"]), z_threshold=3.0
+    )
+
+
+SQL_OUTLIER_EVENTS = """
+WITH base AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+stats AS (
+  SELECT event_type, count(*) AS n, sum(value) AS s, sum(value*value) AS ss
+  FROM base GROUP BY event_type
+),
+st AS (
+  SELECT event_type, s/n AS mean,
+         sqrt(greatest(ss/n - (s/n)*(s/n), 0)) AS sd
+  FROM stats
+)
+SELECT b.event_id, b.event_type, b.value,
+       round((b.value - st.mean) / st.sd, 6) AS z
+FROM base b JOIN st USING (event_type)
+WHERE st.sd > 0 AND abs((b.value - st.mean) / st.sd) > 3.0
+"""
+
+
 def q_char_entropy(sf_dir: str):
     """Per-doc codepoint Shannon entropy (nats, 6 dp)."""
     from ..stages.textops import char_entropy
@@ -3661,6 +3691,7 @@ QUERIES = {
     "dup_ngram_fraction": q_dup_ngram_fraction,
     "dup_ngram_fraction_distributed": q_dup_ngram_fraction_distributed,
     "char_entropy": q_char_entropy,
+    "outlier_events": q_outlier_events,
     "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -3764,6 +3795,7 @@ ORACLE_SQL = {
     "dup_ngram_fraction": SQL_DUP_NGRAM_FRACTION,
     "dup_ngram_fraction_distributed": SQL_DUP_NGRAM_FRACTION,
     "char_entropy": SQL_CHAR_ENTROPY,
+    "outlier_events": SQL_OUTLIER_EVENTS,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -314,3 +314,91 @@ def group_percentile(
         return pa.Table.from_pandas(merged, preserve_index=False)
 
     return ds.map_batches(annotate, batch_format="pyarrow")
+
+
+def outlier_events(
+    ds,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+    keep_cols: tuple = ("event_id",),
+):
+    """Per-key z-score outliers: rows where |value - mean_k| / sd_k >
+    `z_threshold`, with mean/sd computed per `key_col` group (population
+    formula sd = sqrt(E[v²] - E[v]²), mirrored operand for operand in
+    the SQL oracle).
+
+    Two map passes, zero all-to-all exchange: pass 1 collapses each block
+    to (key, n, Σv, Σv²) partials — the key domain (event types, langs,
+    sources) is bounded, so the merged stats table is tiny and broadcasts
+    via ray.put; pass 2 flags rows vectorized against the broadcast.
+    Null keys/values are excluded from stats and output; groups with
+    sd == 0 emit nothing (z undefined).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.groups import cached_get
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_kleene(pc.is_valid(t[key_col]), pc.is_valid(t[value_col]))
+        tt = t.filter(pc.fill_null(keep, False))
+        keys = tt[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = tt[value_col].combine_chunks().to_numpy().astype(np.float64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        return pa.table(
+            {
+                "k": pa.array(uk, tt.schema.field(key_col).type),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "s": pa.array(np.bincount(inv, weights=v), pa.float64()),
+                "ss": pa.array(np.bincount(inv, weights=v * v), pa.float64()),
+            }
+        )
+
+    parts = ds.select_columns([key_col, value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    tbls = [
+        t
+        for t in ray.get(parts.materialize().to_arrow_refs())
+        if len(t) and "k" in t.schema.names
+    ]
+    if not tbls:
+        stats_ref = ray.put((np.empty(0, object), np.empty(0), np.empty(0)))
+    else:
+        allk = np.concatenate(
+            [t["k"].to_numpy(zero_copy_only=False) for t in tbls]
+        )
+        alln = np.concatenate([t["n"].to_numpy() for t in tbls]).astype(np.float64)
+        alls = np.concatenate([t["s"].to_numpy() for t in tbls])
+        allss = np.concatenate([t["ss"].to_numpy() for t in tbls])
+        uk, inv = np.unique(allk, return_inverse=True)
+        n = np.bincount(inv, weights=alln)
+        s = np.bincount(inv, weights=alls)
+        ss = np.bincount(inv, weights=allss)
+        mean = s / n
+        sd = np.sqrt(np.maximum(ss / n - mean * mean, 0.0))
+        stats_ref = ray.put((uk, mean, sd))
+
+    def flag(t: pa.Table) -> pa.Table:
+        uk, mean, sd = cached_get(stats_ref)
+        keep = pc.and_kleene(pc.is_valid(t[key_col]), pc.is_valid(t[value_col]))
+        tt = t.filter(pc.fill_null(keep, False))
+        out_cols = list(keep_cols) + [key_col, value_col]
+        if len(uk) == 0 or tt.num_rows == 0:
+            empty = {c: tt[c].slice(0, 0) for c in out_cols}
+            empty["z"] = pa.array([], pa.float64())
+            return pa.table(empty)
+        keys = tt[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = tt[value_col].combine_chunks().to_numpy().astype(np.float64)
+        idx = np.searchsorted(uk, keys)
+        m, d = mean[idx], sd[idx]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v - m) / d
+        mask = (d > 0) & (np.abs(z) > z_threshold)
+        mp = pa.array(mask)
+        cols = {c: tt[c].filter(mp) for c in out_cols}
+        cols["z"] = pa.array(np.round(z[mask], 6), pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(flag, batch_format="pyarrow")

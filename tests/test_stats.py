@@ -127,3 +127,60 @@ def test_group_percentile_rank_semantics(ray_session):
     }
     assert got == expect  # doc 6 (null g) and 7 (null v) absent
     assert run(4) == got
+
+
+# --- outlier_events ---------------------------------------------------------
+
+
+def test_outlier_events_matches_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.stats import outlier_events
+
+    rng = np.random.default_rng(11)
+    n = 400
+    keys = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    vals = rng.normal(50, 10, n)
+    vals[::97] += 80  # inject outliers
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "event_type": pa.array(keys.tolist() + [None], pa.string())[:n],
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = outlier_events(ds, z_threshold=2.5).to_pandas()
+
+    want = {}
+    for k in "abc":
+        m = keys == k
+        v = vals[m]
+        mean = v.sum() / len(v)
+        sd = np.sqrt(max((v * v).sum() / len(v) - mean * mean, 0))
+        for eid, z in zip(np.arange(n)[m], (v - mean) / sd):
+            if sd > 0 and abs(z) > 2.5:
+                want[int(eid)] = round(float(z), 6)
+    got_d = {int(r.event_id): float(r.z) for r in got.itertuples()}
+    assert got_d == want
+    assert len(want) > 0  # injected outliers were found
+
+
+def test_outlier_events_constant_group_and_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.stats import outlier_events
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "event_type": pa.array(["c", "c", "c", None, "d"], pa.string()),
+            "value": pa.array([7.0, 7.0, 7.0, 1.0, None], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = outlier_events(ds, z_threshold=1.0).to_pandas()
+    assert len(got) == 0  # sd==0 group, null key, null value all excluded
