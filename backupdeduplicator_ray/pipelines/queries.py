@@ -1359,6 +1359,25 @@ WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
 """
 
 
+def q_source_quota(sf_dir: str):
+    """Cap every source at 10 docs, selected by ascending sha256(doc_id)."""
+    from ..stages.select import group_quota
+
+    return group_quota(_docs(sf_dir, ["doc_id", "source"]), "source", "doc_id", 10)
+
+
+SQL_SOURCE_QUOTA = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
 def q_outlier_events(sf_dir: str):
     """Per-event-type z-score outliers (|z| > 3, population sd)."""
     from ..stages.stats import outlier_events
@@ -3692,6 +3711,7 @@ QUERIES = {
     "dup_ngram_fraction_distributed": q_dup_ngram_fraction_distributed,
     "char_entropy": q_char_entropy,
     "outlier_events": q_outlier_events,
+    "source_quota": q_source_quota,
     "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -3796,6 +3816,7 @@ ORACLE_SQL = {
     "dup_ngram_fraction_distributed": SQL_DUP_NGRAM_FRACTION,
     "char_entropy": SQL_CHAR_ENTROPY,
     "outlier_events": SQL_OUTLIER_EVENTS,
+    "source_quota": SQL_SOURCE_QUOTA,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

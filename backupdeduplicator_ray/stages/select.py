@@ -290,3 +290,36 @@ def shuffle_rank(ds, id_col: str = "doc_id", n_buckets: int = 256):
         return pa.table({id_col: ids, "shuffle_rank": pa.array(ranks)})
 
     return keyed.groupby("__bucket").map_groups(rank_bucket, batch_format="pyarrow")
+
+
+def group_quota(ds, group_col: str, id_col: str, k: int):
+    """Per-group quota cap: keep at most `k` rows per group, selected by
+    ascending sha256(id) — the per-domain/per-source downsampling step of
+    a web-corpus pipeline (cap every domain at N pages).  Hash order makes
+    the selection deterministic, engine-independent and unbiased within
+    the group (no correlation with insertion or crawl order), and stable
+    under re-runs and re-sharding — the same rows survive anywhere.
+
+    Composes `topk_per_group` (local per-batch prune → one bounded
+    group-key exchange), so a group's shuffle footprint is k × blocks
+    regardless of its row count — hot domains cannot skew the exchange.
+    """
+    from ..functions.hashing import hash_string_column
+
+    def add_hk(t: pa.Table) -> pa.Table:
+        digests = hash_string_column(t[id_col].cast(pa.string()))
+        return t.append_column(
+            "__hk", pc.utf8_slice_codeunits(digests, 0, 16)
+        )
+
+    pruned = topk_per_group(
+        ds.map_batches(add_hk, batch_format="pyarrow"),
+        group_col,
+        "__hk",
+        k,
+        id_col=id_col,
+        descending=False,
+    )
+    return pruned.map_batches(
+        lambda t: t.drop_columns(["__hk"]), batch_format="pyarrow"
+    )

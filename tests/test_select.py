@@ -122,3 +122,57 @@ def test_shuffle_rank_dense_deterministic(ray_session):
     assert run(7, 16) == got  # sharding- and bucket-count-invariant
     with pytest.raises(ValueError):
         shuffle_rank(ray.data.from_arrow(t), "doc_id", n_buckets=100)
+
+
+# --- group_quota ------------------------------------------------------------
+
+
+def test_group_quota_deterministic_and_capped(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.select import group_quota
+
+    n = 120
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array([f"s{i % 4}" for i in range(n)], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = group_quota(ds, "source", "doc_id", 5).to_pandas()
+
+    # brute: per source, ascending (sha256-hex[:16], id)
+    want = set()
+    for s in {f"s{i}" for i in range(4)}:
+        ids = [i for i in range(n) if f"s{i % 4}" == s]
+        ranked = sorted(
+            ids, key=lambda i: (hashlib.sha256(str(i).encode()).hexdigest()[:16], i)
+        )
+        want |= {(i, s) for i in ranked[:5]}
+    assert set(zip(got.doc_id, got.source)) == want
+    assert got.groupby("source").size().max() == 5
+
+    # re-run on a different partitioning selects the SAME rows
+    got2 = group_quota(ray.data.from_arrow(t).repartition(11), "source", "doc_id", 5).to_pandas()
+    assert set(zip(got2.doc_id, got2.source)) == want
+
+
+def test_group_quota_small_groups_untouched(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.select import group_quota
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "source": pa.array(["a", "a", "b"], pa.string()),
+        }
+    )
+    got = group_quota(ray.data.from_arrow(t), "source", "doc_id", 10).to_pandas()
+    assert len(got) == 3  # groups below quota pass through whole
