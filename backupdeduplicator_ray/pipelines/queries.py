@@ -1359,6 +1359,72 @@ WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
 """
 
 
+def q_fork_clusters(sf_dir: str):
+    """Fork families: connected components over fork_pairs edges."""
+    from ..sources.corpus import corpus_from_documents
+    from ..stages.forks import fork_clusters
+
+    return fork_clusters(corpus_from_documents(sf_dir), threshold=0.2)
+
+
+def q_fork_dedup(sf_dir: str):
+    """Repo-level drop list: every fork-family member except the min."""
+    from ..sources.corpus import corpus_from_documents
+    from ..stages.forks import fork_dedup
+
+    return fork_dedup(corpus_from_documents(sf_dir), threshold=0.2)
+
+
+# fork pair edges + recursive transitive closure labeled with each
+# component's min repo (state/unionfind.py semantics — only repos with a
+# qualifying edge are labeled)
+_FORK_EDGES_CTES = f"""
+corpus AS ({derive_corpus_sql("documents")}),
+fh AS (
+  SELECT DISTINCT repo, sha256(content) AS h
+  FROM corpus WHERE content IS NOT NULL
+),
+keep AS (
+  SELECT * FROM fh
+  QUALIFY count(*) OVER (PARTITION BY h) <= {_MAX_DOC_FREQ}
+),
+sizes AS (SELECT repo, CAST(count(*) AS BIGINT) AS sz FROM keep GROUP BY repo),
+inter AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM keep a JOIN keep b ON a.h = b.h AND a.repo < b.repo
+  GROUP BY 1, 2
+),
+alle AS (
+  SELECT repo_a AS src, repo_b AS dst
+  FROM inter
+  JOIN sizes sa ON sa.repo = inter.repo_a
+  JOIN sizes sb ON sb.repo = inter.repo_b
+  WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.2
+),
+bi(x, y) AS (SELECT src, dst FROM alle UNION SELECT dst, src FROM alle),
+nodes(nid) AS (SELECT DISTINCT x FROM bi),
+lab(nid, c) AS (
+  SELECT nid, nid FROM nodes
+  UNION
+  SELECT bi.x, l.c FROM bi JOIN lab l ON l.nid = bi.y
+)
+"""
+
+SQL_FORK_CLUSTERS = f"""
+WITH RECURSIVE
+{_FORK_EDGES_CTES}
+SELECT nid AS repo, min(c) AS cluster_id FROM lab GROUP BY nid
+"""
+
+SQL_FORK_DEDUP = f"""
+WITH RECURSIVE
+{_FORK_EDGES_CTES}
+SELECT repo FROM (
+  SELECT nid AS repo, min(c) AS cluster_id FROM lab GROUP BY nid
+) WHERE repo <> cluster_id
+"""
+
+
 def q_source_quota(sf_dir: str):
     """Cap every source at 10 docs, selected by ascending sha256(doc_id)."""
     from ..stages.select import group_quota
@@ -3712,6 +3778,8 @@ QUERIES = {
     "char_entropy": q_char_entropy,
     "outlier_events": q_outlier_events,
     "source_quota": q_source_quota,
+    "fork_clusters": q_fork_clusters,
+    "fork_dedup": q_fork_dedup,
     "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -3817,6 +3885,8 @@ ORACLE_SQL = {
     "char_entropy": SQL_CHAR_ENTROPY,
     "outlier_events": SQL_OUTLIER_EVENTS,
     "source_quota": SQL_SOURCE_QUOTA,
+    "fork_clusters": SQL_FORK_CLUSTERS,
+    "fork_dedup": SQL_FORK_DEDUP,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -218,3 +218,58 @@ def fork_pairs(
         )
 
     return joined.map_batches(finish_join, batch_format="pyarrow")
+
+
+def fork_clusters(
+    ds,
+    threshold: float = 0.2,
+    max_repo_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    broadcast_limit: int | None = None,
+    driver_limit: int = 2_000_000,
+):
+    """Fork families: connected components over `fork_pairs` edges —
+    (repo, cluster_id = lexicographic min repo of the family).  Repos
+    with no qualifying pair emit no row (the unionfind convention shared
+    with minhash/simhash clusters).  Edge count is bounded by actual
+    fork density, so the DSU/star-contraction valve applies unchanged.
+    """
+    from ..state.unionfind import connected_components
+
+    pairs = fork_pairs(
+        ds,
+        threshold=threshold,
+        max_repo_freq=max_repo_freq,
+        repo_col=repo_col,
+        content_col=content_col,
+        broadcast_limit=broadcast_limit,
+    )
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {"src": t["repo_a"].cast(pa.string()), "dst": t["repo_b"].cast(pa.string())}
+        ),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(edges, driver_limit=driver_limit)
+    return labels.map_batches(
+        lambda t: pa.table({"repo": t["id"], "cluster_id": t["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+
+
+def fork_dedup(ds, **kwargs):
+    """Repo-level drop list: every repo of a fork family except its
+    cluster representative (the lexicographic min).  The repo-grain
+    analogue of near_dedup's doc drop list — feed it to
+    `functions.groups.filter_by_key_set(corpus, [repo], drops,
+    keep=False)` to dedup a corpus at whole-repository grain."""
+    import pyarrow.compute as pc
+
+    labels = fork_clusters(ds, **kwargs)
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"repo": t["repo"].filter(pc.invert(pc.equal(t["repo"], t["cluster_id"])))}
+        ),
+        batch_format="pyarrow",
+    )

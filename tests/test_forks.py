@@ -111,3 +111,48 @@ def test_fork_pairs_join_route_parity(ray_session, rows):
 def test_fork_pairs_no_survivors(ray_session):
     rows = [("a", "f1", "x only"), ("b", "f1", "y only")]
     assert _run(rows, threshold=0.1) == {}
+
+
+def test_fork_clusters_and_dedup(ray_session, rows):
+    from backupdeduplicator_ray.stages.forks import fork_clusters, fork_dedup
+    import ray.data
+
+    ds = ray.data.from_arrow(_corpus_table(rows)).repartition(4)
+    labels = fork_clusters(ds, threshold=0.2).to_pandas()
+    got = dict(zip(labels.repo, labels.cluster_id))
+
+    # brute: union-find over brute pairs
+    pairs = _brute(rows, 0.2, 256)
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    want = {r: find(r) for r in parent}
+    # relabel to component min (find may not be min without union-by-min)
+    comp = {}
+    for r, c in want.items():
+        comp.setdefault(c, []).append(r)
+    want = {r: min(m) for c, m in comp.items() for r in m}
+    assert got == want
+
+    drops = fork_dedup(ds, threshold=0.2).to_pandas()
+    drop_set = set(drops.repo) if len(drops) else set()
+    assert drop_set == {r for r, c in want.items() if r != c}
+
+
+def test_fork_clusters_star_route_parity(ray_session, rows):
+    from backupdeduplicator_ray.stages.forks import fork_clusters
+    import ray.data
+
+    ds = ray.data.from_arrow(_corpus_table(rows)).repartition(4)
+    dsu = fork_clusters(ds, threshold=0.2).to_pandas()
+    star = fork_clusters(ds, threshold=0.2, driver_limit=0).to_pandas()
+    assert dict(zip(dsu.repo, dsu.cluster_id)) == dict(zip(star.repo, star.cluster_id))
