@@ -1359,6 +1359,44 @@ WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
 """
 
 
+def q_strip_comments(sf_dir: str):
+    """Full-line #/// comment stripping over a deterministic code-shaped
+    wrapping of each document (header/inline/tail comment lines injected
+    around the text — the documents table has no comment lines of its
+    own, and an identity transform would leave the oracle with nothing
+    to check; the SQL reproduces the same wrapping verbatim)."""
+    import pyarrow.compute as pc
+
+    from ..stages.scrub import strip_comments
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def codify(t):
+        did = pc.cast(t["doc_id"], pa.string())
+        content = pc.binary_join_element_wise(
+            "# hdr ", did, "\n", t["text"], "\n  // note\n# tail", ""
+        )
+        return pa.table({"doc_id": t["doc_id"], "content": content})
+
+    return strip_comments(
+        ds.map_batches(codify, batch_format="pyarrow"), id_cols=("doc_id",)
+    )
+
+
+SQL_STRIP_COMMENTS = r"""
+WITH code AS (
+  SELECT doc_id,
+         '# hdr ' || doc_id || chr(10) || text || chr(10) || '  // note' || chr(10) || '# tail' AS content
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(content, '(?m)^[ \t]*(#|//)[^\n]*\n?', '', 'g') AS stripped,
+       CAST(len(regexp_extract_all(content, '(?m)^[ \t]*(#|//)[^\n]*\n?')) AS BIGINT)
+         AS n_comment_lines
+FROM code
+"""
+
+
 def q_fork_clusters(sf_dir: str):
     """Fork families: connected components over fork_pairs edges."""
     from ..sources.corpus import corpus_from_documents
@@ -3780,6 +3818,7 @@ QUERIES = {
     "source_quota": q_source_quota,
     "fork_clusters": q_fork_clusters,
     "fork_dedup": q_fork_dedup,
+    "strip_comments": q_strip_comments,
     "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -3887,6 +3926,7 @@ ORACLE_SQL = {
     "source_quota": SQL_SOURCE_QUOTA,
     "fork_clusters": SQL_FORK_CLUSTERS,
     "fork_dedup": SQL_FORK_DEDUP,
+    "strip_comments": SQL_STRIP_COMMENTS,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

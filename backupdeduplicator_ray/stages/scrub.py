@@ -185,3 +185,37 @@ def normalize_nfc(ds, id_col: str = "doc_id", text_col: str = "text"):
         return pa.table({id_col: t[id_col], "text_nfc": s, "changed": changed})
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# Full-line code comments: a line whose first non-blank char opens a
+# `#` or `//` comment, removed newline-inclusive so line structure
+# closes up.  Block comments (/* */, docstrings) are NOT handled — they
+# need a tokenizer to avoid eating string literals; full-line comments
+# are the safe, high-recall slice a regex can strip exactly.
+COMMENT_LINE_PATTERN = r"(?m)^[ \t]*(#|//)[^\n]*\n?"
+
+
+def strip_comments(ds, id_cols=("repo", "path"), text_col: str = "content"):
+    """Remove full-line `#` / `//` comments from source files — the
+    code-corpus counterpart of `strip_markup` (license headers, shebang
+    lines, generated-file banners dominate near-dup noise in code).
+
+    Pure Arrow RE2 kernels, zero Python per row.  Output: (*id_cols,
+    stripped string, n_comment_lines int64).  Null content degrades to a
+    null output row (reference M4 semantics).  The SQL oracle applies the
+    identical pattern via regexp_replace(..., 'g') / regexp_extract_all.
+    """
+    import pyarrow.compute as pc
+
+    def strip(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        n = pc.cast(
+            pc.count_substring_regex(text, COMMENT_LINE_PATTERN), pa.int64()
+        )
+        s = pc.replace_substring_regex(text, COMMENT_LINE_PATTERN, "")
+        cols = {c: t[c] for c in id_cols}
+        cols["stripped"] = s
+        cols["n_comment_lines"] = n
+        return pa.table(cols)
+
+    return ds.map_batches(strip, batch_format="pyarrow")

@@ -177,3 +177,55 @@ def test_strip_markup(ray_session):
     assert out[6] == ("visible done", 1)  # doctype is a tag; comment is not
     assert out[7] == (None, None)
     assert out[8] == ("plain text with spaces", 0)
+
+
+# --- strip_comments ---------------------------------------------------------
+
+
+def test_strip_comments_code_fixture(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.scrub import strip_comments
+
+    src = (
+        "#!/usr/bin/env python\n"
+        "# license header\n"
+        "x = 1  # trailing comments stay (full-line only)\n"
+        "   // indented comment\n"
+        "url = 'http://a/b'  // not a full-line comment\n"
+        "//tail no newline"
+    )
+    want = (
+        "x = 1  # trailing comments stay (full-line only)\n"
+        "url = 'http://a/b'  // not a full-line comment\n"
+    )
+    t = pa.table(
+        {
+            "repo": pa.array(["r", "r"], pa.string()),
+            "path": pa.array(["a.py", "b.py"], pa.string()),
+            "content": pa.array([src, None], pa.large_string()),
+        }
+    )
+    got = strip_comments(ray.data.from_arrow(t)).to_pandas().set_index("path")
+    assert got.loc["a.py", "stripped"] == want
+    assert got.loc["a.py", "n_comment_lines"] == 4
+    assert got.loc["b.py", "stripped"] is None  # null degrades, never fails
+
+
+def test_strip_comments_no_comments_is_identity(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.scrub import strip_comments
+
+    src = "plain text\nwith lines\nand a # mid-line hash\n"
+    t = pa.table(
+        {
+            "repo": pa.array(["r"], pa.string()),
+            "path": pa.array(["c.txt"], pa.string()),
+            "content": pa.array([src], pa.large_string()),
+        }
+    )
+    got = strip_comments(ray.data.from_arrow(t)).to_pandas()
+    assert got.stripped[0] == src and got.n_comment_lines[0] == 0
