@@ -1397,6 +1397,65 @@ FROM code
 """
 
 
+def q_code_quality(sf_dir: str):
+    """StarCoder-style per-file quality filter over a line-wrapped
+    rendering of each document (docs are single-line token streams, so
+    ' table' boundaries become newlines — plain substring replace, same
+    left-to-right semantics in Arrow and DuckDB — and every 13th doc
+    gets an auto-generated banner so the `autogen` probe has bite)."""
+    import pyarrow.compute as pc
+
+    from ..stages.codequality import code_quality
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def codify(t):
+        wrapped = pc.replace_substring(t["text"], " table", "\ntable")
+        banner = pa.array(t["doc_id"].to_numpy() % 13 == 0)
+        content = pc.if_else(
+            banner,
+            pc.binary_join_element_wise("auto-generated\n", wrapped, ""),
+            wrapped,
+        )
+        return pa.table({"doc_id": t["doc_id"], "content": content})
+
+    return code_quality(
+        ds.map_batches(codify, batch_format="pyarrow"),
+        id_cols=("doc_id",),
+        max_avg_line_len=100.0,
+        max_max_line_len=200,
+        min_alnum_frac=0.25,
+    )
+
+
+SQL_CODE_QUALITY = r"""
+WITH code AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN 'auto-generated' || chr(10) ELSE '' END
+           || replace(text, ' table', chr(10) || 'table') AS content
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(str_split(content, chr(10))) AS BIGINT) AS n_lines,
+         CAST(list_max(list_transform(str_split(content, chr(10)),
+                                      x -> length(x))) AS BIGINT) AS max_line_len,
+         CAST(list_sum(list_transform(str_split(content, chr(10)),
+                                      x -> length(x))) AS DOUBLE)
+           / len(str_split(content, chr(10))) AS avg_line_len,
+         CASE WHEN length(content) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                   / length(content) END AS frac_alnum,
+         regexp_matches(content, '(?i)generated by|do not edit|auto-?generated')
+           AS autogen
+  FROM code
+)
+SELECT *,
+       (avg_line_len <= 100.0 AND max_line_len <= 200
+        AND frac_alnum >= 0.25 AND NOT autogen) AS keep
+FROM m
+"""
+
+
 def q_fork_clusters(sf_dir: str):
     """Fork families: connected components over fork_pairs edges."""
     from ..sources.corpus import corpus_from_documents
@@ -3819,6 +3878,7 @@ QUERIES = {
     "fork_clusters": q_fork_clusters,
     "fork_dedup": q_fork_dedup,
     "strip_comments": q_strip_comments,
+    "code_quality": q_code_quality,
     "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -3927,6 +3987,7 @@ ORACLE_SQL = {
     "fork_clusters": SQL_FORK_CLUSTERS,
     "fork_dedup": SQL_FORK_DEDUP,
     "strip_comments": SQL_STRIP_COMMENTS,
+    "code_quality": SQL_CODE_QUALITY,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
