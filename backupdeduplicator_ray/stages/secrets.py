@@ -1,0 +1,63 @@
+"""Credential / secret scanning over a source-code corpus.
+
+Training-data curation for code must drop (or redact) files containing
+live credentials before anything ships: cloud access keys, VCS tokens,
+private-key blocks, and bare hex secrets.  This is the code-payload
+counterpart of `scrub.redact_pii` (emails/phones for prose) — the same
+pure-Arrow RE2 shape, zero Python per row, embarrassingly parallel (no
+shuffle, one output row per input row; a pure streaming map stage at
+10^12 files).
+
+Patterns are the published high-precision scanner anchors (the
+truffleHog/gitleaks family): a fixed prefix plus a fixed-length charset,
+so false positives are rare enough to gate on `has_secret` directly.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+#: pattern name -> RE2 regex (non-overlapping counts; the DuckDB oracle
+#: applies the identical pattern via regexp_extract_all).
+SECRET_PATTERNS = {
+    # AWS access key id: fixed AKIA prefix + 16 uppercase alphanumerics.
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    # GitHub personal access token (classic): ghp_ + 36 alphanumerics.
+    "github_token": r"ghp_[A-Za-z0-9]{36}",
+    # PEM private-key block header (RSA/EC/OPENSSH/blank variants).
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    # Bare 40-hex blob (sha1-length API secrets); \b keeps longer hex
+    # runs (e.g. 64-hex sha256 strings) from matching.
+    "hex40": r"\b[0-9a-f]{40}\b",
+}
+
+
+def detect_secrets(
+    ds,
+    id_cols=("repo", "path"),
+    text_col: str = "content",
+    patterns: dict[str, str] | None = None,
+):
+    """Per-file secret counts + gate flag.
+
+    Output columns: (*id_cols, n_<pattern>... int64, n_secrets int64,
+    has_secret bool).  Null content degrades to null counts and null
+    flag (reference M4 semantics: degrade, never fail).
+    """
+    import pyarrow.compute as pc
+
+    pats = dict(patterns or SECRET_PATTERNS)
+
+    def scan(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        cols = {c: t[c] for c in id_cols}
+        total = None
+        for name, pat in pats.items():
+            n = pc.cast(pc.count_substring_regex(content, pat), pa.int64())
+            cols[f"n_{name}"] = n
+            total = n if total is None else pc.add(total, n)
+        cols["n_secrets"] = total
+        cols["has_secret"] = pc.greater(total, 0)
+        return pa.table(cols)
+
+    return ds.map_batches(scan, batch_format="pyarrow")
