@@ -1544,6 +1544,69 @@ FROM code
 """
 
 
+def q_normalized_dedup(sf_dir: str):
+    """Comment/whitespace-insensitive dedup over the derived corpus:
+    every file gets a repo-specific `# variant` header (byte-different
+    across mirrors) and mirror rows get doubled spaces — raw bytes
+    differ everywhere, yet base+mirror normalize identical, so the
+    groups prove the normalization does the work."""
+    import pyarrow.compute as pc
+
+    from ..sources.corpus import corpus_from_documents
+    from ..stages.normdedup import normalized_dedup
+
+    def codify(t):
+        mirror = pc.starts_with(t["repo"], "mirror")
+        body = pc.if_else(
+            mirror,
+            pc.replace_substring(t["content"], " ", "  "),
+            t["content"],
+        )
+        content = pc.binary_join_element_wise(
+            pc.cast(pa.array(["# variant "] * len(t)), pa.large_string()),
+            pc.cast(t["repo"], pa.large_string()),
+            pc.cast(pa.array(["\n"] * len(t)), pa.large_string()),
+            pc.cast(body, pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        return pa.table(
+            {"repo": t["repo"], "path": t["path"], "content": content}
+        )
+
+    corpus = corpus_from_documents(sf_dir).map_batches(
+        codify, batch_format="pyarrow"
+    )
+    return normalized_dedup(corpus)
+
+
+SQL_NORMALIZED_DEDUP = f"""
+WITH corpus AS ({derive_corpus_sql("documents")}),
+code AS (
+  SELECT repo, path,
+         '# variant ' || repo || chr(10) ||
+         CASE WHEN repo LIKE 'mirror%' THEN replace(content, ' ', '  ')
+              ELSE content END AS content
+  FROM corpus
+),
+normed AS (
+  SELECT repo, path,
+         trim(regexp_replace(regexp_replace(content,
+                '(?m)^[ \\t]*(#|//)[^\\n]*\\n?', '', 'g'),
+              '[ \\t\\r\\n]+', ' ', 'g'), ' ') AS norm
+  FROM code WHERE content IS NOT NULL
+),
+g AS (
+  SELECT sha256(norm) AS norm_hash, repo, path,
+         CAST(count(*) OVER (PARTITION BY norm) AS BIGINT) AS n_members,
+         min(repo || '|' || path) OVER (PARTITION BY norm) AS first
+  FROM normed
+)
+SELECT norm_hash, n_members, repo, path,
+       (repo || '|' || path = first) AS canonical
+FROM g WHERE n_members >= 2
+"""
+
+
 def q_fork_clusters(sf_dir: str):
     """Fork families: connected components over fork_pairs edges."""
     from ..sources.corpus import corpus_from_documents
@@ -3968,6 +4031,7 @@ QUERIES = {
     "strip_comments": q_strip_comments,
     "code_quality": q_code_quality,
     "detect_secrets": q_detect_secrets,
+    "normalized_dedup": q_normalized_dedup,
     "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -4078,6 +4142,7 @@ ORACLE_SQL = {
     "strip_comments": SQL_STRIP_COMMENTS,
     "code_quality": SQL_CODE_QUALITY,
     "detect_secrets": SQL_DETECT_SECRETS,
+    "normalized_dedup": SQL_NORMALIZED_DEDUP,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

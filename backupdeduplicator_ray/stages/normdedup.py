@@ -1,0 +1,88 @@
+"""Normalization-insensitive exact dedup over code corpora.
+
+Source trees are full of files that are byte-different but identical
+code: the same module re-vendored with a different license header, a
+reformatted copy (tabs vs spaces, collapsed blank lines), a mirror with
+a tweaked banner comment.  Byte-exact dedup (A1, `exact_dup_groups`)
+misses all of them; MinHash finds them but as *near* dups with a
+threshold.  The middle road is canonical: normalize (strip full-line
+comments, collapse whitespace runs, trim), hash the normalized form,
+and group exactly — the published "near-deduplication via normalization"
+pass from the BigCode/CodeParrot pipelines.
+
+Shape: one `map_batches` normalization+hash pass (pure Arrow RE2
+kernels + the repo's zero-copy digest kernel), then the repo's standard
+count-prune grouping (`grouped_on_survivors`): singleton hashes never
+leave their partition, only true duplicate groups reach the per-group
+emit.  At 10^12 files this is the A1 pipeline with a cheap map stage in
+front — the same scale story as `exact_dup_groups`.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.groups import grouped_on_survivors
+from ..functions.hashing import hash_string_column
+from .scrub import COMMENT_LINE_PATTERN
+
+#: whitespace run -> single space (space/tab/CR/LF; matches the SQL
+#: oracle's regexp_replace(x, '[ \t\r\n]+', ' ', 'g') exactly).
+_WS_RUN = r"[ \t\r\n]+"
+
+
+def normalize_code(ds, id_cols=("repo", "path"), text_col: str = "content"):
+    """(*id_cols, norm string, norm_hash hex) — the normalization half,
+    exposed separately so pipelines can reuse the normalized text."""
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.replace_substring_regex(t[text_col], COMMENT_LINE_PATTERN, "")
+        s = pc.replace_substring_regex(s, _WS_RUN, " ")
+        s = pc.utf8_trim(s, " ")
+        cols = {c: t[c] for c in id_cols}
+        cols["norm"] = s
+        cols["norm_hash"] = hash_string_column(s, "sha256")
+        return pa.table(cols)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def normalized_dedup(ds, id_cols=("repo", "path"), text_col: str = "content"):
+    """Duplicate groups under comment/whitespace normalization.
+
+    Output: one row per member of each group with >= 2 members —
+    (norm_hash hex, n_members int64, *id_cols, canonical bool), where
+    `canonical` marks the lexicographically-first member (the one a
+    dedup execution would keep).  Null content never enters a group
+    (its normalized form is null; reference M4 degrade semantics).
+    """
+    import pyarrow.compute as pc
+
+    normed = normalize_code(ds, id_cols=id_cols, text_col=text_col)
+    normed = normed.map_batches(
+        lambda t: t.drop_columns(["norm"]).filter(pc.is_valid(t["norm_hash"])),
+        batch_format="pyarrow",
+    )
+
+    schema = pa.schema(
+        [("norm_hash", pa.string()), ("n_members", pa.int64())]
+        + [(c, pa.string()) for c in id_cols]
+        + [("canonical", pa.bool_())]
+    )
+
+    def per_group(g):
+        if len(g) < 2:
+            return schema.empty_table()
+        keys = ["|".join(v) for v in zip(*(g[c] for c in id_cols))]
+        first = min(keys)
+        cols = {
+            "norm_hash": pa.array([g["norm_hash"].iloc[0]] * len(g), pa.string()),
+            "n_members": pa.array([len(g)] * len(g), pa.int64()),
+        }
+        for c in id_cols:
+            cols[c] = pa.array(list(g[c]), pa.string())
+        cols["canonical"] = pa.array([k == first for k in keys], pa.bool_())
+        return pa.table(cols, schema=schema)
+
+    return grouped_on_survivors(normed, ["norm_hash"], per_group, min_count=2)

@@ -1,0 +1,57 @@
+import pyarrow as pa
+import ray.data
+
+from backupdeduplicator_ray.stages.normdedup import normalize_code, normalized_dedup
+
+
+def _corpus(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array([r[0] for r in rows], pa.string()),
+                "path": pa.array([r[1] for r in rows], pa.string()),
+                "content": pa.array([r[2] for r in rows], pa.large_string()),
+            }
+        )
+    )
+
+
+def test_normalize_code(ray_session):
+    ds = _corpus(
+        [
+            ("r", "a", "# header\nx = 1\n\n\ty =  2\n"),
+            ("r", "b", None),
+        ]
+    )
+    out = normalize_code(ds).to_pandas().set_index("path")
+    assert out.loc["a", "norm"] == "x = 1 y = 2"
+    assert out.loc["b", "norm"] is None and out.loc["b", "norm_hash"] is None
+
+
+def test_normalized_dedup_groups(ray_session):
+    ds = _corpus(
+        [
+            # same code, different comment headers + whitespace style
+            ("r1", "lib.py", "# Copyright A\ndef f():\n    return 1\n"),
+            ("r2", "lib.py", "# Copyright B  (c) 2024\ndef f():\n\treturn 1\n"),
+            ("r3", "lib.py", "// mirrored\ndef f():  return 1\n"),  # NOT equal (one line)
+            ("r1", "other.py", "unique content here\n"),
+            ("r4", "null.py", None),
+        ]
+    )
+    out = normalized_dedup(ds).to_pandas()
+    # r1+r2 normalize to "def f(): return 1" — so does r3! collapse joins lines
+    grp = out[out.n_members >= 2]
+    assert set(zip(grp.repo, grp.path)) == {
+        ("r1", "lib.py"),
+        ("r2", "lib.py"),
+        ("r3", "lib.py"),
+    }
+    assert (grp.n_members == 3).all()
+    assert grp[grp.canonical].repo.tolist() == ["r1"]
+    assert grp.norm_hash.nunique() == 1 and len(grp.norm_hash.iloc[0]) == 64
+
+
+def test_normalized_dedup_no_dups(ray_session):
+    ds = _corpus([("r", "a", "aaa\n"), ("r", "b", "bbb\n")])
+    assert normalized_dedup(ds).count() == 0
