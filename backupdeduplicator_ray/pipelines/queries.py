@@ -1607,6 +1607,113 @@ FROM g WHERE n_members >= 2
 """
 
 
+def _codify_imports(sf_dir: str):
+    """Documents wrapped with deterministic import/include/require lines
+    (docs have none of their own); shared by q_import_graph and
+    q_module_popularity, reproduced verbatim by _SQL_IMPORT_CODE."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def codify(t):
+        did = t["doc_id"].to_numpy()
+        parts = [
+            pa.array([f"import mod_{i % 17}" for i in did], pa.string()),
+            pa.array(
+                [f"from pkg_{i % 5}.sub import thing" for i in did], pa.string()
+            ),
+            pa.array([f"#include <lib_{i % 3}.h>" for i in did], pa.string()),
+            pa.array(
+                [
+                    f"const x = require('dep-{i % 7}');" if i % 2 == 0 else ""
+                    for i in did
+                ],
+                pa.string(),
+            ),
+        ]
+        content = pc.binary_join_element_wise(*parts, t["text"], "\n")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "repo": pc.cast(
+                    pa.array([f"r{i % 4}" for i in did], pa.string()), pa.string()
+                ),
+                "content": content,
+            }
+        )
+
+    return ds.map_batches(codify, batch_format="pyarrow")
+
+
+_SQL_IMPORT_CODE = r"""
+  SELECT doc_id, 'r' || (doc_id % 4) AS repo,
+         'import mod_' || (doc_id % 17) || chr(10)
+           || 'from pkg_' || (doc_id % 5) || '.sub import thing' || chr(10)
+           || '#include <lib_' || (doc_id % 3) || '.h>' || chr(10)
+           || CASE WHEN doc_id % 2 = 0
+                   THEN 'const x = require(''dep-' || (doc_id % 7) || ''');'
+                   ELSE '' END || chr(10)
+           || text AS content
+  FROM documents
+"""
+
+_SQL_IMPORT_EDGES = r"""
+  SELECT doc_id, repo, kind, module FROM (
+    SELECT doc_id, repo, line,
+           'py_import' AS kind,
+           regexp_extract(line, '^[ \t]*import[ \t]+([A-Za-z0-9_.]+)', 1) AS module
+    FROM lines WHERE regexp_matches(line, '^[ \t]*import[ \t]+[A-Za-z0-9_.]+')
+    UNION ALL
+    SELECT doc_id, repo, line, 'py_from',
+           regexp_extract(line, '^[ \t]*from[ \t]+([A-Za-z0-9_.]+)[ \t]+import', 1)
+    FROM lines WHERE regexp_matches(line, '^[ \t]*from[ \t]+[A-Za-z0-9_.]+[ \t]+import')
+    UNION ALL
+    SELECT doc_id, repo, line, 'c_include',
+           regexp_extract(line, '^[ \t]*#include[ \t]*[<"]([^>"]+)[>"]', 1)
+    FROM lines WHERE regexp_matches(line, '^[ \t]*#include[ \t]*[<"][^>"]+[>"]')
+    UNION ALL
+    SELECT doc_id, repo, line, 'js_require',
+           regexp_extract(line, 'require\(''([^'']+)''\)', 1)
+    FROM lines WHERE regexp_matches(line, 'require\(''[^'']+''\)')
+  )
+"""
+
+
+def q_import_graph(sf_dir: str):
+    """Import-edge extraction: one row per matched import line."""
+    from ..stages.imports import extract_imports
+
+    return extract_imports(_codify_imports(sf_dir), id_cols=("doc_id", "repo"))
+
+
+SQL_IMPORT_GRAPH = f"""
+WITH code AS ({_SQL_IMPORT_CODE}),
+lines AS (
+  SELECT doc_id, repo, unnest(str_split(content, chr(10))) AS line FROM code
+)
+{_SQL_IMPORT_EDGES}
+"""
+
+
+def q_module_popularity(sf_dir: str):
+    """(module, n_edges, n_repos) rollup over the import edges."""
+    from ..stages.imports import module_popularity
+
+    return module_popularity(_codify_imports(sf_dir), id_cols=("repo", "doc_id"))
+
+
+SQL_MODULE_POPULARITY = f"""
+WITH code AS ({_SQL_IMPORT_CODE}),
+lines AS (
+  SELECT doc_id, repo, unnest(str_split(content, chr(10))) AS line FROM code
+),
+edges AS ({_SQL_IMPORT_EDGES})
+SELECT module, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT repo) AS BIGINT) AS n_repos
+FROM edges GROUP BY module
+"""
+
+
 def q_fork_clusters(sf_dir: str):
     """Fork families: connected components over fork_pairs edges."""
     from ..sources.corpus import corpus_from_documents
@@ -4032,6 +4139,8 @@ QUERIES = {
     "code_quality": q_code_quality,
     "detect_secrets": q_detect_secrets,
     "normalized_dedup": q_normalized_dedup,
+    "import_graph": q_import_graph,
+    "module_popularity": q_module_popularity,
     "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -4143,6 +4252,8 @@ ORACLE_SQL = {
     "code_quality": SQL_CODE_QUALITY,
     "detect_secrets": SQL_DETECT_SECRETS,
     "normalized_dedup": SQL_NORMALIZED_DEDUP,
+    "import_graph": SQL_IMPORT_GRAPH,
+    "module_popularity": SQL_MODULE_POPULARITY,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

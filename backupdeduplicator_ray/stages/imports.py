@@ -1,0 +1,137 @@
+"""Import / dependency extraction over a source-code corpus.
+
+A code training pipeline needs the dependency signal: which modules a
+file pulls in (dedup weighting for vendored libraries, repo-level
+dependency graphs, permissive-license transitive checks all start
+here).  This stage extracts import statements with line-anchored RE2
+patterns — the deliberately-parserless slice that is exact for the
+dominant import forms and expressible in ANSI SQL so the oracle can
+reproduce edge-for-edge.
+
+Shape: one `map_batches` pass — split to lines (`split_pattern` +
+`list_parent_indices`, the `search.py` explode shape), one
+`extract_regex` per pattern over the flattened line column, no Python
+per row.  Output is an EDGE table (one row per matched line), so the
+downstream `module_popularity` aggregate is a standard count-combine
+groupby.  Embarrassingly parallel; at 10^12 files the edge emit is a
+streaming map and the popularity rollup is one small exchange of
+per-batch partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+#: kind -> RE2 pattern with ONE named group `m` (the module).  Applied
+#: per line; `^` anchors to the line start after the explode.
+IMPORT_PATTERNS = {
+    "py_import": r"^[ \t]*import[ \t]+(?P<m>[A-Za-z0-9_.]+)",
+    "py_from": r"^[ \t]*from[ \t]+(?P<m>[A-Za-z0-9_.]+)[ \t]+import",
+    "c_include": r"^[ \t]*#include[ \t]*[<\"](?P<m>[^>\"]+)[>\"]",
+    "js_require": r"require\('(?P<m>[^']+)'\)",
+}
+
+
+def extract_imports(
+    ds,
+    id_cols=("repo", "path"),
+    text_col: str = "content",
+    patterns: dict[str, str] | None = None,
+):
+    """Edge table (*id_cols, kind, module) — one row per import line.
+
+    A line yields one edge per pattern it matches (first match per
+    pattern per line, the `regexp_extract` contract the SQL oracle
+    shares).  Null content yields no edges.
+    """
+    import pyarrow.compute as pc
+
+    pats = dict(patterns or IMPORT_PATTERNS)
+
+    def extract(t: pa.Table) -> pa.Table:
+        content = t[text_col].combine_chunks()
+        vmask = pc.is_valid(content).to_numpy(zero_copy_only=False)
+        vrows = np.nonzero(vmask)[0]
+        valid = content.drop_null()
+        ls = pc.split_pattern(valid, pattern="\n")
+        flat = pc.list_flatten(ls)
+        parents = pc.list_parent_indices(ls).to_numpy(zero_copy_only=False)
+
+        out_ids = {c: [] for c in id_cols}
+        kinds: list[pa.Array] = []
+        mods: list[pa.Array] = []
+        for kind, pat in pats.items():
+            ext = pc.extract_regex(flat, pat)
+            hit = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+            idx = np.nonzero(hit)[0]
+            if not len(idx):
+                continue
+            rows = vrows[parents[idx]]
+            take = pa.array(rows)
+            for c in id_cols:
+                out_ids[c].append(pc.take(t[c], take))
+            kinds.append(pa.array([kind] * len(idx), pa.string()))
+            mods.append(pc.struct_field(ext, "m").take(pa.array(idx)))
+
+        if not kinds:
+            return pa.schema(
+                [(c, t.schema.field(c).type) for c in id_cols]
+                + [("kind", pa.string()), ("module", pa.string())]
+            ).empty_table()
+        cols = {c: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_ids[c]]) for c in id_cols}
+        cols["kind"] = pa.concat_arrays(kinds)
+        cols["module"] = pa.concat_arrays(
+            [m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m for m in mods]
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def module_popularity(ds, id_cols=("repo", "path"), text_col: str = "content",
+                      patterns: dict[str, str] | None = None):
+    """(module, n_edges, n_repos) rollup over the import edges.
+
+    Per-batch partial: Arrow group_by (module, repo) DISTINCT then
+    (module) counts — so the exchange carries pre-combined partials,
+    never raw edges (the repo's pre-aggregate doctrine); n_repos is an
+    exact COUNT(DISTINCT repo) from disjoint (module, repo) partials
+    only when repo partitions don't overlap, so the finish re-distincts.
+    """
+    import pyarrow.compute as pc
+
+    edges = extract_imports(ds, id_cols=id_cols, text_col=text_col, patterns=patterns)
+    repo_col = id_cols[0]
+
+    # exact route: per-batch (module, repo) partial counts in one
+    # shuffled table, finished per module-partition — the exchange
+    # carries pre-combined partials, never raw edges
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["module", repo_col]).aggregate([("module", "count")])
+        return pa.table(
+            {
+                "module": g["module"],
+                "repo": g[repo_col],
+                "n": pc.cast(g["module_count"], pa.int64()),
+            }
+        )
+
+    pairs = edges.map_batches(pair_partial, batch_format="pyarrow")
+
+    def finish(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        agg = g.group_by("module").aggregate([("n", "sum")])
+        dr = g.group_by(["module", "repo"]).aggregate([])
+        nr = dr.group_by("module").aggregate([("repo", "count")])
+        out = agg.join(nr, keys="module")
+        return pa.table(
+            {
+                "module": out["module"],
+                "n_edges": pc.cast(out["n_sum"], pa.int64()),
+                "n_repos": pc.cast(out["repo_count"], pa.int64()),
+            }
+        )
+
+    return pairs.groupby("module").map_groups(finish, batch_format="pyarrow")

@@ -1,0 +1,77 @@
+import pyarrow as pa
+import ray.data
+
+from backupdeduplicator_ray.stages.imports import (
+    IMPORT_PATTERNS,
+    extract_imports,
+    module_popularity,
+)
+
+
+def _corpus(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array([r[0] for r in rows], pa.string()),
+                "path": pa.array([r[1] for r in rows], pa.string()),
+                "content": pa.array([r[2] for r in rows], pa.large_string()),
+            }
+        )
+    )
+
+
+def test_extract_imports(ray_session):
+    ds = _corpus(
+        [
+            (
+                "r1",
+                "a.py",
+                "import os\nfrom collections.abc import Mapping\n"
+                "  import numpy\nx = 1\n# import commented_out\n",
+            ),
+            ("r1", "b.c", '#include <stdio.h>\n#include "local.h"\nint main;\n'),
+            ("r2", "c.js", "const fs = require('fs');\nrequire('./rel');\n"),
+            ("r2", "d.txt", "no imports here\n"),
+            ("r2", "e.txt", None),
+        ]
+    )
+    out = extract_imports(ds).to_pandas()
+    got = set(zip(out.path, out.kind, out.module))
+    assert got == {
+        ("a.py", "py_import", "os"),
+        ("a.py", "py_from", "collections.abc"),
+        ("a.py", "py_import", "numpy"),
+        ("b.c", "c_include", "stdio.h"),
+        ("b.c", "c_include", "local.h"),
+        ("c.js", "js_require", "fs"),
+        ("c.js", "js_require", "./rel"),
+    }
+    # '# import commented_out' must NOT match (line-anchored pattern)
+    assert "commented_out" not in set(out.module)
+
+
+def test_module_popularity(ray_session):
+    ds = _corpus(
+        [
+            ("r1", "a.py", "import os\nimport os\n"),
+            ("r2", "b.py", "import os\nimport sys\n"),
+        ]
+    )
+    out = (
+        module_popularity(ds).to_pandas().set_index("module").sort_index()
+    )
+    assert out.loc["os", "n_edges"] == 3 and out.loc["os", "n_repos"] == 2
+    assert out.loc["sys", "n_edges"] == 1 and out.loc["sys", "n_repos"] == 1
+
+
+def test_import_patterns_re2_safe(ray_session):
+    import pyarrow.compute as pc
+
+    col = pa.array(["probe"], pa.string())
+    for pat in IMPORT_PATTERNS.values():
+        pc.extract_regex(col, pat)  # must not raise
+
+
+def test_extract_imports_empty(ray_session):
+    ds = _corpus([("r", "a", "nothing\n"), ("r", "b", None)])
+    assert extract_imports(ds).count() == 0
