@@ -1714,6 +1714,34 @@ FROM edges GROUP BY module
 """
 
 
+def q_repo_profile(sf_dir: str):
+    """Per-repo curation profile (files, bytes, langs, corpus-wide
+    dup-file ratio) over the derived corpus — mirrors give every
+    mirrored repo a dup_ratio of 1.0 and their bases a partial one."""
+    from ..sources.corpus import corpus_from_documents
+    from ..stages.repoprofile import repo_profile
+
+    return repo_profile(corpus_from_documents(sf_dir))
+
+
+SQL_REPO_PROFILE = f"""
+WITH corpus AS ({derive_corpus_sql("documents")}),
+hashes AS (
+  SELECT repo, lang, sha256(content) AS h,
+         CAST(octet_length(encode(content)) AS BIGINT) AS sz
+  FROM corpus WHERE content IS NOT NULL
+),
+freq AS (SELECT h, count(*) AS c FROM hashes GROUP BY h)
+SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(sz) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_files,
+       CAST(sum(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS dup_ratio
+FROM hashes JOIN freq f USING (h) GROUP BY repo
+"""
+
+
 def q_fork_clusters(sf_dir: str):
     """Fork families: connected components over fork_pairs edges."""
     from ..sources.corpus import corpus_from_documents
@@ -4141,6 +4169,7 @@ QUERIES = {
     "normalized_dedup": q_normalized_dedup,
     "import_graph": q_import_graph,
     "module_popularity": q_module_popularity,
+    "repo_profile": q_repo_profile,
     "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -4254,6 +4283,7 @@ ORACLE_SQL = {
     "normalized_dedup": SQL_NORMALIZED_DEDUP,
     "import_graph": SQL_IMPORT_GRAPH,
     "module_popularity": SQL_MODULE_POPULARITY,
+    "repo_profile": SQL_REPO_PROFILE,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -1,0 +1,130 @@
+"""Per-repo curation profile over a source-code corpus.
+
+Repo-grain statistics drive the curation decisions file-grain operators
+can't: drop mirror-heavy repos (high dup ratio), cap monolingual dumps,
+weight sampling by repo size.  One profile row per repo: file count,
+total bytes, distinct languages, and how many of the repo's files are
+corpus-wide exact duplicates (content hash shared with >= 2 files
+anywhere — the A1 collision notion, so `exact_dup_groups` and this stage
+agree on what "duplicate" means).
+
+Shape: one hash pass over the corpus (zero-copy digest kernel), the
+repo's standard hash-frequency cut (`keys_with_count_between` +
+`filter_by_key_set`, driver set below the valve / partitioned semi-join
+above it), then tagged per-batch partials into ONE groupby(repo)
+exchange.  The exchange carries pre-combined (repo, lang) partials —
+never raw file rows — and repo cardinality never reaches the driver
+(at 10^8 repos the finish is still a distributed map_groups).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.groups import filter_by_key_set, keys_with_count_between
+from ..functions.hashing import byte_length_column, hash_binary_column
+
+PROFILE_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("n_files", pa.int64()),
+        ("total_bytes", pa.int64()),
+        ("n_langs", pa.int64()),
+        ("n_dup_files", pa.int64()),
+        ("dup_ratio", pa.float64()),
+    ]
+)
+
+
+def repo_profile(ds, distributed: bool = False):
+    """One (repo, n_files, total_bytes, n_langs, n_dup_files, dup_ratio)
+    row per repo.  Null-content files are skipped entirely (they carry
+    no hashable content — M4 degrade).  `distributed=True` forces the
+    semi-join route for the dup-hash set (the >valve shape)."""
+    import pyarrow.compute as pc
+
+    def hash_files(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["content"]))
+        return pa.table(
+            {
+                "repo": pc.cast(t["repo"], pa.string()),
+                "lang": pc.cast(t["lang"], pa.string()),
+                "hash": hash_binary_column(t["content"]),
+                "size": byte_length_column(t["content"]),
+            }
+        )
+
+    nodes = ds.map_batches(hash_files, batch_format="pyarrow")
+    # two consumers (totals + dup cut) — materialize once, not re-hash twice
+    nodes = nodes.materialize()
+
+    dup_hashes = keys_with_count_between(
+        nodes, ["hash"], min_count=2, distributed=distributed
+    )
+    dup_files = filter_by_key_set(nodes, ["hash"], dup_hashes, keep=True)
+
+    PARTIAL = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("lang", pa.string()),
+            ("n", pa.int64()),
+            ("bytes", pa.int64()),
+            ("ndup", pa.int64()),
+        ]
+    )
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["repo", "lang"]).aggregate([("size", "sum"), ("size", "count")])
+        return pa.table(
+            {
+                "repo": g["repo"],
+                "lang": g["lang"],
+                "n": pc.cast(g["size_count"], pa.int64()),
+                "bytes": pc.cast(g["size_sum"], pa.int64()),
+                "ndup": pa.array([0] * len(g), pa.int64()),
+            },
+            schema=PARTIAL,
+        )
+
+    def dup_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("repo").aggregate([("size", "count")])
+        n = len(g)
+        return pa.table(
+            {
+                "repo": g["repo"],
+                "lang": pa.array([None] * n, pa.string()),
+                "n": pa.array([0] * n, pa.int64()),
+                "bytes": pa.array([0] * n, pa.int64()),
+                "ndup": pc.cast(g["size_count"], pa.int64()),
+            },
+            schema=PARTIAL,
+        )
+
+    partials = nodes.map_batches(totals_partial, batch_format="pyarrow").union(
+        dup_files.map_batches(dup_partial, batch_format="pyarrow")
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_files = pc.sum(g["n"]).as_py() or 0
+        ndup = pc.sum(g["ndup"]).as_py() or 0
+        langs = g.filter(pc.greater(g["n"], 0))["lang"]
+        return pa.table(
+            {
+                "repo": pa.array([g["repo"][0].as_py()], pa.string()),
+                "n_files": pa.array([n_files], pa.int64()),
+                "total_bytes": pa.array([pc.sum(g["bytes"]).as_py() or 0], pa.int64()),
+                "n_langs": pa.array(
+                    [len({x for x in langs.to_pylist() if x is not None})],
+                    pa.int64(),
+                ),
+                "n_dup_files": pa.array([ndup], pa.int64()),
+                "dup_ratio": pa.array(
+                    [ndup / n_files if n_files else 0.0], pa.float64()
+                ),
+            },
+            schema=PROFILE_SCHEMA,
+        )
+
+    return partials.groupby("repo").map_groups(finish, batch_format="pyarrow")

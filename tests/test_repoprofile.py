@@ -1,0 +1,61 @@
+import pyarrow as pa
+import pytest
+import ray.data
+
+from backupdeduplicator_ray.stages.repoprofile import repo_profile
+
+
+def _corpus(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array([r[0] for r in rows], pa.string()),
+                "path": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "content": pa.array([r[3] for r in rows], pa.large_string()),
+            }
+        )
+    )
+
+
+ROWS = [
+    ("r1", "a.py", "py", "shared content"),
+    ("r1", "b.rs", "rs", "unique one"),
+    ("r1", "c.py", "py", "also unique"),
+    ("r2", "x.py", "py", "shared content"),   # dup with r1/a.py
+    ("r2", "y.py", "py", "shared content"),   # and again inside r2
+    ("r3", "n.go", "go", None),               # null content: skipped
+    ("r3", "m.go", "go", "solo"),
+]
+
+
+def _check(out):
+    out = out.set_index("repo")
+    r1 = out.loc["r1"]
+    assert r1.n_files == 3 and r1.n_langs == 2 and r1.n_dup_files == 1
+    assert r1.dup_ratio == pytest.approx(1 / 3)
+    assert r1.total_bytes == len("shared content") + len("unique one") + len("also unique")
+    r2 = out.loc["r2"]
+    assert r2.n_files == 2 and r2.n_dup_files == 2 and r2.dup_ratio == 1.0
+    r3 = out.loc["r3"]
+    assert r3.n_files == 1 and r3.n_dup_files == 0 and r3.n_langs == 1
+
+
+def test_repo_profile(ray_session):
+    _check(repo_profile(_corpus(ROWS)).to_pandas())
+
+
+def test_repo_profile_distributed_parity(ray_session):
+    """The forced semi-join route (the >valve shape) must be
+    byte-identical to the driver-set route."""
+    a = repo_profile(_corpus(ROWS)).to_pandas().sort_values("repo").reset_index(drop=True)
+    b = (
+        repo_profile(_corpus(ROWS), distributed=True)
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    _check(b)
