@@ -1742,6 +1742,78 @@ FROM hashes JOIN freq f USING (h) GROUP BY repo
 """
 
 
+def q_license_scan(sf_dir: str):
+    """License detection over documents with deterministically injected
+    headers: doc_id%5 picks apache/mit/bsd/gpl/none, and doc_id%20==3
+    stacks a GPL notice UNDER an mit header to prove the priority
+    cascade (first family in pattern order wins)."""
+    import pyarrow.compute as pc
+
+    from ..stages.license import license_scan
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    HDRS = [
+        "// Licensed under the Apache License, Version 2.0",
+        "// Permission is hereby granted, free of\n// charge, to any person",
+        "// Redistribution and use in source\n//   and binary forms",
+        "// under the GNU General Public License v3",
+        "",
+    ]
+
+    def inject(t):
+        did = t["doc_id"].to_numpy()
+        hdr = pa.array(
+            [
+                HDRS[i % 5]
+                + ("\n// GNU Lesser General Public License" if i % 20 == 3 else "")
+                for i in did
+            ],
+            pa.string(),
+        )
+        content = pc.binary_join_element_wise(
+            pc.cast(hdr, pa.large_string()),
+            pc.cast(t["text"], pa.large_string()),
+            pa.scalar("\n", pa.large_string()),
+        )
+        return pa.table({"doc_id": t["doc_id"], "content": content})
+
+    return license_scan(
+        ds.map_batches(inject, batch_format="pyarrow"), id_cols=("doc_id",)
+    )
+
+
+SQL_LICENSE_SCAN = r"""
+WITH code AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN '// Licensed under the Apache License, Version 2.0'
+           WHEN 1 THEN '// Permission is hereby granted, free of' || chr(10) || '// charge, to any person'
+           WHEN 2 THEN '// Redistribution and use in source' || chr(10) || '//   and binary forms'
+           WHEN 3 THEN '// under the GNU General Public License v3'
+           ELSE '' END
+         || CASE WHEN doc_id % 20 = 3
+                 THEN chr(10) || '// GNU Lesser General Public License'
+                 ELSE '' END
+         || chr(10) || text AS content
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN regexp_matches(content, '(?i)Licensed[ \t\r\n/#*]+under[ \t\r\n/#*]+the[ \t\r\n/#*]+Apache[ \t\r\n/#*]+License') THEN 'apache-2.0'
+    WHEN regexp_matches(content, '(?i)Permission[ \t\r\n/#*]+is[ \t\r\n/#*]+hereby[ \t\r\n/#*]+granted,[ \t\r\n/#*]+free[ \t\r\n/#*]+of[ \t\r\n/#*]+charge') THEN 'mit'
+    WHEN regexp_matches(content, '(?i)Redistribution[ \t\r\n/#*]+and[ \t\r\n/#*]+use[ \t\r\n/#*]+in[ \t\r\n/#*]+source[ \t\r\n/#*]+and[ \t\r\n/#*]+binary[ \t\r\n/#*]+forms') THEN 'bsd'
+    WHEN regexp_matches(content, '(?i)GNU[ \t\r\n/#*]+(Lesser[ \t\r\n/#*]+|Affero[ \t\r\n/#*]+)?General[ \t\r\n/#*]+Public[ \t\r\n/#*]+License') THEN 'gpl'
+    ELSE 'unknown' END AS license,
+  CASE
+    WHEN regexp_matches(content, '(?i)Licensed[ \t\r\n/#*]+under[ \t\r\n/#*]+the[ \t\r\n/#*]+Apache[ \t\r\n/#*]+License') THEN TRUE
+    WHEN regexp_matches(content, '(?i)Permission[ \t\r\n/#*]+is[ \t\r\n/#*]+hereby[ \t\r\n/#*]+granted,[ \t\r\n/#*]+free[ \t\r\n/#*]+of[ \t\r\n/#*]+charge') THEN TRUE
+    WHEN regexp_matches(content, '(?i)Redistribution[ \t\r\n/#*]+and[ \t\r\n/#*]+use[ \t\r\n/#*]+in[ \t\r\n/#*]+source[ \t\r\n/#*]+and[ \t\r\n/#*]+binary[ \t\r\n/#*]+forms') THEN TRUE
+    ELSE FALSE END AS permissive
+FROM code
+"""
+
+
 def q_fork_clusters(sf_dir: str):
     """Fork families: connected components over fork_pairs edges."""
     from ..sources.corpus import corpus_from_documents
@@ -4170,6 +4242,7 @@ QUERIES = {
     "import_graph": q_import_graph,
     "module_popularity": q_module_popularity,
     "repo_profile": q_repo_profile,
+    "license_scan": q_license_scan,
     "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -4284,6 +4357,7 @@ ORACLE_SQL = {
     "import_graph": SQL_IMPORT_GRAPH,
     "module_popularity": SQL_MODULE_POPULARITY,
     "repo_profile": SQL_REPO_PROFILE,
+    "license_scan": SQL_LICENSE_SCAN,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

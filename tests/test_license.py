@@ -1,0 +1,58 @@
+import pyarrow as pa
+import ray.data
+
+from backupdeduplicator_ray.stages.license import LICENSE_PATTERNS, license_scan
+
+
+def _run(contents):
+    t = pa.table(
+        {
+            "repo": pa.array(["r"] * len(contents), pa.string()),
+            "path": pa.array([f"f{i}" for i in range(len(contents))], pa.string()),
+            "content": pa.array(contents, pa.large_string()),
+        }
+    )
+    return license_scan(ray.data.from_arrow(t)).to_pandas().set_index("path")
+
+
+def test_license_families(ray_session):
+    out = _run(
+        [
+            "/* Licensed under the Apache License, Version 2.0 */\ncode",
+            "# Permission is hereby granted, free of charge, to any person\ncode",
+            "// Redistribution and use in source and binary forms\ncode",
+            "GNU General Public License as published by the FSF\ncode",
+            "GNU Lesser General Public License\ncode",
+            "GNU Affero General Public License\ncode",
+            "no license text at all\n",
+            None,
+        ]
+    )
+    assert out.loc["f0", "license"] == "apache-2.0" and bool(out.loc["f0", "permissive"])
+    assert out.loc["f1", "license"] == "mit" and bool(out.loc["f1", "permissive"])
+    assert out.loc["f2", "license"] == "bsd" and bool(out.loc["f2", "permissive"])
+    for f in ("f3", "f4", "f5"):
+        assert out.loc[f, "license"] == "gpl" and not bool(out.loc[f, "permissive"])
+    assert out.loc["f6", "license"] == "unknown" and not bool(out.loc["f6", "permissive"])
+    assert out.loc["f7", "license"] is None and out.loc["f7", "permissive"] is None
+
+
+def test_license_priority_and_rewrap(ray_session):
+    out = _run(
+        [
+            # both apache and gpl present -> priority order wins (apache first)
+            "Licensed under the Apache License\n...vendored: GNU General Public License\n",
+            # re-wrapped across lines / case-shuffled still matches
+            "licensed\nunder\tthe\n  APACHE license, v2\n",
+        ]
+    )
+    assert out.loc["f0", "license"] == "apache-2.0" and bool(out.loc["f0", "permissive"])
+    assert out.loc["f1", "license"] == "apache-2.0"
+
+
+def test_license_patterns_re2_safe(ray_session):
+    import pyarrow.compute as pc
+
+    col = pa.array(["probe"], pa.string())
+    for _, _, pat in LICENSE_PATTERNS:
+        pc.match_substring_regex(col, pat)  # must not raise
