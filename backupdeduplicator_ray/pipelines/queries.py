@@ -1814,6 +1814,82 @@ FROM code
 """
 
 
+def _synth_paths(sf_dir: str):
+    """Documents re-pathed deterministically so every path category has
+    members (the derived corpus is all `aK/bK/doc_N.txt`): doc_id%6
+    picks the directory, doc_id%4 the filename, doc_id%4 the repo.
+    Shared by q_path_classify / q_path_class_stats; _SQL_SYNTH_PATHS
+    reproduces it."""
+    ds = _docs(sf_dir, ["doc_id"])
+
+    _DIRS = ["vendor/pkg", "node_modules/lib", "tests/unit", "docs/guide", "build/out", "src/core"]
+    _FILES = ["mod_{i}.py", "test_{i}.py", "app_{i}.min.js", "readme_{i}.md"]
+
+    def repath(t):
+        did = t["doc_id"].to_numpy()
+        # filename selector decorrelated from the dir selector ((i//6)%4,
+        # not i%4: 6 and 4 share a factor, i%6==5 forces i odd and i%4==0
+        # forces i even, so 'source' rows would never exist)
+        path = pa.array(
+            [f"{_DIRS[i % 6]}/{_FILES[(i // 6) % 4].format(i=i)}" for i in did],
+            pa.string(),
+        )
+        repo = pa.array([f"r{i % 4}" for i in did], pa.string())
+        return pa.table({"doc_id": t["doc_id"], "repo": repo, "path": path})
+
+    return ds.map_batches(repath, batch_format="pyarrow")
+
+
+_SQL_SYNTH_PATHS = r"""
+  SELECT doc_id, 'r' || (doc_id % 4) AS repo,
+         CASE doc_id % 6 WHEN 0 THEN 'vendor/pkg' WHEN 1 THEN 'node_modules/lib'
+              WHEN 2 THEN 'tests/unit' WHEN 3 THEN 'docs/guide'
+              WHEN 4 THEN 'build/out' ELSE 'src/core' END
+         || '/' ||
+         CASE (doc_id // 6) % 4 WHEN 0 THEN 'mod_' || doc_id || '.py'
+              WHEN 1 THEN 'test_' || doc_id || '.py'
+              WHEN 2 THEN 'app_' || doc_id || '.min.js'
+              ELSE 'readme_' || doc_id || '.md' END AS path
+  FROM documents
+"""
+
+_SQL_PATH_CATEGORY = r"""
+  CASE WHEN regexp_matches(path, '(^|/)(vendor|vendored|node_modules|third_party|deps)/') THEN 'vendor'
+       WHEN regexp_matches(path, '\.min\.js$|\.pb\.go$|_pb2\.py$|\.generated\.[A-Za-z0-9]+$|(^|/)(gen|build|dist)/') THEN 'generated'
+       WHEN regexp_matches(path, '(^|/)(tests?|spec|testdata)/|(^|/)test_[^/]*$|_test\.[A-Za-z0-9]+$|\.spec\.[A-Za-z0-9]+$') THEN 'test'
+       WHEN regexp_matches(path, '(^|/)docs?/|\.(md|rst)$') THEN 'docs'
+       ELSE 'source' END
+"""
+
+
+def q_path_classify(sf_dir: str):
+    """Per-file path classification over synthetic category-rich paths."""
+    from ..stages.pathclass import path_classify
+
+    return path_classify(_synth_paths(sf_dir), id_cols=("doc_id", "path"))
+
+
+SQL_PATH_CLASSIFY = f"""
+WITH paths AS ({_SQL_SYNTH_PATHS})
+SELECT doc_id, path, {_SQL_PATH_CATEGORY} AS category FROM paths
+"""
+
+
+def q_path_class_stats(sf_dir: str):
+    """(repo, category, n_files) rollup over the synthetic paths."""
+    from ..stages.pathclass import path_class_stats
+
+    return path_class_stats(_synth_paths(sf_dir))
+
+
+SQL_PATH_CLASS_STATS = f"""
+WITH paths AS ({_SQL_SYNTH_PATHS})
+SELECT repo, {_SQL_PATH_CATEGORY} AS category,
+       CAST(count(*) AS BIGINT) AS n_files
+FROM paths GROUP BY 1, 2
+"""
+
+
 def q_fork_clusters(sf_dir: str):
     """Fork families: connected components over fork_pairs edges."""
     from ..sources.corpus import corpus_from_documents
@@ -4243,6 +4319,8 @@ QUERIES = {
     "module_popularity": q_module_popularity,
     "repo_profile": q_repo_profile,
     "license_scan": q_license_scan,
+    "path_classify": q_path_classify,
+    "path_class_stats": q_path_class_stats,
     "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -4358,6 +4436,8 @@ ORACLE_SQL = {
     "module_popularity": SQL_MODULE_POPULARITY,
     "repo_profile": SQL_REPO_PROFILE,
     "license_scan": SQL_LICENSE_SCAN,
+    "path_classify": SQL_PATH_CLASSIFY,
+    "path_class_stats": SQL_PATH_CLASS_STATS,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

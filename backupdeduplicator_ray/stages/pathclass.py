@@ -1,0 +1,89 @@
+"""Path-based file classification over a source-code corpus.
+
+The cheapest curation signal in a code corpus is the path itself:
+vendored trees (`vendor/`, `node_modules/`) are wholesale duplicates of
+upstream repos, generated artifacts (`*.min.js`, `*_pb2.py`, `dist/`)
+are noise, test trees are often excluded or down-weighted, and docs are
+routed to the prose pipeline.  The reference's path algebra (M6,
+`functions/paths.py`) gives us normalized `/`-separated paths; this
+stage classifies them with one RE2 cascade — no content read at all, so
+it runs BEFORE the content column is ever loaded (prune at the read:
+pass `columns=[...]` without `content` when only classifying).
+
+Categories in priority order (first hit wins, matching the SQL oracle's
+CASE cascade): vendor > generated > test > docs > source.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+#: (category, RE2 pattern) in priority order over the normalized path.
+PATH_CLASS_PATTERNS: list[tuple[str, str]] = [
+    ("vendor", r"(^|/)(vendor|vendored|node_modules|third_party|deps)/"),
+    (
+        "generated",
+        r"\.min\.js$|\.pb\.go$|_pb2\.py$|\.generated\.[A-Za-z0-9]+$|(^|/)(gen|build|dist)/",
+    ),
+    (
+        "test",
+        r"(^|/)(tests?|spec|testdata)/|(^|/)test_[^/]*$|_test\.[A-Za-z0-9]+$|\.spec\.[A-Za-z0-9]+$",
+    ),
+    ("docs", r"(^|/)docs?/|\.(md|rst)$"),
+]
+
+
+def path_classify(ds, id_cols=("repo", "path"), path_col: str = "path"):
+    """(*id_cols, category) per file — pure path classification.
+
+    `category` is the first matching entry of PATH_CLASS_PATTERNS,
+    'source' when nothing matches.  Null paths degrade to null (M4).
+    """
+    import pyarrow.compute as pc
+
+    def classify(t: pa.Table) -> pa.Table:
+        path = t[path_col]
+        cat = pa.array(["source"] * len(t), pa.string())
+        for name, pat in reversed(PATH_CLASS_PATTERNS):
+            cat = pc.if_else(pc.match_substring_regex(path, pat), name, cat)
+        cols = {c: t[c] for c in id_cols}
+        cols["category"] = cat
+        return pa.table(cols)
+
+    return ds.map_batches(classify, batch_format="pyarrow")
+
+
+def path_class_stats(ds, repo_col: str = "repo", path_col: str = "path"):
+    """(repo, category, n_files) rollup — per-batch partials pre-combined
+    before one groupby exchange (the repo doctrine: the shuffle carries
+    (repo, category) partial counts, never file rows)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    classified = path_classify(ds, id_cols=(repo_col,), path_col=path_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([repo_col, "category"]).aggregate([("category", "count")])
+        return pa.table(
+            {
+                "repo": g[repo_col],
+                "category": g["category"],
+                "n": pc.cast(g["category_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        classified.map_batches(partial, batch_format="pyarrow")
+        .groupby(["repo", "category"])
+        .aggregate(Sum("n", alias_name="n_files"))
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "repo": t["repo"],
+                "category": t["category"],
+                "n_files": pc.cast(t["n_files"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,75 @@
+import pyarrow as pa
+import ray.data
+
+from backupdeduplicator_ray.stages.pathclass import (
+    PATH_CLASS_PATTERNS,
+    path_class_stats,
+    path_classify,
+)
+
+
+def _ds(paths, repos=None):
+    n = len(paths)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array(repos or ["r"] * n, pa.string()),
+                "path": pa.array(paths, pa.string()),
+            }
+        )
+    )
+
+
+def test_path_classify(ray_session):
+    cases = {
+        "vendor/lib/x.py": "vendor",
+        "a/node_modules/p/i.js": "vendor",
+        "third_party/z.cc": "vendor",
+        "dist/app.js": "generated",
+        "web/app.min.js": "generated",
+        "proto/svc_pb2.py": "generated",
+        "api.pb.go": "generated",
+        "tests/test_core.py": "test",
+        "src/test_util.py": "test",
+        "pkg/foo_test.go": "test",
+        "ui/app.spec.ts": "test",
+        "docs/guide.html": "docs",
+        "README.md": "docs",
+        "src/core/engine.py": "source",
+        "main.rs": "source",
+        # priority: vendor beats generated beats test
+        "vendor/x/app.min.js": "vendor",
+        "build/test_gen.py": "generated",
+        "tests/readme.md": "test",
+    }
+    out = path_classify(_ds(list(cases))).to_pandas().set_index("path")
+    for p, want in cases.items():
+        assert out.loc[p, "category"] == want, (p, out.loc[p, "category"], want)
+
+
+def test_path_classify_null(ray_session):
+    out = path_classify(_ds([None, "a.py"])).to_pandas()
+    assert out.category.tolist() == [None, "source"]
+
+
+def test_path_class_stats(ray_session):
+    out = (
+        path_class_stats(
+            _ds(
+                ["vendor/a.py", "vendor/b.py", "src/c.py", "docs/d.md"],
+                repos=["r1", "r1", "r1", "r2"],
+            )
+        )
+        .to_pandas()
+        .set_index(["repo", "category"])
+        .n_files.to_dict()
+    )
+    assert out == {("r1", "vendor"): 2, ("r1", "source"): 1, ("r2", "docs"): 1}
+
+
+def test_path_patterns_re2_safe(ray_session):
+    import pyarrow.compute as pc
+
+    col = pa.array(["probe"], pa.string())
+    for _, pat in PATH_CLASS_PATTERNS:
+        pc.match_substring_regex(col, pat)
