@@ -1,0 +1,141 @@
+"""Composed code-corpus curation pipeline — the code-axis capstone.
+
+`prepare_corpus` (pipelines/curate.py) is the prose capstone; this is its
+source-code twin: everything a code-training-data prep run does to a raw
+(repo, path, content) corpus, built purely by composing the engine's
+oracle-verified code-curation stages, in the order that is correct at
+100 TB:
+
+  1. path gate   — vendor/generated/test/docs trees dropped by path alone
+                   (stages/pathclass).  Cheapest signal and the only one
+                   that needs NO content: a real deployment classifies the
+                   file listing first and prunes the content read so
+                   vendored trees never leave storage.
+  2. license gate — permissive-first (stages/license): GPL-family and
+                   unknown-license files never enter the training set.
+  3. secrets gate — files carrying credentials are dropped outright
+                   (stages/secrets; dropping beats redacting for code:
+                   a file with a live key is usually config/fixture noise).
+  4. quality gate — StarCoder-style per-file thresholds
+                   (stages/codequality): minified bundles, binary-ish
+                   blobs, auto-generated banners.
+  5. normalized dedup — ONE hash exchange on sha256(normalized content)
+                   (stages/normdedup normalization kernel): byte-different
+                   re-vendored/reformatted copies collapse to the
+                   lexicographically-first (repo, path) representative.
+                   Singletons pass through untouched.
+
+Steps 1-4 are pure streaming map stages (Ray Data fuses the consecutive
+`map_batches` into one task — zero extra passes over the data, rows that
+fail a gate never reach the next kernel); step 5 is the pipeline's single
+all-to-all exchange, and it runs LAST so only gated survivors are ever
+shuffled.  The gates reuse the stage functions themselves (id_cols carries
+`content` through), so every predicate here is the exact kernel the
+per-stage driver oracles verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import digest_prefix_u64, hash_binary_column
+from ..stages.codequality import code_quality
+from ..stages.license import license_scan
+from ..stages.normdedup import normalize_column
+from ..stages.pathclass import path_classify
+from ..stages.secrets import detect_secrets
+
+
+def prepare_code_corpus(
+    ds,
+    id_cols: tuple[str, ...] = ("repo", "path"),
+    text_col: str = "content",
+    path_col: str = "path",
+    max_avg_line_len: float = 200.0,
+    max_max_line_len: int = 2000,
+    min_alnum_frac: float = 0.25,
+    n_parts: int = 64,
+):
+    """Raw code corpus → curated training files: (*id_cols, license) for
+    every surviving file, one representative per normalized-content group.
+
+    Null content never survives (every gate's null degrades to a dropped
+    row — you cannot train on a file you could not read; reference M4
+    degrades at the stage level, the composition filters the degraded
+    rows).
+    """
+    import pyarrow.compute as pc
+
+    carry = (*id_cols, text_col)
+    with_lic = (*id_cols, "license", text_col)
+    out_cols = [*id_cols, "license"]
+
+    def keep_where(col, keep_value=True):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = t[col] if keep_value else pc.invert(t[col])
+            return t.filter(pc.fill_null(mask, False))
+
+        return fn
+
+    # 1. path gate (content untouched; at scale this runs on the listing)
+    c = path_classify(ds, id_cols=carry, path_col=path_col)
+    c = c.map_batches(
+        lambda t: t.filter(
+            pc.fill_null(pc.equal(t["category"], "source"), False)
+        ).select(list(carry)),
+        batch_format="pyarrow",
+    )
+    # 2. license gate (the license column rides along to the output)
+    c = license_scan(c, id_cols=carry, text_col=text_col)
+    c = c.map_batches(keep_where("permissive"), batch_format="pyarrow")
+    c = c.map_batches(lambda t: t.select(list(with_lic)), batch_format="pyarrow")
+    # 3. secrets gate
+    c = detect_secrets(c, id_cols=with_lic, text_col=text_col)
+    c = c.map_batches(keep_where("has_secret", keep_value=False), batch_format="pyarrow")
+    c = c.map_batches(lambda t: t.select(list(with_lic)), batch_format="pyarrow")
+    # 4. quality gate
+    c = code_quality(
+        c,
+        id_cols=with_lic,
+        text_col=text_col,
+        max_avg_line_len=max_avg_line_len,
+        max_max_line_len=max_max_line_len,
+        min_alnum_frac=min_alnum_frac,
+    )
+    c = c.map_batches(keep_where("keep"), batch_format="pyarrow")
+
+    # 5. normalized dedup: internal BINARY digest of the canonical form
+    # routes the single exchange (digest-prefix partitioning, half the
+    # bytes of hex); inside each partition a vectorized sort keeps the
+    # lexicographically-first (*id_cols) member per digest.
+    def key(t: pa.Table) -> pa.Table:
+        norm = normalize_column(t[text_col])
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        if norm.null_count:  # defensive: gates already drop null content
+            valid = pc.is_valid(norm)
+            t = t.filter(valid)
+            norm = norm.filter(valid)
+        h = hash_binary_column(norm)
+        cols = {c2: t[c2] for c2 in out_cols}
+        cols["__h"] = h
+        cols["__part"] = pa.array(
+            (digest_prefix_u64(h) % np.uint64(n_parts)).astype(np.int32)
+        )
+        return pa.table(cols)
+
+    out_schema = pa.schema([(c2, pa.string()) for c2 in out_cols])
+
+    def dedup_part(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["__h", *id_cols], kind="mergesort").drop_duplicates(
+            subset="__h", keep="first"
+        )
+        return pa.Table.from_pandas(g[out_cols], preserve_index=False).cast(out_schema)
+
+    return (
+        c.map_batches(key, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(dedup_part, batch_format="pandas")
+    )

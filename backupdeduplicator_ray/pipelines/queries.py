@@ -1890,6 +1890,164 @@ FROM paths GROUP BY 1, 2
 """
 
 
+def q_prepare_code_corpus(sf_dir: str):
+    """The code-axis capstone composition over a gate-rich derived corpus:
+    doc_id%6 picks the directory (vendor/test/source mix) and (doc_id//6)%4
+    the filename (one generated), %7 the license family (3 permissive,
+    1 GPL, 3 unknown), %5 injects an AWS key, %11 an autogen banner, and
+    doc_id%3==0 rows are mirrored into repo m<k> with doubled body spaces —
+    byte-different everywhere, identical after comment/whitespace
+    normalization, so only the final dedup collapses them."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash_string_column
+    from ..pipelines.code import prepare_code_corpus
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    _CDIRS = ["vendor/pkg", "tests/unit", "src/core", "lib/util", "app/main", "src/io"]
+    _CFILES = ["mod_{i}.py", "util_{i}.py", "app_{i}.min.js", "main_{i}.py"]
+    _CLIC = [
+        "# Licensed under the Apache License, Version 2.0\n",
+        "# Permission is hereby granted, free of charge, to any person\n",
+        "# Redistribution and use in source and binary forms\n",
+        "# GNU General Public License\n",
+        "",
+        "",
+        "",
+    ]
+
+    def codify(t):
+        did = t["doc_id"].to_numpy()
+        sid = pc.cast(t["doc_id"], pa.string())
+        m1 = pa.chunked_array([hash_string_column(sid, "md5")]).combine_chunks()
+        aws = pc.binary_join_element_wise(
+            "AKIA", pc.utf8_upper(pc.utf8_slice_codeunits(m1, 0, 16)), "\n", ""
+        )
+        empty = pa.array([""] * len(t), pa.string())
+        hdr = pc.binary_join_element_wise(
+            pa.array([_CLIC[i % 7] for i in did], pa.string()),
+            pc.if_else(pa.array(did % 5 == 0), aws, empty),
+            pc.if_else(
+                pa.array(did % 11 == 0),
+                pa.array(["# do not edit\n"] * len(t), pa.string()),
+                empty,
+            ),
+            "",
+        )
+        body = pc.replace_substring(t["text"], " table", "\ntable")
+        path = pa.array(
+            [f"{_CDIRS[i % 6]}/{_CFILES[(i // 6) % 4].format(i=i)}" for i in did],
+            pa.string(),
+        )
+
+        def rows(prefix, body_arr):
+            repo = pa.array([f"{prefix}{i % 4}" for i in did], pa.string())
+            content = pc.binary_join_element_wise(
+                hdr, "# variant ", repo, "\n", body_arr, ""
+            )
+            return pa.table({"repo": repo, "path": path, "content": content})
+
+        base = rows("r", body)
+        mirror = rows("m", pc.replace_substring(body, " ", "  ")).filter(
+            pa.array(did % 3 == 0)
+        )
+        return pa.concat_tables([base, mirror])
+
+    return prepare_code_corpus(ds.map_batches(codify, batch_format="pyarrow"))
+
+
+SQL_PREPARE_CODE_CORPUS = (
+    r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 6 WHEN 0 THEN 'vendor/pkg' WHEN 1 THEN 'tests/unit'
+              WHEN 2 THEN 'src/core' WHEN 3 THEN 'lib/util'
+              WHEN 4 THEN 'app/main' ELSE 'src/io' END
+         || '/' ||
+         CASE (doc_id // 6) % 4 WHEN 0 THEN 'mod_' || doc_id || '.py'
+              WHEN 1 THEN 'util_' || doc_id || '.py'
+              WHEN 2 THEN 'app_' || doc_id || '.min.js'
+              ELSE 'main_' || doc_id || '.py' END AS path,
+         CASE doc_id % 7
+           WHEN 0 THEN '# Licensed under the Apache License, Version 2.0' || chr(10)
+           WHEN 1 THEN '# Permission is hereby granted, free of charge, to any person' || chr(10)
+           WHEN 2 THEN '# Redistribution and use in source and binary forms' || chr(10)
+           WHEN 3 THEN '# GNU General Public License' || chr(10)
+           ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN 'AKIA' || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) || chr(10)
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN '# do not edit' || chr(10) ELSE '' END AS hdr,
+         replace(text, ' table', chr(10) || 'table') AS body
+  FROM documents
+),
+corpus AS (
+  SELECT 'r' || (doc_id % 4) AS repo, path,
+         hdr || '# variant r' || (doc_id % 4) || chr(10) || body AS content
+  FROM raw
+  UNION ALL
+  SELECT 'm' || (doc_id % 4) AS repo, path,
+         hdr || '# variant m' || (doc_id % 4) || chr(10) || replace(body, ' ', '  ') AS content
+  FROM raw WHERE doc_id % 3 = 0
+),
+pathgated AS (
+  SELECT repo, path, content FROM corpus
+  WHERE ("""
+    + _SQL_PATH_CATEGORY
+    + r""") = 'source'
+),
+lic AS (
+  SELECT repo, path, content,
+    CASE
+      WHEN regexp_matches(content, '(?i)Licensed[ \t\r\n/#*]+under[ \t\r\n/#*]+the[ \t\r\n/#*]+Apache[ \t\r\n/#*]+License') THEN 'apache-2.0'
+      WHEN regexp_matches(content, '(?i)Permission[ \t\r\n/#*]+is[ \t\r\n/#*]+hereby[ \t\r\n/#*]+granted,[ \t\r\n/#*]+free[ \t\r\n/#*]+of[ \t\r\n/#*]+charge') THEN 'mit'
+      WHEN regexp_matches(content, '(?i)Redistribution[ \t\r\n/#*]+and[ \t\r\n/#*]+use[ \t\r\n/#*]+in[ \t\r\n/#*]+source[ \t\r\n/#*]+and[ \t\r\n/#*]+binary[ \t\r\n/#*]+forms') THEN 'bsd'
+      WHEN regexp_matches(content, '(?i)GNU[ \t\r\n/#*]+(Lesser[ \t\r\n/#*]+|Affero[ \t\r\n/#*]+)?General[ \t\r\n/#*]+Public[ \t\r\n/#*]+License') THEN 'gpl'
+      ELSE 'unknown' END AS license
+  FROM pathgated
+),
+secgated AS (
+  SELECT repo, path, content, license FROM lic
+  WHERE license IN ('apache-2.0', 'mit', 'bsd')
+    AND len(regexp_extract_all(content, 'AKIA[0-9A-Z]{16}'))
+      + len(regexp_extract_all(content, 'ghp_[A-Za-z0-9]{36}'))
+      + len(regexp_extract_all(content, '-----BEGIN [A-Z ]*PRIVATE KEY-----'))
+      + len(regexp_extract_all(content, '\b[0-9a-f]{40}\b')) = 0
+),
+q AS (
+  SELECT repo, path, license, content,
+         CAST(list_max(list_transform(str_split(content, chr(10)),
+                                      x -> length(x))) AS BIGINT) AS max_line_len,
+         CAST(list_sum(list_transform(str_split(content, chr(10)),
+                                      x -> length(x))) AS DOUBLE)
+           / len(str_split(content, chr(10))) AS avg_line_len,
+         CASE WHEN length(content) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                   / length(content) END AS frac_alnum,
+         regexp_matches(content, '(?i)generated by|do not edit|auto-?generated')
+           AS autogen
+  FROM secgated
+),
+qgated AS (
+  SELECT repo, path, license,
+         trim(regexp_replace(regexp_replace(content,
+                '(?m)^[ \t]*(#|//)[^\n]*\n?', '', 'g'),
+              '[ \t\r\n]+', ' ', 'g'), ' ') AS norm
+  FROM q
+  WHERE avg_line_len <= 200.0 AND max_line_len <= 2000
+    AND frac_alnum >= 0.25 AND NOT autogen
+),
+final AS (
+  SELECT repo, path, license,
+         row_number() OVER (PARTITION BY norm ORDER BY repo, path) AS rn
+  FROM qgated
+)
+SELECT repo, path, license FROM final WHERE rn = 1
+"""
+)
+
+
 def q_fork_clusters(sf_dir: str):
     """Fork families: connected components over fork_pairs edges."""
     from ..sources.corpus import corpus_from_documents
@@ -4321,6 +4479,7 @@ QUERIES = {
     "license_scan": q_license_scan,
     "path_classify": q_path_classify,
     "path_class_stats": q_path_class_stats,
+    "prepare_code_corpus": q_prepare_code_corpus,
     "substring_pairs": q_substring_pairs,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -4438,6 +4597,7 @@ ORACLE_SQL = {
     "license_scan": SQL_LICENSE_SCAN,
     "path_classify": SQL_PATH_CLASSIFY,
     "path_class_stats": SQL_PATH_CLASS_STATS,
+    "prepare_code_corpus": SQL_PREPARE_CODE_CORPUS,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,

@@ -31,15 +31,24 @@ from .scrub import COMMENT_LINE_PATTERN
 _WS_RUN = r"[ \t\r\n]+"
 
 
+def normalize_column(col):
+    """The canonical-form kernel (strip full-line comments, collapse
+    whitespace runs, trim) as a plain Arrow column transform — the single
+    source of truth shared by `normalize_code` and
+    `pipelines.code.prepare_code_corpus`."""
+    import pyarrow.compute as pc
+
+    s = pc.replace_substring_regex(col, COMMENT_LINE_PATTERN, "")
+    s = pc.replace_substring_regex(s, _WS_RUN, " ")
+    return pc.utf8_trim(s, " ")
+
+
 def normalize_code(ds, id_cols=("repo", "path"), text_col: str = "content"):
     """(*id_cols, norm string, norm_hash hex) — the normalization half,
     exposed separately so pipelines can reuse the normalized text."""
-    import pyarrow.compute as pc
 
     def norm(t: pa.Table) -> pa.Table:
-        s = pc.replace_substring_regex(t[text_col], COMMENT_LINE_PATTERN, "")
-        s = pc.replace_substring_regex(s, _WS_RUN, " ")
-        s = pc.utf8_trim(s, " ")
+        s = normalize_column(t[text_col])
         cols = {c: t[c] for c in id_cols}
         cols["norm"] = s
         cols["norm_hash"] = hash_string_column(s, "sha256")

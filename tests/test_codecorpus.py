@@ -1,0 +1,66 @@
+import pyarrow as pa
+import ray.data
+
+from backupdeduplicator_ray.pipelines.code import prepare_code_corpus
+
+MIT = "# Permission is hereby granted, free of charge\n"
+APACHE = "# Licensed under the Apache License, Version 2.0\n"
+GPL = "# GNU General Public License\n"
+
+
+def _corpus(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array([r[0] for r in rows], pa.string()),
+                "path": pa.array([r[1] for r in rows], pa.string()),
+                "content": pa.array([r[2] for r in rows], pa.large_string()),
+            }
+        )
+    )
+
+
+def test_prepare_code_corpus_gates_and_dedup(ray_session):
+    rows = [
+        # survives; canonical member of the normalized-dup group
+        ("r1", "src/a.py", MIT + "def f():\n    return 1\n"),
+        # byte-different (comment header + whitespace) but normalizes
+        # identical to r1/src/a.py -> deduped away
+        ("r2", "src/a.py", MIT + "# variant\ndef f():\n\treturn  1\n"),
+        # vendor path -> path gate
+        ("r1", "vendor/lib/a.py", MIT + "def g(): pass\n"),
+        # GPL family -> license gate
+        ("r1", "src/gpl.py", GPL + "def h(): pass\n"),
+        # no recognizable license -> permissive-first gate
+        ("r1", "src/nolic.py", "def k(): pass\n"),
+        # AWS key -> secrets gate
+        ("r1", "src/secret.py", MIT + "key = 'AKIA" + "A" * 16 + "'\n"),
+        # auto-generated banner -> quality gate
+        ("r1", "src/auto.py", MIT + "x = 1  # auto-generated\n"),
+        # single enormous line -> quality gate (max_max_line_len)
+        ("r1", "src/long.py", MIT + "x" * 5000 + "\n"),
+        # unreadable -> degraded out
+        ("r1", "src/null.py", None),
+        # survives as a singleton
+        ("r1", "src/uniq.py", APACHE + "def u():\n    return 42\n"),
+    ]
+    out = prepare_code_corpus(_corpus(rows)).to_pandas()
+    got = set(map(tuple, out[["repo", "path", "license"]].itertuples(index=False)))
+    assert got == {
+        ("r1", "src/a.py", "mit"),
+        ("r1", "src/uniq.py", "apache-2.0"),
+    }
+
+
+def test_prepare_code_corpus_dedup_winner_is_min_key(ray_session):
+    # same normalized content in three repos; min (repo, path) wins
+    body = "def same():\n    return 0\n"
+    rows = [
+        ("zz", "src/m.py", MIT + body),
+        ("aa", "src/z.py", MIT + "# other header\n" + body),
+        ("aa", "src/b.py", MIT + body.replace("    ", "\t")),
+    ]
+    out = prepare_code_corpus(_corpus(rows)).to_pandas()
+    assert list(map(tuple, out[["repo", "path"]].itertuples(index=False))) == [
+        ("aa", "src/b.py")
+    ]
