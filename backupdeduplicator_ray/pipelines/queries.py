@@ -1714,6 +1714,77 @@ FROM edges GROUP BY module
 """
 
 
+def q_pagerank_modules(sf_dir: str):
+    """PageRank over the module dependency graph: each file plays module
+    'mod_<doc_id%17>' and its import lines are the out-edges, so the
+    mod_* nodes form a dense core (ranked by who imports them) while
+    pkg/lib/dep modules are dangling sinks (the documented mass-leak
+    variant)."""
+    import pyarrow.compute as pc
+
+    from ..stages.graph import pagerank
+    from ..stages.imports import extract_imports
+
+    edges = extract_imports(_codify_imports(sf_dir), id_cols=("doc_id",))
+
+    def to_edge(t):
+        src = pa.array(
+            [f"mod_{i % 17}" for i in t["doc_id"].to_numpy()], pa.string()
+        )
+        return pa.table({"src": src, "dst": t["module"]})
+
+    return pagerank(
+        edges.map_batches(to_edge, batch_format="pyarrow"),
+        damping=0.85,
+        n_iter=10,
+        node_col="module",
+    )
+
+
+def _pagerank_sql(prelude: str, damping: float = 0.85, n_iter: int = 10) -> str:
+    """Unrolled fixed-iteration PageRank in SQL (DuckDB forbids GROUP BY
+    in a recursive CTE term, so the power iterations unroll at
+    build time).  `prelude` must be a complete WITH clause whose last
+    CTE is `e(src, dst)`.  Mirrors stages/graph.pagerank term for term:
+    uniform 1/N start, (1-d)/N + d*sum(rank/outd), danglings leak."""
+    steps = "".join(
+        f""",
+pr{k + 1} AS (
+  SELECT nodes.node AS node,
+         (1.0 - {damping}) / nn.n + {damping} * coalesce(c.contrib, 0.0) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank / dg.outd) AS contrib
+    FROM e JOIN pr{k} p ON p.node = e.src
+           JOIN deg dg ON dg.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nodes.node
+)"""
+        for k in range(n_iter)
+    )
+    return (
+        prelude
+        + """,
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outd FROM e GROUP BY 1),
+pr0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+        + steps
+        + f"""
+SELECT node AS module, rank FROM pr{n_iter}"""
+    )
+
+
+SQL_PAGERANK_MODULES = _pagerank_sql(
+    f"""WITH code AS ({_SQL_IMPORT_CODE}),
+lines AS (
+  SELECT doc_id, 'x' AS repo, unnest(str_split(content, chr(10))) AS line FROM code
+),
+edges0 AS ({_SQL_IMPORT_EDGES}),
+e AS (SELECT 'mod_' || (doc_id % 17) AS src, module AS dst FROM edges0)"""
+)
+
+
 def q_repo_profile(sf_dir: str):
     """Per-repo curation profile (files, bytes, langs, corpus-wide
     dup-file ratio) over the derived corpus — mirrors give every
@@ -4475,6 +4546,7 @@ QUERIES = {
     "normalized_dedup": q_normalized_dedup,
     "import_graph": q_import_graph,
     "module_popularity": q_module_popularity,
+    "pagerank_modules": q_pagerank_modules,
     "repo_profile": q_repo_profile,
     "license_scan": q_license_scan,
     "path_classify": q_path_classify,
@@ -4593,6 +4665,7 @@ ORACLE_SQL = {
     "normalized_dedup": SQL_NORMALIZED_DEDUP,
     "import_graph": SQL_IMPORT_GRAPH,
     "module_popularity": SQL_MODULE_POPULARITY,
+    "pagerank_modules": SQL_PAGERANK_MODULES,
     "repo_profile": SQL_REPO_PROFILE,
     "license_scan": SQL_LICENSE_SCAN,
     "path_classify": SQL_PATH_CLASSIFY,

@@ -1,0 +1,151 @@
+"""Graph centrality over corpus-derived dependency graphs.
+
+`module_popularity` (stages/imports.py) counts raw in-edges; PageRank is
+the standard refinement a curation pipeline actually weights by — a
+module imported by important modules outranks one imported the same
+number of times by leaves (dependency-aware dedup weighting, vendored-
+library detection, doc-ranking all use it).
+
+Shape — the broadcast-iteration pattern, matched to what a MODULE graph
+is at 100 TB: the EDGE set scales with the corpus (one edge per import
+line — billions) and stays a distributed Dataset end to end, but the
+NODE set is the distinct-module table, bounded like a broadcast join's
+dim side (state/joins.py doctrine).  So:
+
+  1. one partial-unique exchange collects the node table and compacts
+     node ids to int32 (the `compact_doc_ids` doctrine);
+  2. the compacted (src_idx, dst_idx) edge table is materialized ONCE —
+     iterations re-scan int32 pairs, not strings;
+  3. each iteration ships the node-sized rank vector via `ray.put`
+     (once, not per batch), runs ONE fused streaming map over the edges
+     emitting per-batch SPARSE contribution partials (unique dst ids +
+     weighted bincount — node-sized at worst, batch-sized typically),
+     and reduces them into the next rank vector.
+
+Per-iteration cost: one pass over int32 edges + a node-sized reduce; no
+edge row ever reaches the driver.  `max_nodes` is the explicit valve: a
+graph whose node table outgrows a single machine (file-grain graphs)
+needs a hash-partitioned rank exchange instead — fail loudly rather
+than silently thrash.
+
+Semantics (documented variant): rank_{t+1}(v) = (1-d)/N + d * sum over
+in-edges (u,v) of rank_t(u)/out_deg(u), fixed `n_iter` iterations from
+uniform 1/N.  Dangling nodes (no out-edges) leak their mass — the
+simple-variant contract the SQL oracle reproduces term for term;
+parallel edges each contribute (both engines count them identically).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pagerank(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    node_col: str = "module",
+    max_nodes: int = 50_000_000,
+):
+    """(node_col, rank) for every node of the directed edge Dataset.
+
+    Null src/dst rows are dropped (degrade, never fail).  Output rank is
+    float64; node order is the sorted node table (deterministic).
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    # 1. node table: per-batch unique partials -> driver unique (the
+    # small side; the valve below documents and enforces the bound)
+    def node_partial(t: pa.Table) -> pa.Table:
+        s = t[src_col].combine_chunks().drop_null()
+        d = t[dst_col].combine_chunks().drop_null()
+        u = pc.unique(pa.concat_arrays([s.cast(pa.string()), d.cast(pa.string())]))
+        return pa.table({"node": u})
+
+    parts = ray.get(
+        edges.map_batches(node_partial, batch_format="pyarrow").to_arrow_refs()
+    )
+    vals = [p["node"].combine_chunks().to_numpy(zero_copy_only=False) for p in parts if len(p)]
+    nodes = (
+        np.unique(np.concatenate(vals)) if vals else np.empty(0, dtype=object)
+    )
+    n = len(nodes)
+    if n > max_nodes:
+        raise ValueError(
+            f"pagerank node table has {n} nodes > max_nodes={max_nodes}; "
+            "this operator is sized for module-grain graphs (node table on "
+            "one machine) — partition the graph or raise max_nodes knowingly"
+        )
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({node_col: pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
+        )
+    nodes_ref = ray.put(nodes)
+
+    # 2. compact edges once: strings -> int32 via searchsorted on the
+    # broadcast sorted node table; iterations then scan int32 pairs only
+    def compact(t: pa.Table) -> pa.Table:
+        nd = ray.get(nodes_ref)
+        s = t[src_col].combine_chunks().cast(pa.string())
+        d = t[dst_col].combine_chunks().cast(pa.string())
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(d))
+        if ok.null_count or not pc.all(ok).as_py():
+            s, d = s.filter(ok), d.filter(ok)
+        sv = s.to_numpy(zero_copy_only=False)
+        dv = d.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "si": pa.array(np.searchsorted(nd, sv).astype(np.int32)),
+                "di": pa.array(np.searchsorted(nd, dv).astype(np.int32)),
+            }
+        )
+
+    compact_edges = edges.map_batches(compact, batch_format="pyarrow").materialize()
+
+    # 3. out-degree: sparse per-batch partials -> node-sized driver sum
+    def deg_partial(t: pa.Table) -> pa.Table:
+        si = t["si"].to_numpy()
+        u, c = np.unique(si, return_counts=True)
+        return pa.table({"i": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    out_deg = np.zeros(n, np.int64)
+    for p in ray.get(
+        compact_edges.map_batches(deg_partial, batch_format="pyarrow").to_arrow_refs()
+    ):
+        if len(p):
+            np.add.at(out_deg, p["i"].to_numpy(), p["c"].to_numpy())
+
+    # 4. fixed-iteration power method; the per-edge weight vector
+    # (rank/out_deg) broadcasts once per iteration
+    base = (1.0 - damping) / n
+    rank = np.full(n, 1.0 / n, np.float64)
+    for _ in range(n_iter):
+        scaled = np.divide(rank, out_deg, out=np.zeros(n, np.float64), where=out_deg > 0)
+        scaled_ref = ray.put(scaled)
+
+        def contrib_partial(t: pa.Table, _ref=scaled_ref) -> pa.Table:
+            w = ray.get(_ref)
+            si = t["si"].to_numpy()
+            di = t["di"].to_numpy()
+            u, inv = np.unique(di, return_inverse=True)
+            c = np.bincount(inv, weights=w[si], minlength=len(u))
+            return pa.table({"i": pa.array(u), "c": pa.array(c)})
+
+        acc = np.zeros(n, np.float64)
+        for p in ray.get(
+            compact_edges.map_batches(
+                contrib_partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        ):
+            if len(p):
+                np.add.at(acc, p["i"].to_numpy(), p["c"].to_numpy())
+        rank = base + damping * acc
+
+    return ray.data.from_arrow(
+        pa.table({node_col: pa.array(nodes, pa.string()), "rank": pa.array(rank)})
+    )

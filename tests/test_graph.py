@@ -1,0 +1,65 @@
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from backupdeduplicator_ray.stages.graph import pagerank
+
+
+def _edges(pairs):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.string()),
+                "dst": pa.array([p[1] for p in pairs], pa.string()),
+            }
+        )
+    )
+
+
+def _dense_reference(pairs, d=0.85, it=10):
+    nodes = sorted({x for p in pairs for x in p if x is not None})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    m = np.zeros((n, n))
+    for s, t in pairs:
+        if s is not None and t is not None:
+            m[idx[t], idx[s]] += 1.0
+    outd = m.sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = np.where(outd > 0, m / outd, 0.0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(it):
+        r = (1.0 - d) / n + d * (m @ r)
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    pairs = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("c", "d"),  # d is dangling (mass leaks, documented variant)
+        ("a", "c"),  # parallel edge counts twice
+    ]
+    out = pagerank(_edges(pairs), node_col="node").to_pandas().set_index("node")["rank"]
+    ref = _dense_reference(pairs)
+    assert set(out.index) == set(ref)
+    for v, r in ref.items():
+        assert abs(out[v] - r) < 1e-12
+
+    # sanity: c has the most weighted in-links
+    assert out.idxmax() == "c"
+
+
+def test_pagerank_null_edges_and_empty(ray_session):
+    pairs = [("a", "b"), (None, "b"), ("a", None)]
+    out = pagerank(_edges(pairs), node_col="node").to_pandas()
+    # null endpoints contribute no edges but also no nodes
+    assert set(out["node"]) == {"a", "b"}
+    empty = pagerank(_edges([]), node_col="node").to_pandas()
+    assert len(empty) == 0
+
+
+def test_pagerank_max_nodes_valve(ray_session):
+    import pytest
+
+    with pytest.raises(ValueError, match="max_nodes"):
+        pagerank(_edges([("a", "b")]), max_nodes=1)
