@@ -914,6 +914,84 @@ FROM diff
 """
 
 
+def q_snapshot_renames(sf_dir: str):
+    """Move detection between two generations: doc_id%7==0 paths vanish
+    from the new snapshot, and the even half of them (doc_id%14==0)
+    re-appear under moved/ with identical content — those are the
+    renames; the odd half are true deletes."""
+    from ..stages.snapshot import snapshot_renames
+
+    from ..functions.hashing import hash_string_column
+
+    def node(t: pa.Table, prefix: str) -> pa.Table:
+        doc_id = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "repo": pa.array([f"r{i % 10}" for i in doc_id], pa.string()),
+                "path": pa.array(
+                    [f"{prefix}f_{i}.txt" for i in doc_id], pa.string()
+                ),
+                "hash": hash_string_column(t["text"]),
+            }
+        )
+
+    def old_side(t: pa.Table) -> pa.Table:
+        return node(t, "")
+
+    def new_side(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        kept = t.filter(pa.array(did % 7 != 0))
+        moved = t.filter(pa.array(did % 14 == 0))
+        return pa.concat_tables([node(kept, ""), node(moved, "moved/")])
+
+    old_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        old_side, batch_format="pyarrow"
+    )
+    new_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        new_side, batch_format="pyarrow"
+    )
+    return snapshot_renames(old_ds, new_ds)
+
+
+SQL_SNAPSHOT_RENAMES = """
+WITH olds AS (
+  SELECT 'r' || (doc_id % 10) AS repo, 'f_' || doc_id || '.txt' AS path,
+         sha256(text) AS hash
+  FROM documents
+),
+news AS (
+  SELECT 'r' || (doc_id % 10) AS repo, 'f_' || doc_id || '.txt' AS path,
+         sha256(text) AS hash
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT 'r' || (doc_id % 10), 'moved/f_' || doc_id || '.txt', sha256(text)
+  FROM documents WHERE doc_id % 14 = 0
+),
+diff AS (
+  SELECT COALESCE(o.repo, n.repo) AS repo, COALESCE(o.path, n.path) AS path,
+         CASE WHEN o.hash IS NULL THEN 'added'
+              WHEN n.hash IS NULL THEN 'removed'
+              WHEN o.hash = n.hash THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         o.hash AS old_hash, n.hash AS new_hash
+  FROM olds o FULL OUTER JOIN news n ON o.repo = n.repo AND o.path = n.path
+),
+adds AS (
+  SELECT repo, path, new_hash AS hash,
+         row_number() OVER (PARTITION BY new_hash ORDER BY repo, path) AS rn
+  FROM diff WHERE status = 'added' AND new_hash IS NOT NULL
+),
+rems AS (
+  SELECT repo, path, old_hash AS hash,
+         row_number() OVER (PARTITION BY old_hash ORDER BY repo, path) AS rn
+  FROM diff WHERE status = 'removed' AND old_hash IS NOT NULL
+)
+SELECT r.hash AS hash, r.repo AS old_repo, r.path AS old_path,
+       a.repo AS new_repo, a.path AS new_path
+FROM rems r JOIN adds a ON a.hash = r.hash AND a.rn = r.rn
+"""
+
+
 _CDC_WINDOW = 16
 _CDC_DIVISOR = 64
 
@@ -4518,6 +4596,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "bloom_new_paths": q_bloom_new_paths,
     "snapshot_diff_stats": q_snapshot_diff_stats,
+    "snapshot_renames": q_snapshot_renames,
     "cdc_chunks": q_cdc_chunks,
     "fixed_chunks": q_fixed_chunks,
     "cdc_dup_chunks": q_cdc_dup_chunks,
@@ -4636,6 +4715,7 @@ ORACLE_SQL = {
     "incremental_file_hash": SQL_INCREMENTAL_FILE_HASH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "snapshot_diff_stats": SQL_SNAPSHOT_DIFF_STATS,
+    "snapshot_renames": SQL_SNAPSHOT_RENAMES,
     "cdc_chunks": SQL_CDC_CHUNKS,
     "fixed_chunks": SQL_FIXED_CHUNKS,
     "cdc_dup_chunks": SQL_CDC_DUP_CHUNKS,

@@ -141,6 +141,88 @@ def snapshot_diff(
     return joined.map_batches(classify, batch_format="pyarrow")
 
 
+def snapshot_renames(old_ds, new_ds, hash_col: str = "hash", n_parts: int = 256):
+    """Rename/move detection between two generations: content that sits at
+    a REMOVED path in the old snapshot and an ADDED path in the new one is
+    a move — the backup should transfer metadata, not bytes (the question
+    `snapshot_diff` alone cannot answer: it reports the two paths as
+    independent removed+added rows).
+
+    Pairing is 1:1 per content hash by rank (both sides sorted by
+    (repo, path), zipped positionally), so hot content — the empty file,
+    boilerplate — pairs min(n_removed, n_added) rows instead of exploding
+    n×m; the leftovers stay plain adds/removes.  Deterministic and
+    SQL-reproducible (row_number join on (hash, rn)).
+
+    Shape: composes `snapshot_diff` (its one outer join already reduces to
+    the change set), then ONE count-pruned exchange on the content hash —
+    hashes appearing once overall never shuffle (a rename needs both an
+    add and a remove).  Null-hash (M4 degrade) rows can't match content
+    and are dropped.
+
+    Output: (hash, old_repo, old_path, new_repo, new_path).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.groups import grouped_on_survivors
+
+    diff = snapshot_diff(old_ds, new_ds, hash_col=hash_col, size_col=None)
+
+    def sides(t: pa.Table) -> pa.Table:
+        def side(status, hcol, tag):
+            s = t.filter(
+                pc.and_(
+                    pc.equal(t["status"], status), pc.is_valid(t[hcol])
+                )
+            )
+            return pa.table(
+                {
+                    "hash": pc.cast(s[hcol], pa.string()),
+                    "repo": s["repo"],
+                    "path": s["path"],
+                    "side": pa.array([tag] * s.num_rows, pa.string()),
+                }
+            )
+
+        return pa.concat_tables(
+            [side(STATUS_ADDED, "new_hash", "a"), side(STATUS_REMOVED, "old_hash", "r")]
+        )
+
+    tagged = diff.map_batches(sides, batch_format="pyarrow")
+
+    schema = pa.schema(
+        [
+            ("hash", pa.string()),
+            ("old_repo", pa.string()),
+            ("old_path", pa.string()),
+            ("new_repo", pa.string()),
+            ("new_path", pa.string()),
+        ]
+    )
+
+    def pair(g: pd.DataFrame) -> pa.Table:
+        a = g[g["side"] == "a"].sort_values(["repo", "path"], kind="mergesort")
+        r = g[g["side"] == "r"].sort_values(["repo", "path"], kind="mergesort")
+        k = min(len(a), len(r))
+        if k == 0:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "hash": pa.array(list(g["hash"].iloc[:k]), pa.string()),
+                "old_repo": pa.array(list(r["repo"].iloc[:k]), pa.string()),
+                "old_path": pa.array(list(r["path"].iloc[:k]), pa.string()),
+                "new_repo": pa.array(list(a["repo"].iloc[:k]), pa.string()),
+                "new_path": pa.array(list(a["path"].iloc[:k]), pa.string()),
+            },
+            schema=schema,
+        )
+
+    # min_count=2: a rename needs an add AND a remove of the same hash —
+    # singleton hashes are pruned before the exchange
+    return grouped_on_survivors(tagged, ["hash"], pair, min_count=2)
+
+
 def snapshot_diff_stats(diff_ds):
     """Single-row rollup of a snapshot_diff result: counts and byte deltas
     per status.  Streaming partial sums (map_batches) + one tiny reduce —

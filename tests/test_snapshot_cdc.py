@@ -348,3 +348,42 @@ def test_fixed_chunks_windows(ray_session):
     assert set(out["id"]) == {1, 2}  # empty + null skipped
     with pytest.raises(ValueError):
         fixed_chunks(ray.data.from_arrow(docs), size=8, overlap=8)
+
+
+def test_snapshot_renames_rank_pairing(ray_session):
+    from backupdeduplicator_ray.stages.snapshot import snapshot_renames
+
+    old = _nodes_ds(
+        [
+            ("r0", "a.txt", "h1", 1),      # moved to r0/sub/a.txt
+            ("r0", "dup1.txt", "hd", 1),   # hot content: two removed...
+            ("r0", "dup2.txt", "hd", 1),
+            ("r0", "gone.txt", "h9", 1),   # true delete (no add side)
+            ("r0", "keep.txt", "hk", 1),   # unchanged
+        ]
+    )
+    new = _nodes_ds(
+        [
+            ("r0", "sub/a.txt", "h1", 1),  # ...the rename
+            ("r0", "dup_new.txt", "hd", 1),  # ...but only ONE added: 1 pair
+            ("r0", "keep.txt", "hk", 1),
+            ("r0", "fresh.txt", "hf", 1),  # plain add (no remove side)
+        ]
+    )
+    out = (
+        snapshot_renames(old, new)
+        .to_pandas()
+        .sort_values("hash")
+        .reset_index(drop=True)
+    )
+    got = set(
+        map(
+            tuple,
+            out[["hash", "old_path", "new_path"]].itertuples(index=False),
+        )
+    )
+    # rank pairing: dup1.txt (min old path) pairs the single added path
+    assert got == {
+        ("h1", "a.txt", "sub/a.txt"),
+        ("hd", "dup1.txt", "dup_new.txt"),
+    }
