@@ -407,6 +407,133 @@ alle AS (SELECT src, dst FROM exact_edges UNION SELECT src, dst FROM near),
 """
 
 
+def minhash_assign_sql(
+    shingle_k: int,
+    a,
+    b,
+    bands: int,
+    verify_threshold: float,
+    base_thr_hex: str,
+    doc_table: str = "documents",
+) -> str:
+    """Incremental-assignment oracle (stages/neardup.assign_incoming):
+
+    - deterministic base/incoming split: base iff the first 8 hex chars of
+      sha256(doc_id) compare below `base_thr_hex` (stages/select.
+      sample_threshold_hex semantics — the engine query uses the same
+      predicate);
+    - signatures over ALL docs once (shared chain);
+    - the full minhash_clusters_sql machinery over the BASE slice only
+      (exact pre-bucket reps, band fusion, verified near edges, recursive
+      closure) → base labels;
+    - every incoming doc's band rows join base-rep band rows on the fused
+      key; candidates verify at estimated Jaccard >= verify_threshold; the
+      assignment is the MIN of the matched reps' labels (a rep absent from
+      the closure is its own singleton label);
+    - unmatched incoming docs are novel: cluster_id = own id.
+
+    Same bucket_cap caveat as minhash_clusters_sql: assumes no fused
+    bucket exceeds the engine's cap at oracle scale."""
+    num_perms = len(a)
+    rows = num_perms // bands
+    perm_vals = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(num_perms))
+    sig_joins = " ".join(
+        f"JOIN sigs s{r} ON s{r}.doc_id = s0.doc_id AND s{r}.j = bb.bb * {rows} + {r}"
+        for r in range(1, rows)
+    )
+    acc = "s0.sig"
+    for r in range(1, rows):
+        acc = f"(({mulmod(acc, FNV_POLY)} + s{r}.sig) % {M64})"
+    fused = xor64("bh.h", mulmod("bh.bb", GOLD))
+    return f"""
+WITH RECURSIVE
+crctbl(ti, tv) AS (VALUES {crc_table_values()}),
+perms(j, pa, pb) AS (VALUES {perm_vals}),
+{token_hash_ctes(doc_table=doc_table)},
+{shingle_cte(shingle_k)},
+docs AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, text,
+         substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) < '{base_thr_hex}' AS is_base
+  FROM {doc_table} WHERE text IS NOT NULL
+),
+sigs0 AS (
+  SELECT shd.doc_id, perms.j,
+         min(({mulmod("shd.s", "perms.pa")} + perms.pb) % {M64}) AS sig
+  FROM shd CROSS JOIN perms GROUP BY 1, 2
+),
+sigs AS MATERIALIZED (
+  SELECT d.doc_id, p.j, COALESCE(s.sig, 18446744073709551615) AS sig
+  FROM docs d CROSS JOIN perms p
+  LEFT JOIN sigs0 s ON s.doc_id = d.doc_id AND s.j = p.j
+),
+bdocs AS (SELECT doc_id, id, text FROM docs WHERE is_base),
+grp AS (SELECT text, min(id) AS rep FROM bdocs GROUP BY text),
+exact_edges AS (
+  SELECT g.rep AS src, d.id AS dst
+  FROM bdocs d JOIN grp g ON d.text = g.text
+  WHERE d.id <> g.rep
+),
+reps AS (SELECT d.doc_id, d.id FROM bdocs d JOIN grp g ON d.text = g.text AND d.id = g.rep),
+bandsl(bb) AS (SELECT CAST(r.b AS BIGINT) FROM UNNEST(range(0, {bands})) AS r(b)),
+bh AS (
+  SELECT s0.doc_id, bb.bb, {acc} AS h
+  FROM bandsl bb JOIN sigs s0 ON s0.j = bb.bb * {rows}
+  {sig_joins}
+),
+bkt AS (
+  SELECT r.id, r.doc_id, {fused} AS fusedk
+  FROM bh JOIN reps r ON r.doc_id = bh.doc_id
+),
+cand AS (
+  SELECT DISTINCT x.id AS a_id, x.doc_id AS a_doc, y.id AS b_id, y.doc_id AS b_doc
+  FROM bkt x JOIN bkt y ON x.fusedk = y.fusedk AND x.id < y.id
+),
+near AS (
+  SELECT c.a_id AS src, c.b_id AS dst
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.a_doc
+  JOIN sigs sb ON sb.doc_id = c.b_doc AND sb.j = sa.j
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) * 1.0 / {num_perms} >= {verify_threshold}
+),
+alle AS (SELECT src, dst FROM exact_edges UNION SELECT src, dst FROM near),
+bi(x, y) AS (SELECT src, dst FROM alle UNION SELECT dst, src FROM alle),
+nodes(nid) AS (SELECT DISTINCT x FROM bi),
+lab(nid, c) AS (
+  SELECT nid, nid FROM nodes
+  UNION
+  SELECT bi.x, l.c FROM bi JOIN lab l ON l.nid = bi.y
+),
+blab AS (SELECT nid AS bid, min(c) AS cluster FROM lab GROUP BY nid),
+idocs AS (SELECT doc_id, id FROM docs WHERE NOT is_base),
+ibkt AS (
+  SELECT i.id, i.doc_id, {fused} AS fusedk
+  FROM bh JOIN idocs i ON i.doc_id = bh.doc_id
+),
+icand AS (
+  SELECT DISTINCT i.id AS inc_id, i.doc_id AS inc_doc,
+                  bkt.id AS base_id, bkt.doc_id AS base_doc
+  FROM ibkt i JOIN bkt ON i.fusedk = bkt.fusedk
+),
+iver AS (
+  SELECT c.inc_id, c.base_id
+  FROM icand c
+  JOIN sigs sa ON sa.doc_id = c.inc_doc
+  JOIN sigs sb ON sb.doc_id = c.base_doc AND sb.j = sa.j
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) * 1.0 / {num_perms} >= {verify_threshold}
+),
+assigned AS (
+  SELECT v.inc_id AS id, min(COALESCE(bl.cluster, v.base_id)) AS cluster_id
+  FROM iver v LEFT JOIN blab bl ON bl.bid = v.base_id
+  GROUP BY 1
+)
+SELECT d.id, COALESCE(asg.cluster_id, d.id) AS cluster_id,
+       (asg.id IS NULL) AS novel
+FROM idocs d LEFT JOIN assigned asg ON asg.id = d.id
+"""
+
+
 def langid_sql(markers: dict[str, set[str]]) -> str:
     """Language-ID oracle for Latin-script corpora (textops.LangIdStage):
     stopword votes over the first 4000 characters, alphabetical tie-break,

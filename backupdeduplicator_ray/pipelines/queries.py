@@ -2624,6 +2624,59 @@ def q_minhash_clusters(sf_dir: str):
     )
 
 
+_ASSIGN_BASE_RATE = 0.8  # deterministic base/incoming split for minhash_assign
+
+
+def _assign_thr_hex() -> str:
+    from ..stages.select import sample_threshold_hex
+
+    return sample_threshold_hex(_ASSIGN_BASE_RATE)
+
+
+def _assign_split(sf_dir: str, want_base: bool):
+    """documents → the base (sha256-prefix < threshold) or incoming slice,
+    null-text rows dropped — the exact predicate the oracle restates."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash_string_column
+    from ..stages.select import sample_threshold_hex
+
+    thr = sample_threshold_hex(_ASSIGN_BASE_RATE)
+
+    def flt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        prefix = pc.utf8_slice_codeunits(
+            hash_string_column(t["doc_id"].cast(pa.string())), 0, 8
+        )
+        m = pc.less(prefix, thr)
+        return t.filter(m if want_base else pc.invert(m))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(flt, batch_format="pyarrow")
+
+
+def q_minhash_assign(sf_dir: str):
+    """Incremental near-dup assignment (the reference's incremental-cache
+    idea, SURVEY §2.3 ST1, applied to near-dup state): the base 80% slice
+    is clustered once, then the incoming 20% is assigned to existing
+    clusters via LSH band match + signature verify against the persisted
+    base signatures — no re-clustering.  ORACLE-verified end-to-end: the
+    SQL rebuilds the split, the base closure AND the assignment joins."""
+    from ..config import MinHashConfig
+    from ..stages.neardup import assign_incoming, minhash_clusters, signatures
+
+    cfg = MinHashConfig(**_MINSIG_CFG_KW)
+    base = _assign_split(sf_dir, want_base=True)
+    incoming = _assign_split(sf_dir, want_base=False)
+    # in production these two are the persisted checkpoints of the base
+    # run (signatures(...) / minhash_clusters(...) written once); the
+    # query derives them in-line so the oracle can check the whole chain
+    base_sigs = signatures(base, cfg, id_col="doc_id", text_col="text")
+    base_clusters = minhash_clusters(base, cfg, id_col="doc_id", text_col="text")
+    return assign_incoming(
+        incoming, base_sigs, base_clusters, cfg, id_col="doc_id", text_col="text"
+    )
+
+
 def q_minhash_signatures(sf_dir: str):
     """MinHash signatures exploded to (doc_id, perm, sig_hex) — ORACLE-
     verified: the SQL rebuilds crc32→splitmix64→shingle-roll→min-over-perms
@@ -2846,6 +2899,14 @@ def _gen_hash_oracles() -> dict[str, str]:
         ),
         "minhash_clusters": oh.minhash_clusters_sql(
             mh_cfg.shingle_k, a, b, mh_cfg.bands, mh_cfg.verify_threshold
+        ),
+        "minhash_assign": oh.minhash_assign_sql(
+            mh_cfg.shingle_k,
+            a,
+            b,
+            mh_cfg.bands,
+            mh_cfg.verify_threshold,
+            _assign_thr_hex(),
         ),
         # near_dedup: the cluster oracle filtered to non-representative
         # members — exactly pipelines/curate.near_dedup_drops
@@ -4637,6 +4698,7 @@ QUERIES = {
     "cosine_pairs": q_cosine_pairs,
     "semantic_dedup": q_semantic_dedup,
     "minhash_clusters": q_minhash_clusters,
+    "minhash_assign": q_minhash_assign,
     "minhash_signatures": q_minhash_signatures,
     "simhash_clusters": q_simhash_clusters,
     "simhash_fingerprints": q_simhash_fingerprints,

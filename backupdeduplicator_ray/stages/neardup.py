@@ -877,6 +877,373 @@ def minhash_clusters(
     )
 
 
+# --- Incremental assignment (new docs vs a clustered base corpus) ---------
+
+
+def _cross_pair_kernel(cap: int):
+    """Per-partition kernel: tagged (bucket_key, id, side) rows → deduped
+    (inc_id, base_id) candidate pairs.
+
+    side 0 = base rep, side 1 = incoming.  Fully vectorized: one lexsort,
+    reduceat bucket counts, arange/repeat pair expansion — no Python per
+    bucket.  The base side of each bucket is capped at `cap`
+    lexicographically-smallest ids (the skew valve for degenerate buckets,
+    e.g. the all-sentinel shingle-less bucket — where the kept min-id rep
+    is exactly the one that carries the min cluster label anyway); the
+    oracle assumes the cap never fires at its scale, same doctrine as
+    minhash_clusters_sql's bucket_cap note."""
+
+    _OUT = pa.schema([("inc_id", pa.string()), ("base_id", pa.string())])
+
+    def kern(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if len(g) == 0:
+            return pa.Table.from_pylist([], schema=_OUT)
+        bk = g["bucket_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        side = g["side"].to_numpy(zero_copy_only=False).astype(np.int8)
+        ids = g["id"].combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids_np, side, bk))
+        bk_s, side_s = bk[order], side[order]
+        start = np.flatnonzero(np.r_[True, bk_s[1:] != bk_s[:-1]])
+        end = np.r_[start[1:], len(bk_s)]
+        n0 = np.add.reduceat((side_s == 0).astype(np.int64), start)
+        n1 = (end - start) - n0
+        n0c = np.minimum(n0, cap)
+        mask = (n0c > 0) & (n1 > 0)
+        if not mask.any():
+            return pa.Table.from_pylist([], schema=_OUT)
+        b_start = start[mask]
+        i_start = (start + n0)[mask]
+        c0, c1 = n0c[mask], n1[mask]
+        counts = c0 * c1
+        total = int(counts.sum())
+        bucket_off = np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        rank = np.arange(total, dtype=np.int64) - bucket_off
+        c1r = np.repeat(c1, counts)
+        base_pos = np.repeat(b_start, counts) + rank // c1r
+        inc_pos = np.repeat(i_start, counts) + rank % c1r
+        # dedupe pairs within the partition on id VALUES (the same doc can
+        # sit in several buckets of this partition); cross-partition
+        # duplicates are absorbed by the min-label aggregate downstream
+        uniq, codes = np.unique(ids_np, return_inverse=True)
+        key = codes[order[inc_pos]].astype(np.int64) * len(uniq) + codes[order[base_pos]]
+        _, first = np.unique(key, return_index=True)
+        take_inc = pa.array(order[inc_pos[first]])
+        take_base = pa.array(order[base_pos[first]])
+        return pa.table({"inc_id": ids.take(take_inc), "base_id": ids.take(take_base)})
+
+    return kern
+
+
+def _min_label_kernel(g: pa.Table) -> pa.Table:
+    """Per-partition (id, cluster) → min cluster per id (lexicographic —
+    the same ordering DuckDB's min(varchar) uses)."""
+    df = g.select(["id", "cluster"]).to_pandas()
+    out = df.groupby("id", sort=False)["cluster"].min().reset_index()
+    return pa.table(
+        {
+            "id": pa.array(out["id"], pa.string()),
+            "cluster": pa.array(out["cluster"], pa.string()),
+        }
+    )
+
+
+def assign_incoming(
+    incoming_ds,
+    base_sigs,
+    base_clusters,
+    cfg: MinHashConfig | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+    distributed: bool = False,
+    n_parts: int = 64,
+):
+    """Assign INCOMING documents to a previously clustered BASE corpus
+    without re-clustering — the near-dup analogue of the reference's
+    incremental build cache (SURVEY §2.3 ST1,
+    src/stages/build/cmd/cmd.rs:83-99): persisted state from the previous
+    run is reused, so only the new shard is hashed.
+
+    Inputs:
+      incoming_ds:   document Dataset (id_col, text_col) — the new shard.
+                     Rows with null text are dropped (no identity).
+      base_sigs:     (id, exact, sig) Dataset — the `signatures(...)`
+                     checkpoint persisted by the base run.
+      base_clusters: (id, cluster_id, ...) labels from the base run
+                     (`minhash_clusters(...)`); singleton base docs need no
+                     row — an absent id labels as itself.
+      distributed:   force the no-driver-state route at every step.
+
+    Output: (id, cluster_id, novel) — one row per surviving incoming doc.
+    cluster_id = min base cluster label among LSH-verified matches
+    (estimated Jaccard >= cfg.verify_threshold), else the doc's own id
+    with novel=true.  No separate exact path: an exact copy of a base doc
+    has an identical signature, collides in every band and verifies at
+    1.0.  Incoming docs are assigned independently (never clustered with
+    each other) — that is the incremental contract; a periodic full
+    re-cluster reconciles.
+
+    Scale shape: the base side is never re-hashed — one rep per distinct
+    base content enters the band shuffle (`_exact_prebucket`, the LSH-skew
+    valve); both band explodes move lean (u64, id) rows; candidate pairs
+    are built bucket-co-located by one groupby(__part) with a vectorized
+    cross-pair kernel (base side capped at cfg.bucket_cap per bucket);
+    verification runs driver-side below _DRIVER_CANDROWS_LIMIT (bounded by
+    actual match density) or through partitioned hash joins when forced /
+    above the valve; the label + novel tail is distributed on both routes
+    (the assigned set can be a large fraction of the incoming shard on a
+    dup-heavy corpus — the prepare_corpus lesson, VERDICT r3 item 1).
+    """
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+
+    from ..functions.groups import filter_by_key_set
+    from ..state.joins import partitioned_hash_join
+
+    cfg = cfg or MinHashConfig()
+
+    inc_docs = incoming_ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[text_col])), batch_format="pyarrow"
+    )
+    sig_inc = signatures(inc_docs, cfg, id_col, text_col).materialize()
+    _OUT_SCHEMA = pa.schema(
+        [("id", pa.string()), ("cluster_id", pa.string()), ("novel", pa.bool_())]
+    )
+    if sig_inc.count() == 0:
+        # empty shard: nothing to assign (an empty Dataset's schema() is
+        # None, which the join helpers can't thread through)
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=_OUT_SCHEMA))
+    _, base_reps = _exact_prebucket(base_sigs, distributed=distributed)
+    base_reps = base_reps.materialize()
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("side", pa.array(np.full(len(t), side, np.int8)))
+
+        return fn
+
+    b_rows = base_reps.map_batches(_band_explode(cfg), batch_format="pyarrow").map_batches(
+        tag(0), batch_format="pyarrow"
+    )
+    i_rows = sig_inc.map_batches(_band_explode(cfg), batch_format="pyarrow").map_batches(
+        tag(1), batch_format="pyarrow"
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        bk = t["bucket_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__part", pa.array((bk % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    pairs = (
+        b_rows.union(i_rows)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_cross_pair_kernel(cfg.bucket_cap), batch_format="pyarrow")
+        .materialize()
+    )
+    n_pairs = pairs.count()
+
+    _VER_SCHEMA = pa.schema([("inc_id", pa.string()), ("base_id", pa.string())])
+    if n_pairs == 0:
+        verified = ray.data.from_arrow(pa.Table.from_pylist([], schema=_VER_SCHEMA))
+    elif n_pairs <= _DRIVER_CANDROWS_LIMIT and not distributed:
+        # driver verify: pairs are bounded by actual match density; sigs
+        # for exactly the referenced ids arrive via key-set filters and one
+        # (n_pairs x num_perms) equality reduction decides
+        tbl = pa.concat_tables(
+            [t.cast(_VER_SCHEMA) for t in ray.get(pairs.to_arrow_refs()) if t.num_rows],
+            promote_options="default",
+        )
+        inc_ids = tbl["inc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        base_ids = tbl["base_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        # cross-partition dedupe
+        uniq = np.unique(np.concatenate([inc_ids, base_ids]))
+        key = (
+            np.searchsorted(uniq, inc_ids).astype(np.int64) * len(uniq)
+            + np.searchsorted(uniq, base_ids)
+        )
+        _, first = np.unique(key, return_index=True)
+        inc_ids, base_ids = inc_ids[first], base_ids[first]
+
+        def _sig_mat(src_ds, wanted: np.ndarray):
+            sel_blocks = [
+                t
+                for t in ray.get(
+                    filter_by_key_set(src_ds, ["id"], pa.array(np.unique(wanted)), keep=True)
+                    .materialize()
+                    .to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+            st = (
+                pa.concat_tables(sel_blocks, promote_options="default")
+                if sel_blocks
+                else pa.Table.from_pylist([], schema=SIG_SCHEMA)
+            )
+            s_ids = st["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            mat = (
+                st["sig"]
+                .cast(pa.list_(pa.uint64()))
+                .combine_chunks()
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64, copy=False)
+                .reshape(len(st), cfg.num_perms)
+                if len(st)
+                else np.empty((0, cfg.num_perms), np.uint64)
+            )
+            o = np.argsort(s_ids, kind="stable")
+            return s_ids[o], mat[o]
+
+        i_sids, i_mat = _sig_mat(sig_inc, inc_ids)
+        b_sids, b_mat = _sig_mat(base_reps, base_ids)
+        est = (
+            i_mat[np.searchsorted(i_sids, inc_ids)]
+            == b_mat[np.searchsorted(b_sids, base_ids)]
+        ).mean(axis=1)
+        keep = est >= cfg.verify_threshold
+        verified = ray.data.from_arrow(
+            pa.table(
+                {
+                    "inc_id": pa.array(inc_ids[keep], pa.string()),
+                    "base_id": pa.array(base_ids[keep], pa.string()),
+                }
+            )
+        )
+    else:
+        # 10^12 route: signatures reach the pairs through partitioned hash
+        # joins; the estimated-Jaccard filter is a per-batch kernel
+        inc_side = sig_inc.map_batches(
+            lambda t: pa.table(
+                {
+                    "inc_id": t["id"].cast(pa.string()),
+                    "sig_i": t["sig"].cast(pa.list_(pa.uint64())),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        base_side = base_reps.map_batches(
+            lambda t: pa.table(
+                {
+                    "base_id": t["id"].cast(pa.string()),
+                    "sig_b": t["sig"].cast(pa.list_(pa.uint64())),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        j = partitioned_hash_join(
+            partitioned_hash_join(pairs, inc_side, "inc_id", n_parts=n_parts),
+            base_side,
+            "base_id",
+            n_parts=n_parts,
+        )
+
+        def ver(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.Table.from_pylist([], schema=_VER_SCHEMA)
+            si = (
+                t["sig_i"]
+                .combine_chunks()
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64, copy=False)
+                .reshape(len(t), cfg.num_perms)
+            )
+            sb = (
+                t["sig_b"]
+                .combine_chunks()
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64, copy=False)
+                .reshape(len(t), cfg.num_perms)
+            )
+            keep = (si == sb).mean(axis=1) >= cfg.verify_threshold
+            return t.select(["inc_id", "base_id"]).filter(pa.array(keep))
+
+        verified = j.map_batches(ver, batch_format="pyarrow")
+
+    def _typed_or_empty(ds, schema: pa.Schema):
+        # a zero-block Dataset reports schema()=None, which the join
+        # helpers can't thread; substitute a typed empty block
+        ds = ds.materialize()
+        if ds.count() == 0 or ds.schema() is None:
+            return ray.data.from_arrow(pa.Table.from_pylist([], schema=schema))
+        return ds
+
+    verified = _typed_or_empty(verified, _VER_SCHEMA)
+
+    # label + novel tail — distributed on BOTH routes (the assigned set is
+    # corpus-fraction-sized on dup-heavy data; never a driver Python set)
+    bc = base_clusters.map_batches(
+        lambda t: pa.table(
+            {
+                "base_id": t["id"].cast(pa.string()),
+                "base_cluster": t["cluster_id"].cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    bc = _typed_or_empty(
+        bc, pa.schema([("base_id", pa.string()), ("base_cluster", pa.string())])
+    )
+    labeled = partitioned_hash_join(
+        verified, bc, "base_id", n_parts=n_parts, how="left", native="never"
+    )
+    lab = labeled.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["inc_id"].cast(pa.string()),
+                "cluster": pc.coalesce(
+                    t["base_cluster"].cast(pa.string()), t["base_id"].cast(pa.string())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def add_idpart(t: pa.Table) -> pa.Table:
+        h = hash_doc_ids(t["id"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "__part", pa.array((h % np.int64(n_parts)).astype(np.int32))
+        )
+
+    assigned = (
+        lab.map_batches(add_idpart, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(_min_label_kernel, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.rename_columns(["id", "assigned_cluster"]),
+            batch_format="pyarrow",
+        )
+    )
+    # materialize: aggregate output (small side) + avoids the lazy
+    # all-to-all double-execution documented on partitioned_hash_join
+    assigned = _typed_or_empty(
+        assigned, pa.schema([("id", pa.string()), ("assigned_cluster", pa.string())])
+    )
+    inc_ids_ds = sig_inc.map_batches(
+        lambda t: pa.table({"id": t["id"].cast(pa.string())}), batch_format="pyarrow"
+    )
+    out = partitioned_hash_join(
+        inc_ids_ds, assigned, "id", n_parts=n_parts, how="left", native="never"
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["id"].cast(pa.string()),
+                "cluster_id": pc.coalesce(
+                    t["assigned_cluster"].cast(pa.string()), t["id"].cast(pa.string())
+                ),
+                "novel": pc.is_null(t["assigned_cluster"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # --- SimHash -------------------------------------------------------------
 
 

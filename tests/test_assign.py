@@ -1,0 +1,144 @@
+"""Incremental near-dup assignment (stages/neardup.assign_incoming).
+
+The near-dup analogue of the reference's incremental build cache
+(src/stages/build/cmd/cmd.rs:83-99): persisted base-run state (signature
++ cluster tables) is reused and only the new shard is hashed.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from backupdeduplicator_ray.config import MinHashConfig
+
+CFG = MinHashConfig(num_perms=32, bands=8)
+
+
+def _mk_text(rng, n_tokens=60):
+    words = [f"tok{rng.integers(0, 400)}" for _ in range(n_tokens)]
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def assign_fixture(ray_session):
+    """Base corpus with a known near-dup cluster + incoming shard holding
+    an exact copy, a near copy, and a novel doc."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    base_rows = []
+    # a near-dup family: b0/b1 share ~95% of tokens -> one cluster
+    fam = _mk_text(rng, 80).split()
+    base_rows.append({"id": "b0", "text": " ".join(fam)})
+    fam2 = list(fam)
+    fam2[3] = "mutated"
+    base_rows.append({"id": "b1", "text": " ".join(fam2)})
+    # unrelated base docs (cluster singletons)
+    for i in range(2, 8):
+        base_rows.append({"id": f"b{i}", "text": _mk_text(rng)})
+    inc_rows = [
+        {"id": "i_exact", "text": base_rows[0]["text"]},  # exact copy of b0
+        # near copy of b0 (one token changed out of 80)
+        {"id": "i_near", "text": " ".join(["zzz"] + fam[1:])},
+        {"id": "i_novel", "text": _mk_text(rng)},
+        {"id": "i_null", "text": None},  # dropped: no identity
+        # near copy of the SINGLETON b2 (absent from base_clusters ->
+        # label falls back to the rep's own id)
+        {"id": "i_single", "text": base_rows[2]["text"]},
+    ]
+    base = ray.data.from_arrow(
+        pa.Table.from_pylist(base_rows, schema=pa.schema([("id", pa.string()), ("text", pa.string())]))
+    )
+    inc = ray.data.from_arrow(
+        pa.Table.from_pylist(inc_rows, schema=pa.schema([("id", pa.string()), ("text", pa.string())]))
+    )
+    return base, inc
+
+
+def _run(base, inc, distributed=False):
+    from backupdeduplicator_ray.stages.neardup import (
+        assign_incoming,
+        minhash_clusters,
+        signatures,
+    )
+
+    base_sigs = signatures(base, CFG)
+    base_clusters = minhash_clusters(base, CFG, distributed=distributed)
+    out = (
+        assign_incoming(
+            inc, base_sigs, base_clusters, CFG, distributed=distributed
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def test_assign_semantics(ray_session, assign_fixture):
+    base, inc = assign_fixture
+    out = _run(base, inc)
+    rows = {r["id"]: r for _, r in out.iterrows()}
+    # null-text incoming dropped
+    assert set(rows) == {"i_exact", "i_near", "i_novel", "i_single"}
+    # exact copy of b0 -> b0's cluster (min of the b0/b1 family = 'b0')
+    assert rows["i_exact"]["cluster_id"] == "b0" and not rows["i_exact"]["novel"]
+    # near copy of b0 -> same cluster
+    assert rows["i_near"]["cluster_id"] == "b0" and not rows["i_near"]["novel"]
+    # novel doc -> own id, flagged
+    assert rows["i_novel"]["cluster_id"] == "i_novel" and rows["i_novel"]["novel"]
+    # match to a base SINGLETON (no cluster row) -> the rep's own id
+    assert rows["i_single"]["cluster_id"] == "b2" and not rows["i_single"]["novel"]
+
+
+def test_assign_distributed_parity(ray_session, assign_fixture):
+    """Forced 10^12 route (no driver candidate state) is byte-identical."""
+    base, inc = assign_fixture
+    a = _run(base, inc, distributed=False)
+    b = _run(base, inc, distributed=True)
+    assert a.equals(b)
+
+
+def test_assign_empty_incoming(ray_session, assign_fixture):
+    import ray.data
+
+    base, _ = assign_fixture
+    from backupdeduplicator_ray.stages.neardup import (
+        assign_incoming,
+        minhash_clusters,
+        signatures,
+    )
+
+    empty = ray.data.from_arrow(
+        pa.Table.from_pylist([], schema=pa.schema([("id", pa.string()), ("text", pa.string())]))
+    )
+    out = assign_incoming(
+        empty, signatures(base, CFG), minhash_clusters(base, CFG), CFG
+    )
+    assert out.count() == 0
+    assert out.schema().names == ["id", "cluster_id", "novel"]
+
+
+def test_assign_never_reclusters_incoming(ray_session):
+    """Two incoming docs that are near-dups of EACH OTHER but novel vs the
+    base each stay their own singleton — the incremental contract."""
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    base = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [{"id": "b0", "text": _mk_text(rng)}],
+            schema=pa.schema([("id", pa.string()), ("text", pa.string())]),
+        )
+    )
+    t = _mk_text(rng, 80)
+    inc = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [{"id": "x0", "text": t}, {"id": "x1", "text": t}],
+            schema=pa.schema([("id", pa.string()), ("text", pa.string())]),
+        )
+    )
+    out = _run(base, inc)
+    rows = {r["id"]: r for _, r in out.iterrows()}
+    assert rows["x0"]["cluster_id"] == "x0" and rows["x0"]["novel"]
+    assert rows["x1"]["cluster_id"] == "x1" and rows["x1"]["novel"]
