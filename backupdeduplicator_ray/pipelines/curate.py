@@ -293,3 +293,110 @@ def prepare_corpus(
         rates=rates,
         default_rate=default_rate,
     )
+
+
+def update_corpus(
+    new_ds,
+    base_sigs,
+    base_clusters,
+    cfg=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    keep_cols: tuple[str, ...] = ("lang", "source"),
+    distributed: bool = False,
+    n_parts: int = 64,
+):
+    """Incremental corpus update — the capstone's daily-shard counterpart
+    (the reference's resume/incremental idea, SURVEY §2.3 ST1,
+    src/stages/build/cmd/cmd.rs:83-99, applied to near-dup state): a NEW
+    document shard is gated, self-exact-deduplicated, and near-dedup'd
+    against the PERSISTED state of the existing corpus (signature +
+    cluster checkpoints) — the base is never re-hashed or re-clustered.
+
+      1. quality gate — vectorized, no shuffle, runs first (cheapest,
+         biggest reduction before the only exchange);
+      2. self exact dedup — one hash-partitioned exchange keeps the
+         minimum-id representative per distinct content WITHIN the shard;
+      3. `assign_incoming` vs base_sigs/base_clusters — every survivor
+         that verifies against the existing corpus is DROPPED (it adds
+         nothing new); novel docs are accepted.  Within-shard NEAR-dups
+         both survive (the incremental contract; a periodic full
+         re-cluster reconciles).
+
+    Decontamination composes orthogonally: run `decontaminate` over the
+    accepted output exactly as prepare_corpus does.
+
+    Output: (id_col, *keep_cols) of the accepted new docs.  The matched-id
+    drop list follows the prepare_corpus valve doctrine: one ray.put Arrow
+    broadcast below _DROPSET_BROADCAST_LIMIT, partitioned anti-join above
+    or when distributed=True.
+    """
+    from ..functions.groups import filter_by_key_set
+    from ..stages.neardup import assign_incoming
+
+    out_cols = [id_col, *keep_cols]
+    work_cols = [id_col, *keep_cols, text_col]
+    schema = new_ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    work_schema = pa.schema([(c, types[c]) for c in work_cols])
+
+    def gate(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        ok = pc.and_(
+            text.combine_chunks().is_valid(),
+            pc.greater_equal(
+                pc.count_substring_regex(text, TOKEN_PATTERN), min_tokens
+            ),
+        )
+        t = t.filter(pc.fill_null(ok, False))
+        cols = {c: t[c] for c in work_cols}
+        cols["__h"] = hash_binary_column(t[text_col])
+        parts = (digest_prefix_u64(cols["__h"]) % np.uint64(n_parts)).astype(np.int32)
+        cols["__part"] = pa.array(parts)
+        return pa.table(cols)
+
+    def dedup_part(g: pd.DataFrame) -> pa.Table:
+        # min-id representative per distinct content; id order is the
+        # column's NATIVE order (int for int ids), which the oracle's
+        # row_number() OVER (... ORDER BY doc_id) restates
+        g = g.sort_values(["__h", id_col], kind="mergesort").drop_duplicates(
+            subset="__h", keep="first"
+        )
+        return pa.Table.from_pandas(g[work_cols], preserve_index=False).cast(work_schema)
+
+    survivors = (
+        new_ds.map_batches(gate, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(dedup_part, batch_format="pandas")
+        .materialize()  # consumed twice: assignment + the final filter
+    )
+
+    assigned = assign_incoming(
+        survivors,
+        base_sigs,
+        base_clusters,
+        cfg,
+        id_col=id_col,
+        text_col=text_col,
+        distributed=distributed,
+    )
+    id_type = types[id_col]
+    matched = assigned.map_batches(
+        lambda t: pa.table(
+            {id_col: pc.cast(t.filter(pc.invert(t["novel"]))["id"], id_type)}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_dead = matched.count()
+    if n_dead == 0:
+        kept = survivors
+    elif n_dead <= _DROPSET_BROADCAST_LIMIT and not distributed:
+        import ray
+
+        parts = [t[id_col] for t in ray.get(matched.to_arrow_refs()) if len(t)]
+        arr = pc.unique(pa.concat_arrays([p.combine_chunks() for p in parts]))
+        kept = filter_by_key_set(survivors, [id_col], arr, keep=False)
+    else:
+        kept = filter_by_key_set(survivors, [id_col], matched, keep=False)
+    return kept.map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")

@@ -415,6 +415,8 @@ def minhash_assign_sql(
     verify_threshold: float,
     base_thr_hex: str,
     doc_table: str = "documents",
+    idocs_body: str | None = None,
+    final_select: str | None = None,
 ) -> str:
     """Incremental-assignment oracle (stages/neardup.assign_incoming):
 
@@ -433,7 +435,14 @@ def minhash_assign_sql(
     - unmatched incoming docs are novel: cluster_id = own id.
 
     Same bucket_cap caveat as minhash_clusters_sql: assumes no fused
-    bucket exceeds the engine's cap at oracle scale."""
+    bucket exceeds the engine's cap at oracle scale.
+
+    `idocs_body` overrides the incoming-slice CTE body (must yield
+    (doc_id, id) rows; the default is every non-base doc) and
+    `final_select` overrides the output statement — together they let a
+    composed pipeline oracle (pipelines/curate.update_corpus: gate +
+    self exact-dedup + novel-only output) reuse the whole assignment
+    chain."""
     num_perms = len(a)
     rows = num_perms // bands
     perm_vals = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(num_perms))
@@ -445,6 +454,13 @@ def minhash_assign_sql(
     for r in range(1, rows):
         acc = f"(({mulmod(acc, FNV_POLY)} + s{r}.sig) % {M64})"
     fused = xor64("bh.h", mulmod("bh.bb", GOLD))
+    if idocs_body is None:
+        idocs_body = "SELECT doc_id, id FROM docs WHERE NOT is_base"
+    if final_select is None:
+        final_select = """
+SELECT d.id, COALESCE(asg.cluster_id, d.id) AS cluster_id,
+       (asg.id IS NULL) AS novel
+FROM idocs d LEFT JOIN assigned asg ON asg.id = d.id"""
     return f"""
 WITH RECURSIVE
 crctbl(ti, tv) AS (VALUES {crc_table_values()}),
@@ -505,7 +521,7 @@ lab(nid, c) AS (
   SELECT bi.x, l.c FROM bi JOIN lab l ON l.nid = bi.y
 ),
 blab AS (SELECT nid AS bid, min(c) AS cluster FROM lab GROUP BY nid),
-idocs AS (SELECT doc_id, id FROM docs WHERE NOT is_base),
+idocs AS ({idocs_body}),
 ibkt AS (
   SELECT i.id, i.doc_id, {fused} AS fusedk
   FROM bh JOIN idocs i ON i.doc_id = bh.doc_id
@@ -528,9 +544,7 @@ assigned AS (
   FROM iver v LEFT JOIN blab bl ON bl.bid = v.base_id
   GROUP BY 1
 )
-SELECT d.id, COALESCE(asg.cluster_id, d.id) AS cluster_id,
-       (asg.id IS NULL) AS novel
-FROM idocs d LEFT JOIN assigned asg ON asg.id = d.id
+{final_select}
 """
 
 

@@ -2633,7 +2633,7 @@ def _assign_thr_hex() -> str:
     return sample_threshold_hex(_ASSIGN_BASE_RATE)
 
 
-def _assign_split(sf_dir: str, want_base: bool):
+def _assign_split(sf_dir: str, want_base: bool, columns=("doc_id", "text")):
     """documents → the base (sha256-prefix < threshold) or incoming slice,
     null-text rows dropped — the exact predicate the oracle restates."""
     import pyarrow.compute as pc
@@ -2651,7 +2651,7 @@ def _assign_split(sf_dir: str, want_base: bool):
         m = pc.less(prefix, thr)
         return t.filter(m if want_base else pc.invert(m))
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(flt, batch_format="pyarrow")
+    return _docs(sf_dir, list(columns)).map_batches(flt, batch_format="pyarrow")
 
 
 def q_minhash_assign(sf_dir: str):
@@ -2674,6 +2674,34 @@ def q_minhash_assign(sf_dir: str):
     base_clusters = minhash_clusters(base, cfg, id_col="doc_id", text_col="text")
     return assign_incoming(
         incoming, base_sigs, base_clusters, cfg, id_col="doc_id", text_col="text"
+    )
+
+
+def q_update_corpus(sf_dir: str):
+    """Incremental corpus update capstone: the incoming 20% shard is
+    quality-gated, self-exact-deduplicated, then near-dedup'd against the
+    persisted state of the base 80% corpus (signatures + clusters) — only
+    docs novel to the corpus are accepted.  ORACLE-verified end-to-end via
+    the assignment-chain SQL with gate/dedup and novel-only hooks."""
+    from ..config import MinHashConfig
+    from ..pipelines.curate import update_corpus
+    from ..stages.neardup import minhash_clusters, signatures
+
+    cfg = MinHashConfig(**_MINSIG_CFG_KW)
+    base = _assign_split(sf_dir, want_base=True)
+    incoming = _assign_split(
+        sf_dir, want_base=False, columns=("doc_id", "text", "lang", "source")
+    )
+    base_sigs = signatures(base, cfg, id_col="doc_id", text_col="text")
+    base_clusters = minhash_clusters(base, cfg, id_col="doc_id", text_col="text")
+    return update_corpus(
+        incoming,
+        base_sigs,
+        base_clusters,
+        cfg,
+        id_col="doc_id",
+        text_col="text",
+        min_tokens=_PREP_MIN_TOKENS,
     )
 
 
@@ -2907,6 +2935,32 @@ def _gen_hash_oracles() -> dict[str, str]:
             mh_cfg.bands,
             mh_cfg.verify_threshold,
             _assign_thr_hex(),
+        ),
+        # update_corpus: the same assignment chain with the incoming slice
+        # gated + self-exact-deduped, and only NOVEL survivors emitted
+        "update_corpus": oh.minhash_assign_sql(
+            mh_cfg.shingle_k,
+            a,
+            b,
+            mh_cfg.bands,
+            mh_cfg.verify_threshold,
+            _assign_thr_hex(),
+            idocs_body=f"""
+  SELECT doc_id, id FROM (
+    SELECT d.doc_id, d.id,
+           row_number() OVER (
+             PARTITION BY sha256(raw.text) ORDER BY d.doc_id
+           ) AS rn
+    FROM docs d JOIN documents raw ON raw.doc_id = d.doc_id
+    WHERE NOT d.is_base
+      AND len(regexp_extract_all(raw.text, '[A-Za-z0-9_]+')) >= {_PREP_MIN_TOKENS}
+  ) WHERE rn = 1""",
+            final_select="""
+SELECT raw.doc_id, raw.lang, raw.source
+FROM idocs d
+JOIN documents raw ON raw.doc_id = d.doc_id
+LEFT JOIN assigned asg ON asg.id = d.id
+WHERE asg.id IS NULL""",
         ),
         # near_dedup: the cluster oracle filtered to non-representative
         # members — exactly pipelines/curate.near_dedup_drops
@@ -4699,6 +4753,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "minhash_clusters": q_minhash_clusters,
     "minhash_assign": q_minhash_assign,
+    "update_corpus": q_update_corpus,
     "minhash_signatures": q_minhash_signatures,
     "simhash_clusters": q_simhash_clusters,
     "simhash_fingerprints": q_simhash_fingerprints,

@@ -142,3 +142,62 @@ def test_assign_never_reclusters_incoming(ray_session):
     rows = {r["id"]: r for _, r in out.iterrows()}
     assert rows["x0"]["cluster_id"] == "x0" and rows["x0"]["novel"]
     assert rows["x1"]["cluster_id"] == "x1" and rows["x1"]["novel"]
+
+
+def _run_update(base, new, distributed=False, min_tokens=5):
+    from backupdeduplicator_ray.pipelines.curate import update_corpus
+    from backupdeduplicator_ray.stages.neardup import minhash_clusters, signatures
+
+    return (
+        update_corpus(
+            new,
+            signatures(base, CFG),
+            minhash_clusters(base, CFG),
+            CFG,
+            id_col="id",
+            text_col="text",
+            min_tokens=min_tokens,
+            keep_cols=(),
+            distributed=distributed,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def update_fixture(ray_session, assign_fixture):
+    import ray.data
+
+    base, _ = assign_fixture
+    rng = np.random.default_rng(23)
+    novel_t = _mk_text(rng, 70)
+    base_pd = base.to_pandas()
+    rows = [
+        {"id": "u_dup", "text": base_pd.iloc[0]["text"]},  # matches base -> dropped
+        {"id": "u_novel", "text": novel_t},  # accepted
+        {"id": "u_short", "text": "too short"},  # gate-dropped
+        # exact in-shard twins of a novel text: self-dedup keeps min id
+        {"id": "u_twin_a", "text": _mk_text(rng, 70)},
+    ]
+    rows.append({"id": "u_twin_b", "text": rows[-1]["text"]})
+    new = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            rows, schema=pa.schema([("id", pa.string()), ("text", pa.string())])
+        )
+    )
+    return base, new
+
+
+def test_update_corpus_semantics(ray_session, update_fixture):
+    base, new = update_fixture
+    out = _run_update(base, new)
+    assert list(out["id"]) == ["u_novel", "u_twin_a"]
+
+
+def test_update_corpus_distributed_parity(ray_session, update_fixture):
+    base, new = update_fixture
+    a = _run_update(base, new, distributed=False)
+    b = _run_update(base, new, distributed=True)
+    assert a.equals(b)
