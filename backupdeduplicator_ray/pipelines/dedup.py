@@ -58,3 +58,45 @@ def execute(corpus_ds, config: PipelineConfig | None = None):
     dropped directories cascading to everything beneath them."""
     nodes = build_nodes(corpus_ds, config)
     return dedup_execute(nodes)
+
+
+def merge_snapshots(snapshots):
+    """[(machine_id, nodes_ds), ...] → ONE namespaced node table.
+
+    The reference's PLANNED multi-machine feature made real
+    (README.md:33-37: "analyze hash tree files from multiple machines
+    together" is listed as an unimplemented planned feature): node tables
+    built independently on different machines are unioned under a
+    `machine:` repo namespace, and every downstream stage (analyze,
+    dup_members, plan, execute) runs over the merge unchanged, finding
+    CROSS-machine duplicate sets.
+
+    Correctness argument: every tree/analyze key — (repo, path),
+    (repo, parent), the per-repo groupby reduces — is machine-disjoint
+    after prefixing, so the merged table is indistinguishable from one
+    built over a single corpus whose repos carry the prefixes.  Merging N
+    finished checkpoints costs one vectorized map per table plus a union:
+    no re-hashing, no shuffle (the ST1 incremental-cache economics applied
+    across machines).
+
+    machine ids must not contain ':' (the namespace separator).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tagged = []
+    for machine, nodes in snapshots:
+        if ":" in machine:
+            raise ValueError(f"machine id may not contain ':' — got {machine!r}")
+
+        def tag(t: pa.Table, m=machine) -> pa.Table:
+            repo = pc.binary_join_element_wise(
+                pa.scalar(m, pa.string()), t["repo"], ":"
+            )
+            return t.set_column(t.schema.get_field_index("repo"), "repo", repo)
+
+        tagged.append(nodes.map_batches(tag, batch_format="pyarrow"))
+    out = tagged[0]
+    for ds in tagged[1:]:
+        out = out.union(ds)
+    return out

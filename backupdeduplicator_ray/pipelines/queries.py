@@ -37,8 +37,12 @@ from ..stages.analyze import MAX_MEMBERS_PER_SET as _MAX_SET  # noqa: E402
 
 # --- shared SQL fragments --------------------------------------------------
 
-_NODES_CTE = f"""
-corpus AS ({derive_corpus_sql("documents")}),
+def _nodes_cte_for(corpus_sql: str) -> str:
+    """The Merkle node-table CTE chain over an arbitrary corpus SQL body —
+    shared by the single-snapshot oracles (over the standard derived
+    corpus) and the multi-machine merge oracle (over a namespaced union)."""
+    return f"""
+corpus AS ({corpus_sql}),
 files AS (
   SELECT repo, path,
          CASE WHEN content IS NULL THEN 'other' ELSE 'file' END AS node_type,
@@ -74,6 +78,9 @@ nodes AS (
   UNION ALL SELECT * FROM d0 UNION ALL SELECT * FROM roots
 )
 """
+
+
+_NODES_CTE = _nodes_cte_for(derive_corpus_sql("documents"))
 
 _SETS_CTE = """
 counts AS (SELECT hash, count(*) AS c FROM nodes WHERE hash IS NOT NULL GROUP BY hash),
@@ -320,6 +327,50 @@ def q_dup_members(sf_dir: str):
 
 SQL_DUP_MEMBERS = f"""
 WITH {_NODES_CTE}, {_SETS_CTE}
+SELECT m.hash, m.node_type AS ftype, m.size, m.repo, m.path
+FROM members m JOIN sets s ON m.hash = s.hash AND m.node_type = s.ftype AND m.size = s.size
+QUALIFY row_number() OVER (
+  PARTITION BY m.hash, m.node_type, m.size ORDER BY m.repo, m.path
+) <= {_MAX_SET}
+"""
+
+
+#: machine-B slice for the multi-machine merge query: the even 'r' repos
+_MERGE_B_REPOS = ("r0", "r2", "r4", "r6", "r8")
+
+_MERGED_CORPUS_SQL = f"""
+SELECT 'mA:' || repo AS repo, path, commit, lang, content
+FROM ({derive_corpus_sql("documents")})
+UNION ALL
+SELECT 'mB:' || repo AS repo, path, commit, lang, content
+FROM ({derive_corpus_sql("documents")})
+WHERE repo IN {_MERGE_B_REPOS}
+"""
+
+
+def q_merged_dup_members(sf_dir: str):
+    """Multi-machine merge analysis — the reference's PLANNED feature
+    (README.md:33-37) made real: two independently built snapshot node
+    tables (machine A = the full corpus, machine B = the even 'r' repos)
+    are merged under a machine namespace and analyzed together; every
+    machine-B subtree shows up in a CROSS-machine minimal dup set."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.dedup import build_nodes, merge_snapshots
+    from ..stages.analyze import dup_members
+
+    corpus = corpus_from_documents(sf_dir)
+    b_set = pa.array(list(_MERGE_B_REPOS), pa.string())
+    corpus_b = corpus.map_batches(
+        lambda t: t.filter(pc.is_in(t["repo"], value_set=b_set)),
+        batch_format="pyarrow",
+    )
+    merged = merge_snapshots([("mA", build_nodes(corpus)), ("mB", build_nodes(corpus_b))])
+    return dup_members(merged)
+
+
+SQL_MERGED_DUP_MEMBERS = f"""
+WITH {_nodes_cte_for(_MERGED_CORPUS_SQL)}, {_SETS_CTE}
 SELECT m.hash, m.node_type AS ftype, m.size, m.repo, m.path
 FROM members m JOIN sets s ON m.hash = s.hash AND m.node_type = s.ftype AND m.size = s.size
 QUALIFY row_number() OVER (
@@ -4703,6 +4754,7 @@ QUERIES = {
     "hardlink_aware_dups": q_hardlink_aware_dups,
     "tree_nodes": q_tree_nodes,
     "dup_members": q_dup_members,
+    "merged_dup_members": q_merged_dup_members,
     "dup_total": q_dup_total,
     "dedup_plan": q_dedup_plan,
     "dedup_execute": q_dedup_execute,
@@ -4825,6 +4877,7 @@ ORACLE_SQL = {
     "hardlink_aware_dups": SQL_HARDLINK_AWARE_DUPS,
     "tree_nodes": SQL_TREE_NODES,
     "dup_members": SQL_DUP_MEMBERS,
+    "merged_dup_members": SQL_MERGED_DUP_MEMBERS,
     "dup_total": SQL_DUP_TOTAL,
     "dedup_plan": SQL_DEDUP_PLAN,
     "dedup_execute": SQL_DEDUP_EXECUTE,

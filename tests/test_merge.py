@@ -1,0 +1,78 @@
+"""Multi-machine snapshot merge (pipelines/dedup.merge_snapshots) — the
+reference's planned README.md:33-37 feature made real."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+
+def test_merge_finds_cross_machine_dups(ray_session, small_corpus_ds):
+    """Machine B holds a subset of machine A's repos: every B file must
+    land in a cross-machine dup set with its A twin."""
+    from backupdeduplicator_ray.pipelines.dedup import build_nodes, merge_snapshots
+    from backupdeduplicator_ray.stages.analyze import dup_members
+
+    corpus = small_corpus_ds
+    repos = sorted(set(corpus.to_pandas()["repo"]))
+    b_repos = pa.array(repos[:2], pa.string())
+    corpus_b = corpus.map_batches(
+        lambda t: t.filter(pc.is_in(t["repo"], value_set=b_repos)),
+        batch_format="pyarrow",
+    )
+    merged = merge_snapshots(
+        [("mA", build_nodes(corpus)), ("mB", build_nodes(corpus_b))]
+    )
+    members = dup_members(merged).to_pandas()
+    # machine-B roots are exact copies of their machine-A twins, so the
+    # MINIMAL sets report the repo roots (path '') across machines and
+    # suppress everything beneath them
+    roots = members[members["path"] == ""]
+    for r in repos[:2]:
+        got = set(roots[roots["repo"].isin([f"mA:{r}", f"mB:{r}"])]["repo"])
+        assert got == {f"mA:{r}", f"mB:{r}"}, (r, got)
+
+
+def test_merge_matches_single_build_over_namespaced_corpus(
+    ray_session, small_corpus_ds
+):
+    """Merging two independently built node tables must be byte-identical
+    to building ONE tree over the namespaced union corpus — the
+    machine-disjointness invariant the docstring claims."""
+    from backupdeduplicator_ray.pipelines.dedup import build_nodes, merge_snapshots
+
+    corpus = small_corpus_ds
+
+    def tag(m):
+        def fn(t: pa.Table) -> pa.Table:
+            repo = pc.binary_join_element_wise(
+                pa.scalar(m, pa.string()), t["repo"], ":"
+            )
+            return t.set_column(t.schema.get_field_index("repo"), "repo", repo)
+
+        return fn
+
+    unioned = corpus.map_batches(tag("m1"), batch_format="pyarrow").union(
+        corpus.map_batches(tag("m2"), batch_format="pyarrow")
+    )
+    one = (
+        build_nodes(unioned)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    merged = (
+        merge_snapshots(
+            [("m1", build_nodes(corpus)), ("m2", build_nodes(corpus))]
+        )
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    assert one.equals(merged)
+
+
+def test_merge_rejects_colon_machine_id(ray_session, small_corpus_ds):
+    from backupdeduplicator_ray.pipelines.dedup import build_nodes, merge_snapshots
+
+    with pytest.raises(ValueError):
+        merge_snapshots([("bad:id", build_nodes(small_corpus_ds))])
