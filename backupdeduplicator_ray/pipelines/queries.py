@@ -1253,6 +1253,103 @@ FROM newstat
 SQL_CDC_DELTA = _sql_cdc_delta()
 
 
+def q_snapshot_reclaim(sf_dir: str):
+    """Per-snapshot retention stats over the shared chunk store (the
+    borg/restic prune question: what does deleting snapshot S free?):
+    three deterministic generations — snap 0 = documents as-is, snap 1 =
+    the standard generation-2 fixture (%7 removed, %5 ' v2', %11 added
+    ' new'), snap 2 = %3 removed with even ids rewritten ' v3' — chunked
+    once with the snapshot tag riding each chunk row; per-snapshot
+    referenced / unique / exclusive / shared bytes.  The engine chunks in
+    the real raw-bytes id mode (hashes are only GROUPED, never emitted, so
+    any injective chunk id yields identical sums; the SQL oracle groups
+    its hexslice ids)."""
+    from ..stages.cdc import cdc_chunks, snapshot_reclaim
+
+    def gens(t: pa.Table) -> pa.Table:
+        def mk(tbl: pa.Table, k: int, snap: int) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pc.add(pc.multiply(tbl["doc_id"], 4), k),
+                    "text": tbl["text"],
+                    "snap": pa.array(
+                        np.full(len(tbl), snap, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        kept, added = _generation2_parts(t)
+        doc_id = t["doc_id"].to_numpy()
+        g2_src = t.filter(pa.array(doc_id % 3 != 0))
+        g2_ids = g2_src["doc_id"].to_numpy()
+        g2 = pa.table(
+            {
+                "doc_id": g2_src["doc_id"],
+                "text": pc.if_else(
+                    pa.array(g2_ids % 2 == 0),
+                    pc.binary_join_element_wise(g2_src["text"], " v3", ""),
+                    g2_src["text"],
+                ),
+            }
+        )
+        return pa.concat_tables(
+            [mk(t, 0, 0), mk(kept, 1, 1), mk(added, 2, 1), mk(g2, 3, 2)]
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(gens, batch_format="pyarrow")
+    chunks = cdc_chunks(
+        docs,
+        window=_CDC_WINDOW,
+        divisor=_CDC_DIVISOR,
+        id_col="doc_id",
+        text_col="text",
+        hexout=False,
+        keep_cols=("snap",),
+    )
+    return snapshot_reclaim(chunks, snapshot_col="snap")
+
+
+def _sql_snapshot_reclaim() -> str:
+    from .oracle_hashes import cdc_prelude_sql
+
+    gen = """
+gen AS (
+  SELECT doc_id * 4 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id * 4 + 1,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id * 4 + 2, text || ' new'
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id * 4 + 3,
+         CASE WHEN doc_id % 2 = 0 THEN text || ' v3' ELSE text END
+  FROM documents WHERE doc_id % 3 <> 0
+),
+"""
+    return cdc_prelude_sql(
+        _CDC_WINDOW, _CDC_DIVISOR, doc_table="gen", prelude=gen
+    ) + """
+, sc AS (
+  SELECT CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS BIGINT)
+           AS snapshot,
+         chunk_hash, count(*) AS copies, min(chunk_len) AS l
+  FROM chunks GROUP BY 1, 2
+)
+, ns AS (SELECT chunk_hash, count(DISTINCT snapshot) AS n FROM sc GROUP BY 1)
+SELECT sc.snapshot,
+       CAST(sum(sc.copies * sc.l) AS BIGINT) AS referenced_bytes,
+       CAST(sum(sc.l) AS BIGINT) AS unique_bytes,
+       CAST(sum(CASE WHEN ns.n = 1 THEN sc.l ELSE 0 END) AS BIGINT) AS exclusive_bytes,
+       CAST(sum(CASE WHEN ns.n > 1 THEN sc.l ELSE 0 END) AS BIGINT) AS shared_bytes
+FROM sc JOIN ns USING (chunk_hash) GROUP BY 1
+"""
+
+
+SQL_SNAPSHOT_RECLAIM = _sql_snapshot_reclaim()
+
+
 # --- text analysis ---------------------------------------------------------
 
 
@@ -4769,6 +4866,7 @@ QUERIES = {
     "cdc_dup_chunks": q_cdc_dup_chunks,
     "cdc_ratio": q_cdc_ratio,
     "cdc_delta": q_cdc_delta,
+    "snapshot_reclaim": q_snapshot_reclaim,
     "archive_roundtrip": q_archive_roundtrip,
     "archive_dedup_members": q_archive_dedup_members,
     "token_stats": q_token_stats,
@@ -4891,6 +4989,7 @@ ORACLE_SQL = {
     "cdc_dup_chunks": SQL_CDC_DUP_CHUNKS,
     "cdc_ratio": SQL_CDC_RATIO,
     "cdc_delta": SQL_CDC_DELTA,
+    "snapshot_reclaim": SQL_SNAPSHOT_RECLAIM,
     "archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
     "archive_dedup_members": SQL_ARCHIVE_DEDUP_MEMBERS,
     "token_stats": SQL_TOKEN_STATS,

@@ -57,9 +57,14 @@ def cdc_chunks(
     algorithm: str = "sha256",
     hexout: bool = True,
     hash_mode: str = "bytes",
+    keep_cols: tuple[str, ...] = (),
 ):
     """Document/file Dataset → one row per content-defined chunk:
-    (id, chunk_idx, chunk_off, chunk_len, chunk_hash).
+    (id, chunk_idx, chunk_off, chunk_len, chunk_hash[, *keep_cols]).
+
+    `keep_cols` replicates extra input columns onto every chunk row (the
+    snapshot tag for snapshot_reclaim) — same take indices, zero extra
+    hashing.
 
     Empty/null content yields no rows; content shorter than `window` is a
     single chunk.  `id` keeps the input id column's type (int64 or string).
@@ -92,15 +97,16 @@ def cdc_chunks(
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].combine_chunks()
         id_type = ids.type
-        empty = pa.table(
-            {
-                "id": pa.array([], id_type),
-                "chunk_idx": pa.array([], pa.int64()),
-                "chunk_off": pa.array([], pa.int64()),
-                "chunk_len": pa.array([], pa.int64()),
-                "chunk_hash": pa.array([], hash_type),
-            }
-        )
+        empty_cols = {
+            "id": pa.array([], id_type),
+            "chunk_idx": pa.array([], pa.int64()),
+            "chunk_off": pa.array([], pa.int64()),
+            "chunk_len": pa.array([], pa.int64()),
+            "chunk_hash": pa.array([], hash_type),
+        }
+        for c in keep_cols:
+            empty_cols[c] = batch[c].combine_chunks().slice(0, 0)
+        empty = pa.table(empty_cols)
         data, starts, lens = string_buffer_view(batch[text_col])
         n = len(starts)
         if n == 0:
@@ -138,15 +144,17 @@ def cdc_chunks(
         if not doc_take:
             return empty
         take = np.concatenate(doc_take)
-        return pa.table(
-            {
-                "id": ids.take(pa.array(take)),
-                "chunk_idx": pa.array(np.concatenate(idx_parts)),
-                "chunk_off": pa.array(np.concatenate(off_parts)),
-                "chunk_len": pa.array(np.concatenate(len_parts)),
-                "chunk_hash": pa.array(hashes, hash_type),
-            }
-        )
+        take_arr = pa.array(take)
+        cols = {
+            "id": ids.take(take_arr),
+            "chunk_idx": pa.array(np.concatenate(idx_parts)),
+            "chunk_off": pa.array(np.concatenate(off_parts)),
+            "chunk_len": pa.array(np.concatenate(len_parts)),
+            "chunk_hash": pa.array(hashes, hash_type),
+        }
+        for c in keep_cols:
+            cols[c] = batch[c].combine_chunks().take(take_arr)
+        return pa.table(cols)
 
     return ds.map_batches(explode, batch_format="pyarrow")
 
@@ -421,3 +429,113 @@ def fixed_chunks(
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def snapshot_reclaim(chunks_ds, snapshot_col: str = "snap", n_parts: int = 64):
+    """Per-snapshot retention stats over the SHARED chunk store — the
+    question every chunk-dedup backup tool answers before pruning
+    (borg/restic "unique size per archive"): for each snapshot,
+
+      referenced_bytes  logical size (every chunk instance it references);
+      unique_bytes      one copy per distinct chunk it references;
+      exclusive_bytes   bytes freed if ONLY this snapshot were deleted
+                        (chunks no other snapshot references);
+      shared_bytes      unique - exclusive (still pinned by others).
+
+    Input: a chunk Dataset carrying (snapshot_col, chunk_hash, chunk_len)
+    — compose with `cdc_chunks(..., keep_cols=(snapshot_col,))` or
+    `fixed_chunks`; any injective chunk-id mode works because the hash is
+    only ever GROUPED, never emitted.
+
+    Scale shape: per-batch partial collapse on (snapshot, hash) first
+    (bounded by distinct chunks per batch), then ONE exchange routed on a
+    u64 digest prefix co-locates every snapshot's row of a chunk in the
+    same partition, where a vectorized kernel computes per-hash snapshot
+    counts and per-snapshot partial sums; only S rows per partition reach
+    the final S-row reduce.  No driver state, no full-table sort.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import digest_prefix_u64
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    snapshot_col: t[snapshot_col],
+                    "chunk_hash": t["chunk_hash"],
+                    "copies": pa.array([], pa.int64()),
+                    "chunk_len": pa.array([], pa.int64()),
+                }
+            )
+        df = t.select([snapshot_col, "chunk_hash", "chunk_len"]).to_pandas()
+        g = (
+            df.groupby([snapshot_col, "chunk_hash"], sort=False)
+            .agg(copies=("chunk_len", "size"), chunk_len=("chunk_len", "min"))
+            .reset_index()
+        )
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        hcol = out["chunk_hash"].combine_chunks()
+        if pa.types.is_binary(hcol.type) or pa.types.is_large_binary(hcol.type):
+            part = (digest_prefix_u64(hcol) % np.uint64(n_parts)).astype(np.int32)
+        else:  # hex-string chunk ids
+            part = (
+                pd.util.hash_array(
+                    hcol.to_numpy(zero_copy_only=False)
+                ).astype(np.uint64)
+                % np.uint64(n_parts)
+            ).astype(np.int32)
+        return out.append_column("__part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        df = g.select([snapshot_col, "chunk_hash", "copies", "chunk_len"]).to_pandas()
+        # combine cross-batch partials of the same (snapshot, hash)
+        sc = (
+            df.groupby([snapshot_col, "chunk_hash"], sort=False)
+            .agg(copies=("copies", "sum"), chunk_len=("chunk_len", "min"))
+            .reset_index()
+        )
+        ns = sc.groupby("chunk_hash", sort=False)[snapshot_col].nunique()
+        sc["n_snaps"] = sc["chunk_hash"].map(ns)
+        sc["referenced_bytes"] = sc["copies"] * sc["chunk_len"]
+        sc["exclusive_bytes"] = np.where(sc["n_snaps"] == 1, sc["chunk_len"], 0)
+        agg = (
+            sc.groupby(snapshot_col, sort=False)
+            .agg(
+                referenced_bytes=("referenced_bytes", "sum"),
+                unique_bytes=("chunk_len", "sum"),
+                exclusive_bytes=("exclusive_bytes", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "snapshot": pa.array(agg[snapshot_col]),
+                "referenced_bytes": pa.array(agg["referenced_bytes"], pa.int64()),
+                "unique_bytes": pa.array(agg["unique_bytes"], pa.int64()),
+                "exclusive_bytes": pa.array(agg["exclusive_bytes"], pa.int64()),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        agg = (
+            df.groupby("snapshot", sort=True)
+            .agg(
+                referenced_bytes=("referenced_bytes", "sum"),
+                unique_bytes=("unique_bytes", "sum"),
+                exclusive_bytes=("exclusive_bytes", "sum"),
+            )
+            .reset_index()
+        )
+        agg["shared_bytes"] = agg["unique_bytes"] - agg["exclusive_bytes"]
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        chunks_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow")
+    )

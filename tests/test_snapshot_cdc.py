@@ -387,3 +387,63 @@ def test_snapshot_renames_rank_pairing(ray_session):
         ("h1", "a.txt", "sub/a.txt"),
         ("hd", "dup1.txt", "dup_new.txt"),
     }
+
+
+def test_snapshot_reclaim_hand_computed(ray_session):
+    """Tiny store, divisor so large no cuts fire (1 chunk per doc):
+    snap 0 = {A, A, B}, snap 1 = {A, C}; every text is 4 bytes.
+    A is shared, B exclusive to 0, C exclusive to 1."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.cdc import cdc_chunks, snapshot_reclaim
+
+    rows = [
+        {"id": 1, "text": "AAAA", "snap": 0},
+        {"id": 2, "text": "AAAA", "snap": 0},
+        {"id": 3, "text": "BBBB", "snap": 0},
+        {"id": 4, "text": "AAAA", "snap": 1},
+        {"id": 5, "text": "CCCC", "snap": 1},
+    ]
+    ds = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("id", pa.int64()), ("text", pa.string()), ("snap", pa.int64())]
+            ),
+        )
+    )
+    chunks = cdc_chunks(
+        ds, window=4, divisor=2**32, hexout=False, keep_cols=("snap",)
+    )
+    out = (
+        snapshot_reclaim(chunks, snapshot_col="snap")
+        .to_pandas()
+        .sort_values("snapshot")
+        .reset_index(drop=True)
+    )
+    assert list(out["snapshot"]) == [0, 1]
+    assert list(out["referenced_bytes"]) == [12, 8]
+    assert list(out["unique_bytes"]) == [8, 8]
+    assert list(out["exclusive_bytes"]) == [4, 4]
+    assert list(out["shared_bytes"]) == [4, 4]
+
+
+def test_cdc_keep_cols_alignment(ray_session):
+    """keep_cols rides the exact chunk take indices — every chunk row of a
+    doc carries that doc's tag, across multi-chunk docs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.cdc import cdc_chunks
+
+    rng = np.random.default_rng(5)
+    texts = ["".join(chr(65 + rng.integers(0, 26)) for _ in range(400)) for _ in range(6)]
+    rows = [
+        {"id": i, "text": t, "tag": f"g{i % 2}"} for i, t in enumerate(texts)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = cdc_chunks(ds, window=8, divisor=32, keep_cols=("tag",)).to_pandas()
+    assert (out["tag"] == out["id"].map(lambda i: f"g{i % 2}")).all()
+    assert out.groupby("id").size().min() >= 2  # multi-chunk docs exercised
