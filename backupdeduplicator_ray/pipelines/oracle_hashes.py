@@ -407,6 +407,81 @@ alle AS (SELECT src, dst FROM exact_edges UNION SELECT src, dst FROM near),
 """
 
 
+def simhash_assign_sql(
+    shingle_k: int, bands: int, max_hamming: int, base_thr_hex: str
+) -> str:
+    """SimHash incremental-assignment oracle (stages/neardup.
+    simhash_assign): the same fingerprint chain as simhash_clusters_sql
+    over ALL non-null-text docs, the cluster closure restricted to the
+    BASE slice (sha256(doc_id) prefix < base_thr_hex), then every incoming
+    doc banded against the base rows with Hamming verification and the
+    min matched label (absent from the closure → the base doc's own id);
+    unmatched incoming docs are novel.  Same bucket_cap caveat as the
+    cluster oracle."""
+    width = 64 // bands
+    size = 1 << width
+    return f"""
+WITH RECURSIVE
+crctbl(ti, tv) AS (VALUES {crc_table_values()}),
+{token_hash_ctes()},
+{shingle_cte(shingle_k)},
+docs AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid, text,
+         substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) < '{base_thr_hex}' AS is_base
+  FROM documents WHERE text IS NOT NULL
+),
+bits(j) AS (SELECT CAST(r.j AS BIGINT) FROM UNNEST(range(0, 64)) AS r(j)),
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (s // (CAST(1 AS HUGEINT) << CAST(j AS INTEGER))) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM shd CROSS JOIN bits GROUP BY 1, 2
+),
+fpv AS (
+  SELECT doc_id,
+         sum(CASE WHEN v >= 0 THEN (CAST(1 AS HUGEINT) << CAST(j AS INTEGER)) ELSE 0 END) AS fp
+  FROM votes GROUP BY doc_id
+),
+fpn AS (
+  SELECT d.doc_id, d.sid, COALESCE(f.fp, 0) AS fp, d.is_base
+  FROM docs d LEFT JOIN fpv f ON d.doc_id = f.doc_id
+),
+bnd AS MATERIALIZED (
+  SELECT sid, fp, is_base, CAST(r.b AS BIGINT) AS b,
+         (fp // (CAST(1 AS HUGEINT) << CAST({width} * r.b AS INTEGER))) % {size} AS bucket
+  FROM fpn CROSS JOIN UNNEST(range(0, {bands})) AS r(b)
+),
+alle AS (
+  SELECT DISTINCT x.sid AS src, y.sid AS dst
+  FROM bnd x JOIN bnd y ON x.b = y.b AND x.bucket = y.bucket AND x.sid < y.sid
+  WHERE x.is_base AND y.is_base
+    AND bit_count(xor(CAST(x.fp AS UBIGINT), CAST(y.fp AS UBIGINT))) <= {max_hamming}
+),
+bi(x, y) AS (SELECT src, dst FROM alle UNION SELECT dst, src FROM alle),
+nodes(nid) AS (SELECT DISTINCT x FROM bi),
+lab(nid, c) AS (
+  SELECT nid, nid FROM nodes
+  UNION
+  SELECT bi.x, l.c FROM bi JOIN lab l ON l.nid = bi.y
+),
+blab AS (SELECT nid AS bid, min(c) AS cluster FROM lab GROUP BY nid),
+iver AS (
+  SELECT DISTINCT i.sid AS inc_id, bb.sid AS base_id
+  FROM bnd i JOIN bnd bb ON i.b = bb.b AND i.bucket = bb.bucket
+  WHERE (NOT i.is_base) AND bb.is_base
+    AND bit_count(xor(CAST(i.fp AS UBIGINT), CAST(bb.fp AS UBIGINT))) <= {max_hamming}
+),
+assigned AS (
+  SELECT v.inc_id AS id, min(COALESCE(bl.cluster, v.base_id)) AS cluster_id
+  FROM iver v LEFT JOIN blab bl ON bl.bid = v.base_id
+  GROUP BY 1
+)
+SELECT d.sid AS id, COALESCE(asg.cluster_id, d.sid) AS cluster_id,
+       (asg.id IS NULL) AS novel
+FROM fpn d LEFT JOIN assigned asg ON asg.id = d.sid
+WHERE NOT d.is_base
+"""
+
+
 def minhash_assign_sql(
     shingle_k: int,
     a,

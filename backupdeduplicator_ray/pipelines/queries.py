@@ -2825,6 +2825,25 @@ def q_minhash_assign(sf_dir: str):
     )
 
 
+def q_simhash_assign(sf_dir: str):
+    """SimHash twin of minhash_assign: the incoming 20% shard is banded
+    against the base 80%'s persisted fingerprints, Hamming-verified, and
+    labeled with the min matched base cluster — candidate generation and
+    verification in ONE partition kernel (the fingerprint rides the band
+    row), no driver state at any scale."""
+    from ..config import SimHashConfig
+    from ..stages.neardup import simhash_assign, simhash_clusters, simhash_fingerprints
+
+    cfg = SimHashConfig()
+    base = _assign_split(sf_dir, want_base=True)
+    incoming = _assign_split(sf_dir, want_base=False)
+    base_fps = simhash_fingerprints(base, cfg, id_col="doc_id", text_col="text")
+    base_clusters = simhash_clusters(base, cfg, id_col="doc_id", text_col="text")
+    return simhash_assign(
+        incoming, base_fps, base_clusters, cfg, id_col="doc_id", text_col="text"
+    )
+
+
 def q_update_corpus(sf_dir: str):
     """Incremental corpus update capstone: the incoming 20% shard is
     quality-gated, self-exact-deduplicated, then near-dedup'd against the
@@ -3072,6 +3091,9 @@ def _gen_hash_oracles() -> dict[str, str]:
         "embedding_lsh_pairs": oh.embedding_lsh_sql(planes, threshold=0.35),
         "simhash_clusters": oh.simhash_clusters_sql(
             sim_cfg.shingle_k, sim_cfg.bands, sim_cfg.max_hamming
+        ),
+        "simhash_assign": oh.simhash_assign_sql(
+            sim_cfg.shingle_k, sim_cfg.bands, sim_cfg.max_hamming, _assign_thr_hex()
         ),
         "minhash_clusters": oh.minhash_clusters_sql(
             mh_cfg.shingle_k, a, b, mh_cfg.bands, mh_cfg.verify_threshold
@@ -4903,6 +4925,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "minhash_clusters": q_minhash_clusters,
     "minhash_assign": q_minhash_assign,
+    "simhash_assign": q_simhash_assign,
     "update_corpus": q_update_corpus,
     "minhash_signatures": q_minhash_signatures,
     "simhash_clusters": q_simhash_clusters,

@@ -880,58 +880,98 @@ def minhash_clusters(
 # --- Incremental assignment (new docs vs a clustered base corpus) ---------
 
 
-def _cross_pair_kernel(cap: int):
-    """Per-partition kernel: tagged (bucket_key, id, side) rows → deduped
-    (inc_id, base_id) candidate pairs.
+_PAIR_SCHEMA = pa.schema([("inc_id", pa.string()), ("base_id", pa.string())])
 
-    side 0 = base rep, side 1 = incoming.  Fully vectorized: one lexsort,
+
+def _cross_pair_rows(g: pa.Table, cap: int):
+    """Shared index math for the cross-side candidate kernels: tagged
+    (bucket_key, id, side) rows → row indices (into g) of deduped
+    (incoming, base) pairs, or None when the partition yields nothing.
+
+    side 0 = base, side 1 = incoming.  Fully vectorized: one lexsort,
     reduceat bucket counts, arange/repeat pair expansion — no Python per
     bucket.  The base side of each bucket is capped at `cap`
     lexicographically-smallest ids (the skew valve for degenerate buckets,
     e.g. the all-sentinel shingle-less bucket — where the kept min-id rep
     is exactly the one that carries the min cluster label anyway); the
-    oracle assumes the cap never fires at its scale, same doctrine as
-    minhash_clusters_sql's bucket_cap note."""
+    oracles assume the cap never fires at their scale, same doctrine as
+    minhash_clusters_sql's bucket_cap note.  Pairs are deduped on id
+    VALUES within the partition (the same doc can sit in several buckets
+    here); cross-partition duplicates are absorbed downstream (min-label
+    aggregate / DISTINCT)."""
+    bk = g["bucket_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    side = g["side"].to_numpy(zero_copy_only=False).astype(np.int8)
+    ids_np = g["id"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids_np, side, bk))
+    bk_s, side_s = bk[order], side[order]
+    start = np.flatnonzero(np.r_[True, bk_s[1:] != bk_s[:-1]])
+    end = np.r_[start[1:], len(bk_s)]
+    n0 = np.add.reduceat((side_s == 0).astype(np.int64), start)
+    n1 = (end - start) - n0
+    n0c = np.minimum(n0, cap)
+    mask = (n0c > 0) & (n1 > 0)
+    if not mask.any():
+        return None
+    b_start = start[mask]
+    i_start = (start + n0)[mask]
+    c0, c1 = n0c[mask], n1[mask]
+    counts = c0 * c1
+    total = int(counts.sum())
+    bucket_off = np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    rank = np.arange(total, dtype=np.int64) - bucket_off
+    c1r = np.repeat(c1, counts)
+    base_pos = np.repeat(b_start, counts) + rank // c1r
+    inc_pos = np.repeat(i_start, counts) + rank % c1r
+    uniq, codes = np.unique(ids_np, return_inverse=True)
+    key = codes[order[inc_pos]].astype(np.int64) * len(uniq) + codes[order[base_pos]]
+    _, first = np.unique(key, return_index=True)
+    return order[inc_pos[first]], order[base_pos[first]]
 
-    _OUT = pa.schema([("inc_id", pa.string()), ("base_id", pa.string())])
+
+def _cross_pair_kernel(cap: int):
+    """Per-partition kernel: tagged (bucket_key, id, side) rows → deduped
+    (inc_id, base_id) candidate pairs (see _cross_pair_rows)."""
 
     def kern(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
         if len(g) == 0:
-            return pa.Table.from_pylist([], schema=_OUT)
-        bk = g["bucket_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        side = g["side"].to_numpy(zero_copy_only=False).astype(np.int8)
+            return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
+        rows = _cross_pair_rows(g, cap)
+        if rows is None:
+            return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
+        inc_rows, base_rows = rows
         ids = g["id"].combine_chunks()
-        ids_np = ids.to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids_np, side, bk))
-        bk_s, side_s = bk[order], side[order]
-        start = np.flatnonzero(np.r_[True, bk_s[1:] != bk_s[:-1]])
-        end = np.r_[start[1:], len(bk_s)]
-        n0 = np.add.reduceat((side_s == 0).astype(np.int64), start)
-        n1 = (end - start) - n0
-        n0c = np.minimum(n0, cap)
-        mask = (n0c > 0) & (n1 > 0)
-        if not mask.any():
-            return pa.Table.from_pylist([], schema=_OUT)
-        b_start = start[mask]
-        i_start = (start + n0)[mask]
-        c0, c1 = n0c[mask], n1[mask]
-        counts = c0 * c1
-        total = int(counts.sum())
-        bucket_off = np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
-        rank = np.arange(total, dtype=np.int64) - bucket_off
-        c1r = np.repeat(c1, counts)
-        base_pos = np.repeat(b_start, counts) + rank // c1r
-        inc_pos = np.repeat(i_start, counts) + rank % c1r
-        # dedupe pairs within the partition on id VALUES (the same doc can
-        # sit in several buckets of this partition); cross-partition
-        # duplicates are absorbed by the min-label aggregate downstream
-        uniq, codes = np.unique(ids_np, return_inverse=True)
-        key = codes[order[inc_pos]].astype(np.int64) * len(uniq) + codes[order[base_pos]]
-        _, first = np.unique(key, return_index=True)
-        take_inc = pa.array(order[inc_pos[first]])
-        take_base = pa.array(order[base_pos[first]])
-        return pa.table({"inc_id": ids.take(take_inc), "base_id": ids.take(take_base)})
+        return pa.table(
+            {"inc_id": ids.take(pa.array(inc_rows)), "base_id": ids.take(pa.array(base_rows))}
+        )
+
+    return kern
+
+
+def _cross_pair_hamming_kernel(cap: int, max_hamming: int):
+    """Per-partition kernel for the SimHash assignment: the fingerprint
+    rides each band row, so candidate generation AND Hamming verification
+    happen in one pass — no signature fetch, no driver state at any
+    scale."""
+
+    def kern(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if len(g) == 0:
+            return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
+        rows = _cross_pair_rows(g, cap)
+        if rows is None:
+            return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
+        inc_rows, base_rows = rows
+        fp = g["fingerprint"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dist = sh.popcount64_batch(fp[inc_rows] ^ fp[base_rows])
+        keep = dist <= max_hamming
+        ids = g["id"].combine_chunks()
+        return pa.table(
+            {
+                "inc_id": ids.take(pa.array(inc_rows[keep])),
+                "base_id": ids.take(pa.array(base_rows[keep])),
+            }
+        )
 
     return kern
 
@@ -1165,18 +1205,35 @@ def assign_incoming(
 
         verified = j.map_batches(ver, batch_format="pyarrow")
 
-    def _typed_or_empty(ds, schema: pa.Schema):
-        # a zero-block Dataset reports schema()=None, which the join
-        # helpers can't thread; substitute a typed empty block
-        ds = ds.materialize()
-        if ds.count() == 0 or ds.schema() is None:
-            return ray.data.from_arrow(pa.Table.from_pylist([], schema=schema))
-        return ds
+    inc_ids_ds = sig_inc.map_batches(
+        lambda t: pa.table({"id": t["id"].cast(pa.string())}), batch_format="pyarrow"
+    )
+    return _label_novel_tail(verified, base_clusters, inc_ids_ds, n_parts)
 
-    verified = _typed_or_empty(verified, _VER_SCHEMA)
 
-    # label + novel tail — distributed on BOTH routes (the assigned set is
-    # corpus-fraction-sized on dup-heavy data; never a driver Python set)
+def _typed_or_empty(ds, schema: pa.Schema):
+    """A zero-block Dataset reports schema()=None, which the join helpers
+    can't thread; substitute a typed empty block."""
+    import ray.data
+
+    ds = ds.materialize()
+    if ds.count() == 0 or ds.schema() is None:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=schema))
+    return ds
+
+
+def _label_novel_tail(verified, base_clusters, inc_ids_ds, n_parts: int):
+    """Shared assignment tail: verified (inc_id, base_id) pairs →
+    (id, cluster_id, novel) — distributed on EVERY route (the assigned set
+    is corpus-fraction-sized on dup-heavy data; never a driver Python
+    set).  A base id absent from base_clusters labels as itself
+    (singleton)."""
+    import pyarrow.compute as pc
+
+    from ..state.joins import partitioned_hash_join
+
+    verified = _typed_or_empty(verified, _PAIR_SCHEMA)
+
     bc = base_clusters.map_batches(
         lambda t: pa.table(
             {
@@ -1223,9 +1280,6 @@ def assign_incoming(
     # all-to-all double-execution documented on partitioned_hash_join
     assigned = _typed_or_empty(
         assigned, pa.schema([("id", pa.string()), ("assigned_cluster", pa.string())])
-    )
-    inc_ids_ds = sig_inc.map_batches(
-        lambda t: pa.table({"id": t["id"].cast(pa.string())}), batch_format="pyarrow"
     )
     out = partitioned_hash_join(
         inc_ids_ds, assigned, "id", n_parts=n_parts, how="left", native="never"
@@ -1305,14 +1359,9 @@ def simhash_fingerprints(
     return ds.map_batches(stage.__call__, batch_format="pyarrow", batch_size=2048)
 
 
-def simhash_edges(ds, cfg: SimHashConfig | None = None, id_col: str = "id", text_col: str = "text"):
-    """Band rows are lean (u64 bucket_key, id, 8-B fingerprint) and the
-    explode/verify kernels are numpy-vectorized (mirrors the minhash band
-    path).  Over-cap buckets star-expand against the bucket minimum so
-    every member is examined once — connectivity-preserving skew valve,
-    not a silent truncation."""
-    cfg = cfg or SimHashConfig()
-    fps = simhash_fingerprints(ds, cfg, id_col, text_col)
+def _simhash_band_explode(cfg: SimHashConfig):
+    """(id, fingerprint) rows → lean (bucket_key, id, fingerprint) band
+    rows; null fingerprints (unreadable content) are dropped."""
 
     def explode(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1335,12 +1384,24 @@ def simhash_edges(ds, cfg: SimHashConfig | None = None, id_col: str = "id", text
         return pa.table(
             {
                 "bucket_key": pa.array(fused),
-                "id": t["id"].combine_chunks().take(rep_idx),
+                "id": t["id"].combine_chunks().cast(pa.string()).take(rep_idx),
                 "fingerprint": pa.array(np.repeat(fp, cfg.bands)),
             }
         )
 
-    bands = fps.map_batches(explode, batch_format="pyarrow").materialize()
+    return explode
+
+
+def simhash_edges(ds, cfg: SimHashConfig | None = None, id_col: str = "id", text_col: str = "text"):
+    """Band rows are lean (u64 bucket_key, id, 8-B fingerprint) and the
+    explode/verify kernels are numpy-vectorized (mirrors the minhash band
+    path).  Over-cap buckets star-expand against the bucket minimum so
+    every member is examined once — connectivity-preserving skew valve,
+    not a silent truncation."""
+    cfg = cfg or SimHashConfig()
+    fps = simhash_fingerprints(ds, cfg, id_col, text_col)
+
+    bands = fps.map_batches(_simhash_band_explode(cfg), batch_format="pyarrow").materialize()
 
     # partition-grain verification (VERDICT r2 item 4): count-pruned
     # surviving buckets are co-located by bucket_key % B and each partition
@@ -1404,6 +1465,77 @@ def simhash_clusters(ds, cfg: SimHashConfig | None = None, id_col: str = "id", t
         lambda t: t.append_column("method", pa.array(["simhash"] * len(t), pa.string())),
         batch_format="pyarrow",
     )
+
+
+def simhash_assign(
+    incoming_ds,
+    base_fps,
+    base_clusters,
+    cfg: SimHashConfig | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+    n_parts: int = 64,
+):
+    """SimHash twin of `assign_incoming`: assign a new shard to a
+    previously clustered base via banded fingerprint match + Hamming
+    verify, reusing the persisted base state (fingerprint + cluster
+    tables) — the base is never re-fingerprinted.
+
+    Simpler than the MinHash route at every scale: the 8-byte fingerprint
+    rides each band row, so candidate generation AND verification run in
+    ONE partition-grain kernel (`_cross_pair_hamming_kernel`) — no
+    signature fetch, no driver candidate state, hence no valve and no
+    separate `distributed=` route.  The label + novel tail is the shared
+    `_label_novel_tail`.
+
+    Output: (id, cluster_id, novel) — same contract as assign_incoming.
+    """
+    import ray.data
+    import pyarrow.compute as pc
+
+    cfg = cfg or SimHashConfig()
+    inc_docs = incoming_ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[text_col])), batch_format="pyarrow"
+    )
+    fps_inc = simhash_fingerprints(inc_docs, cfg, id_col, text_col).materialize()
+    _OUT_SCHEMA = pa.schema(
+        [("id", pa.string()), ("cluster_id", pa.string()), ("novel", pa.bool_())]
+    )
+    if fps_inc.count() == 0:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=_OUT_SCHEMA))
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("side", pa.array(np.full(len(t), side, np.int8)))
+
+        return fn
+
+    b_rows = base_fps.map_batches(
+        _simhash_band_explode(cfg), batch_format="pyarrow"
+    ).map_batches(tag(0), batch_format="pyarrow")
+    i_rows = fps_inc.map_batches(
+        _simhash_band_explode(cfg), batch_format="pyarrow"
+    ).map_batches(tag(1), batch_format="pyarrow")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        bk = t["bucket_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__part", pa.array((bk % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    verified = (
+        b_rows.union(i_rows)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            _cross_pair_hamming_kernel(cfg.bucket_cap, cfg.max_hamming),
+            batch_format="pyarrow",
+        )
+    )
+    inc_ids_ds = fps_inc.map_batches(
+        lambda t: pa.table({"id": t["id"].cast(pa.string())}), batch_format="pyarrow"
+    )
+    return _label_novel_tail(verified, base_clusters, inc_ids_ds, n_parts)
 
 
 # --- exact n-gram Jaccard via shingle inverted index ----------------------

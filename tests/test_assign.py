@@ -201,3 +201,34 @@ def test_update_corpus_distributed_parity(ray_session, update_fixture):
     a = _run_update(base, new, distributed=False)
     b = _run_update(base, new, distributed=True)
     assert a.equals(b)
+
+
+def test_simhash_assign_semantics(ray_session, assign_fixture):
+    """SimHash twin: exact copy and near copy assign to the base cluster;
+    the novel doc stays its own singleton."""
+    from backupdeduplicator_ray.config import SimHashConfig
+    from backupdeduplicator_ray.stages.neardup import (
+        simhash_assign,
+        simhash_clusters,
+        simhash_fingerprints,
+    )
+
+    scfg = SimHashConfig()
+    base, inc = assign_fixture
+    out = (
+        simhash_assign(
+            inc,
+            simhash_fingerprints(base, scfg),
+            simhash_clusters(base, scfg),
+            scfg,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    rows = {r["id"]: r for _, r in out.iterrows()}
+    assert set(rows) == {"i_exact", "i_near", "i_novel", "i_single"}
+    assert rows["i_exact"]["cluster_id"] == "b0" and not rows["i_exact"]["novel"]
+    # identical-fingerprint match to the singleton b2
+    assert rows["i_single"]["cluster_id"] == "b2" and not rows["i_single"]["novel"]
+    assert rows["i_novel"]["novel"] and rows["i_novel"]["cluster_id"] == "i_novel"
