@@ -1253,66 +1253,42 @@ FROM newstat
 SQL_CDC_DELTA = _sql_cdc_delta()
 
 
-def q_snapshot_reclaim(sf_dir: str):
-    """Per-snapshot retention stats over the shared chunk store (the
-    borg/restic prune question: what does deleting snapshot S free?):
-    three deterministic generations — snap 0 = documents as-is, snap 1 =
-    the standard generation-2 fixture (%7 removed, %5 ' v2', %11 added
-    ' new'), snap 2 = %3 removed with even ids rewritten ' v3' — chunked
-    once with the snapshot tag riding each chunk row; per-snapshot
-    referenced / unique / exclusive / shared bytes.  The engine chunks in
-    the real raw-bytes id mode (hashes are only GROUPED, never emitted, so
-    any injective chunk id yields identical sums; the SQL oracle groups
-    its hexslice ids)."""
-    from ..stages.cdc import cdc_chunks, snapshot_reclaim
+def _reclaim_gens(t: pa.Table) -> pa.Table:
+    """THE 3-generation retention fixture (shared by snapshot_reclaim and
+    prune_reclaim, restated once in _RECLAIM_GEN_SQL): snap 0 = documents
+    as-is; snap 1 = the standard generation-2 parts (%7 removed, %5 ' v2',
+    %11 added ' new'); snap 2 = %3 removed, even ids ' v3'.  Ids ride at
+    doc_id*4 + k so the SQL recovers the snapshot from doc_id % 4."""
 
-    def gens(t: pa.Table) -> pa.Table:
-        def mk(tbl: pa.Table, k: int, snap: int) -> pa.Table:
-            return pa.table(
-                {
-                    "doc_id": pc.add(pc.multiply(tbl["doc_id"], 4), k),
-                    "text": tbl["text"],
-                    "snap": pa.array(
-                        np.full(len(tbl), snap, np.int64), pa.int64()
-                    ),
-                }
-            )
-
-        kept, added = _generation2_parts(t)
-        doc_id = t["doc_id"].to_numpy()
-        g2_src = t.filter(pa.array(doc_id % 3 != 0))
-        g2_ids = g2_src["doc_id"].to_numpy()
-        g2 = pa.table(
+    def mk(tbl: pa.Table, k: int, snap: int) -> pa.Table:
+        return pa.table(
             {
-                "doc_id": g2_src["doc_id"],
-                "text": pc.if_else(
-                    pa.array(g2_ids % 2 == 0),
-                    pc.binary_join_element_wise(g2_src["text"], " v3", ""),
-                    g2_src["text"],
-                ),
+                "doc_id": pc.add(pc.multiply(tbl["doc_id"], 4), k),
+                "text": tbl["text"],
+                "snap": pa.array(np.full(len(tbl), snap, np.int64), pa.int64()),
             }
         )
-        return pa.concat_tables(
-            [mk(t, 0, 0), mk(kept, 1, 1), mk(added, 2, 1), mk(g2, 3, 2)]
-        )
 
-    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(gens, batch_format="pyarrow")
-    chunks = cdc_chunks(
-        docs,
-        window=_CDC_WINDOW,
-        divisor=_CDC_DIVISOR,
-        id_col="doc_id",
-        text_col="text",
-        hexout=False,
-        keep_cols=("snap",),
+    kept, added = _generation2_parts(t)
+    doc_id = t["doc_id"].to_numpy()
+    g2_src = t.filter(pa.array(doc_id % 3 != 0))
+    g2_ids = g2_src["doc_id"].to_numpy()
+    g2 = pa.table(
+        {
+            "doc_id": g2_src["doc_id"],
+            "text": pc.if_else(
+                pa.array(g2_ids % 2 == 0),
+                pc.binary_join_element_wise(g2_src["text"], " v3", ""),
+                g2_src["text"],
+            ),
+        }
     )
-    return snapshot_reclaim(chunks, snapshot_col="snap")
+    return pa.concat_tables(
+        [mk(t, 0, 0), mk(kept, 1, 1), mk(added, 2, 1), mk(g2, 3, 2)]
+    )
 
 
-def _sql_snapshot_reclaim() -> str:
-    from .oracle_hashes import cdc_prelude_sql
-
-    gen = """
+_RECLAIM_GEN_SQL = """
 gen AS (
   SELECT doc_id * 4 AS doc_id, text FROM documents
   UNION ALL
@@ -1328,8 +1304,41 @@ gen AS (
   FROM documents WHERE doc_id % 3 <> 0
 ),
 """
+
+
+def q_snapshot_reclaim(sf_dir: str):
+    """Per-snapshot retention stats over the shared chunk store (the
+    borg/restic prune question: what does deleting snapshot S free?):
+    three deterministic generations — snap 0 = documents as-is, snap 1 =
+    the standard generation-2 fixture (%7 removed, %5 ' v2', %11 added
+    ' new'), snap 2 = %3 removed with even ids rewritten ' v3' — chunked
+    once with the snapshot tag riding each chunk row; per-snapshot
+    referenced / unique / exclusive / shared bytes.  The engine chunks in
+    the real raw-bytes id mode (hashes are only GROUPED, never emitted, so
+    any injective chunk id yields identical sums; the SQL oracle groups
+    its hexslice ids)."""
+    from ..stages.cdc import cdc_chunks, snapshot_reclaim
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _reclaim_gens, batch_format="pyarrow"
+    )
+    chunks = cdc_chunks(
+        docs,
+        window=_CDC_WINDOW,
+        divisor=_CDC_DIVISOR,
+        id_col="doc_id",
+        text_col="text",
+        hexout=False,
+        keep_cols=("snap",),
+    )
+    return snapshot_reclaim(chunks, snapshot_col="snap")
+
+
+def _sql_snapshot_reclaim() -> str:
+    from .oracle_hashes import cdc_prelude_sql
+
     return cdc_prelude_sql(
-        _CDC_WINDOW, _CDC_DIVISOR, doc_table="gen", prelude=gen
+        _CDC_WINDOW, _CDC_DIVISOR, doc_table="gen", prelude=_RECLAIM_GEN_SQL
     ) + """
 , sc AS (
   SELECT CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS BIGINT)
@@ -1348,6 +1357,55 @@ FROM sc JOIN ns USING (chunk_hash) GROUP BY 1
 
 
 SQL_SNAPSHOT_RECLAIM = _sql_snapshot_reclaim()
+
+
+_PRUNE_SET = (1, 2)  # delete the two newer generations, keep snapshot 0
+
+
+def q_prune_reclaim(sf_dir: str):
+    """Set-prune planning over the same 3-generation chunk store: bytes
+    freed by deleting generations 1 AND 2 together (a chunk shared only
+    between the pruned pair is freed too — strictly more than the sum of
+    their per-snapshot exclusive bytes from snapshot_reclaim)."""
+    from ..stages.cdc import cdc_chunks, prune_reclaim
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _reclaim_gens, batch_format="pyarrow"
+    )
+    chunks = cdc_chunks(
+        docs,
+        window=_CDC_WINDOW,
+        divisor=_CDC_DIVISOR,
+        id_col="doc_id",
+        text_col="text",
+        hexout=False,
+        keep_cols=("snap",),
+    )
+    return prune_reclaim(chunks, _PRUNE_SET, snapshot_col="snap")
+
+
+def _sql_prune_reclaim() -> str:
+    from .oracle_hashes import cdc_prelude_sql
+
+    return cdc_prelude_sql(
+        _CDC_WINDOW, _CDC_DIVISOR, doc_table="gen", prelude=_RECLAIM_GEN_SQL
+    ) + f"""
+, sc AS (
+  SELECT CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS BIGINT)
+           AS snapshot,
+         chunk_hash, min(chunk_len) AS l
+  FROM chunks GROUP BY 1, 2
+)
+, ph AS (
+  SELECT chunk_hash, min(l) AS l,
+         bool_and(snapshot IN {_PRUNE_SET}) AS allp
+  FROM sc GROUP BY 1
+)
+SELECT CAST(COALESCE(sum(CASE WHEN allp THEN l ELSE 0 END), 0) AS BIGINT) AS freed_bytes,
+       CAST(COALESCE(sum(CASE WHEN NOT allp THEN l ELSE 0 END), 0) AS BIGINT) AS retained_bytes,
+       CAST(COALESCE(sum(l), 0) AS BIGINT) AS store_bytes
+FROM ph
+"""
 
 
 # --- text analysis ---------------------------------------------------------
@@ -4889,6 +4947,7 @@ QUERIES = {
     "cdc_ratio": q_cdc_ratio,
     "cdc_delta": q_cdc_delta,
     "snapshot_reclaim": q_snapshot_reclaim,
+    "prune_reclaim": q_prune_reclaim,
     "archive_roundtrip": q_archive_roundtrip,
     "archive_dedup_members": q_archive_dedup_members,
     "token_stats": q_token_stats,
@@ -5013,6 +5072,7 @@ ORACLE_SQL = {
     "cdc_ratio": SQL_CDC_RATIO,
     "cdc_delta": SQL_CDC_DELTA,
     "snapshot_reclaim": SQL_SNAPSHOT_RECLAIM,
+    "prune_reclaim": _sql_prune_reclaim(),
     "archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
     "archive_dedup_members": SQL_ARCHIVE_DEDUP_MEMBERS,
     "token_stats": SQL_TOKEN_STATS,

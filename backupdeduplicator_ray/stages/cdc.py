@@ -539,3 +539,83 @@ def snapshot_reclaim(chunks_ds, snapshot_col: str = "snap", n_parts: int = 64):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow")
     )
+
+
+def prune_reclaim(chunks_ds, pruned, snapshot_col: str = "snap", n_parts: int = 64):
+    """Bytes freed by deleting a SET of snapshots together — the retention
+    planner's actual question, and strictly more than the sum of the
+    members' per-snapshot exclusive bytes (a chunk shared only WITHIN the
+    pruned set is freed too; `snapshot_reclaim` counts it as shared).
+
+    A chunk is freed iff every snapshot referencing it is in `pruned`.
+    Single row: freed_bytes, retained_bytes (the store after the prune),
+    store_bytes (= freed + retained, one copy per distinct chunk).
+
+    Same scale shape as snapshot_reclaim: per-batch (snapshot, hash)
+    partials, one digest-prefix-routed exchange, tiny partial rows to a
+    1-row reduce; the pruned set is a closure-captured frozenset (a prune
+    set is a handful of snapshot labels, never corpus-sized).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import digest_prefix_u64
+
+    pruned = frozenset(pruned)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([snapshot_col, "chunk_hash", "chunk_len"]).to_pandas()
+        g = (
+            df.groupby([snapshot_col, "chunk_hash"], sort=False)
+            .agg(chunk_len=("chunk_len", "min"))
+            .reset_index()
+        )
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        hcol = out["chunk_hash"].combine_chunks()
+        if pa.types.is_binary(hcol.type) or pa.types.is_large_binary(hcol.type):
+            part = (digest_prefix_u64(hcol) % np.uint64(n_parts)).astype(np.int32)
+        else:
+            part = (
+                pd.util.hash_array(
+                    hcol.to_numpy(zero_copy_only=False)
+                ).astype(np.uint64)
+                % np.uint64(n_parts)
+            ).astype(np.int32)
+        return out.append_column("__part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        df = g.select([snapshot_col, "chunk_hash", "chunk_len"]).to_pandas()
+        df = df.drop_duplicates([snapshot_col, "chunk_hash"])
+        df["in_pruned"] = df[snapshot_col].isin(pruned)
+        per_hash = df.groupby("chunk_hash", sort=False).agg(
+            l=("chunk_len", "min"), all_pruned=("in_pruned", "all")
+        )
+        freed = int(per_hash.loc[per_hash["all_pruned"], "l"].sum())
+        store = int(per_hash["l"].sum())
+        return pa.table(
+            {
+                "freed_bytes": pa.array([freed], pa.int64()),
+                "store_bytes": pa.array([store], pa.int64()),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        freed = _pc.sum(t["freed_bytes"]).as_py() or 0
+        store = _pc.sum(t["store_bytes"]).as_py() or 0
+        return pa.table(
+            {
+                "freed_bytes": pa.array([freed], pa.int64()),
+                "retained_bytes": pa.array([store - freed], pa.int64()),
+                "store_bytes": pa.array([store], pa.int64()),
+            }
+        )
+
+    return (
+        chunks_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow")
+    )

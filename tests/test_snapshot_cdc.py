@@ -447,3 +447,48 @@ def test_cdc_keep_cols_alignment(ray_session):
     out = cdc_chunks(ds, window=8, divisor=32, keep_cols=("tag",)).to_pandas()
     assert (out["tag"] == out["id"].map(lambda i: f"g{i % 2}")).all()
     assert out.groupby("id").size().min() >= 2  # multi-chunk docs exercised
+
+
+def test_prune_reclaim_superadditive(ray_session):
+    """Deleting {s1, s2} together frees the chunk they share with EACH
+    OTHER — strictly more than exclusive(s1) + exclusive(s2)."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.cdc import (
+        cdc_chunks,
+        prune_reclaim,
+        snapshot_reclaim,
+    )
+
+    rows = [
+        {"id": 1, "text": "AAAA", "snap": 0},  # kept snapshot
+        {"id": 2, "text": "XXXX", "snap": 1},  # shared ONLY between 1 and 2
+        {"id": 3, "text": "XXXX", "snap": 2},
+        {"id": 4, "text": "BBBB", "snap": 1},  # exclusive to 1
+        {"id": 5, "text": "AAAA", "snap": 2},  # pinned by snapshot 0
+    ]
+    ds = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("id", pa.int64()), ("text", pa.string()), ("snap", pa.int64())]
+            ),
+        )
+    )
+    chunks = cdc_chunks(
+        ds, window=4, divisor=2**32, hexout=False, keep_cols=("snap",)
+    ).materialize()
+    per = (
+        snapshot_reclaim(chunks, snapshot_col="snap")
+        .to_pandas()
+        .set_index("snapshot")
+    )
+    out = prune_reclaim(chunks, {1, 2}, snapshot_col="snap").to_pandas().iloc[0]
+    # per-snapshot exclusives: s1 -> B only (4), s2 -> nothing (X shared, A pinned)
+    assert per.loc[1, "exclusive_bytes"] == 4
+    assert per.loc[2, "exclusive_bytes"] == 0
+    # set prune frees B AND the intra-set-shared X: 8 > 4 + 0
+    assert out["freed_bytes"] == 8
+    assert out["retained_bytes"] == 4  # A stays (snapshot 0)
+    assert out["store_bytes"] == 12
