@@ -379,6 +379,105 @@ QUALIFY row_number() OVER (
 """
 
 
+def _tree_gen_docs(sf_dir: str, gen: int):
+    """Two document generations for the incremental-tree fixture.  All ids
+    ride at doc_id*2 (gen-stable), added docs at doc_id*2+1 (disjoint by
+    parity, collision-free at any corpus id range); changes target only
+    the repos whose digit (2*doc_id) % 10 is < 5, so higher-digit repos
+    stay CLEAN across generations and exercise the copy-forward path."""
+    import pyarrow.compute as pc
+
+    def derive(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        changed_repo = (2 * d) % 10 < 5
+        if gen == 1:
+            return pa.table(
+                {
+                    "doc_id": pc.multiply(t["doc_id"], 2),
+                    "text": t["text"],
+                    "lang": t["lang"],
+                }
+            )
+        keep = ~((d % 7 == 0) & changed_repo)
+        kept_t = t.filter(pa.array(keep))
+        kd = kept_t["doc_id"].to_numpy()
+        rewrite = (kd % 5 == 0) & ((2 * kd) % 10 < 5)
+        kept = pa.table(
+            {
+                "doc_id": pc.multiply(kept_t["doc_id"], 2),
+                "text": pc.if_else(
+                    pa.array(rewrite),
+                    pc.binary_join_element_wise(kept_t["text"], " v2", ""),
+                    kept_t["text"],
+                ),
+                "lang": kept_t["lang"],
+            }
+        )
+        added_t = t.filter(pa.array(d % 11 == 0))
+        added = pa.table(
+            {
+                "doc_id": pc.add(pc.multiply(added_t["doc_id"], 2), 1),
+                "text": pc.binary_join_element_wise(added_t["text"], " new", ""),
+                "lang": added_t["lang"],
+            }
+        )
+        return pa.concat_tables([kept, added])
+
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+
+
+def q_incremental_tree_nodes(sf_dir: str):
+    """Incremental tree update (reference repeated-backup headline at tree
+    grain, stages/tree.incremental_tree): the generation-2 node table is
+    produced by carrying clean repos' nodes forward from the generation-1
+    build verbatim and rebuilding only dirty repos — and the ORACLE is a
+    FULL rebuild over generation 2, so the gate pins the incremental
+    result byte-identical to a from-scratch build."""
+    from ..functions.hashing import hex_column
+    from ..pipelines.dedup import build_nodes
+    from ..sources.corpus import corpus_from_docs_ds
+    from ..stages.build import build_file_nodes
+    from ..stages.tree import incremental_tree
+
+    prev_nodes = build_nodes(corpus_from_docs_ds(_tree_gen_docs(sf_dir, 1)))
+    new_files = build_file_nodes(corpus_from_docs_ds(_tree_gen_docs(sf_dir, 2)))
+    nodes = incremental_tree(new_files, prev_nodes)
+    return nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "node_type": t["node_type"],
+                "size": t["size"],
+                "hash": hex_column(t["hash"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_TREE_GEN2_DOCS_SQL = """
+docs2 AS (
+  SELECT doc_id * 2 AS doc_id,
+         CASE WHEN doc_id % 5 = 0 AND (doc_id * 2) % 10 < 5
+              THEN text || ' v2' ELSE text END AS text,
+         lang
+  FROM documents
+  WHERE NOT (doc_id % 7 = 0 AND (doc_id * 2) % 10 < 5)
+  UNION ALL
+  SELECT doc_id * 2 + 1, text || ' new', lang
+  FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+SQL_INCREMENTAL_TREE_NODES = f"""
+WITH {_TREE_GEN2_DOCS_SQL.strip()}, {_nodes_cte_for(derive_corpus_sql("docs2"))}
+SELECT repo, path, node_type, size, hash FROM nodes
+"""
+
+
 def q_dup_total(sf_dir: str):
     """(n_sets, dup_bytes) — the reference's duplicated-bytes counter (A5)."""
     from ..pipelines.dedup import analyze
@@ -4932,6 +5031,7 @@ QUERIES = {
     "tree_nodes": q_tree_nodes,
     "dup_members": q_dup_members,
     "merged_dup_members": q_merged_dup_members,
+    "incremental_tree_nodes": q_incremental_tree_nodes,
     "dup_total": q_dup_total,
     "dedup_plan": q_dedup_plan,
     "dedup_execute": q_dedup_execute,
@@ -5058,6 +5158,7 @@ ORACLE_SQL = {
     "tree_nodes": SQL_TREE_NODES,
     "dup_members": SQL_DUP_MEMBERS,
     "merged_dup_members": SQL_MERGED_DUP_MEMBERS,
+    "incremental_tree_nodes": SQL_INCREMENTAL_TREE_NODES,
     "dup_total": SQL_DUP_TOTAL,
     "dedup_plan": SQL_DEDUP_PLAN,
     "dedup_execute": SQL_DEDUP_EXECUTE,

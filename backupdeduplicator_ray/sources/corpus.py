@@ -317,6 +317,14 @@ def derive_corpus_sql(documents_view: str = "documents") -> str:
     """
 
 
+def corpus_from_docs_ds(docs_ds):
+    """Derive corpus rows from an arbitrary (doc_id, text, lang) Dataset —
+    the same row-for-row derivation as `corpus_from_documents`, reusable
+    over MODIFIED document tables (the incremental-tree generation
+    fixtures)."""
+    return docs_ds.map_batches(_derive_corpus_batch, batch_format="pyarrow")
+
+
 def corpus_from_documents(sf_dir: str):
     """Ray Dataset of corpus rows derived from `{sf_dir}/documents.parquet`.
 
@@ -329,40 +337,39 @@ def corpus_from_documents(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
 
-    def derive(batch: pa.Table) -> pa.Table:
-        import numpy as np
-        import pyarrow.compute as pc
+    return ds.map_batches(_derive_corpus_batch, batch_format="pyarrow")
 
-        doc_id = batch["doc_id"].to_numpy()
-        sid = doc_id.astype(str)
-        path = pa.array(
-            [
-                f"a{i % 3}/b{i % 5}/doc_{i}.txt"
-                for i in doc_id
-            ],
+
+def _derive_corpus_batch(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    doc_id = batch["doc_id"].to_numpy()
+    path = pa.array(
+        [
+            f"a{i % 3}/b{i % 5}/doc_{i}.txt"
+            for i in doc_id
+        ],
+        pa.string(),
+    )
+    base = pa.table(
+        {
+            "repo": pa.array([f"r{i % N_REPOS}" for i in doc_id], pa.string()),
+            "path": path,
+            "commit": pa.array(["deadbeef"] * len(batch), pa.string()),
+            "lang": batch["lang"],
+            "content": pc.cast(batch["text"], pa.large_string()),
+        }
+    )
+    mmask = pa.array(doc_id % MIRROR_MOD == 0)
+    mirror = base.filter(mmask).set_column(
+        0,
+        "repo",
+        pa.array(
+            [f"mirror{i % N_REPOS}" for i in doc_id[doc_id % MIRROR_MOD == 0]],
             pa.string(),
-        )
-        base = pa.table(
-            {
-                "repo": pa.array([f"r{i % N_REPOS}" for i in doc_id], pa.string()),
-                "path": path,
-                "commit": pa.array(["deadbeef"] * len(batch), pa.string()),
-                "lang": batch["lang"],
-                "content": pc.cast(batch["text"], pa.large_string()),
-            }
-        )
-        mmask = pa.array(doc_id % MIRROR_MOD == 0)
-        mirror = base.filter(mmask).set_column(
-            0,
-            "repo",
-            pa.array(
-                [f"mirror{i % N_REPOS}" for i in doc_id[doc_id % MIRROR_MOD == 0]],
-                pa.string(),
-            ),
-        )
-        return pa.concat_tables([base, mirror])
-
-    return ds.map_batches(derive, batch_format="pyarrow")
+        ),
+    )
+    return pa.concat_tables([base, mirror])
 
 
 #: Physical-identity derivation for the hardlink operators (the

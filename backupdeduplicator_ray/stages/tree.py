@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -193,3 +194,165 @@ def _filter_depth(ds, depth: int):
 def filter_level(ds, depth: int):
     """Rows of one tree level (helper for tests)."""
     return _filter_depth(ds, depth)
+
+
+def incremental_tree(
+    new_file_nodes,
+    prev_nodes,
+    hash_config: HashConfig | None = None,
+    n_parts: int = 64,
+):
+    """Previous snapshot's FULL node table + this snapshot's FILE nodes →
+    the new full node table, rebuilding the directory chain only for
+    DIRTY repos — the reference's repeated-backup headline (load previous
+    run, skip matched entries, src/stages/build/cmd/cmd.rs:83-99) applied
+    at TREE grain: a daily snapshot touches a small fraction of repos, so
+    the tree reduce costs O(changed repos), not O(corpus).
+
+    Repo-grain dirtiness: each side reduces to one order-independent
+    u64 fingerprint per repo (wrapping sum of sha256-prefix row hashes
+    over path\\x00type\\x00size\\x00hash) via per-batch partials + ONE
+    repo-hash-routed exchange where both sides meet; a repo is dirty iff
+    its fingerprints differ or it is new.  Clean repos copy their
+    previous node rows verbatim (zero hashing, zero reduce); removed
+    repos drop out; dirty repos run the normal `build_tree` over their
+    new file rows.  The repo key sets follow the broadcast/semi-join
+    valve doctrine.
+
+    INVARIANT (oracle-pinned by the incremental_tree_nodes query): the
+    output is byte-identical to a full `build_tree` over the new
+    snapshot — fingerprint equality ⇒ identical file-row multiset ⇒
+    identical subtree (the tree is a pure function of the file rows).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.groups import filter_by_key_set
+    from ..functions.hashing import digest_prefix_u64, hash_binary_column, hex_column
+
+    algorithm = (hash_config or HashConfig()).algorithm
+
+    def row_fp_partial(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if side == "prev":
+                t = t.filter(pc.invert(pc.equal(t["node_type"], "dir")))
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "repo": pa.array([], pa.string()),
+                        "fp": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "side": pa.array([], pa.string()),
+                    }
+                )
+            ident = pc.binary_join_element_wise(
+                pc.cast(t["path"], pa.string()),
+                pc.cast(t["node_type"], pa.string()),
+                pc.cast(t["size"].cast(pa.int64()), pa.string()),
+                pc.fill_null(hex_column(t["hash"]), ""),
+                "\x00",
+            )
+            h = digest_prefix_u64(hash_binary_column(ident)).view(np.int64)
+            df = pd.DataFrame(
+                {
+                    "repo": t["repo"].to_numpy(zero_copy_only=False),
+                    "fp": h,
+                }
+            )
+            g = df.groupby("repo", sort=False).agg(
+                fp=("fp", "sum"), n=("fp", "size")
+            ).reset_index()
+            return pa.table(
+                {
+                    "repo": pa.array(g["repo"], pa.string()),
+                    "fp": pa.array(g["fp"], pa.int64()),
+                    "n": pa.array(g["n"], pa.int64()),
+                    "side": pa.array([side] * len(g), pa.string()),
+                }
+            )
+
+        return fn
+
+    def add_rpart(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            t["repo"].to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def classify(g: pa.Table) -> pa.Table:
+        df = g.select(["repo", "fp", "n", "side"]).to_pandas()
+        # combine cross-batch partials (wrapping int64 sums commute)
+        df = (
+            df.groupby(["repo", "side"], sort=False)
+            .agg(fp=("fp", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+        piv = df.pivot(index="repo", columns="side", values=["fp", "n"])
+        new_there = piv["fp"].get("new")
+        prev_there = piv["fp"].get("prev")
+        if new_there is None:  # partition holds only removed repos
+            return pa.table(
+                {"repo": pa.array([], pa.string()), "dirty": pa.array([], pa.bool_())}
+            )
+        present = new_there.notna()
+        if prev_there is None:
+            clean = pd.Series(False, index=piv.index)
+        else:
+            clean = (
+                prev_there.notna()
+                & (new_there == prev_there)
+                & (piv["n"].get("new") == piv["n"].get("prev"))
+            )
+        out = pd.DataFrame(
+            {"repo": piv.index[present], "dirty": ~clean[present].astype(bool)}
+        )
+        return pa.table(
+            {
+                "repo": pa.array(out["repo"], pa.string()),
+                "dirty": pa.array(out["dirty"], pa.bool_()),
+            }
+        )
+
+    new_files = new_file_nodes.map_batches(_conform, batch_format="pyarrow").materialize()
+    status = (
+        new_files.map_batches(row_fp_partial("new"), batch_format="pyarrow")
+        .union(prev_nodes.map_batches(row_fp_partial("prev"), batch_format="pyarrow"))
+        .map_batches(add_rpart, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(classify, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def repo_set(want_dirty: bool):
+        return status.map_batches(
+            lambda t: pa.table(
+                {
+                    "repo": t.filter(
+                        t["dirty"] if want_dirty else pc.invert(t["dirty"])
+                    )["repo"]
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    dirty, clean = repo_set(True), repo_set(False)
+
+    def key_set(ds):
+        # broadcast/semi-join valve (prepare_corpus doctrine)
+        import ray
+
+        if ds.count() <= _REPO_KEYSET_BROADCAST_LIMIT:
+            parts = [t["repo"] for t in ray.get(ds.to_arrow_refs()) if len(t)]
+            if not parts:
+                return pa.array([], pa.string())
+            return pc.unique(pa.concat_arrays([p.combine_chunks() for p in parts]))
+        return ds
+
+    carried = filter_by_key_set(prev_nodes, ["repo"], key_set(clean), keep=True)
+    dirty_files = filter_by_key_set(new_files, ["repo"], key_set(dirty), keep=True)
+    rebuilt = build_tree(dirty_files, hash_config)
+    return carried.map_batches(_conform, batch_format="pyarrow").union(rebuilt)
+
+
+_REPO_KEYSET_BROADCAST_LIMIT = 2_000_000  # repo keys broadcast below this

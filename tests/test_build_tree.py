@@ -76,3 +76,100 @@ def test_tree_invariant_under_repartition(ray_session, small_corpus_ds, oracle_n
     }
     want = {k: v["hash"] for k, v in oracle_nodes.items()}
     assert got == want
+
+
+def test_incremental_tree_matches_full_rebuild(ray_session, small_corpus_ds):
+    """incremental == from-scratch when one repo's files change."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from backupdeduplicator_ray.stages.build import build_file_nodes
+    from backupdeduplicator_ray.stages.tree import build_tree, incremental_tree
+
+    corpus1 = small_corpus_ds
+    repos = sorted(set(corpus1.to_pandas()["repo"]))
+    target = repos[0]
+
+    def mutate(t: pa.Table) -> pa.Table:
+        hit = pc.equal(t["repo"], target)
+        content = pc.if_else(
+            pc.and_(hit, pc.is_valid(t["content"])),
+            pc.binary_join_element_wise(
+                pc.cast(t["content"], pa.string()), " CHANGED", ""
+            ).cast(t["content"].type),
+            t["content"],
+        )
+        return t.set_column(t.schema.get_field_index("content"), "content", content)
+
+    corpus2 = corpus1.map_batches(mutate, batch_format="pyarrow")
+    prev = build_tree(build_file_nodes(corpus1)).materialize()
+    new_files = build_file_nodes(corpus2)
+    inc = (
+        incremental_tree(new_files, prev)
+        .to_pandas()
+        .sort_values(["repo", "path", "node_type"])
+        .reset_index(drop=True)
+    )
+    full = (
+        build_tree(build_file_nodes(corpus2))
+        .to_pandas()
+        .sort_values(["repo", "path", "node_type"])
+        .reset_index(drop=True)
+    )
+    assert inc.equals(full)
+
+
+def test_incremental_tree_copies_clean_repos_verbatim(ray_session, small_corpus_ds):
+    """Clean repos must be carried forward with ZERO recompute: a poisoned
+    directory digest planted in a clean repo's previous nodes survives to
+    the output, while the dirty repo is rebuilt (its rows are correct)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from backupdeduplicator_ray.stages.build import build_file_nodes
+    from backupdeduplicator_ray.stages.tree import build_tree, incremental_tree
+
+    corpus1 = small_corpus_ds
+    repos = sorted(set(corpus1.to_pandas()["repo"]))
+    dirty_repo, clean_repo = repos[0], repos[1]
+
+    def mutate(t: pa.Table) -> pa.Table:
+        hit = pc.equal(t["repo"], dirty_repo)
+        content = pc.if_else(
+            pc.and_(hit, pc.is_valid(t["content"])),
+            pc.binary_join_element_wise(
+                pc.cast(t["content"], pa.string()), " CHANGED", ""
+            ).cast(t["content"].type),
+            t["content"],
+        )
+        return t.set_column(t.schema.get_field_index("content"), "content", content)
+
+    poison = b"\xde\xad" * 16
+
+    def poison_clean_root(t: pa.Table) -> pa.Table:
+        hit = pc.and_(
+            pc.and_(pc.equal(t["repo"], clean_repo), pc.equal(t["path"], "")),
+            pc.equal(t["node_type"], "dir"),
+        )
+        h = pc.if_else(hit, pa.scalar(poison, pa.binary()), t["hash"])
+        return t.set_column(t.schema.get_field_index("hash"), "hash", h)
+
+    prev = (
+        build_tree(build_file_nodes(corpus1))
+        .map_batches(poison_clean_root, batch_format="pyarrow")
+        .materialize()
+    )
+    out = incremental_tree(
+        build_file_nodes(corpus1.map_batches(mutate, batch_format="pyarrow")), prev
+    ).to_pandas()
+    root = out[(out["repo"] == clean_repo) & (out["path"] == "") & (out["node_type"] == "dir")]
+    assert len(root) == 1 and root.iloc[0]["hash"] == poison  # carried, not rebuilt
+    # the dirty repo WAS rebuilt: its files carry the new content hashes
+    full = build_tree(
+        build_file_nodes(corpus1.map_batches(mutate, batch_format="pyarrow"))
+    ).to_pandas()
+    d_inc = out[out["repo"] == dirty_repo].sort_values(["path", "node_type"]).reset_index(drop=True)
+    d_full = full[full["repo"] == dirty_repo].sort_values(["path", "node_type"]).reset_index(drop=True)
+    assert d_inc.equals(d_full)
