@@ -100,3 +100,30 @@ def merge_snapshots(snapshots):
     for ds in tagged[1:]:
         out = out.union(ds)
     return out
+
+
+def incremental_analyze(corpus_ds, prev_nodes, prev_files=None, config: PipelineConfig | None = None):
+    """Repeated-backup end-to-end (the reference's actual daily loop,
+    src/stages/build/cmd/cmd.rs:83-99 + analyze): against the previous
+    run's persisted node table,
+
+      1. re-hash ONLY cache-miss files — `incremental_file_nodes` (ST1)
+         when `prev_files` (PREV_COLUMNS: repo, path, size, hash, commit)
+         is supplied; hits reuse the stored hash without reading content;
+      2. re-reduce ONLY dirty repos — `incremental_tree` carries clean
+         repos' directory nodes forward verbatim;
+      3. emit minimal duplicate sets over the merged node table.
+
+    INVARIANT (oracle-pinned by incremental_dup_members): output equals a
+    full from-scratch analyze of the new snapshot.
+    """
+    from ..stages.incremental import incremental_file_nodes
+    from ..stages.tree import incremental_tree
+
+    config = config or PipelineConfig()
+    if prev_files is not None:
+        files = incremental_file_nodes(corpus_ds, prev_files, config.hash)
+    else:
+        files = build_file_nodes(corpus_ds, config.hash, batch_size=config.batch_size)
+    nodes = incremental_tree(files, prev_nodes, config.hash)
+    return dup_members(nodes)

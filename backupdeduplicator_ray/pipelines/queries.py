@@ -458,6 +458,35 @@ def q_incremental_tree_nodes(sf_dir: str):
     )
 
 
+def q_incremental_dup_members(sf_dir: str):
+    """The COMPOSED repeated-backup flow (pipelines/dedup.
+    incremental_analyze): generation 2 is analyzed by re-hashing only
+    cache-miss files (ST1 — every gen-2 text change also changes size, so
+    the commit+size hit criteria are sound on this fixture), re-reducing
+    only dirty repos, and emitting minimal dup sets.  ORACLE = the full
+    from-scratch dup-members SQL over generation 2."""
+    from ..pipelines.dedup import build_nodes, incremental_analyze
+    from ..sources.corpus import corpus_from_docs_ds
+
+    prev_nodes = build_nodes(corpus_from_docs_ds(_tree_gen_docs(sf_dir, 1))).materialize()
+
+    def to_prev_files(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.invert(pc.equal(t["node_type"], "dir")))
+        return pa.table(
+            {
+                "repo": f["repo"],
+                "path": f["path"],
+                "size": f["size"],
+                "hash": f["hash"],
+                "commit": pa.array(["deadbeef"] * len(f), pa.string()),
+            }
+        )
+
+    prev_files = prev_nodes.map_batches(to_prev_files, batch_format="pyarrow")
+    corpus2 = corpus_from_docs_ds(_tree_gen_docs(sf_dir, 2))
+    return incremental_analyze(corpus2, prev_nodes, prev_files=prev_files)
+
+
 _TREE_GEN2_DOCS_SQL = """
 docs2 AS (
   SELECT doc_id * 2 AS doc_id,
@@ -475,6 +504,15 @@ docs2 AS (
 SQL_INCREMENTAL_TREE_NODES = f"""
 WITH {_TREE_GEN2_DOCS_SQL.strip()}, {_nodes_cte_for(derive_corpus_sql("docs2"))}
 SELECT repo, path, node_type, size, hash FROM nodes
+"""
+
+SQL_INCREMENTAL_DUP_MEMBERS = f"""
+WITH {_TREE_GEN2_DOCS_SQL.strip()}, {_nodes_cte_for(derive_corpus_sql("docs2"))}, {_SETS_CTE}
+SELECT m.hash, m.node_type AS ftype, m.size, m.repo, m.path
+FROM members m JOIN sets s ON m.hash = s.hash AND m.node_type = s.ftype AND m.size = s.size
+QUALIFY row_number() OVER (
+  PARTITION BY m.hash, m.node_type, m.size ORDER BY m.repo, m.path
+) <= {_MAX_SET}
 """
 
 
@@ -5032,6 +5070,7 @@ QUERIES = {
     "dup_members": q_dup_members,
     "merged_dup_members": q_merged_dup_members,
     "incremental_tree_nodes": q_incremental_tree_nodes,
+    "incremental_dup_members": q_incremental_dup_members,
     "dup_total": q_dup_total,
     "dedup_plan": q_dedup_plan,
     "dedup_execute": q_dedup_execute,
@@ -5159,6 +5198,7 @@ ORACLE_SQL = {
     "dup_members": SQL_DUP_MEMBERS,
     "merged_dup_members": SQL_MERGED_DUP_MEMBERS,
     "incremental_tree_nodes": SQL_INCREMENTAL_TREE_NODES,
+    "incremental_dup_members": SQL_INCREMENTAL_DUP_MEMBERS,
     "dup_total": SQL_DUP_TOTAL,
     "dedup_plan": SQL_DEDUP_PLAN,
     "dedup_execute": SQL_DEDUP_EXECUTE,
