@@ -32,6 +32,7 @@ from .build import build_file_nodes
 PREV_COLUMNS = ["repo", "path", "size", "hash", "commit"]
 
 _MISS_BROADCAST_LIMIT = 2_000_000  # miss keys broadcast below this, semi-join above
+_PREV_BROADCAST_LIMIT = 5_000_000  # previous-run rows broadcast-resolved below this
 
 
 def _fused_key(t: pa.Table) -> pa.Array:
@@ -95,11 +96,52 @@ def incremental_file_nodes(
         )
 
     meta = corpus_ds.map_batches(meta_side, batch_format="pyarrow").materialize()
-    prev = prev_nodes_ds.map_batches(prev_side, batch_format="pyarrow")
+    prev = prev_nodes_ds.map_batches(prev_side, batch_format="pyarrow").materialize()
     n_parts = _parts_for_rows(meta.count())
-    resolved = partitioned_hash_join(
-        meta, prev, "__key", n_parts=n_parts, how="left"
-    ).materialize()
+    n_prev = prev.count()
+    if n_prev <= _PREV_BROADCAST_LIMIT:
+        # broadcast resolve (the fast path at any single-node scale, and
+        # the measured 5x win at 408k files): the previous run's lean
+        # (key, tag, hash) rows ship ONCE via ray.put as Arrow arrays
+        # (zero-copy out of plasma) and each batch resolves with one C++
+        # hash lookup (pc.index_in) + two takes — no exchange at all.
+        # Above the valve the partitioned left join is the 10^12 route.
+        import ray
+
+        blocks = [t for t in ray.get(prev.to_arrow_refs()) if t.num_rows]
+        ptbl = (
+            pa.concat_tables(blocks, promote_options="default").combine_chunks()
+            if blocks
+            else pa.table(
+                {
+                    "__key": pa.array([], pa.string()),
+                    "prev_tag": pa.array([], pa.string()),
+                    "prev_hash": pa.array([], pa.binary()),
+                }
+            )
+        )
+        ref = ray.put(
+            (
+                ptbl["__key"].combine_chunks(),
+                ptbl["prev_tag"].combine_chunks(),
+                ptbl["prev_hash"].combine_chunks(),
+            )
+        )
+
+        def resolve(t: pa.Table) -> pa.Table:
+            keys, tags, hashes = ray.get(ref)
+            idx = pc.index_in(t["__key"], value_set=keys)
+            # Arrow take propagates null indices to null outputs — misses
+            # come out as null prev_tag/prev_hash exactly like the left join
+            return t.append_column("prev_tag", tags.take(idx)).append_column(
+                "prev_hash", hashes.take(idx)
+            )
+
+        resolved = meta.map_batches(resolve, batch_format="pyarrow").materialize()
+    else:
+        resolved = partitioned_hash_join(
+            meta, prev, "__key", n_parts=n_parts, how="left"
+        ).materialize()
 
     def _hit_mask(t: pa.Table):
         # a hit needs tag equality AND a stored hash: unreadable/'other'

@@ -201,6 +201,7 @@ def incremental_tree(
     prev_nodes,
     hash_config: HashConfig | None = None,
     n_parts: int = 64,
+    distributed: bool = False,
 ):
     """Previous snapshot's FULL node table + this snapshot's FILE nodes →
     the new full node table, rebuilding the directory chain only for
@@ -315,14 +316,40 @@ def incremental_tree(
         )
 
     new_files = new_file_nodes.map_batches(_conform, batch_format="pyarrow").materialize()
-    status = (
+    partials = (
         new_files.map_batches(row_fp_partial("new"), batch_format="pyarrow")
         .union(prev_nodes.map_batches(row_fp_partial("prev"), batch_format="pyarrow"))
-        .map_batches(add_rpart, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(classify, batch_format="pyarrow")
         .materialize()
     )
+    if partials.count() <= _STATUS_DRIVER_LIMIT and not distributed:
+        # partial rows are (repo, fp, n, side) — bounded by repos x blocks,
+        # tiny next to the corpus; one driver pandas combine replaces a
+        # whole all-to-all (measured ~10x on the 408k corpus, where the
+        # groupby's fixed exchange cost dwarfed the control-data volume)
+        import ray
+        import ray.data
+
+        blocks = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+        tbl = (
+            pa.concat_tables(blocks, promote_options="default")
+            if blocks
+            else pa.table(
+                {
+                    "repo": pa.array([], pa.string()),
+                    "fp": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.string()),
+                }
+            )
+        )
+        status = ray.data.from_arrow(classify(tbl))
+    else:
+        status = (
+            partials.map_batches(add_rpart, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(classify, batch_format="pyarrow")
+            .materialize()
+        )
 
     def repo_set(want_dirty: bool):
         return status.map_batches(
@@ -342,7 +369,7 @@ def incremental_tree(
         # broadcast/semi-join valve (prepare_corpus doctrine)
         import ray
 
-        if ds.count() <= _REPO_KEYSET_BROADCAST_LIMIT:
+        if ds.count() <= _REPO_KEYSET_BROADCAST_LIMIT and not distributed:
             parts = [t["repo"] for t in ray.get(ds.to_arrow_refs()) if len(t)]
             if not parts:
                 return pa.array([], pa.string())
@@ -356,3 +383,4 @@ def incremental_tree(
 
 
 _REPO_KEYSET_BROADCAST_LIMIT = 2_000_000  # repo keys broadcast below this
+_STATUS_DRIVER_LIMIT = 2_000_000  # fingerprint partial rows combined driver-side below this

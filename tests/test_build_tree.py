@@ -173,3 +173,39 @@ def test_incremental_tree_copies_clean_repos_verbatim(ray_session, small_corpus_
     d_inc = out[out["repo"] == dirty_repo].sort_values(["path", "node_type"]).reset_index(drop=True)
     d_full = full[full["repo"] == dirty_repo].sort_values(["path", "node_type"]).reset_index(drop=True)
     assert d_inc.equals(d_full)
+
+
+def test_incremental_tree_distributed_parity(ray_session, small_corpus_ds):
+    """Forced distributed status/key-set route == driver-combine route."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from backupdeduplicator_ray.stages.build import build_file_nodes
+    from backupdeduplicator_ray.stages.tree import build_tree, incremental_tree
+
+    corpus1 = small_corpus_ds
+    target = sorted(set(corpus1.to_pandas()["repo"]))[0]
+
+    def mutate(t: pa.Table) -> pa.Table:
+        hit = pc.equal(t["repo"], target)
+        content = pc.if_else(
+            pc.and_(hit, pc.is_valid(t["content"])),
+            pc.binary_join_element_wise(
+                pc.cast(t["content"], pa.string()), " CHANGED", ""
+            ).cast(t["content"].type),
+            t["content"],
+        )
+        return t.set_column(t.schema.get_field_index("content"), "content", content)
+
+    prev = build_tree(build_file_nodes(corpus1)).materialize()
+    new_files = build_file_nodes(corpus1.map_batches(mutate, batch_format="pyarrow")).materialize()
+
+    def run(dist):
+        return (
+            incremental_tree(new_files, prev, distributed=dist)
+            .to_pandas()
+            .sort_values(["repo", "path", "node_type"])
+            .reset_index(drop=True)
+        )
+
+    assert run(False).equals(run(True))
