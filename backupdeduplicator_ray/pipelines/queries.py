@@ -1496,6 +1496,42 @@ FROM sc JOIN ns USING (chunk_hash) GROUP BY 1
 SQL_SNAPSHOT_RECLAIM = _sql_snapshot_reclaim()
 
 
+def q_content_lifetimes(sf_dir: str):
+    """Per-content provenance across the 3-generation fixture
+    (stages/snapshot.content_lifetimes): for every distinct text content,
+    the first and last generation where it appears and how many
+    generations reference it."""
+    from ..functions.hashing import hash_binary_column
+    from ..stages.snapshot import content_lifetimes
+
+    def rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        return pa.table(
+            {"snap": t["snap"], "hash": hash_binary_column(t["text"])}
+        )
+
+    gens = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _reclaim_gens, batch_format="pyarrow"
+    )
+    return content_lifetimes(gens.map_batches(rows, batch_format="pyarrow"))
+
+
+def _sql_content_lifetimes() -> str:
+    gen_body = _RECLAIM_GEN_SQL.strip().rstrip(",")
+    return f"""
+WITH {gen_body}
+SELECT sha256(text) AS hash,
+       CAST(min(snap) AS BIGINT) AS first_seen,
+       CAST(max(snap) AS BIGINT) AS last_seen,
+       CAST(count(DISTINCT snap) AS BIGINT) AS n_snapshots
+FROM (
+  SELECT text,
+         CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS BIGINT) AS snap
+  FROM gen WHERE text IS NOT NULL
+) GROUP BY 1
+"""
+
+
 _PRUNE_SET = (1, 2)  # delete the two newer generations, keep snapshot 0
 
 
@@ -5087,6 +5123,7 @@ QUERIES = {
     "cdc_delta": q_cdc_delta,
     "snapshot_reclaim": q_snapshot_reclaim,
     "prune_reclaim": q_prune_reclaim,
+    "content_lifetimes": q_content_lifetimes,
     "archive_roundtrip": q_archive_roundtrip,
     "archive_dedup_members": q_archive_dedup_members,
     "token_stats": q_token_stats,
@@ -5214,6 +5251,7 @@ ORACLE_SQL = {
     "cdc_delta": SQL_CDC_DELTA,
     "snapshot_reclaim": SQL_SNAPSHOT_RECLAIM,
     "prune_reclaim": _sql_prune_reclaim(),
+    "content_lifetimes": _sql_content_lifetimes(),
     "archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
     "archive_dedup_members": SQL_ARCHIVE_DEDUP_MEMBERS,
     "token_stats": SQL_TOKEN_STATS,

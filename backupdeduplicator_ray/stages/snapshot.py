@@ -262,3 +262,73 @@ def snapshot_diff_stats(diff_ds):
         )
 
     return partials.repartition(1).map_batches(reduce_all, batch_format="pyarrow")
+
+
+def content_lifetimes(rows_ds, snapshot_col: str = "snap", hash_col: str = "hash", n_parts: int = 64):
+    """(snapshot, content-hash) rows across N backup generations → one row
+    per distinct content: first_seen, last_seen, n_snapshots — the
+    provenance view a retention audit asks for ("when did this content
+    appear, is it still live, how persistent is it").  Complements
+    snapshot_diff (two generations, per path) with an N-generation
+    per-CONTENT timeline.
+
+    Scale shape (the snapshot_reclaim doctrine): per-batch partial
+    collapse on (snapshot, hash), ONE exchange routed on a u64 prefix of
+    the hash co-locates every generation's row of a content, a vectorized
+    kernel finishes min/max/distinct — no driver state, no full sort.
+    Accepts binary (internal) or hex-string hash columns; output carries
+    the hash in hex (the output/oracle boundary form).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import digest_prefix_u64, hex_column
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[hash_col]))
+        hcol = t[hash_col].combine_chunks()
+        if pa.types.is_binary(hcol.type) or pa.types.is_large_binary(hcol.type):
+            hx = hex_column(hcol)
+        else:
+            hx = hcol.cast(pa.string())
+        df = pd.DataFrame(
+            {
+                "hash": hx.to_numpy(zero_copy_only=False),
+                "snap": t[snapshot_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.drop_duplicates(["hash", "snap"])
+        out = pa.table(
+            {
+                "hash": pa.array(g["hash"], pa.string()),
+                "snap": pa.array(g["snap"], pa.int64()),
+            }
+        )
+        part = (
+            pd.util.hash_array(g["hash"].to_numpy()).astype(np.uint64)
+            % np.uint64(n_parts)
+        ).astype(np.int32)
+        return out.append_column("__part", pa.array(part))
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.select(["hash", "snap"]).to_pandas().drop_duplicates(["hash", "snap"])
+        agg = (
+            df.groupby("hash", sort=False)["snap"]
+            .agg(first_seen="min", last_seen="max", n_snapshots="nunique")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "hash": pa.array(agg["hash"], pa.string()),
+                "first_seen": pa.array(agg["first_seen"], pa.int64()),
+                "last_seen": pa.array(agg["last_seen"], pa.int64()),
+                "n_snapshots": pa.array(agg["n_snapshots"], pa.int64()),
+            }
+        )
+
+    return (
+        rows_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -492,3 +492,37 @@ def test_prune_reclaim_superadditive(ray_session):
     assert out["freed_bytes"] == 8
     assert out["retained_bytes"] == 4  # A stays (snapshot 0)
     assert out["store_bytes"] == 12
+
+
+def test_content_lifetimes_hand_computed(ray_session):
+    """A=snaps{0,2}, B=snap{1} only, C=all three."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.snapshot import content_lifetimes
+
+    rows = [
+        {"snap": 0, "hash": b"A"},
+        {"snap": 2, "hash": b"A"},
+        {"snap": 1, "hash": b"B"},
+        {"snap": 0, "hash": b"C"},
+        {"snap": 1, "hash": b"C"},
+        {"snap": 1, "hash": b"C"},  # duplicate reference, same snap
+        {"snap": 2, "hash": b"C"},
+        {"snap": 1, "hash": None},  # null content: no identity, dropped
+    ]
+    ds = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            rows, schema=pa.schema([("snap", pa.int64()), ("hash", pa.binary())])
+        )
+    )
+    out = (
+        content_lifetimes(ds)
+        .to_pandas()
+        .sort_values("hash")
+        .reset_index(drop=True)
+    )
+    assert list(out["hash"]) == ["41", "42", "43"]  # hex of A, B, C
+    assert list(out["first_seen"]) == [0, 1, 0]
+    assert list(out["last_seen"]) == [2, 1, 2]
+    assert list(out["n_snapshots"]) == [2, 1, 3]
