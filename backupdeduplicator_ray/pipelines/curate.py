@@ -400,3 +400,93 @@ def update_corpus(
     else:
         kept = filter_by_key_set(survivors, [id_col], matched, keep=False)
     return kept.map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")
+
+
+def keep_best_drops(
+    clusters,
+    scores,
+    score_col: str = "score",
+    n_parts: int = 64,
+):
+    """Quality-aware dedup policy: per near-dup cluster keep the member
+    with the HIGHEST score (ties broken by min id — deterministic), drop
+    the rest.  `near_dedup_drops` keeps the min-id member, which is the
+    right parity-with-reference default but throws away the curation
+    signal; real pipelines keep the longest / highest-quality copy.
+
+    clusters: (id, cluster_id, ...) Dataset (any cluster pipeline output —
+    minhash_clusters, simhash_clusters; singletons need no rows).
+    scores:   (id, score_col) Dataset over the corpus.
+
+    Output: (doc_id, cluster_id, kept_id) — one row per DROPPED member,
+    naming its cluster's kept representative.
+
+    Scale shape: cluster membership is the small side by construction
+    (bounded by dup density), so the score join is one partitioned hash
+    join on id; members then co-locate by hash(cluster_id) % B and a
+    vectorized per-partition kernel picks each cluster's argmax.  No
+    driver state.
+    """
+    import pyarrow.compute as pc
+
+    from ..state.joins import partitioned_hash_join
+    from ..stages.neardup import hash_doc_ids
+
+    c_lean = clusters.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["id"].cast(pa.string()),
+                "cluster_id": t["cluster_id"].cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    s_lean = scores.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["id"].cast(pa.string()),
+                "score": pc.cast(t[score_col], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = partitioned_hash_join(c_lean, s_lean, "id", n_parts=n_parts)
+
+    def add_cpart(t: pa.Table) -> pa.Table:
+        h = hash_doc_ids(t["cluster_id"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "__part", pa.array((h % np.int64(n_parts)).astype(np.int32))
+        )
+
+    _OUT = pa.schema(
+        [("doc_id", pa.string()), ("cluster_id", pa.string()), ("kept_id", pa.string())]
+    )
+
+    def pick(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.Table.from_pylist([], schema=_OUT)
+        df = g.select(["cluster_id", "id", "score"]).to_pandas()
+        # argmax score per cluster, ties -> lexicographically smallest id
+        df = df.sort_values(
+            ["cluster_id", "score", "id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        first = ~df["cluster_id"].duplicated(keep="first")
+        kept_of = dict(zip(df.loc[first, "cluster_id"], df.loc[first, "id"]))
+        drops = df[~first]
+        return pa.table(
+            {
+                "doc_id": pa.array(drops["id"], pa.string()),
+                "cluster_id": pa.array(drops["cluster_id"], pa.string()),
+                "kept_id": pa.array(
+                    [kept_of[c] for c in drops["cluster_id"]], pa.string()
+                ),
+            }
+        )
+
+    return (
+        j.map_batches(add_cpart, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pick, batch_format="pyarrow")
+    )

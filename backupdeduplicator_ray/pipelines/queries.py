@@ -3103,6 +3103,30 @@ def q_update_corpus(sf_dir: str):
     )
 
 
+def q_near_dedup_best(sf_dir: str):
+    """Quality-aware near-dedup policy (pipelines/curate.keep_best_drops):
+    each MinHash cluster keeps its LONGEST member (n_chars, ties -> min
+    id) instead of the min-id member; output lists every dropped member
+    with the kept representative."""
+    from ..config import MinHashConfig
+    from ..pipelines.curate import keep_best_drops
+    from ..stages.neardup import minhash_clusters
+
+    clusters = minhash_clusters(
+        _docs(sf_dir, ["doc_id", "text"]),
+        cfg=MinHashConfig(**_MINSIG_CFG_KW),
+        id_col="doc_id",
+        text_col="text",
+    )
+    scores = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table(
+            {"id": t["doc_id"].cast(pa.string()), "score": t["n_chars"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return keep_best_drops(clusters, scores)
+
+
 def q_minhash_signatures(sf_dir: str):
     """MinHash signatures exploded to (doc_id, perm, sig_hex) — ORACLE-
     verified: the SQL rebuilds crc32→splitmix64→shingle-roll→min-over-perms
@@ -3373,6 +3397,26 @@ WHERE asg.id IS NULL""",
             + ") WHERE id <> cluster_id"
         ),
         "prepare_corpus": _prepare_corpus_sql(oh, a, b, mh_cfg),
+        # near_dedup_best: the cluster oracle joined to n_chars; per
+        # cluster keep the longest (ties -> min id), list the drops
+        "near_dedup_best": (
+            """
+SELECT doc_id, cluster_id, kept_id FROM (
+  SELECT m.id AS doc_id, m.cluster_id,
+         first_value(m.id) OVER (
+           PARTITION BY m.cluster_id ORDER BY d.n_chars DESC, m.id
+         ) AS kept_id,
+         row_number() OVER (
+           PARTITION BY m.cluster_id ORDER BY d.n_chars DESC, m.id
+         ) AS rn
+  FROM ("""
+            + oh.minhash_clusters_sql(
+                mh_cfg.shingle_k, a, b, mh_cfg.bands, mh_cfg.verify_threshold
+            )
+            + """) m JOIN documents d ON CAST(d.doc_id AS VARCHAR) = m.id
+) WHERE rn > 1
+"""
+        ),
     }
 
 
@@ -5162,6 +5206,7 @@ QUERIES = {
     "minhash_assign": q_minhash_assign,
     "simhash_assign": q_simhash_assign,
     "update_corpus": q_update_corpus,
+    "near_dedup_best": q_near_dedup_best,
     "minhash_signatures": q_minhash_signatures,
     "simhash_clusters": q_simhash_clusters,
     "simhash_fingerprints": q_simhash_fingerprints,

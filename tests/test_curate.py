@@ -48,3 +48,45 @@ def test_prepare_corpus_drop_routes_identical():
     dist = _run(distributed=True)
     assert len(bcast) > 0  # a vacuous parity proves nothing
     pd.testing.assert_frame_equal(bcast, dist)
+
+
+def test_keep_best_drops_hand_computed(ray_session):
+    """Cluster c keeps its highest-score member; score ties break to the
+    lexicographically smallest id; singleton clusters never emit rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.pipelines.curate import keep_best_drops
+
+    clusters = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [
+                {"id": "a", "cluster_id": "a"},
+                {"id": "b", "cluster_id": "a"},
+                {"id": "c", "cluster_id": "a"},
+                {"id": "x", "cluster_id": "x"},
+                {"id": "y", "cluster_id": "x"},
+            ],
+            schema=pa.schema([("id", pa.string()), ("cluster_id", pa.string())]),
+        )
+    )
+    scores = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [
+                {"id": "a", "score": 1.0},
+                {"id": "b", "score": 9.0},  # winner of cluster a
+                {"id": "c", "score": 9.0},  # tie: 'b' < 'c' -> b kept
+                {"id": "x", "score": 5.0},
+                {"id": "y", "score": 7.0},  # winner of cluster x
+            ],
+            schema=pa.schema([("id", pa.string()), ("score", pa.float64())]),
+        )
+    )
+    out = (
+        keep_best_drops(clusters, scores)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == ["a", "c", "x"]
+    assert list(out["kept_id"]) == ["b", "b", "y"]
