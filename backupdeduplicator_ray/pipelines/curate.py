@@ -416,7 +416,9 @@ def keep_best_drops(
 
     clusters: (id, cluster_id, ...) Dataset (any cluster pipeline output —
     minhash_clusters, simhash_clusters; singletons need no rows).
-    scores:   (id, score_col) Dataset over the corpus.
+    scores:   (id, score_col) Dataset over the corpus.  CONTRACT: scores
+    must cover every cluster member — the score join is inner, so an
+    unscored member silently leaves the policy (neither kept nor listed).
 
     Output: (doc_id, cluster_id, kept_id) — one row per DROPPED member,
     naming its cluster's kept representative.
