@@ -379,6 +379,55 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_scrub_mismatches(sf_dir: str):
+    """Integrity scrub (stages/clean.verify_integrity — borg/restic
+    `check` semantics): the stored node table was built over the pristine
+    corpus; the live corpus has every doc_id % 17 == 0 document corrupted
+    by one appended byte; the scrub re-hashes and reports exactly those
+    rows (base + mirror copies)."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.dedup import build_nodes
+    from ..sources.corpus import corpus_from_docs_ds
+    from ..stages.clean import verify_integrity
+
+    stored = build_nodes(corpus_from_documents(sf_dir))
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        hit = pa.array(d % 17 == 0)
+        text = pc.if_else(
+            pc.and_(hit, pc.is_valid(t["text"])),
+            pc.binary_join_element_wise(t["text"], "X", ""),
+            t["text"],
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", text)
+
+    live = corpus_from_docs_ds(
+        _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+            corrupt, batch_format="pyarrow"
+        )
+    )
+    return verify_integrity(live, stored)
+
+
+SQL_SCRUB_MISMATCHES = f"""
+WITH c0 AS ({derive_corpus_sql("documents")}),
+dc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || 'X' ELSE text END AS text,
+         lang
+  FROM documents
+),
+c1 AS ({derive_corpus_sql("dc")})
+SELECT c0.repo, c0.path, sha256(c0.content) AS stored_hash,
+       sha256(c1.content) AS actual_hash
+FROM c0 JOIN c1 USING (repo, path)
+WHERE c0.content IS NOT NULL AND c1.content IS NOT NULL
+  AND sha256(c0.content) <> sha256(c1.content)
+"""
+
+
 def _tree_gen_docs(sf_dir: str, gen: int):
     """Two document generations for the incremental-tree fixture.  All ids
     ride at doc_id*2 (gen-stable), added docs at doc_id*2+1 (disjoint by
@@ -5151,6 +5200,7 @@ QUERIES = {
     "merged_dup_members": q_merged_dup_members,
     "incremental_tree_nodes": q_incremental_tree_nodes,
     "incremental_dup_members": q_incremental_dup_members,
+    "scrub_mismatches": q_scrub_mismatches,
     "dup_total": q_dup_total,
     "dedup_plan": q_dedup_plan,
     "dedup_execute": q_dedup_execute,
@@ -5281,6 +5331,7 @@ ORACLE_SQL = {
     "merged_dup_members": SQL_MERGED_DUP_MEMBERS,
     "incremental_tree_nodes": SQL_INCREMENTAL_TREE_NODES,
     "incremental_dup_members": SQL_INCREMENTAL_DUP_MEMBERS,
+    "scrub_mismatches": SQL_SCRUB_MISMATCHES,
     "dup_total": SQL_DUP_TOTAL,
     "dedup_plan": SQL_DEDUP_PLAN,
     "dedup_execute": SQL_DEDUP_EXECUTE,

@@ -118,3 +118,69 @@ def clean(nodes_ds, snapshot_ds=None, index_col: str = "file_index"):
     if snapshot_ds is not None:
         out = liveness_filter(out, snapshot_ds)
     return out
+
+
+def verify_integrity(corpus_ds, stored_nodes, hash_config=None, n_parts: int = 64):
+    """Integrity scrub (borg/restic `check` semantics — the maintenance
+    sibling of `clean` the reference's append-only store would need next):
+    re-hash the current content and report every file whose stored hash
+    no longer matches — bit rot, tampering, or a torn write.
+
+    corpus_ds:    current (repo, path, content) rows.
+    stored_nodes: the persisted node table (file rows used; dir rows and
+                  null-hash 'other' rows are skipped — no content to
+                  verify).
+
+    Output: (repo, path, stored_hash, actual_hash) hex, one row per
+    mismatch; an intact store yields zero rows.  Paths present on only
+    one side are NOT reported (that is snapshot_diff's job — scrub checks
+    integrity of what both sides claim to share).
+
+    Scale shape: both sides reduce to lean (fused key, hash) rows before
+    ONE partitioned hash join; the comparison is a per-batch Arrow
+    equality.  The expensive leg is the re-hash itself — exactly the cost
+    any integrity check must pay once per byte.
+    """
+    import pyarrow.compute as pc
+
+    from ..config import HashConfig
+    from ..functions.hashing import hash_binary_column, hex_column
+    from ..state.joins import partitioned_hash_join
+
+    algorithm = (hash_config or HashConfig()).algorithm
+
+    def actual_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["content"]))
+        return pa.table(
+            {
+                "__key": _fuse_cols(t, ["repo", "path"]),
+                "actual_hash": hex_column(
+                    hash_binary_column(t["content"], algorithm)
+                ),
+            }
+        )
+
+    def stored_side(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(pc.equal(t["node_type"], "dir")), pc.is_valid(t["hash"])
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "__key": _fuse_cols(t, ["repo", "path"]),
+                "repo": t["repo"].cast(pa.string()),
+                "path": t["path"].cast(pa.string()),
+                "stored_hash": hex_column(t["hash"]),
+            }
+        )
+
+    actual = corpus_ds.map_batches(actual_side, batch_format="pyarrow").materialize()
+    stored = stored_nodes.map_batches(stored_side, batch_format="pyarrow").materialize()
+    j = partitioned_hash_join(stored, actual, "__key", n_parts=n_parts)
+
+    def mism(t: pa.Table) -> pa.Table:
+        bad = pc.invert(pc.equal(t["stored_hash"], t["actual_hash"]))
+        t = t.filter(pc.fill_null(bad, False))
+        return t.select(["repo", "path", "stored_hash", "actual_hash"])
+
+    return j.map_batches(mism, batch_format="pyarrow")

@@ -297,3 +297,55 @@ def test_media_frames_oracle_parity_non_ascii(ray_session):
         """
     ).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_verify_integrity_scrub(ray_session, small_corpus_ds):
+    """Intact store -> zero mismatch rows; a planted corruption is
+    reported with both hashes; one-sided paths are NOT reported."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from backupdeduplicator_ray.pipelines.dedup import build_nodes
+    from backupdeduplicator_ray.stages.clean import verify_integrity
+
+    corpus = small_corpus_ds
+    stored = build_nodes(corpus).materialize()
+    assert verify_integrity(corpus, stored).count() == 0
+
+    victim = corpus.take(1)[0]
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        hit = pc.and_(
+            pc.equal(t["repo"], victim["repo"]), pc.equal(t["path"], victim["path"])
+        )
+        content = pc.if_else(
+            pc.and_(hit, pc.is_valid(t["content"])),
+            pc.binary_join_element_wise(
+                pc.cast(t["content"], pa.string()), "!", ""
+            ).cast(t["content"].type),
+            t["content"],
+        )
+        return t.set_column(t.schema.get_field_index("content"), "content", content)
+
+    out = verify_integrity(
+        corpus.map_batches(corrupt, batch_format="pyarrow"), stored
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["repo"] == victim["repo"] and out.iloc[0]["path"] == victim["path"]
+    assert out.iloc[0]["stored_hash"] != out.iloc[0]["actual_hash"]
+
+    # a path removed from the live side is snapshot_diff's job, not scrub's
+    def drop_victim(t: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.and_(
+                pc.equal(t["repo"], victim["repo"]), pc.equal(t["path"], victim["path"])
+            )
+        )
+        return t.filter(keep)
+
+    assert (
+        verify_integrity(
+            corpus.map_batches(drop_victim, batch_format="pyarrow"), stored
+        ).count()
+        == 0
+    )
