@@ -1581,6 +1581,48 @@ FROM (
 """
 
 
+def q_retention_curve(sf_dir: str):
+    """Prefix-prune policy curve over the 3-generation chunk store
+    (stages/cdc.retention_curve): per snapshot k, the bytes expiring at k
+    (chunks last seen in k) and the cumulative bytes freed by deleting
+    every snapshot <= k."""
+    from ..stages.cdc import cdc_chunks, retention_curve
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _reclaim_gens, batch_format="pyarrow"
+    )
+    chunks = cdc_chunks(
+        docs,
+        window=_CDC_WINDOW,
+        divisor=_CDC_DIVISOR,
+        id_col="doc_id",
+        text_col="text",
+        hexout=False,
+        keep_cols=("snap",),
+    )
+    return retention_curve(chunks, snapshot_col="snap")
+
+
+def _sql_retention_curve() -> str:
+    from .oracle_hashes import cdc_prelude_sql
+
+    return cdc_prelude_sql(
+        _CDC_WINDOW, _CDC_DIVISOR, doc_table="gen", prelude=_RECLAIM_GEN_SQL
+    ) + """
+, ph AS (
+  SELECT chunk_hash,
+         max(CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS BIGINT))
+           AS last_seen,
+         min(chunk_len) AS l
+  FROM chunks GROUP BY 1
+)
+SELECT last_seen AS snapshot,
+       CAST(sum(l) AS BIGINT) AS expired_bytes,
+       CAST(sum(sum(l)) OVER (ORDER BY last_seen) AS BIGINT) AS cum_freed_bytes
+FROM ph GROUP BY 1
+"""
+
+
 _PRUNE_SET = (1, 2)  # delete the two newer generations, keep snapshot 0
 
 
@@ -5218,6 +5260,7 @@ QUERIES = {
     "snapshot_reclaim": q_snapshot_reclaim,
     "prune_reclaim": q_prune_reclaim,
     "content_lifetimes": q_content_lifetimes,
+    "retention_curve": q_retention_curve,
     "archive_roundtrip": q_archive_roundtrip,
     "archive_dedup_members": q_archive_dedup_members,
     "token_stats": q_token_stats,
@@ -5348,6 +5391,7 @@ ORACLE_SQL = {
     "snapshot_reclaim": SQL_SNAPSHOT_RECLAIM,
     "prune_reclaim": _sql_prune_reclaim(),
     "content_lifetimes": _sql_content_lifetimes(),
+    "retention_curve": _sql_retention_curve(),
     "archive_roundtrip": SQL_ARCHIVE_ROUNDTRIP,
     "archive_dedup_members": SQL_ARCHIVE_DEDUP_MEMBERS,
     "token_stats": SQL_TOKEN_STATS,

@@ -619,3 +619,83 @@ def prune_reclaim(chunks_ds, pruned, snapshot_col: str = "snap", n_parts: int = 
         .repartition(1)
         .map_batches(final, batch_format="pyarrow")
     )
+
+
+def retention_curve(chunks_ds, snapshot_col: str = "snap", n_parts: int = 64):
+    """The retention-policy curve: for every snapshot k (ascending order =
+    age order), the bytes freed by deleting ALL snapshots <= k — i.e. the
+    cumulative size of chunks whose LAST referencing snapshot is <= k.
+    One row per snapshot: (snapshot, expired_bytes, cum_freed_bytes).
+    `prune_reclaim` answers one prune set; this answers every prefix
+    policy ("keep the last N") in a single pass.
+
+    Scale shape: per-batch (snapshot, hash, len) partials → one
+    digest-prefix-routed exchange computes per-hash last_seen →
+    per-partition collapse to per-last_seen byte sums (S rows each) → an
+    S-row driver finish (sort + cumulative sum).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import digest_prefix_u64
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([snapshot_col, "chunk_hash", "chunk_len"]).to_pandas()
+        g = (
+            df.groupby("chunk_hash", sort=False)
+            .agg(last_seen=(snapshot_col, "max"), chunk_len=("chunk_len", "min"))
+            .reset_index()
+        )
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        hcol = out["chunk_hash"].combine_chunks()
+        if pa.types.is_binary(hcol.type) or pa.types.is_large_binary(hcol.type):
+            part = (digest_prefix_u64(hcol) % np.uint64(n_parts)).astype(np.int32)
+        else:
+            part = (
+                pd.util.hash_array(
+                    hcol.to_numpy(zero_copy_only=False)
+                ).astype(np.uint64)
+                % np.uint64(n_parts)
+            ).astype(np.int32)
+        return out.append_column("__part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        df = g.select(["chunk_hash", "last_seen", "chunk_len"]).to_pandas()
+        per_hash = df.groupby("chunk_hash", sort=False).agg(
+            last_seen=("last_seen", "max"), chunk_len=("chunk_len", "min")
+        )
+        agg = (
+            per_hash.groupby("last_seen", sort=False)["chunk_len"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "snapshot": pa.array(agg["last_seen"], pa.int64()),
+                "expired_bytes": pa.array(agg["chunk_len"], pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby("snapshot", sort=True)["expired_bytes"]
+            .sum()
+            .reset_index()
+        )
+        df["cum_freed_bytes"] = df["expired_bytes"].cumsum()
+        return pa.table(
+            {
+                "snapshot": pa.array(df["snapshot"], pa.int64()),
+                "expired_bytes": pa.array(df["expired_bytes"], pa.int64()),
+                "cum_freed_bytes": pa.array(df["cum_freed_bytes"], pa.int64()),
+            }
+        )
+
+    return (
+        chunks_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -526,3 +526,32 @@ def test_content_lifetimes_hand_computed(ray_session):
     assert list(out["first_seen"]) == [0, 1, 0]
     assert list(out["last_seen"]) == [2, 1, 2]
     assert list(out["n_snapshots"]) == [2, 1, 3]
+
+
+def test_retention_curve_hand_computed(ray_session):
+    """Store: A last seen in 2, B last seen in 0, X last seen in 1."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.cdc import cdc_chunks, retention_curve
+
+    rows = [
+        {"id": 1, "text": "AAAA", "snap": 0},
+        {"id": 2, "text": "BBBB", "snap": 0},  # B expires at 0
+        {"id": 3, "text": "XXXX", "snap": 0},
+        {"id": 4, "text": "XXXX", "snap": 1},  # X expires at 1
+        {"id": 5, "text": "AAAA", "snap": 2},  # A expires at 2
+    ]
+    ds = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("id", pa.int64()), ("text", pa.string()), ("snap", pa.int64())]
+            ),
+        )
+    )
+    chunks = cdc_chunks(ds, window=4, divisor=2**32, hexout=False, keep_cols=("snap",))
+    out = retention_curve(chunks, snapshot_col="snap").to_pandas()
+    assert list(out["snapshot"]) == [0, 1, 2]
+    assert list(out["expired_bytes"]) == [4, 4, 4]
+    assert list(out["cum_freed_bytes"]) == [4, 8, 12]
