@@ -1,0 +1,91 @@
+"""Property tests for the assignment kernel index math and the retention
+invariants — brute-force references over randomized fixtures."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("cap", [1, 2, 512])
+def test_cross_pair_rows_matches_bruteforce(seed, cap):
+    from backupdeduplicator_ray.stages.neardup import _cross_pair_rows
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 120))
+    bk = rng.integers(0, 12, n).astype(np.uint64)
+    side = rng.integers(0, 2, n).astype(np.int8)
+    ids = np.array([f"d{rng.integers(0, 25)}" for _ in range(n)], object)
+    g = pa.table(
+        {
+            "bucket_key": pa.array(bk),
+            "id": pa.array(ids, pa.string()),
+            "side": pa.array(side),
+        }
+    )
+    rows = _cross_pair_rows(g, cap)
+    got = set()
+    if rows is not None:
+        inc_rows, base_rows = rows
+        got = {(ids[i], ids[b]) for i, b in zip(inc_rows, base_rows)}
+
+    # brute force: per bucket, base ids sorted and capped; cross product
+    # with the bucket's incoming ids; dedupe on values
+    want = set()
+    for b in np.unique(bk):
+        m = bk == b
+        base_ids = sorted(set(ids[m & (side == 0)]))
+        # the kernel caps base ROWS after (id-sorted) dedup-free expansion;
+        # duplicate ids inside a bucket collapse only at the value-dedupe
+        # step, so reproduce row-level capping on the sorted multiset
+        base_rows_sorted = sorted(ids[m & (side == 0)])[:cap]
+        inc_ids = set(ids[m & (side == 1)])
+        for i in inc_ids:
+            for bb in set(base_rows_sorted):
+                want.add((i, bb))
+    assert got == want
+
+
+def test_retention_invariants(ray_session):
+    """snapshot_reclaim: exclusive <= unique <= referenced per snapshot;
+    retention_curve: cum_freed at the last snapshot == store unique bytes;
+    prune_reclaim({all}): freed == store."""
+    import ray.data
+
+    from backupdeduplicator_ray.stages.cdc import (
+        cdc_chunks,
+        prune_reclaim,
+        retention_curve,
+        snapshot_reclaim,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    texts = ["".join(chr(65 + rng.integers(0, 8)) for _ in range(60)) for _ in range(12)]
+    for i in range(40):
+        rows.append(
+            {
+                "id": i,
+                "text": texts[int(rng.integers(0, len(texts)))],
+                "snap": int(rng.integers(0, 3)),
+            }
+        )
+    ds = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("id", pa.int64()), ("text", pa.string()), ("snap", pa.int64())]
+            ),
+        )
+    )
+    chunks = cdc_chunks(ds, window=8, divisor=16, hexout=False, keep_cols=("snap",)).materialize()
+    per = snapshot_reclaim(chunks, snapshot_col="snap").to_pandas()
+    assert (per["exclusive_bytes"] <= per["unique_bytes"]).all()
+    assert (per["unique_bytes"] <= per["referenced_bytes"]).all()
+    assert (per["shared_bytes"] == per["unique_bytes"] - per["exclusive_bytes"]).all()
+
+    curve = retention_curve(chunks, snapshot_col="snap").to_pandas()
+    everything = prune_reclaim(chunks, {0, 1, 2}, snapshot_col="snap").to_pandas().iloc[0]
+    assert curve["cum_freed_bytes"].iloc[-1] == everything["store_bytes"]
+    assert everything["freed_bytes"] == everything["store_bytes"]
+    assert everything["retained_bytes"] == 0
