@@ -2155,6 +2155,112 @@ FROM g WHERE n_members >= 2
 """
 
 
+def q_type2_clones(sf_dir: str):
+    """Type-2 (identifier/literal-insensitive) clone groups over a code
+    corpus derived deterministically from documents: five structural
+    templates (operator + body length vary by doc_id % 5) instantiated
+    with per-doc identifier names, numeric literals (n_chars, doc_id)
+    and string literals (source) — every file is byte-unique and
+    normalized_dedup-unique, yet Type-2 canonicalization collapses each
+    template into one clone group.  Docs with doc_id % 250 == 1 carry a
+    doc_id-length punctuation run (structure survives canonicalization)
+    so true singletons exercise the count-prune path."""
+    from ..stages.normdedup import type2_clones
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars", "source"])
+
+    def codify(t: pa.Table) -> pa.Table:
+        rows = zip(
+            t["doc_id"].to_pylist(),
+            t["n_chars"].to_pylist(),
+            t["source"].to_pylist(),
+        )
+        content, repo, path = [], [], []
+        for d, n, src in rows:
+            op = ["+", "-", "*", "%", "//"][d % 5]
+            body = (
+                f"# doc {d}\n"
+                f"def fn_{d}(a_{d}, b_{d}):\n"
+                f"    t_{d} = a_{d} {op} {n}\n"
+                + f"    x_{d} = x_{d} {op} {d}\n" * (d % 5)
+                + (f"    v_{d} = ({',' * d})\n" if d % 250 == 1 else "")
+                + f'    return t_{d} {op} "{src}"'
+            )
+            content.append(body)
+            repo.append(f"r{d % 4}")
+            path.append(f"f_{d}.py")
+        return pa.table(
+            {
+                "repo": pa.array(repo, pa.string()),
+                "path": pa.array(path, pa.string()),
+                "content": pa.array(content, pa.large_string()),
+            }
+        )
+
+    return type2_clones(ds.map_batches(codify, batch_format="pyarrow"))
+
+
+def _type2_clones_sql() -> str:
+    """DuckDB twin of stages.normdedup.type2_normalize_column + the
+    q_type2_clones codify — same RE2 passes in the same order, guard
+    bytes supplied via chr(1)/chr(2)."""
+    from ..stages.normdedup import T2_KEYWORDS
+
+    kw = "|".join(T2_KEYWORDS)
+    return r"""
+WITH code AS (
+  SELECT 'r' || (doc_id % 4) AS repo,
+         'f_' || doc_id || '.py' AS path,
+         '# doc ' || doc_id || chr(10)
+         || 'def fn_' || doc_id || '(a_' || doc_id || ', b_' || doc_id || '):' || chr(10)
+         || '    t_' || doc_id || ' = a_' || doc_id || ' ' || op || ' ' || n_chars || chr(10)
+         || repeat('    x_' || doc_id || ' = x_' || doc_id || ' ' || op || ' ' || doc_id || chr(10),
+                   CAST(doc_id % 5 AS INT))
+         || CASE WHEN doc_id % 250 = 1
+                 THEN '    v_' || doc_id || ' = (' || repeat(',', CAST(doc_id AS INT)) || ')' || chr(10)
+                 ELSE '' END
+         || '    return t_' || doc_id || ' ' || op || ' "' || source || '"' AS content
+  FROM (SELECT doc_id, n_chars, source,
+               CASE doc_id % 5 WHEN 0 THEN '+' WHEN 1 THEN '-' WHEN 2 THEN '*'
+                               WHEN 3 THEN '%' ELSE '//' END AS op
+        FROM documents)
+),
+normed AS (
+  SELECT repo, path,
+         trim(regexp_replace(
+           replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(content, '[\x01\x02]', '', 'g'),
+                         '(?m)^[ \t]*(#|//)[^\n]*\n?', '', 'g'),
+                       '"[^"\n]*"', chr(2), 'g'),
+                     '''[^''\n]*''', chr(2), 'g'),
+                   '\b(__KW__)\b', chr(1) || '\1', 'g'),
+                 '(^|[^\x01A-Za-z0-9_])[A-Za-z_][A-Za-z0-9_]*', '\1ID', 'g'),
+               '[0-9]+(\.[0-9]+)?', 'N', 'g'),
+             chr(1), ''), chr(2), 'S'),
+           '[ \t\r\n]+', ' ', 'g'), ' ') AS t2n
+  FROM code WHERE content IS NOT NULL
+),
+g AS (
+  SELECT sha256(t2n) AS t2_hash, repo, path,
+         CAST(count(*) OVER (PARTITION BY t2n) AS BIGINT) AS n_members,
+         min(repo || '|' || path) OVER (PARTITION BY t2n) AS first
+  FROM normed
+)
+SELECT t2_hash, n_members, repo, path,
+       (repo || '|' || path = first) AS canonical
+FROM g WHERE n_members >= 2
+""".replace("__KW__", kw)
+
+
+SQL_TYPE2_CLONES = _type2_clones_sql()
+
+
 def _codify_imports(sf_dir: str):
     """Documents wrapped with deterministic import/include/require lines
     (docs have none of their own); shared by q_import_graph and
@@ -5282,6 +5388,7 @@ QUERIES = {
     "code_quality": q_code_quality,
     "detect_secrets": q_detect_secrets,
     "normalized_dedup": q_normalized_dedup,
+    "type2_clones": q_type2_clones,
     "import_graph": q_import_graph,
     "module_popularity": q_module_popularity,
     "pagerank_modules": q_pagerank_modules,
@@ -5414,6 +5521,7 @@ ORACLE_SQL = {
     "code_quality": SQL_CODE_QUALITY,
     "detect_secrets": SQL_DETECT_SECRETS,
     "normalized_dedup": SQL_NORMALIZED_DEDUP,
+    "type2_clones": SQL_TYPE2_CLONES,
     "import_graph": SQL_IMPORT_GRAPH,
     "module_popularity": SQL_MODULE_POPULARITY,
     "pagerank_modules": SQL_PAGERANK_MODULES,

@@ -57,6 +57,35 @@ def normalize_code(ds, id_cols=("repo", "path"), text_col: str = "content"):
     return ds.map_batches(norm, batch_format="pyarrow")
 
 
+def _hash_dup_groups(normed, hash_col: str, id_cols):
+    """Shared grouping tail for the canonical-form dedup family: rows
+    (*id_cols, hash_col) -> one output row per member of each hash group
+    with >= 2 members, (hash_col, n_members, *id_cols, canonical).  Uses
+    the repo's count-prune path (`grouped_on_survivors`): singleton
+    hashes never leave their partition."""
+    schema = pa.schema(
+        [(hash_col, pa.string()), ("n_members", pa.int64())]
+        + [(c, pa.string()) for c in id_cols]
+        + [("canonical", pa.bool_())]
+    )
+
+    def per_group(g):
+        if len(g) < 2:
+            return schema.empty_table()
+        keys = ["|".join(v) for v in zip(*(g[c] for c in id_cols))]
+        first = min(keys)
+        cols = {
+            hash_col: pa.array([g[hash_col].iloc[0]] * len(g), pa.string()),
+            "n_members": pa.array([len(g)] * len(g), pa.int64()),
+        }
+        for c in id_cols:
+            cols[c] = pa.array(list(g[c]), pa.string())
+        cols["canonical"] = pa.array([k == first for k in keys], pa.bool_())
+        return pa.table(cols, schema=schema)
+
+    return grouped_on_survivors(normed, [hash_col], per_group, min_count=2)
+
+
 def normalized_dedup(ds, id_cols=("repo", "path"), text_col: str = "content"):
     """Duplicate groups under comment/whitespace normalization.
 
@@ -73,25 +102,72 @@ def normalized_dedup(ds, id_cols=("repo", "path"), text_col: str = "content"):
         lambda t: t.drop_columns(["norm"]).filter(pc.is_valid(t["norm_hash"])),
         batch_format="pyarrow",
     )
+    return _hash_dup_groups(normed, "norm_hash", id_cols)
 
-    schema = pa.schema(
-        [("norm_hash", pa.string()), ("n_members", pa.int64())]
-        + [(c, pa.string()) for c in id_cols]
-        + [("canonical", pa.bool_())]
+
+#: Keywords preserved by the Type-2 canonical form — the structural
+#: vocabulary shared across the corpus languages (py/rs/js/go).  The set
+#: is part of the operator's contract: engine and SQL oracle share it.
+T2_KEYWORDS = (
+    "if else elif for while return def class import from fn let mut match "
+    "impl struct use pub const var function func package type interface "
+    "true false None and or not in"
+).split()
+
+#: Guard bytes used during normalization; input text is assumed (and
+#: scrubbed) free of control chars 0x01/0x02, like normalize_text's
+#: documented ASCII-space assumption.
+_G1, _G2 = "\x01", "\x02"
+
+
+def type2_normalize_column(col):
+    """Type-2 canonical form (Roy & Cordy's clone taxonomy: identical up
+    to identifier names and literal values).  Pure Arrow RE2 kernels, no
+    Python per row; every pass has an exact DuckDB regexp_replace twin
+    (SQL_TYPE2_CLONES).
+
+    Passes, in order: scrub guard bytes -> strip full-line comments ->
+    string literals -> S-guard -> keyword prefix-guard (0x01) ->
+    identifiers -> ID (skipping guarded keywords via the
+    preceding-char class; RE2 has no lookbehind, but GlobalReplace never
+    rescans rewritten text so a prefix guard suffices) -> numbers -> N
+    -> unguard -> collapse whitespace -> trim."""
+    import pyarrow.compute as pc
+
+    s = pc.replace_substring_regex(col, r"[\x01\x02]", "")
+    s = pc.replace_substring_regex(s, COMMENT_LINE_PATTERN, "")
+    s = pc.replace_substring_regex(s, r'"[^"\n]*"', _G2)
+    s = pc.replace_substring_regex(s, r"'[^'\n]*'", _G2)
+    kw = r"\b(" + "|".join(T2_KEYWORDS) + r")\b"
+    s = pc.replace_substring_regex(s, kw, _G1 + "\\1")
+    s = pc.replace_substring_regex(
+        s, r"(^|[^\x01A-Za-z0-9_])[A-Za-z_][A-Za-z0-9_]*", "\\1ID"
     )
+    s = pc.replace_substring_regex(s, r"[0-9]+(\.[0-9]+)?", "N")
+    s = pc.replace_substring(s, _G1, "")
+    s = pc.replace_substring(s, _G2, "S")
+    s = pc.replace_substring_regex(s, _WS_RUN, " ")
+    return pc.utf8_trim(s, " ")
 
-    def per_group(g):
-        if len(g) < 2:
-            return schema.empty_table()
-        keys = ["|".join(v) for v in zip(*(g[c] for c in id_cols))]
-        first = min(keys)
-        cols = {
-            "norm_hash": pa.array([g["norm_hash"].iloc[0]] * len(g), pa.string()),
-            "n_members": pa.array([len(g)] * len(g), pa.int64()),
-        }
-        for c in id_cols:
-            cols[c] = pa.array(list(g[c]), pa.string())
-        cols["canonical"] = pa.array([k == first for k in keys], pa.bool_())
-        return pa.table(cols, schema=schema)
 
-    return grouped_on_survivors(normed, ["norm_hash"], per_group, min_count=2)
+def type2_clones(ds, id_cols=("repo", "path"), text_col: str = "content"):
+    """Type-2 clone groups: files identical after identifier/literal
+    canonicalization (the classic code-clone detection tier between
+    `normalized_dedup`'s Type-1 and MinHash's Type-3).
+
+    Output: one row per member of each group with >= 2 members —
+    (t2_hash hex, n_members int64, *id_cols, canonical bool).  Null
+    content never enters a group.  Same 100 TB shape as
+    `exact_dup_groups`: one map pass, then count-pruned grouping.
+    """
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        h = hash_string_column(type2_normalize_column(t[text_col]), "sha256")
+        cols = {c: t[c] for c in id_cols}
+        cols["t2_hash"] = h
+        tbl = pa.table(cols)
+        return tbl.filter(pc.is_valid(h))
+
+    normed = ds.map_batches(norm, batch_format="pyarrow")
+    return _hash_dup_groups(normed, "t2_hash", id_cols)

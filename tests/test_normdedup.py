@@ -1,7 +1,11 @@
 import pyarrow as pa
 import ray.data
 
-from backupdeduplicator_ray.stages.normdedup import normalize_code, normalized_dedup
+from backupdeduplicator_ray.stages.normdedup import (
+    normalize_code,
+    normalized_dedup,
+    type2_clones,
+)
 
 
 def _corpus(rows):
@@ -55,3 +59,42 @@ def test_normalized_dedup_groups(ray_session):
 def test_normalized_dedup_no_dups(ray_session):
     ds = _corpus([("r", "a", "aaa\n"), ("r", "b", "bbb\n")])
     assert normalized_dedup(ds).count() == 0
+
+
+def test_type2_normalize_kernel():
+    import pyarrow as pa
+
+    from backupdeduplicator_ray.stages.normdedup import type2_normalize_column
+
+    col = pa.array(
+        [
+            '# c\ndef foo(bar):\n    x1 = bar * 42 + 3.14\n    s = "hi"\n    return x1\n',
+            "// d\ndef qux(zz):\n\tlong_name = zz * 999 + 0.5\n\tt = 'bye'\n\treturn long_name\n",
+            "if else iffy not_kw 42 x123 _p",  # keywords kept, iffy/not_kw are IDs
+            None,
+        ],
+        pa.large_string(),
+    )
+    out = type2_normalize_column(col).to_pylist()
+    # renamed identifiers + different literals -> identical canonical form
+    assert out[0] == out[1] == "def ID(ID): ID = ID * N + N ID = S return ID"
+    assert out[2] == "if else ID ID N ID ID"
+    assert out[3] is None
+
+
+def test_type2_clones_groups(ray_session):
+    ds = _corpus(
+        [
+            # Type-2 clones: renamed identifiers, different literals/strings
+            ("r1", "a.py", 'def f(x):\n    y = x + 1\n    return "a" + y\n'),
+            ("r2", "b.py", 'def g(q):\n    r2d2 = q + 99\n    return "zz" + r2d2\n'),
+            # structurally different (extra statement) -> own singleton
+            ("r3", "c.py", 'def h(x):\n    y = x + 1\n    z = y\n    return "a" + z\n'),
+            ("r4", "n.py", None),
+        ]
+    )
+    out = type2_clones(ds).to_pandas()
+    assert set(zip(out.repo, out.path)) == {("r1", "a.py"), ("r2", "b.py")}
+    assert (out.n_members == 2).all()
+    assert out[out.canonical].repo.tolist() == ["r1"]
+    assert out.t2_hash.nunique() == 1 and len(out.t2_hash.iloc[0]) == 64
