@@ -172,13 +172,15 @@ FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id
 """
 
 
-def winnow_fingerprints_sql(k: int, window: int) -> str:
-    """Winnowing oracle (textops.FingerprintStage/winnow): k-token rolling
-    hashes IN SEQUENCE (raw token hashes when n < k), then per sliding
-    window the RIGHTMOST minimum, consecutive same-position selections
-    collapsed.  Rightmost-min-in-window is one `min` window function over
-    the encoded key `a * 2^20 + (2^20 - i)` (ties on `a` resolve to the
-    LARGEST position i); docs are < 2^20 tokens by assumption."""
+def _winnow_fpall_prefix(k: int, window: int) -> str:
+    """Shared CTE chain ending in fpall(doc_id, mn) — the per-document
+    winnowed fingerprint sequence (textops.winnow semantics): k-token
+    rolling hashes IN SEQUENCE (raw token hashes when n < k), then per
+    sliding window the RIGHTMOST minimum, consecutive same-position
+    selections collapsed.  Rightmost-min-in-window is one `min` window
+    function over the encoded key `a * 2^20 + (2^20 - i)` (ties on `a`
+    resolve to the LARGEST position i); docs are < 2^20 tokens by
+    assumption.  Used by winnow_fingerprints_sql and moss_pairs_sql."""
     joins = " ".join(
         f"JOIN poshash p{j} ON p{j}.doc_id = p0.doc_id AND p{j}.i = p0.i + {j}"
         for j in range(1, k)
@@ -217,7 +219,13 @@ fpshort AS (
   JOIN (SELECT doc_id, count(*) AS m FROM accs GROUP BY doc_id) c USING (doc_id)
   WHERE c.m <= {window} GROUP BY a.doc_id
 ),
-fpall AS (SELECT * FROM fpl UNION ALL SELECT * FROM fpshort),
+fpall AS (SELECT * FROM fpl UNION ALL SELECT * FROM fpshort)"""
+
+
+def winnow_fingerprints_sql(k: int, window: int) -> str:
+    """Winnowing oracle (textops.FingerprintStage/winnow) — per-doc
+    fingerprint count / min / max over the shared fpall chain."""
+    return f"""{_winnow_fpall_prefix(k, window)},
 agg AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(mn) AS mnf, max(mn) AS mxf
   FROM fpall GROUP BY doc_id
@@ -226,6 +234,39 @@ SELECT d.doc_id, COALESCE(a.n_fp, 0) AS n_fingerprints,
        {hex16("COALESCE(a.mnf, 0)")} AS min_fp_hex,
        {hex16("COALESCE(a.mxf, 0)")} AS max_fp_hex
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+def moss_pairs_sql(
+    k: int, window: int, threshold: float, max_doc_freq: int
+) -> str:
+    """MOSS clone-pair oracle (textops.moss_pairs): exact Jaccard over
+    DISTINCT winnowed fingerprint sets, with the doc-freq valve applied to
+    both the intersection and the set sizes (df=1 fingerprints still count
+    toward the union).  Pair orientation is VARCHAR doc_id comparison —
+    the engine orders generic string ids lexicographically."""
+    return f"""{_winnow_fpall_prefix(k, window)},
+fpd AS (SELECT DISTINCT doc_id, mn FROM fpall),
+fdf AS (SELECT doc_id, mn, count(*) OVER (PARTITION BY mn) AS dfreq FROM fpd),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM fdf
+  WHERE dfreq <= {max_doc_freq} GROUP BY doc_id
+),
+hits AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+  FROM fdf a JOIN fdf b
+    ON a.mn = b.mn
+   AND CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+  WHERE a.dfreq BETWEEN 2 AND {max_doc_freq}
+    AND b.dfreq BETWEEN 2 AND {max_doc_freq}
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(h.a AS VARCHAR) AS a_id, CAST(h.b AS VARCHAR) AS b_id,
+       CAST(h.c AS DOUBLE) / (sa.sz + sb.sz - h.c) AS moss_sim
+FROM hits h
+JOIN sizes sa ON sa.doc_id = h.a
+JOIN sizes sb ON sb.doc_id = h.b
+WHERE CAST(h.c AS DOUBLE) / (sa.sz + sb.sz - h.c) >= {threshold}
 """
 
 

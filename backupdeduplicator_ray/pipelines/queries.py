@@ -3405,6 +3405,21 @@ def q_fingerprints(sf_dir: str):
     )
 
 
+def q_moss_pairs(sf_dir: str):
+    """MOSS-style clone pairs: exact Jaccard over distinct winnowed
+    fingerprint sets (k=5 token grams, window 4 — the oracle-verified
+    fingerprints parameters), doc-freq valve 256."""
+    from ..stages.textops import moss_pairs
+
+    return moss_pairs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        threshold=0.35,
+        k=5,
+        window=4,
+        max_doc_freq=256,
+    )
+
+
 def q_embedding_lsh_pairs(sf_dir: str):
     """Random-hyperplane LSH near-dup pairs (scale path; rows-only check —
     pytest verifies recall vs the brute-force path)."""
@@ -3538,6 +3553,7 @@ def _gen_hash_oracles() -> dict[str, str]:
     return {
         "simhash_fingerprints": oh.simhash_fingerprints_sql(sim_cfg.shingle_k),
         "fingerprints": oh.winnow_fingerprints_sql(k=5, window=4),
+        "moss_pairs": oh.moss_pairs_sql(k=5, window=4, threshold=0.35, max_doc_freq=256),
         "minhash_signatures": oh.minhash_signatures_sql(MinHashConfig().shingle_k, a, b),
         "langid": oh.langid_sql(_MARKERS),
         "embedding_lsh_pairs": oh.embedding_lsh_sql(planes, threshold=0.35),
@@ -5375,6 +5391,7 @@ QUERIES = {
     "quality_flags": q_quality_flags,
     "lang_agg": q_lang_agg,
     "jaccard_pairs": q_jaccard_pairs,
+    "moss_pairs": q_moss_pairs,
     "fork_pairs": q_fork_pairs,
     "fork_pairs_distributed": q_fork_pairs_distributed,
     "dup_ngram_fraction": q_dup_ngram_fraction,

@@ -217,6 +217,33 @@ def winnow(hashes: np.ndarray, window: int) -> np.ndarray:
     return mins[keep]
 
 
+def iter_doc_fingerprints(text_col, k: int, window: int):
+    """Per-document winnowed fingerprints for a batch column: yields
+    (row_index, fps uint64 ndarray — ordered, possibly repeated) for EVERY
+    row in order (empty array for null/short docs).  Ordered (non-unique)
+    window hashes come from the batch token kernel: per cache-sized part,
+    poly windows over the part's token hashes, sliced per doc (windows
+    never cross doc boundaries because each doc's slice stops k-1 short of
+    its end).  Shared by FingerprintStage and moss_pairs."""
+    from ..functions.shingles import iter_token_parts
+
+    poly = np.uint64(1099511628211)
+    for base, nd, th, toff in iter_token_parts(text_col):
+        n = len(th)
+        acc_g = None
+        if n >= k:
+            acc_g = th[: n - k + 1].copy()
+            for j in range(1, k):
+                acc_g = acc_g * poly + th[j : n - k + 1 + j]
+        for i in range(nd):
+            s, e = int(toff[i]), int(toff[i + 1])
+            if e - s >= k:
+                acc = acc_g[s : e - k + 1]
+            else:
+                acc = th[s:e]
+            yield base + i, winnow(acc, window)
+
+
 class FingerprintStage:
     """Actor-pool stage: text → winnowed fingerprint summary (deterministic
     rolling-hash document fingerprint)."""
@@ -231,31 +258,13 @@ class FingerprintStage:
         self.token_re = TOKEN_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.shingles import iter_token_parts
-
-        poly = np.uint64(1099511628211)
-        # ordered (non-unique) window hashes from the batch token kernel:
-        # per cache-sized part, poly windows over the part's token hashes,
-        # sliced per doc (windows never cross doc boundaries because each
-        # doc's slice stops k-1 short of its end)
         n_fp, min_fp, max_fp = [], [], []
-        for _base, nd, th, toff in iter_token_parts(batch[self.text_col]):
-            n = len(th)
-            acc_g = None
-            if n >= self.k:
-                acc_g = th[: n - self.k + 1].copy()
-                for j in range(1, self.k):
-                    acc_g = acc_g * poly + th[j : n - self.k + 1 + j]
-            for i in range(nd):
-                s, e = int(toff[i]), int(toff[i + 1])
-                if e - s >= self.k:
-                    acc = acc_g[s : e - self.k + 1]
-                else:
-                    acc = th[s:e]
-                fps = winnow(acc, self.window)
-                n_fp.append(len(fps))
-                min_fp.append(int(fps.min()) if len(fps) else 0)
-                max_fp.append(int(fps.max()) if len(fps) else 0)
+        for _row, fps in iter_doc_fingerprints(
+            batch[self.text_col], self.k, self.window
+        ):
+            n_fp.append(len(fps))
+            min_fp.append(int(fps.min()) if len(fps) else 0)
+            max_fp.append(int(fps.max()) if len(fps) else 0)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -276,6 +285,141 @@ def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 5,
         batch_size=2048,
         concurrency=concurrency or default_concurrency(),
     )
+
+
+def moss_pairs(
+    ds,
+    threshold: float = 0.5,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+):
+    """MOSS-style clone pairs: EXACT Jaccard over DISTINCT winnowed
+    fingerprint sets (Schleimer et al., SIGMOD 2003 — the plagiarism /
+    code-clone detector's pair stage).  Winnowing guarantees any
+    sufficiently long shared substring contributes shared fingerprints, so
+    this catches *partial* overlap (a copied function inside an otherwise
+    different file) that whole-document MinHash dilutes.
+
+    sim(A,B) = c / (|A| + |B| - c) where c = shared post-valve distinct
+    fingerprints; fingerprints in more than `max_doc_freq` docs are removed
+    from BOTH the intersection and the set sizes (the jaccard_pairs valve
+    doctrine — pair emission is quadratic in doc-freq); df=1 fingerprints
+    still count toward the union.
+
+    Plan (same shape as jaccard_pairs, but the index rows are winnowed
+    fingerprints — ~1/window the volume of full shingle sets):
+      explode DISTINCT (fp u64, id) → doc-freq count-prune → partition-
+      grain pair hits (`cooccur_pair_hits`) → groupby(a,b) sum → per-doc
+      post-valve sizes (stopword set broadcast via ray.put) delivered by
+      two partitioned hash joins (the 10^12-safe route; pair density is
+      bounded by the valve) → score + threshold filter.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.groups import cached_get, keys_with_count_between
+    from ..state.joins import partitioned_hash_join
+    from .neardup import DEFAULT_MAX_DOC_FREQ, cooccur_pair_hits
+
+    if max_doc_freq is None:
+        max_doc_freq = DEFAULT_MAX_DOC_FREQ
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.string())
+        fp_chunks, row_chunks = [], []
+        for row, fps in iter_doc_fingerprints(batch[text_col], k, window):
+            if len(fps) == 0:
+                continue
+            u = np.unique(fps)
+            fp_chunks.append(u)
+            row_chunks.append(np.full(len(u), row, np.int64))
+        if not fp_chunks:
+            return pa.table(
+                {"fp": pa.array([], pa.uint64()), "id": pa.array([], pa.string())}
+            )
+        rows = np.concatenate(row_chunks)
+        return pa.table(
+            {
+                "fp": pa.array(np.concatenate(fp_chunks), pa.uint64()),
+                "id": ids.take(pa.array(rows)),
+            }
+        )
+
+    inv = ds.map_batches(explode, batch_format="pyarrow")
+    survivors, stops = keys_with_count_between(
+        inv, ["fp"], min_count=2, max_count=max_doc_freq, also_above=True
+    )
+    out_schema = pa.schema(
+        [("a_id", pa.string()), ("b_id", pa.string()), ("moss_sim", pa.float64())]
+    )
+    if not survivors:
+        return ray.data.from_arrow(pa.Table.from_pylist([], schema=out_schema))
+
+    hits = cooccur_pair_hits(inv, "fp", id_col="id", survivors=survivors)
+    pairs = hits.groupby(["a_id", "b_id"]).aggregate(Sum("n"))
+
+    stops_bc = ray.put(
+        np.fromiter(stops, np.uint64, count=len(stops))
+        if stops
+        else np.empty(0, np.uint64)
+    )
+
+    def doc_sizes(batch: pa.Table) -> pa.Table:
+        stop = cached_get(stops_bc)
+        ids = batch[id_col].cast(pa.string())
+        rows_l, sz_l = [], []
+        for row, fps in iter_doc_fingerprints(batch[text_col], k, window):
+            if len(fps) == 0:
+                continue
+            u = np.unique(fps)
+            sz = int((~np.isin(u, stop)).sum()) if len(stop) else len(u)
+            if sz == 0:
+                continue
+            rows_l.append(row)
+            sz_l.append(sz)
+        return pa.table(
+            {
+                "id": ids.take(pa.array(rows_l, pa.int64()))
+                if rows_l
+                else pa.array([], pa.string()),
+                "sz": pa.array(sz_l, pa.int64()),
+            }
+        )
+
+    sizes = ds.map_batches(doc_sizes, batch_format="pyarrow")
+    a_sz = sizes.map_batches(
+        lambda t: pa.table({"a_id": t["id"], "sz_a": t["sz"]}),
+        batch_format="pyarrow",
+    )
+    b_sz = sizes.map_batches(
+        lambda t: pa.table({"b_id": t["id"], "sz_b": t["sz"]}),
+        batch_format="pyarrow",
+    )
+    j = partitioned_hash_join(
+        partitioned_hash_join(pairs, a_sz, "a_id"), b_sz, "b_id"
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        c = t["sum(n)"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = t["sz_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        sb = t["sz_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        sim = c / (sa + sb - c)
+        keep = sim >= threshold
+        return pa.table(
+            {
+                "a_id": t["a_id"].combine_chunks().filter(pa.array(keep)),
+                "b_id": t["b_id"].combine_chunks().filter(pa.array(keep)),
+                "moss_sim": pa.array(sim[keep], pa.float64()),
+            }
+        )
+
+    return j.map_batches(score, batch_format="pyarrow")
 
 
 def vocab_topk(ds, text_col: str = "text", k: int = 100):

@@ -470,3 +470,93 @@ def test_bigram_logprob_empty_corpus(ray_session):
     assert set(out.schema().names) == {
         "doc_id", "n_bigrams", "logprob_micro", "avg_logprob",
     }
+
+
+def test_moss_pairs_brute_parity(ray_session):
+    """moss_pairs == brute-force Jaccard over distinct winnowed
+    fingerprint sets, partition-invariant."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.textops import (
+        iter_doc_fingerprints,
+        moss_pairs,
+    )
+
+    docs = [
+        ("1", "the quick brown fox jumps over the lazy dog again and again one"),
+        ("2", "the quick brown fox jumps over the lazy dog again and again two"),
+        ("10", "the quick brown fox jumps over the lazy dog again and again one"),
+        ("3", "completely different words appear in this sentence with nothing shared"),
+        ("4", None),
+        ("5", "xy"),  # short doc: single fingerprint
+        ("6", "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"),
+        ("7", "alpha beta gamma delta epsilon zeta eta theta iota kappa nu xi"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs]),
+            "text": pa.array([t for _, t in docs], pa.large_string()),
+        }
+    )
+
+    def fps(text, k=3, w=2):
+        col = pa.array([text], pa.large_string())
+        for _, f in iter_doc_fingerprints(col, k, w):
+            return set(np.unique(f).tolist())
+
+    sets = {d: fps(t) for d, t in docs if t}
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        A, B = sets[a], sets[b]
+        c = len(A & B)
+        if c:
+            j = c / len(A | B)
+            if j >= 0.3:
+                expect[(a, b)] = round(j, 9)
+
+    for parts in (1, 3):
+        out = moss_pairs(
+            ray.data.from_arrow(tbl).repartition(parts),
+            threshold=0.3,
+            k=3,
+            window=2,
+        ).to_pandas()
+        got = {
+            (r.a_id, r.b_id): round(r.moss_sim, 9) for r in out.itertuples()
+        }
+        assert got == expect
+
+
+def test_moss_pairs_doc_freq_valve(ray_session):
+    """A fingerprint shared by > max_doc_freq docs is removed from both
+    intersection and sizes — identical docs still score 1.0."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.textops import moss_pairs
+
+    boiler = "standard header line common to every file in the corpus"
+    docs = [(str(i), boiler + f" tail {i}") for i in range(6)]
+    docs += [("90", boiler + " same tail"), ("91", boiler + " same tail")]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs]),
+            "text": pa.array([t for _, t in docs], pa.large_string()),
+        }
+    )
+    out = moss_pairs(
+        ray.data.from_arrow(tbl),
+        threshold=0.99,
+        k=3,
+        window=2,
+        max_doc_freq=4,
+    ).to_pandas()
+    # the boilerplate fps have df=8 > 4 -> valved out of sizes AND hits;
+    # 90/91 remain identical on their post-valve sets -> exactly 1.0
+    pairs = set(zip(out.a_id, out.b_id))
+    assert ("90", "91") in pairs
+    assert (out.set_index(["a_id", "b_id"]).loc[("90", "91"), "moss_sim"]) == 1.0
