@@ -1860,6 +1860,103 @@ GROUP BY 1, 2
 """
 
 
+def _spans_hex(ds):
+    """Query-layer hex view of the BLOB output (driver canon stringifies
+    bytes vs DuckDB bytearray differently — the q_fingerprints hex
+    precedent)."""
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t["id"],
+                "content_hex": pa.array(
+                    [v.hex() for v in t["content_dedup"].to_pylist()],
+                    pa.string(),
+                ),
+                "n_removed": t["n_removed"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_dedup_spans(sf_dir: str):
+    """Duplicated-span removal (Lee et al. ExactSubstr): every length-40
+    byte window present in >= 2 docs is excised from all but the
+    lexicographically-first holder; byte-exact via the hex view."""
+    from ..stages.substring import dedup_spans
+
+    return _spans_hex(
+        dedup_spans(
+            _docs(sf_dir, ["doc_id", "text"]),
+            min_len=_SUBSTR_LEN,
+            id_col="doc_id",
+            text_col="text",
+        )
+    )
+
+
+def q_dedup_spans_distributed(sf_dir: str):
+    """The forced fully-distributed dedup_spans route (occurrence-grain
+    window join + per-doc span groupby) — same SQL oracle gates both."""
+    from ..stages.substring import dedup_spans
+
+    return _spans_hex(
+        dedup_spans(
+            _docs(sf_dir, ["doc_id", "text"]),
+            min_len=_SUBSTR_LEN,
+            id_col="doc_id",
+            text_col="text",
+            distributed=True,
+        )
+    )
+
+
+SQL_DEDUP_SPANS = f"""
+WITH hx AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, hex(encode(text)) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+w AS (
+  SELECT id, CAST(r.i AS BIGINT) AS i,
+         substr(h, CAST((r.i - 1) * 2 + 1 AS INTEGER), {2 * _SUBSTR_LEN}) AS sub
+  FROM hx CROSS JOIN UNNEST(range(1, n - {_SUBSTR_LEN} + 2)) AS r(i)
+  WHERE n >= {_SUBSTR_LEN}
+),
+dupw AS (
+  SELECT sub, min(id) AS keep_id
+  FROM (SELECT DISTINCT id, sub FROM w)
+  GROUP BY sub HAVING count(*) >= 2
+),
+spans AS (
+  SELECT w.id, w.i FROM w JOIN dupw USING (sub) WHERE w.id != dupw.keep_id
+),
+rembytes AS (
+  SELECT DISTINCT s.id, s.i + r.j AS p
+  FROM spans s CROSS JOIN UNNEST(range(0, {_SUBSTR_LEN})) AS r(j)
+),
+pos AS (
+  SELECT id, CAST(r.p AS BIGINT) AS p
+  FROM hx CROSS JOIN UNNEST(range(1, n + 1)) AS r(p)
+),
+keep AS (
+  SELECT pos.id, pos.p FROM pos
+  LEFT JOIN rembytes rb ON pos.id = rb.id AND pos.p = rb.p
+  WHERE rb.p IS NULL
+),
+kh AS (
+  SELECT k.id AS kid,
+         string_agg(substr(hx.h, CAST((k.p - 1) * 2 + 1 AS INTEGER), 2),
+                    '' ORDER BY k.p) AS hex_kept
+  FROM keep k JOIN hx ON hx.id = k.id
+  GROUP BY k.id
+)
+SELECT hx.id, lower(coalesce(kh.hex_kept, '')) AS content_hex,
+       CAST(hx.n - coalesce(length(kh.hex_kept) // 2, 0) AS BIGINT) AS n_removed
+FROM hx LEFT JOIN kh ON kh.kid = hx.id
+"""
+
+
 def q_jaccard_pairs(sf_dir: str):
     """EXACT n-gram Jaccard pairs >= 0.5 (string shingles — oracle path)."""
     from ..stages.neardup import jaccard_pairs
@@ -5415,6 +5512,8 @@ QUERIES = {
     "path_class_stats": q_path_class_stats,
     "prepare_code_corpus": q_prepare_code_corpus,
     "substring_pairs": q_substring_pairs,
+    "dedup_spans": q_dedup_spans,
+    "dedup_spans_distributed": q_dedup_spans_distributed,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "cosine_pairs": q_cosine_pairs,
@@ -5548,6 +5647,8 @@ ORACLE_SQL = {
     "path_class_stats": SQL_PATH_CLASS_STATS,
     "prepare_code_corpus": SQL_PREPARE_CODE_CORPUS,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
+    "dedup_spans": SQL_DEDUP_SPANS,
+    "dedup_spans_distributed": SQL_DEDUP_SPANS,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_topk": SQL_IVF_TOPK,
     "cosine_pairs": SQL_COSINE_PAIRS,

@@ -227,3 +227,245 @@ def substring_dup_pairs(
         return tbl
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SPANS_SCHEMA = pa.schema(
+    [
+        ("id", pa.string()),
+        ("content_dedup", pa.large_binary()),
+        ("n_removed", pa.int64()),
+    ]
+)
+
+
+def dedup_spans(
+    ds,
+    min_len: int = 40,
+    id_col: str = "id",
+    text_col: str = "text",
+    broadcast_max_windows: int = 4_000_000,
+    distributed: bool = False,
+):
+    """Duplicated-SPAN removal (the Lee et al. 2022 'Deduplicating
+    Training Data' ExactSubstr pass, re-expressed over fixed-length byte
+    windows): any length-`min_len` byte window whose content appears in
+    >= 2 distinct documents is removed from every document EXCEPT the
+    lexicographically-first id holding it (the canonical keeper); removed
+    windows' byte intervals are unioned per doc before splicing, so
+    overlapping dup windows excise one contiguous span.
+
+    Output (null-text docs dropped, all others pass through):
+      (id string, content_dedup large_binary, n_removed int64)
+    `content_dedup` is BYTES — splicing byte windows can cut UTF-8
+    sequences, so re-decoding is the caller's concern (same caveat as
+    byte-level ExactSubstr; the SQL oracle is byte-exact via the
+    hex(encode(text)) technique and emits the identical BLOB).
+
+    Routes (same valve doctrine as jaccard_pairs):
+      * pass 1 is always one window groupby -> (win, keep_id) table of
+        DUPLICATED windows only (count-pruned, built from per-doc-distinct
+        index rows);
+      * below `broadcast_max_windows` the dup table broadcasts once via
+        ray.put (16 B + id bytes per duplicated window) and pass 2 is a
+        zero-shuffle per-batch splice (sorted-array searchsorted + one
+        interval-union cumsum kernel per doc);
+      * above it (or `distributed=True`) the dup table reaches the
+        occurrence-grain window explode through a partitioned hash join,
+        removal offsets co-locate per doc via groupby(id), and the splice
+        joins spans back to the documents — no driver round-trip
+        (parity-tested byte-identical to the broadcast route).
+    """
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.groups import cached_get
+    from ..functions.rollhash import string_buffer_view, window_hashes
+    from ..state.joins import partitioned_hash_join
+
+    L = min_len
+    docs = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "id": t[id_col].cast(pa.string()),
+                "text": t[text_col].cast(pa.large_string()),
+            }
+        ).filter(pc.is_valid(t[text_col])),
+        batch_format="pyarrow",
+    )
+
+    # uint64 keys above 2^63 become pickled python objects inside Ray's
+    # aggregate (keys_with_count_between doctrine) — ride the int64 BIT
+    # VIEW through every exchange; equality is view-invariant and both
+    # sides of every searchsorted use the same view's ordering
+    wins = substring_windows(
+        docs, min_len=L, stride=1, id_col="id", text_col="text"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "win": t["win"]
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .view(np.int64),
+                "id": t["id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    dup = (
+        wins.groupby("win")
+        .aggregate(Count(), Min("id"))
+        .map_batches(
+            lambda t: pa.table(
+                {"win": t["win"], "keep_id": t["min(id)"]}
+            ).filter(pc.greater_equal(t["count()"], 2)),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_dup = dup.count()
+
+    def _splice_one(b: np.ndarray, rem_off: np.ndarray, n: int):
+        """Interval-union removal: byte array + window-start offsets ->
+        (spliced bytes, n_removed)."""
+        if len(rem_off) == 0:
+            return b.tobytes(), 0
+        delta = np.zeros(n + 1, np.int64)
+        np.add.at(delta, rem_off, 1)
+        np.subtract.at(delta, np.minimum(rem_off + L, n), 1)
+        covered = np.cumsum(delta[:-1]) > 0
+        return b[~covered].tobytes(), int(covered.sum())
+
+    if n_dup <= broadcast_max_windows and not distributed:
+        blocks = [t for t in ray.get(dup.to_arrow_refs()) if t.num_rows]
+        if blocks:
+            dt = pa.concat_tables(blocks, promote_options="default")
+            wv = dt["win"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            kv = np.asarray(dt["keep_id"].combine_chunks().to_pylist(), dtype=object)
+            o = np.argsort(wv)
+            wv, kv = wv[o], kv[o]
+        else:
+            wv, kv = np.empty(0, np.int64), np.empty(0, object)
+        bc = ray.put((wv, kv))
+
+        def splice(batch: pa.Table) -> pa.Table:
+            bwv, bkv = cached_get(bc)
+            ids = batch["id"].combine_chunks()
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            data, starts, lens = string_buffer_view(batch["text"])
+            out_c, out_r = [], []
+            for j in range(len(batch)):
+                n = int(lens[j])
+                b = data[starts[j] : starts[j] + n]
+                if n < L or len(bwv) == 0:
+                    out_c.append(b.tobytes())
+                    out_r.append(0)
+                    continue
+                h = window_hashes(b, L).view(np.int64)
+                pos = np.minimum(np.searchsorted(bwv, h), len(bwv) - 1)
+                isdup = bwv[pos] == h
+                rem_off = (
+                    np.nonzero(isdup & (bkv[pos] != ids_np[j]))[0]
+                    if isdup.any()
+                    else np.empty(0, np.int64)
+                )
+                content, nrem = _splice_one(b, rem_off, n)
+                out_c.append(content)
+                out_r.append(nrem)
+            return pa.table(
+                {
+                    "id": ids,
+                    "content_dedup": pa.array(out_c, pa.large_binary()),
+                    "n_removed": pa.array(out_r, pa.int64()),
+                },
+                schema=SPANS_SCHEMA,
+            )
+
+        return docs.map_batches(splice, batch_format="pyarrow")
+
+    # distributed route: occurrence-grain explode -> join -> per-doc spans
+    def explode_offs(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks()
+        data, starts, lens = string_buffer_view(batch["text"])
+        win_l, row_l, off_l = [], [], []
+        for j in range(len(batch)):
+            n = int(lens[j])
+            if n < L:
+                continue
+            h = window_hashes(data[starts[j] : starts[j] + n], L)
+            win_l.append(h.view(np.int64))
+            row_l.append(np.full(len(h), j, np.int64))
+            off_l.append(np.arange(len(h), dtype=np.int64))
+        if not win_l:
+            return pa.table(
+                {
+                    "win": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.string()),
+                    "off": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "win": pa.array(np.concatenate(win_l)),
+                "id": ids.take(pa.array(np.concatenate(row_l))),
+                "off": pa.array(np.concatenate(off_l), pa.int64()),
+            }
+        )
+
+    occ = docs.map_batches(explode_offs, batch_format="pyarrow")
+    hit = partitioned_hash_join(occ, dup, "win")
+
+    def to_spans(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["id"], t["keep_id"])
+        t = t.filter(keep)
+        return pa.table({"id": t["id"], "off": t["off"]})
+
+    spans = hit.map_batches(to_spans, batch_format="pyarrow")
+
+    offs_schema = pa.schema([("id", pa.string()), ("offs", pa.list_(pa.int64()))])
+
+    def per_doc(g) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.array([g["id"].iloc[0]], pa.string()),
+                "offs": pa.array([np.sort(g["off"].to_numpy()).tolist()]),
+            },
+            schema=offs_schema,
+        )
+
+    doc_spans = spans.groupby("id").map_groups(per_doc, batch_format="pandas")
+    joined = partitioned_hash_join(docs, doc_spans, "id", how="left")
+
+    def splice_joined(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks()
+        data, starts, lens = string_buffer_view(batch["text"])
+        offs_col = batch["offs"]
+        offs_col = (
+            offs_col.combine_chunks()
+            if isinstance(offs_col, pa.ChunkedArray)
+            else offs_col
+        )
+        out_c, out_r = [], []
+        for j in range(len(batch)):
+            n = int(lens[j])
+            b = data[starts[j] : starts[j] + n]
+            v = offs_col[j]
+            rem_off = (
+                np.asarray(v.as_py(), np.int64)
+                if v.is_valid
+                else np.empty(0, np.int64)
+            )
+            content, nrem = _splice_one(b, rem_off, n)
+            out_c.append(content)
+            out_r.append(nrem)
+        return pa.table(
+            {
+                "id": ids,
+                "content_dedup": pa.array(out_c, pa.large_binary()),
+                "n_removed": pa.array(out_r, pa.int64()),
+            },
+            schema=SPANS_SCHEMA,
+        )
+
+    return joined.map_batches(splice_joined, batch_format="pyarrow")

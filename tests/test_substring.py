@@ -160,3 +160,105 @@ def test_iter_window_parts_matches_per_doc_kernel():
             assert got_counts[i] == len(hs), (i, length, stride)
             np.testing.assert_array_equal(got_vals[pos : pos + len(hs)], hs)
             pos += len(hs)
+
+
+def _spans_corpus():
+    import pyarrow as pa
+
+    shared = "S" * 25 + "HARED-CONTENT-" + "x" * 25  # 64 bytes > L=40
+    docs = [
+        ("1", "aaa " + shared + " unique tail one"),
+        ("2", "bbbbbb " + shared + " other tail"),
+        ("3", "totally unrelated content with no duplicated spans at all!!"),
+        ("4", None),
+        ("5", "short"),
+    ]
+    return docs, pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs]),
+            "text": pa.array([t for _, t in docs], pa.large_string()),
+        }
+    )
+
+
+def test_dedup_spans_semantics_and_route_parity(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from backupdeduplicator_ray.stages.substring import dedup_spans
+
+    docs, tbl = _spans_corpus()
+    outs = {}
+    for dist in (False, True):
+        out = (
+            dedup_spans(
+                ray.data.from_arrow(tbl).repartition(2),
+                min_len=40,
+                id_col="doc_id",
+                text_col="text",
+                distributed=dist,
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        outs[dist] = out
+    pd.testing.assert_frame_equal(outs[False], outs[True])
+    out = outs[False].set_index("id")
+    # canonical (min id) keeps every byte; null doc dropped
+    assert list(out.index) == ["1", "2", "3", "5"]
+    assert out.loc["1", "n_removed"] == 0
+    assert bytes(out.loc["1", "content_dedup"]).decode() == docs[0][1]
+    # non-canonical: the shared 64-byte run is excised as ONE unioned
+    # interval (overlapping dup windows), plus the flanking spaces that
+    # complete dup windows crossing the boundary
+    assert out.loc["2", "n_removed"] == 66
+    assert bytes(out.loc["2", "content_dedup"]) == b"bbbbbbother tail"
+    # untouched docs pass through whole
+    assert out.loc["3", "n_removed"] == 0
+    assert out.loc["5", "n_removed"] == 0
+    assert bytes(out.loc["5", "content_dedup"]) == b"short"
+
+
+def test_dedup_spans_no_dups(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.substring import dedup_spans
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"]),
+            "text": pa.array(
+                ["x" * 10 + "one unique document body here", "a completely different second body"],
+                pa.large_string(),
+            ),
+        }
+    )
+    out = (
+        dedup_spans(ray.data.from_arrow(tbl), min_len=40, id_col="doc_id", text_col="text")
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert (out.n_removed == 0).all()
+
+
+def test_dedup_spans_within_doc_repeat_kept(ray_session):
+    """A window repeated only WITHIN one doc (df by distinct docs = 1)
+    is never removed — cross-doc dups only, canonical keeps all copies."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.substring import dedup_spans
+
+    blk = "Z" * 45
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a"]),
+            "text": pa.array([blk + " middle " + blk], pa.large_string()),
+        }
+    )
+    out = dedup_spans(
+        ray.data.from_arrow(tbl), min_len=40, id_col="doc_id", text_col="text"
+    ).to_pandas()
+    assert out.n_removed.iloc[0] == 0
