@@ -32,6 +32,10 @@ QUERIES = [
     "media_frames",
     "media_features",
     "substring_pairs",
+    # byte-window span splicing can cut UTF-8 sequences mid-char; the
+    # BLOB/hex output contract must stay byte-exact on multi-byte text
+    "dedup_spans",
+    "dedup_spans_distributed",
     # multi-byte text is exactly what these two must survive: NFC composes
     # decomposed sequences; stopword stripping rebuilds docs from a
     # byte-sliced token stream
