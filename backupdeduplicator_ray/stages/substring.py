@@ -262,9 +262,11 @@ def dedup_spans(
     hex(encode(text)) technique and emits the identical BLOB).
 
     Routes (same valve doctrine as jaccard_pairs):
-      * pass 1 is always one window groupby -> (win, keep_id) table of
-        DUPLICATED windows only (count-pruned, built from per-doc-distinct
-        index rows);
+      * pass 1 count-prunes FIRST (`keys_with_count_between`, the
+        substring_dup_pairs pattern — singleton windows never enter an
+        exchange; `distributed=True` flips the count to a key-Dataset
+        semi-join with no driver round-trip), then one groupby over the
+        surviving minority yields the (win, keep_id) dup table;
       * below `broadcast_max_windows` the dup table broadcasts once via
         ray.put (16 B + id bytes per duplicated window) and pass 2 is a
         zero-shuffle per-batch splice (sorted-array searchsorted + one
@@ -278,9 +280,13 @@ def dedup_spans(
     import ray
     import ray.data
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min
 
-    from ..functions.groups import cached_get
+    from ..functions.groups import (
+        cached_get,
+        filter_by_key_set,
+        keys_with_count_between,
+    )
     from ..functions.rollhash import string_buffer_view, window_hashes
     from ..state.joins import partitioned_hash_join
 
@@ -313,13 +319,27 @@ def dedup_spans(
         ),
         batch_format="pyarrow",
     )
+    # count-prune BEFORE any exchange: the min(id) groupby only ever sees
+    # windows that actually duplicate (rows bounded by true dup density,
+    # not corpus bytes).  Driver path merges per-block value_counts
+    # partials (no shuffle at all); distributed=True keeps the surviving
+    # key set as a Dataset consumed via partitioned semi-join.
+    survivors = keys_with_count_between(
+        wins, ["win"], min_count=2, distributed=distributed
+    )
+    if not distributed and not survivors:
+        cand = ray.data.from_arrow(
+            pa.table(
+                {"win": pa.array([], pa.int64()), "id": pa.array([], pa.string())}
+            )
+        )
+    else:
+        cand = filter_by_key_set(wins, ["win"], survivors, keep=True)
     dup = (
-        wins.groupby("win")
-        .aggregate(Count(), Min("id"))
+        cand.groupby("win")
+        .aggregate(Min("id"))
         .map_batches(
-            lambda t: pa.table(
-                {"win": t["win"], "keep_id": t["min(id)"]}
-            ).filter(pc.greater_equal(t["count()"], 2)),
+            lambda t: pa.table({"win": t["win"], "keep_id": t["min(id)"]}),
             batch_format="pyarrow",
         )
         .materialize()
