@@ -295,6 +295,7 @@ def moss_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_freq: int | None = None,
+    distributed: bool = False,
 ):
     """MOSS-style clone pairs: EXACT Jaccard over DISTINCT winnowed
     fingerprint sets (Schleimer et al., SIGMOD 2003 — the plagiarism /
@@ -311,25 +312,57 @@ def moss_pairs(
 
     Plan (same shape as jaccard_pairs, but the index rows are winnowed
     fingerprints — ~1/window the volume of full shingle sets):
-      explode DISTINCT (fp u64, id) → doc-freq count-prune → partition-
-      grain pair hits (`cooccur_pair_hits`) → groupby(a,b) sum → per-doc
-      post-valve sizes (stopword set broadcast via ray.put) delivered by
-      two partitioned hash joins (the 10^12-safe route; pair density is
-      bounded by the valve) → score + threshold filter.
+      explode DISTINCT (fp u64, id), MATERIALIZED once (the winnowed
+      index is small enough that spill-vs-recompute flips vs jaccard's
+      lazy shingle index) → doc-freq count-prune → partition-grain pair
+      hits (`cooccur_pair_hits`) → groupby(a,b) sum → per-doc post-valve
+      sizes derived from the SAME materialized index at doc grain (each
+      doc whole inside its batch — exact with no exchange; stop set
+      broadcast via ray.put) → score + threshold filter.
+
+    Id/size delivery, the jaccard doctrine verbatim: below the
+    BDR_SIZES_BROADCAST_MAX_DOCS valve (default 20M) doc ids ride the
+    index and the pair aggregate as collision-checked int64 hashes
+    (`neardup.compact_doc_ids`) and the sizes + id-string maps broadcast
+    once via ray.put, consumed by ONE vectorized searchsorted kernel —
+    no joins touch the pair aggregate (dragging string ids through the
+    pair groupby + two joins measured 239.6 s vs 56.3 s end-to-end at
+    102k docs / 12.7M candidate pairs, 32 CPUs, this host).  Above the valve, or with
+    `distributed=True`, string ids ride throughout and sizes arrive via
+    two partitioned hash joins (the 10^12-safe route; parity-tested).
     """
+    import os
+
     import ray
     import ray.data
     from ray.data.aggregate import Sum
 
     from ..functions.groups import cached_get, keys_with_count_between
     from ..state.joins import partitioned_hash_join
-    from .neardup import DEFAULT_MAX_DOC_FREQ, cooccur_pair_hits
+    from .neardup import (
+        DEFAULT_MAX_DOC_FREQ,
+        compact_doc_ids,
+        cooccur_pair_hits,
+        hash_doc_ids,
+    )
 
     if max_doc_freq is None:
         max_doc_freq = DEFAULT_MAX_DOC_FREQ
 
+    bcast_max = int(os.environ.get("BDR_SIZES_BROADCAST_MAX_DOCS", "20000000"))
+    compact = False
+    if not distributed:
+        compact, id_map = compact_doc_ids(ds, id_col)
+        if compact and id_map.count() > bcast_max:
+            compact = False
+    id_t = pa.int64() if compact else pa.string()
+
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].cast(pa.string())
+        if compact:
+            idh_np = hash_doc_ids(
+                ids.combine_chunks().to_numpy(zero_copy_only=False)
+            )
         fp_chunks, row_chunks = [], []
         for row, fps in iter_doc_fingerprints(batch[text_col], k, window):
             if len(fps) == 0:
@@ -339,17 +372,19 @@ def moss_pairs(
             row_chunks.append(np.full(len(u), row, np.int64))
         if not fp_chunks:
             return pa.table(
-                {"fp": pa.array([], pa.uint64()), "id": pa.array([], pa.string())}
+                {"fp": pa.array([], pa.uint64()), "id": pa.array([], id_t)}
             )
         rows = np.concatenate(row_chunks)
+        id_arr = (
+            pa.array(idh_np[rows], pa.int64())
+            if compact
+            else ids.take(pa.array(rows))
+        )
         return pa.table(
-            {
-                "fp": pa.array(np.concatenate(fp_chunks), pa.uint64()),
-                "id": ids.take(pa.array(rows)),
-            }
+            {"fp": pa.array(np.concatenate(fp_chunks), pa.uint64()), "id": id_arr}
         )
 
-    inv = ds.map_batches(explode, batch_format="pyarrow")
+    inv = ds.map_batches(explode, batch_format="pyarrow").materialize()
     survivors, stops = keys_with_count_between(
         inv, ["fp"], min_count=2, max_count=max_doc_freq, also_above=True
     )
@@ -359,7 +394,9 @@ def moss_pairs(
     if not survivors:
         return ray.data.from_arrow(pa.Table.from_pylist([], schema=out_schema))
 
-    hits = cooccur_pair_hits(inv, "fp", id_col="id", survivors=survivors)
+    hits = cooccur_pair_hits(
+        inv, "fp", id_col="id", survivors=survivors, id_type=id_t
+    )
     pairs = hits.groupby(["a_id", "b_id"]).aggregate(Sum("n"))
 
     stops_bc = ray.put(
@@ -369,28 +406,93 @@ def moss_pairs(
     )
 
     def doc_sizes(batch: pa.Table) -> pa.Table:
+        # doc-grain exact from the materialized index: each doc's distinct
+        # fp rows live whole inside one batch (the explode emits them
+        # contiguously and never splits a doc), so post-valve set sizes
+        # are per-batch run counts — no exchange, no re-fingerprinting
+        if len(batch) == 0:
+            return pa.table(
+                {"id": pa.array([], id_t), "sz": pa.array([], pa.int64())}
+            )
         stop = cached_get(stops_bc)
-        ids = batch[id_col].cast(pa.string())
-        rows_l, sz_l = [], []
-        for row, fps in iter_doc_fingerprints(batch[text_col], k, window):
-            if len(fps) == 0:
-                continue
-            u = np.unique(fps)
-            sz = int((~np.isin(u, stop)).sum()) if len(stop) else len(u)
-            if sz == 0:
-                continue
-            rows_l.append(row)
-            sz_l.append(sz)
+        fp = batch["fp"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = ~np.isin(fp, stop) if len(stop) else np.ones(len(fp), bool)
+        u, sz = np.unique(ids[keep], return_counts=True)
         return pa.table(
             {
-                "id": ids.take(pa.array(rows_l, pa.int64()))
-                if rows_l
-                else pa.array([], pa.string()),
-                "sz": pa.array(sz_l, pa.int64()),
+                "id": pa.array(u, id_t),
+                "sz": pa.array(sz.astype(np.int64), pa.int64()),
             }
         )
 
-    sizes = ds.map_batches(doc_sizes, batch_format="pyarrow")
+    sizes = inv.map_batches(doc_sizes, batch_format="pyarrow")
+
+    if compact:
+        # broadcast finish: sizes + the idh→string map ship once; the pair
+        # aggregate is consumed by one searchsorted kernel, no joins
+        map_tbls = [t for t in ray.get(id_map.to_arrow_refs()) if len(t)]
+        midh = (
+            np.concatenate([t["idh"].to_numpy(zero_copy_only=False) for t in map_tbls])
+            if map_tbls
+            else np.empty(0, np.int64)
+        )
+        mstr = (
+            np.concatenate(
+                [t["id"].to_numpy(zero_copy_only=False) for t in map_tbls]
+            )
+            if map_tbls
+            else np.empty(0, object)
+        )
+        o = np.argsort(midh)
+        midh, mstr = midh[o], mstr[o]
+        sz_tbls = [t for t in ray.get(sizes.materialize().to_arrow_refs()) if len(t)]
+        sidh = (
+            np.concatenate([t["id"].to_numpy(zero_copy_only=False) for t in sz_tbls])
+            if sz_tbls
+            else np.empty(0, np.int64)
+        )
+        ssz = (
+            np.concatenate([t["sz"].to_numpy(zero_copy_only=False) for t in sz_tbls])
+            if sz_tbls
+            else np.empty(0, np.int64)
+        )
+        o = np.argsort(sidh)
+        sidh, ssz = sidh[o], ssz[o]
+        ref = ray.put((midh, mstr, sidh, ssz))
+
+        def finish_bcast(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.Table.from_pylist([], schema=out_schema)
+            bmid, bmstr, bsid, bssz = cached_get(ref)
+            a = t["a_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t["b_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = (
+                t["sum(n)"]
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            sa = bssz[np.searchsorted(bsid, a)]
+            sb = bssz[np.searchsorted(bsid, b)]
+            sim = c / (sa + sb - c)
+            keep = sim >= threshold
+            astr = bmstr[np.searchsorted(bmid, a[keep])]
+            bstr = bmstr[np.searchsorted(bmid, b[keep])]
+            # cooccur orients compact pairs numerically; restore the
+            # lexicographic orientation on the surviving minority
+            swap = astr > bstr
+            return pa.table(
+                {
+                    "a_id": pa.array(np.where(swap, bstr, astr), pa.string()),
+                    "b_id": pa.array(np.where(swap, astr, bstr), pa.string()),
+                    "moss_sim": pa.array(sim[keep], pa.float64()),
+                },
+                schema=out_schema,
+            )
+
+        return pairs.map_batches(finish_bcast, batch_format="pyarrow")
+
     a_sz = sizes.map_batches(
         lambda t: pa.table({"a_id": t["id"], "sz_a": t["sz"]}),
         batch_format="pyarrow",

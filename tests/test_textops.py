@@ -518,12 +518,13 @@ def test_moss_pairs_brute_parity(ray_session):
             if j >= 0.3:
                 expect[(a, b)] = round(j, 9)
 
-    for parts in (1, 3):
+    for parts, dist in ((1, False), (3, False), (3, True)):
         out = moss_pairs(
             ray.data.from_arrow(tbl).repartition(parts),
             threshold=0.3,
             k=3,
             window=2,
+            distributed=dist,
         ).to_pandas()
         got = {
             (r.a_id, r.b_id): round(r.moss_sim, 9) for r in out.itertuples()
