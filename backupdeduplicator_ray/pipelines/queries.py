@@ -4016,6 +4016,65 @@ WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
 """
 
 
+def q_pps_sample(sf_dir: str):
+    """Probability-proportional-to-size Bernoulli sample: each document is
+    kept with probability min(1, 0.5 * n_chars / 300) decided by
+    sha256(doc_id) — the importance-sampling knob (sample proportional to
+    token/char mass so the sampled mass is unbiased).  Pure per-batch
+    filter, no shuffle; the keep rule is an exact integer comparison (top
+    52 digest bits vs a floor-quantized threshold), so parity with the
+    SQL restatement is bit-exact with no float-ordering doctrine."""
+    from ..stages.weighted import pps_sample
+
+    return pps_sample(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        key_col="doc_id",
+        weight_col="n_chars",
+        rate=0.5,
+        w_ref=300.0,
+    )
+
+
+# 4503599627370496 == 2^52; 13 hex chars == top 52 digest bits
+SQL_PPS_SAMPLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE doc_id IS NOT NULL AND n_chars > 0
+  AND CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 13) AS UBIGINT)
+      < CAST(floor(least(1.0, (0.5 * n_chars) / 300.0) * 4503599627370496.0)
+             AS UBIGINT)
+"""
+
+
+def q_weighted_topk(sf_dir: str):
+    """Efraimidis–Spirakis weighted sample WITHOUT replacement: the 40
+    documents maximizing u^(1/n_chars), u = deterministic uniform from
+    sha256(doc_id) — fixed-budget counterpart of pps_sample (exact sample
+    size, inclusion probability increasing in weight).  Per-block partial
+    top-k -> bounded k x blocks driver merge; ranking on the ROUNDED key
+    then doc_id in both engines (knn_join doctrine)."""
+    from ..stages.weighted import weighted_topk
+
+    return weighted_topk(
+        _docs(sf_dir, ["doc_id", "n_chars"]),
+        key_col="doc_id",
+        weight_col="n_chars",
+        k=40,
+    )
+
+
+SQL_WEIGHTED_TOPK = """
+SELECT doc_id, n_chars,
+       round(pow((CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 13)
+                       AS UBIGINT) + 0.5) / 4503599627370496.0,
+                 1.0 / n_chars), 12) AS aes_key
+FROM documents
+WHERE doc_id IS NOT NULL AND n_chars > 0
+ORDER BY aes_key DESC, doc_id
+LIMIT 40
+"""
+
+
 def q_lang_topk(sf_dir: str):
     """Per-group quota selection: the 5 longest documents per language
     (ties broken on doc_id)."""
@@ -5537,6 +5596,8 @@ QUERIES = {
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "doc_sample": q_doc_sample,
+    "pps_sample": q_pps_sample,
+    "weighted_topk": q_weighted_topk,
     "lang_topk": q_lang_topk,
     "vocab_topk": q_vocab_topk,
     "len_quantiles": q_len_quantiles,
@@ -5670,6 +5731,8 @@ ORACLE_SQL = {
     "funnel": SQL_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "doc_sample": SQL_DOC_SAMPLE,
+    "pps_sample": SQL_PPS_SAMPLE,
+    "weighted_topk": SQL_WEIGHTED_TOPK,
     "lang_topk": SQL_LANG_TOPK,
     "vocab_topk": SQL_VOCAB_TOPK,
     "len_quantiles": SQL_LEN_QUANTILES,

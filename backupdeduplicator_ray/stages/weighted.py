@@ -1,0 +1,150 @@
+"""Weight-aware sampling operators for training-data curation.
+
+Two classic corpus-sampling primitives the uniform samplers in
+`stages/select.py` cannot express (reference analogue: the deterministic
+selection ideas of `analyze/cmd.rs`' hash-keyed grouping, applied to
+SAMPLING; both ops key on the same corpus-wide sha256 fixed point as
+every sampler in this engine, so selections replay bit-exactly across
+runs, shardings and engines):
+
+- `pps_sample` — probability-proportional-to-size Bernoulli sampling:
+  each row is kept independently with probability min(1, rate * w /
+  w_ref).  THE way a 100 TB corpus is importance-sampled (sample
+  documents proportional to token count so the sampled TOKEN mass is
+  unbiased; downweight boilerplate by quality score; etc.).  Pure
+  per-batch filter — no shuffle, no state — and the keep decision is an
+  EXACT integer comparison (top 52 bits of sha256(key) vs a
+  floor-quantized per-row threshold), so the DuckDB oracle reproduces it
+  bit-for-bit with no float-ordering fragility.
+
+- `weighted_topk` — Efraimidis–Spirakis (A-ES) weighted sampling WITHOUT
+  replacement: the k rows with the largest u^(1/w) where u =
+  deterministic uniform from sha256(key).  The fixed-budget counterpart
+  of `pps_sample` (exact sample size k, inclusion probability increasing
+  in w).  Scale shape: per-block partial top-k (each block emits <= k
+  rows) -> bounded k x blocks driver merge — the `cosine_topk` /
+  `topk_per_group` exchange doctrine.  Cross-engine ranking follows the
+  knn_join doctrine: rank on the ROUNDED key then id in both the engine
+  kernel and the SQL row_number ORDER BY (keys are quantized to 12 dp;
+  u is exact in both engines by construction, and pow routes through the
+  platform libm on both sides).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_U52 = float(1 << 52)
+
+
+def _u52_of(keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Top 52 bits of sha256(str(key)) as uint64 — numerically equal to
+    the first 13 hex chars of the digest, which is what the SQL oracle
+    compares (`CAST('0x' || substr(sha256(k), 1, 13) AS UBIGINT)`)."""
+    from .sketch import _hash64
+
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return _hash64(keys) >> np.uint64(12)
+
+
+def pps_sample(ds, key_col: str, weight_col: str, rate: float, w_ref: float):
+    """Keep each row independently with probability
+    min(1, (rate * w) / w_ref), decided by sha256(str(key)) — deterministic
+    across runs, shardings and engines.  Null keys and null/negative
+    weights are never selected.
+
+    The comparison is integer-exact: threshold = floor(p * 2^52) computed
+    with the same IEEE-double expression the oracle uses
+    (least(1.0, (rate * w) / w_ref)), compared against the top 52 digest
+    bits — no transcendental functions, no rounding doctrine needed.
+    """
+    if rate < 0:
+        raise ValueError(f"rate must be >= 0, got {rate}")
+    if w_ref <= 0:
+        raise ValueError(f"w_ref must be > 0, got {w_ref}")
+
+    def flt(t: pa.Table) -> pa.Table:
+        valid = pc.and_(
+            pc.is_valid(t[key_col]),
+            pc.fill_null(pc.greater(pc.cast(t[weight_col], pa.float64()), 0.0), False),
+        )
+        t = t.filter(valid)
+        if t.num_rows == 0:
+            return t
+        u52 = _u52_of(t[key_col].cast(pa.string()))
+        w = t[weight_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        # same op order as the SQL: least(1.0, (rate * w) / w_ref)
+        p = np.minimum(1.0, (rate * w) / w_ref)
+        thr = np.floor(p * _U52).astype(np.uint64)
+        return t.filter(pa.array(u52 < thr))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def weighted_topk(ds, key_col: str, weight_col: str, k: int, round_to: int = 12):
+    """A-ES weighted top-k without replacement: the `k` rows maximizing
+    u^(1/w), u = (u52 + 0.5) / 2^52 from sha256(str(key)) — inclusion
+    probability strictly increasing in weight, exact output size
+    min(k, eligible rows).  Null keys / non-positive weights are
+    ineligible.
+
+    Output: (key_col, weight_col, aes_key float64 rounded to `round_to`),
+    ordered by (aes_key DESC, key ASC).  Ranking uses the rounded key
+    with the id tie-break IN BOTH ENGINES (knn_join doctrine), so oracle
+    parity does not hinge on sub-ulp float ordering.
+
+    Scale: each block emits its own top-k (<= k rows), the driver merges
+    k x blocks rows — bounded regardless of corpus size.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    key_type = types[key_col]
+    w_type = types[weight_col]
+    out_schema = pa.schema(
+        [(key_col, key_type), (weight_col, w_type), ("aes_key", pa.float64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        valid = pc.and_(
+            pc.is_valid(t[key_col]),
+            pc.fill_null(pc.greater(pc.cast(t[weight_col], pa.float64()), 0.0), False),
+        )
+        t = t.filter(valid)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        u52 = _u52_of(t[key_col].cast(pa.string()))
+        w = t[weight_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        u = (u52.astype(np.float64) + 0.5) / _U52
+        aes = np.round(np.power(u, 1.0 / w), round_to)
+        # local top-k on (-aes, key): survives into the bounded merge
+        ids = t[key_col]
+        order = np.lexsort((ids.to_numpy(zero_copy_only=False), -aes))[:k]
+        idx = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                key_col: ids.take(idx),
+                weight_col: t[weight_col].take(idx),
+                "aes_key": pa.array(aes[order], pa.float64()),
+            }
+        ).cast(out_schema)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return out_schema.empty_table()
+    import pandas as pd
+
+    df = pd.DataFrame(parts)
+    df = df.sort_values(
+        ["aes_key", key_col], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return (
+        pa.Table.from_pandas(df, preserve_index=False)
+        .cast(out_schema)
+        .replace_schema_metadata(None)
+    )

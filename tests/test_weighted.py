@@ -1,0 +1,149 @@
+"""Weight-aware sampling (stages/weighted.py): PPS keep-probability and
+exact-integer determinism, A-ES top-k brute-force parity, repartition
+invariance, and the DuckDB restatement of the PPS predicate."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(table, parts=1):
+    import ray.data
+
+    ds = ray.data.from_arrow(table)
+    return ds.repartition(parts) if parts > 1 else ds
+
+
+def _u52(key: str) -> int:
+    return int(hashlib.sha256(key.encode()).hexdigest()[:13], 16)
+
+
+def _docs(n=4000, seed=7):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "w": pa.array(rng.integers(1, 5000, n), pa.int64()),
+        }
+    )
+
+
+def test_pps_keep_rule_exact(ray_session):
+    t = _docs()
+    from backupdeduplicator_ray.stages.weighted import pps_sample
+
+    rate, w_ref = 0.3, 1000.0
+    out = pps_sample(_ds(t, parts=4), "doc_id", "w", rate, w_ref).to_pandas()
+    # brute-force restatement of the integer predicate
+    w = t["w"].to_numpy()
+    p = np.minimum(1.0, (rate * w) / w_ref)
+    thr = np.floor(p * float(1 << 52))
+    keep = np.array([_u52(str(i)) for i in range(len(w))]) < thr
+    expect = t.to_pandas()[keep]
+    assert sorted(out["doc_id"]) == sorted(expect["doc_id"])
+
+
+def test_pps_rate_scales_with_weight(ray_session):
+    # empirical keep fraction tracks min(1, rate*w/w_ref) per weight tier
+    n = 20000
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "w": pa.array(([100] * (n // 2)) + ([400] * (n // 2)), pa.int64()),
+        }
+    )
+    from backupdeduplicator_ray.stages.weighted import pps_sample
+
+    out = pps_sample(_ds(t, parts=4), "doc_id", "w", 0.5, 200.0).to_pandas()
+    lo = (out["w"] == 100).sum() / (n // 2)  # expect 0.25
+    hi = (out["w"] == 400).sum() / (n // 2)  # expect min(1, 1.0) = 1.0
+    assert abs(lo - 0.25) < 0.03
+    assert hi == 1.0
+
+
+def test_pps_nulls_and_nonpositive_never_selected(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, None, 3, 4], pa.int64()),
+            "w": pa.array([0, 50, None, -2], pa.int64()),
+        }
+    )
+    from backupdeduplicator_ray.stages.weighted import pps_sample
+
+    out = pps_sample(_ds(t), "doc_id", "w", 10.0, 1.0).to_pandas()
+    assert len(out) == 0
+
+
+def test_pps_matches_duckdb_restatement(ray_session):
+    import duckdb
+
+    t = _docs(n=2500, seed=11)
+    from backupdeduplicator_ray.stages.weighted import pps_sample
+
+    rate, w_ref = 0.4, 1500.0
+    out = pps_sample(_ds(t, parts=3), "doc_id", "w", rate, w_ref).to_pandas()
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    sql = f"""
+    SELECT doc_id, w FROM docs
+    WHERE doc_id IS NOT NULL AND w > 0
+      AND CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 13) AS UBIGINT)
+          < CAST(floor(least(1.0, ({rate} * w) / {w_ref}) * 4503599627370496.0) AS UBIGINT)
+    """
+    expect = con.execute(sql).df()
+    assert sorted(out["doc_id"]) == sorted(expect["doc_id"])
+
+
+def test_weighted_topk_brute_parity_and_invariance(ray_session):
+    t = _docs(n=3000, seed=3)
+    from backupdeduplicator_ray.stages.weighted import weighted_topk
+
+    k = 25
+    w = t["w"].to_numpy().astype(np.float64)
+    u = (np.array([_u52(str(i)) for i in range(len(w))], np.float64) + 0.5) / float(
+        1 << 52
+    )
+    aes = np.round(np.power(u, 1.0 / w), 12)
+    order = np.lexsort((np.arange(len(w)), -aes))[:k]
+    expect_ids = list(np.array(range(len(w)))[order])
+
+    for parts in (1, 7):
+        out = weighted_topk(_ds(t, parts=parts), "doc_id", "w", k)
+        assert out.num_rows == k
+        assert list(out["doc_id"].to_pylist()) == expect_ids
+
+
+def test_weighted_topk_prefers_heavy_rows(ray_session):
+    # with two weight tiers, the top-k should be dominated by the heavy tier
+    n = 2000
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "w": pa.array(([1] * (n // 2)) + ([1000] * (n // 2)), pa.int64()),
+        }
+    )
+    from backupdeduplicator_ray.stages.weighted import weighted_topk
+
+    out = weighted_topk(_ds(t, parts=4), "doc_id", "w", 50).to_pandas()
+    assert (out["w"] == 1000).sum() >= 45
+
+
+def test_weighted_topk_k_larger_than_corpus(ray_session):
+    t = _docs(n=10)
+    from backupdeduplicator_ray.stages.weighted import weighted_topk
+
+    out = weighted_topk(_ds(t), "doc_id", "w", 100)
+    assert out.num_rows == 10
+
+
+def test_pps_validation():
+    from backupdeduplicator_ray.stages.weighted import pps_sample, weighted_topk
+
+    with pytest.raises(ValueError):
+        pps_sample(None, "id", "w", -0.1, 1.0)
+    with pytest.raises(ValueError):
+        pps_sample(None, "id", "w", 0.5, 0.0)
+    with pytest.raises(ValueError):
+        weighted_topk(None, "id", "w", 0)
