@@ -3138,6 +3138,48 @@ SELECT query_id, vec_id, cos_sim FROM (
 """
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label mean embedding (SemDeDup / IVF cluster statistics),
+    long-form (label, dim, centroid, n): per-block scatter-add partials
+    (labels × blocks rows of d doubles) -> one groupby(label) finish —
+    the bounded-partial pattern, no corpus-sized exchange."""
+    from ..stages.vecstats import label_centroids
+
+    return label_centroids(_embeddings(sf_dir))
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label, gs AS dim,
+       round(avg(CAST(embedding[gs+1] AS DOUBLE)), 6) AS centroid,
+       count(*) AS n
+FROM embeddings, unnest(generate_series(0, len(embedding)-1)) AS t(gs)
+WHERE embedding IS NOT NULL AND label IS NOT NULL
+GROUP BY label, gs
+"""
+
+
+def q_embedding_gram(sf_dir: str):
+    """Corpus Gram matrix X^T X (whitening / PCA precursor), upper
+    triangle long-form (i, j, g): one d×d matmul partial per block,
+    driver sums blocks × d² doubles — bounded regardless of corpus
+    size."""
+    from ..stages.vecstats import embedding_gram
+
+    return embedding_gram(_embeddings(sf_dir))
+
+
+SQL_EMBEDDING_GRAM = """
+SELECT i, j,
+       round(sum(CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE)),
+             6) AS g
+FROM embeddings,
+     unnest(generate_series(0, len(embedding)-1)) AS a(i),
+     unnest(generate_series(0, len(embedding)-1)) AS b(j)
+WHERE embedding IS NOT NULL AND i <= j
+GROUP BY i, j
+"""
+
+
 _KNN_K = 5
 
 
@@ -5574,6 +5616,8 @@ QUERIES = {
     "dedup_spans": q_dedup_spans,
     "dedup_spans_distributed": q_dedup_spans_distributed,
     "ann_topk": q_ann_topk,
+    "label_centroids": q_label_centroids,
+    "embedding_gram": q_embedding_gram,
     "ivf_topk": q_ivf_topk,
     "cosine_pairs": q_cosine_pairs,
     "semantic_dedup": q_semantic_dedup,
@@ -5711,6 +5755,8 @@ ORACLE_SQL = {
     "dedup_spans": SQL_DEDUP_SPANS,
     "dedup_spans_distributed": SQL_DEDUP_SPANS,
     "ann_topk": SQL_ANN_TOPK,
+    "label_centroids": SQL_LABEL_CENTROIDS,
+    "embedding_gram": SQL_EMBEDDING_GRAM,
     "ivf_topk": SQL_IVF_TOPK,
     "cosine_pairs": SQL_COSINE_PAIRS,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,

@@ -1,0 +1,146 @@
+"""Distributed vector-statistics operators over an embedding column.
+
+The bounded-partial pattern applied to dense vectors — the statistics a
+training-data pipeline derives from its embedding store (reference
+analogue: the per-group aggregation idea of `analyze/cmd.rs`' hash
+grouping, applied to vector payloads):
+
+- `label_centroids` — per-label mean vector (the SemDeDup / IVF
+  cluster-statistics primitive: centroid quality, drift between corpus
+  versions, per-cluster size).  Per-batch kernel collapses each block to
+  one (label, n, sum-vector) partial via a vectorized scatter-add, so the
+  label exchange carries labels × blocks rows of d doubles — never the
+  corpus.  One tiny groupby finishes sum/n.
+- `embedding_gram` — the corpus Gram / second-moment matrix X^T X (the
+  whitening & PCA precursor).  Each block emits ONE flattened d×d
+  partial (a per-block matmul — the classic distributed covariance
+  shape); the driver sums blocks × d² doubles, bounded regardless of
+  corpus size, and emits the upper triangle long-form.
+
+Both outputs are long-form (label/dim rows, not list columns) so the
+DuckDB oracle restates them with plain GROUP BYs over unnested
+subscripts, and floats are rounded to `round_to` (6 = the driver canon)
+— cross-engine float-sum order differences sit ~7 orders below the
+rounding grid at realistic n.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .embedding import _batch_matrix
+
+
+def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding",
+                    round_to: int = 6):
+    """Per-label mean embedding, long-form output
+    (label, dim int64, centroid float64, n int64) ordered naturally by the
+    final groupby.  Null vectors and null labels are skipped.
+
+    Scale shape: one scatter-add per block -> (labels x blocks) partial
+    rows of d doubles -> one groupby(label) finish.  No corpus-sized
+    exchange, no driver state beyond the result itself.
+    """
+    label_type = dict(zip(ds.schema().names, ds.schema().types))[label_col]
+    partial_schema = pa.schema(
+        [
+            (label_col, label_type),
+            ("__n", pa.int64()),
+            ("__sum", pa.list_(pa.float64())),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t[label_col]), pc.is_valid(t[vec_col]))
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return partial_schema.empty_table()
+        X = _batch_matrix(t, vec_col)
+        lab_np = t[label_col].combine_chunks().to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(lab_np, return_inverse=True)
+        sums = np.zeros((len(uniq), X.shape[1]), np.float64)
+        np.add.at(sums, inv, X)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        d = X.shape[1]
+        offsets = pa.array(np.arange(0, (len(uniq) + 1) * d, d, dtype=np.int32))
+        sum_col = pa.ListArray.from_arrays(offsets, pa.array(sums.ravel(), pa.float64()))
+        return pa.table(
+            {
+                label_col: pa.array(uniq).cast(label_type),
+                "__n": pa.array(counts),
+                "__sum": sum_col,
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            (label_col, label_type),
+            ("dim", pa.int64()),
+            ("centroid", pa.float64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        n = int(pc.sum(g["__n"]).as_py())
+        S = np.asarray(g["__sum"].to_pylist(), np.float64).sum(axis=0)
+        d = S.shape[0]
+        mean = np.round(S / n, round_to)
+        return pa.table(
+            {
+                label_col: pa.array([g[label_col][0].as_py()] * d).cast(label_type),
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "centroid": pa.array(mean, pa.float64()),
+                "n": pa.array([n] * d, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(label_col)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def embedding_gram(ds, vec_col: str = "embedding", round_to: int = 6):
+    """Upper-triangle Gram matrix of the corpus embedding matrix:
+    rows (i int64, j int64, g float64) with g = sum_k x_k[i] * x_k[j],
+    i <= j, rounded to `round_to`.  Null vectors are skipped.
+
+    Each block contributes one d x d matmul partial (flattened to a single
+    row), the driver sums blocks x d^2 doubles — the distributed
+    covariance/PCA precursor shape, bounded regardless of corpus size.
+    Returns a pyarrow Table (the result IS driver-sized: d^2 values).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[vec_col]))
+        if t.num_rows == 0:
+            return pa.table({"__g": pa.array([], pa.list_(pa.float64()))})
+        X = _batch_matrix(t, vec_col)
+        G = X.T @ X
+        return pa.table({"__g": pa.array([G.ravel()], pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    mats = [np.asarray(p["__g"], np.float64) for p in parts]
+    if not mats:
+        return pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "g": pa.array([], pa.float64()),
+            }
+        )
+    flat = np.sum(mats, axis=0)
+    d = int(round(len(flat) ** 0.5))
+    G = np.round(flat.reshape(d, d), round_to)
+    iu, ju = np.triu_indices(d)
+    return pa.table(
+        {
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "g": pa.array(G[iu, ju], pa.float64()),
+        }
+    )

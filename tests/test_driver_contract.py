@@ -95,7 +95,7 @@ def test_oracle_keys_subset(entry_mod):
         "cms_sketch", "cms_user_counts", "bm25_topk", "hll_users_by_type",
         "bloom_new_paths", "props_field_agg", "strip_stopwords",
         "normalize_nfc", "shuffle_rank", "profile_events",
-        "pps_sample", "weighted_topk",
+        "pps_sample", "weighted_topk", "label_centroids", "embedding_gram",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):

@@ -1,0 +1,114 @@
+"""Vector statistics (stages/vecstats.py): numpy brute-force parity,
+repartition invariance, null handling, DuckDB restatement."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ds(table, parts=1):
+    import ray.data
+
+    ds = ray.data.from_arrow(table)
+    return ds.repartition(parts) if parts > 1 else ds
+
+
+def _emb_table(n=300, d=16, n_labels=5, seed=9):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, n_labels, n).astype(np.int32)
+    return (
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in X], pa.list_(pa.float32())
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        X.astype(np.float64),
+        labels,
+    )
+
+
+def test_label_centroids_brute_parity(ray_session):
+    t, X, labels = _emb_table()
+    from backupdeduplicator_ray.stages.vecstats import label_centroids
+
+    for parts in (1, 6):
+        out = label_centroids(_ds(t, parts=parts)).to_pandas()
+        out = out.sort_values(["label", "dim"]).reset_index(drop=True)
+        for lab in np.unique(labels):
+            sel = out[out["label"] == lab]
+            expect = np.round(X[labels == lab].mean(axis=0), 6)
+            assert np.allclose(sel["centroid"].to_numpy(), expect, atol=2e-6)
+            assert (sel["n"] == (labels == lab).sum()).all()
+
+
+def test_label_centroids_skips_nulls(ray_session):
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array([[1.0, 3.0], None, [3.0, 5.0]], pa.list_(pa.float32())),
+            "label": pa.array([0, 0, None], pa.int32()),
+        }
+    )
+    from backupdeduplicator_ray.stages.vecstats import label_centroids
+
+    out = label_centroids(_ds(t)).to_pandas().sort_values("dim")
+    assert list(out["label"].unique()) == [0]
+    assert list(out["centroid"]) == [1.0, 3.0]
+    assert list(out["n"]) == [1, 1]
+
+
+def test_embedding_gram_brute_parity(ray_session):
+    t, X, _ = _emb_table(n=200, d=8)
+    from backupdeduplicator_ray.stages.vecstats import embedding_gram
+
+    G = X.T @ X
+    iu, ju = np.triu_indices(8)
+    for parts in (1, 5):
+        out = embedding_gram(_ds(t, parts=parts)).to_pandas()
+        assert len(out) == len(iu)
+        out = out.sort_values(["i", "j"]).reset_index(drop=True)
+        assert (out["i"].to_numpy() == iu).all() and (out["j"].to_numpy() == ju).all()
+        assert np.allclose(out["g"].to_numpy(), np.round(G[iu, ju], 6), atol=2e-6)
+
+
+def test_embedding_gram_empty(ray_session):
+    t = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }
+    )
+    from backupdeduplicator_ray.stages.vecstats import embedding_gram
+
+    out = embedding_gram(_ds(t))
+    assert out.num_rows == 0
+
+
+def test_centroids_match_duckdb(ray_session):
+    import duckdb
+
+    t, _, _ = _emb_table(n=150, d=6, seed=4)
+    from backupdeduplicator_ray.stages.vecstats import label_centroids
+
+    out = (
+        label_centroids(_ds(t, parts=3))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("embeddings", t.to_pandas())
+    sql = """
+    SELECT label, gs AS dim, round(avg(CAST(embedding[gs+1] AS DOUBLE)), 6) AS centroid,
+           count(*) AS n
+    FROM embeddings, unnest(generate_series(0, len(embedding)-1)) AS t(gs)
+    WHERE embedding IS NOT NULL AND label IS NOT NULL
+    GROUP BY label, gs ORDER BY label, gs
+    """
+    expect = con.execute(sql).df()
+    assert np.allclose(out["centroid"], expect["centroid"], atol=2e-6)
+    assert (out["n"].to_numpy() == expect["n"].to_numpy()).all()
