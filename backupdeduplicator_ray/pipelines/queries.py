@@ -2004,6 +2004,49 @@ WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
 """
 
 
+def q_containment_pairs(sf_dir: str):
+    """EXACT n-gram set-CONTAINMENT pairs >= 0.6 (c / min(|A|,|B|) — the
+    LSH-Ensemble / subset-detection measure; string shingles, oracle
+    path).  Same inverted index, doc-freq valve and pair plan as
+    jaccard_pairs — only the closed-form on (c, |A|, |B|) changes."""
+    from ..stages.neardup import containment_pairs
+
+    return containment_pairs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        threshold=0.6,
+        k=3,
+        id_col="doc_id",
+        text_col="text",
+        hashed=False,
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+  FROM toks CROSS JOIN UNNEST(range(1, len(tk) - 1)) AS r(i)
+  WHERE len(tk) >= 3
+),
+shf AS (
+  SELECT * FROM sh
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {_MAX_DOC_FREQ}
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shf GROUP BY doc_id),
+hits AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+  FROM shf a JOIN shf b
+    ON a.shingle = b.shingle
+   AND CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+  GROUP BY 1, 2
+)
+SELECT CAST(h.a AS VARCHAR) AS a_id, CAST(h.b AS VARCHAR) AS b_id,
+       round(CAST(c AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+FROM hits h JOIN sizes sa ON sa.doc_id = h.a JOIN sizes sb ON sb.doc_id = h.b
+WHERE CAST(c AS DOUBLE) / least(sa.sz, sb.sz) >= 0.6
+"""
+
+
 def q_strip_comments(sf_dir: str):
     """Full-line #/// comment stripping over a deterministic code-shaped
     wrapping of each document (header/inline/tail comment lines injected
@@ -5589,6 +5632,7 @@ QUERIES = {
     "quality_flags": q_quality_flags,
     "lang_agg": q_lang_agg,
     "jaccard_pairs": q_jaccard_pairs,
+    "containment_pairs": q_containment_pairs,
     "moss_pairs": q_moss_pairs,
     "fork_pairs": q_fork_pairs,
     "fork_pairs_distributed": q_fork_pairs_distributed,
@@ -5728,6 +5772,7 @@ ORACLE_SQL = {
     "quality_flags": SQL_QUALITY_FLAGS,
     "lang_agg": SQL_LANG_AGG,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "fork_pairs": SQL_FORK_PAIRS,
     # the distributed sizes route must produce the SAME rows
     "fork_pairs_distributed": SQL_FORK_PAIRS,

@@ -1595,8 +1595,16 @@ def jaccard_pairs(
     text_col: str = "text",
     max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     hashed: bool = True,
+    metric: str = "jaccard",
 ):
     """EXACT n-gram-Jaccard pairs >= threshold via an inverted shingle index.
+
+    `metric="containment"` swaps the final score for set CONTAINMENT
+    c / min(|A|, |B|) (the LSH-Ensemble / subset-detection measure: a
+    short doc fully embedded in a long one scores 1.0 where Jaccard
+    dilutes toward |A|/|B|) — same index, same valve, same pair plan;
+    only the closed-form on the already-aggregated (c, |A|, |B|) changes.
+    The output score column is named after the metric.
 
     J(A,B) = c / (|A| + |B| - c) over the POST-VALVE shingle vocabulary:
     shingles shared by more than `max_doc_freq` docs (boilerplate /
@@ -1633,6 +1641,14 @@ def jaccard_pairs(
 
     from ..functions.groups import cached_get, keys_with_count_between
     from ..state.joins import partitioned_hash_join
+
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"metric must be 'jaccard' or 'containment', got {metric!r}")
+
+    def _score(c, na, nb):
+        if metric == "containment":
+            return c / np.minimum(na, nb)
+        return c / (na + nb - c)
 
     compact = hashed
     if compact:
@@ -1714,7 +1730,7 @@ def jaccard_pairs(
         stops = set()
 
     out_schema = pa.schema(
-        [("a_id", pa.string()), ("b_id", pa.string()), ("jaccard", pa.float64())]
+        [("a_id", pa.string()), ("b_id", pa.string()), (metric, pa.float64())]
     )
     if not survivors:
         import ray.data
@@ -1851,7 +1867,7 @@ def jaccard_pairs(
             # shingles, which also count toward its post-valve size
             na = bsz[np.searchsorted(bidh, a)].astype(np.float64)
             nb = bsz[np.searchsorted(bidh, b)].astype(np.float64)
-            j = c / (na + nb - c)
+            j = _score(c, na, nb)
             keep = j >= threshold
             a, b = a[keep], b[keep]
             astr = bmstr[np.searchsorted(bmid, a)]
@@ -1861,7 +1877,7 @@ def jaccard_pairs(
                 {
                     "a_id": pa.array(np.where(swap, bstr, astr), pa.string()),
                     "b_id": pa.array(np.where(swap, astr, bstr), pa.string()),
-                    "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+                    metric: pa.array(np.round(j[keep], 6), pa.float64()),
                 }
             )
 
@@ -1900,7 +1916,7 @@ def jaccard_pairs(
         c = t["sum(n)"].to_numpy().astype(np.float64)
         na = t["na"].to_numpy().astype(np.float64)
         nb = t["nb"].to_numpy().astype(np.float64)
-        j = c / (na + nb - c)
+        j = _score(c, na, nb)
         keep = j >= threshold
         keep_pa = pa.array(keep)
         jv = pa.array(np.round(j[keep], 6), pa.float64())
@@ -1909,7 +1925,7 @@ def jaccard_pairs(
                 {
                     "a_id": t["a_id"].filter(keep_pa),
                     "b_id": t["b_id"].filter(keep_pa),
-                    "jaccard": jv,
+                    metric: jv,
                 }
             )
         # restore string ids (carried through the sizes join) and
@@ -1922,11 +1938,39 @@ def jaccard_pairs(
             {
                 "a_id": pa.array(np.where(swap, b, a), pa.string()),
                 "b_id": pa.array(np.where(swap, a, b), pa.string()),
-                "jaccard": jv,
+                metric: jv,
             }
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def containment_pairs(
+    ds,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    hashed: bool = True,
+):
+    """EXACT n-gram set-containment pairs >= threshold: score =
+    c / min(|A|, |B|) over the post-valve shingle vocabulary — the
+    LSH-Ensemble / subset-detection measure (a short doc fully embedded in
+    a long one scores 1.0 where Jaccard dilutes toward |A|/|B|; the
+    near-dup measure for quote-heavy or template-wrapped corpora).
+    Thin wrapper over `jaccard_pairs(metric="containment")` — identical
+    index, valve and pair plan."""
+    return jaccard_pairs(
+        ds,
+        threshold=threshold,
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+        max_doc_freq=max_doc_freq,
+        hashed=hashed,
+        metric="containment",
+    )
 
 
 def dup_ngram_fraction(

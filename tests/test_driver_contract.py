@@ -96,6 +96,7 @@ def test_oracle_keys_subset(entry_mod):
         "bloom_new_paths", "props_field_agg", "strip_stopwords",
         "normalize_nfc", "shuffle_rank", "profile_events",
         "pps_sample", "weighted_topk", "label_centroids", "embedding_gram",
+        "containment_pairs",
     ],
 )
 def test_query_matches_oracle(entry_mod, duck, name):

@@ -164,3 +164,61 @@ def test_jaccard_max_doc_freq_prunes(ray_session, docs):
     # max_doc_freq=1 drops every shared shingle -> no pairs at all
     got = jaccard_pairs(ds, threshold=0.1, max_doc_freq=1).take_all()
     assert got == []
+
+
+def _containment_truth(docs, threshold):
+    out = {}
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = _strict_shingles(docs[a]), _strict_shingles(docs[b])
+            if not sa or not sb:
+                continue
+            c = len(sa & sb) / min(len(sa), len(sb))
+            if c >= threshold:
+                out[(a, b)] = c
+    return out
+
+
+@pytest.mark.parametrize("hashed", [True, False])
+def test_containment_pairs_exact(ray_session, docs, hashed):
+    import ray.data
+
+    from backupdeduplicator_ray.stages.neardup import containment_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": list(docs.keys()), "text": list(docs.values())})
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in containment_pairs(ds, threshold=0.5, k=3, hashed=hashed).take_all()
+    }
+    want = _containment_truth(docs, 0.5)
+    assert set(got) == set(want)
+    for pair, c in got.items():
+        assert abs(c - want[pair]) < 5e-7
+
+
+@pytest.mark.parametrize("hashed", [True, False])
+def test_containment_subset_scores_one(ray_session, hashed):
+    # a short doc fully embedded in a long one: containment 1.0 while
+    # Jaccard is diluted by the size ratio — the measure's whole point
+    import ray.data
+
+    from backupdeduplicator_ray.stages.neardup import containment_pairs, jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " zeta eta theta iota kappa lamda mu nu xi omicron pi rho"
+    ds = ray.data.from_arrow(pa.table({"id": ["l", "s"], "text": [long, short]}))
+    cont = containment_pairs(ds, threshold=0.9, k=3, hashed=hashed).take_all()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    assert cont[0]["a_id"] == "l" and cont[0]["b_id"] == "s"
+    jac = jaccard_pairs(ds, threshold=0.9, k=3, hashed=hashed).take_all()
+    assert jac == []  # diluted below 0.9
+
+
+def test_jaccard_metric_validation(ray_session):
+    from backupdeduplicator_ray.stages.neardup import jaccard_pairs
+
+    with pytest.raises(ValueError):
+        jaccard_pairs(None, metric="dice")
