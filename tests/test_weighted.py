@@ -147,3 +147,21 @@ def test_pps_validation():
         pps_sample(None, "id", "w", 0.5, 0.0)
     with pytest.raises(ValueError):
         weighted_topk(None, "id", "w", 0)
+
+
+def test_weighted_topk_string_keys(ray_session):
+    # string ids: the lexsort tie-break and output schema hold for
+    # non-integer key columns too
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:03d}" for i in range(500)], pa.string()),
+            "w": pa.array([100 + (i % 7) for i in range(500)], pa.int64()),
+        }
+    )
+    from backupdeduplicator_ray.stages.weighted import weighted_topk
+
+    a = weighted_topk(_ds(t, parts=1), "doc_id", "w", 20)
+    b = weighted_topk(_ds(t, parts=5), "doc_id", "w", 20)
+    assert a.equals(b)
+    assert a.schema.field("doc_id").type == pa.string()
+    assert a.num_rows == 20
