@@ -1650,6 +1650,13 @@ def jaccard_pairs(
             return c / np.minimum(na, nb)
         return c / (na + nb - c)
 
+    def _round6(x: np.ndarray) -> np.ndarray:
+        # DuckDB round() is half-AWAY-FROM-ZERO; np.round is half-to-even.
+        # Scores here are ratios of SMALL INTEGERS, which do land on exact
+        # decimal halves (c=77, min=128 -> 0.6015625: np.round gives
+        # .601562, DuckDB .601563) — round like the oracle (x >= 0 always).
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
     compact = hashed
     if compact:
         compact, _id_map = compact_doc_ids(ds, id_col)
@@ -1877,7 +1884,7 @@ def jaccard_pairs(
                 {
                     "a_id": pa.array(np.where(swap, bstr, astr), pa.string()),
                     "b_id": pa.array(np.where(swap, astr, bstr), pa.string()),
-                    metric: pa.array(np.round(j[keep], 6), pa.float64()),
+                    metric: pa.array(_round6(j[keep]), pa.float64()),
                 }
             )
 
@@ -1919,7 +1926,7 @@ def jaccard_pairs(
         j = _score(c, na, nb)
         keep = j >= threshold
         keep_pa = pa.array(keep)
-        jv = pa.array(np.round(j[keep], 6), pa.float64())
+        jv = pa.array(_round6(j[keep]), pa.float64())
         if not compact:
             return pa.table(
                 {

@@ -53,7 +53,13 @@ def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding",
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.is_valid(t[label_col]), pc.is_valid(t[vec_col]))
+        # empty lists are non-null but carry no vector — drop them like
+        # nulls (the oracle's generate_series(0, len-1) emits no rows for
+        # them); also guards the d=0 offsets arange below
+        mask = pc.and_(
+            pc.is_valid(t[label_col]),
+            pc.fill_null(pc.greater(pc.list_value_length(t[vec_col]), 0), False),
+        )
         t = t.filter(mask)
         if t.num_rows == 0:
             return partial_schema.empty_table()
@@ -116,7 +122,12 @@ def embedding_gram(ds, vec_col: str = "embedding", round_to: int = 6):
     """
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t[vec_col]))
+        # empty lists dropped like nulls (see label_centroids.partial) —
+        # an all-empty block would otherwise emit a length-0 partial that
+        # breaks the driver's fixed-d**2 sum
+        t = t.filter(
+            pc.fill_null(pc.greater(pc.list_value_length(t[vec_col]), 0), False)
+        )
         if t.num_rows == 0:
             return pa.table({"__g": pa.array([], pa.list_(pa.float64()))})
         X = _batch_matrix(t, vec_col)

@@ -67,15 +67,16 @@ def pps_sample(ds, key_col: str, weight_col: str, rate: float, w_ref: float):
         raise ValueError(f"w_ref must be > 0, got {w_ref}")
 
     def flt(t: pa.Table) -> pa.Table:
+        w_all = pc.cast(t[weight_col], pa.float64())
         valid = pc.and_(
             pc.is_valid(t[key_col]),
-            pc.fill_null(pc.greater(pc.cast(t[weight_col], pa.float64()), 0.0), False),
+            pc.fill_null(pc.greater(w_all, 0.0), False),
         )
         t = t.filter(valid)
         if t.num_rows == 0:
             return t
         u52 = _u52_of(t[key_col].cast(pa.string()))
-        w = t[weight_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        w = w_all.filter(valid).to_numpy(zero_copy_only=False)
         # same op order as the SQL: least(1.0, (rate * w) / w_ref)
         p = np.minimum(1.0, (rate * w) / w_ref)
         thr = np.floor(p * _U52).astype(np.uint64)
@@ -111,15 +112,16 @@ def weighted_topk(ds, key_col: str, weight_col: str, k: int, round_to: int = 12)
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        w_all = pc.cast(t[weight_col], pa.float64())
         valid = pc.and_(
             pc.is_valid(t[key_col]),
-            pc.fill_null(pc.greater(pc.cast(t[weight_col], pa.float64()), 0.0), False),
+            pc.fill_null(pc.greater(w_all, 0.0), False),
         )
         t = t.filter(valid)
         if t.num_rows == 0:
             return out_schema.empty_table()
         u52 = _u52_of(t[key_col].cast(pa.string()))
-        w = t[weight_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        w = w_all.filter(valid).to_numpy(zero_copy_only=False)
         u = (u52.astype(np.float64) + 0.5) / _U52
         aes = np.round(np.power(u, 1.0 / w), round_to)
         # local top-k on (-aes, key): survives into the bounded merge

@@ -222,3 +222,51 @@ def test_jaccard_metric_validation(ray_session):
 
     with pytest.raises(ValueError):
         jaccard_pairs(None, metric="dice")
+
+
+@pytest.mark.parametrize("hashed", [True, False])
+def test_containment_half_boundary_rounds_like_duckdb(ray_session, hashed):
+    # c=77, min(|A|,|B|)=128 -> 0.6015625 exactly: DuckDB round() is
+    # half-away-from-zero (.601563); np.round would give .601562.  Build
+    # a doc pair with exactly 128 trigram shingles on the small side, 77
+    # shared: tokens are unique words so shingle count = n_tokens - 2.
+    import ray.data
+
+    from backupdeduplicator_ray.stages.neardup import containment_pairs
+
+    shared = [f"s{i:03d}" for i in range(79)]     # 79 tokens -> 77 shared trigrams
+    a_only = [f"a{i:03d}" for i in range(51)]     # pad A to 130 tokens -> 128 shingles
+    b_only = [f"b{i:03d}" for i in range(151)]    # B bigger so A is the min side
+    docs = {"a": " ".join(shared + a_only), "b": " ".join(shared + b_only)}
+    ds = ray.data.from_arrow(
+        pa.table({"id": list(docs.keys()), "text": list(docs.values())})
+    )
+    got = containment_pairs(
+        ds, threshold=0.5, k=3, hashed=hashed, max_doc_freq=None
+    ).take_all()
+    assert len(got) == 1
+    # NOTE the boundary: crossing token sets make c=77 only if no trigram
+    # spans the shared/unique seam; the seam adds crossing shingles to the
+    # sets but not the intersection, so compute expectation from the truth
+    sa = _strict_shingles(docs["a"])
+    sb = _strict_shingles(docs["b"])
+    c, m = len(sa & sb), min(len(sa), len(sb))
+    import math
+
+    expect = math.floor(c / m * 1e6 + 0.5) / 1e6  # half-away-from-zero
+    assert got[0]["containment"] == expect
+
+
+def test_jaccard_rounding_matches_duckdb_half_up(ray_session):
+    # direct kernel check of the rounding helper semantics vs DuckDB
+    import duckdb
+    import numpy as np
+
+    vals = [77 / 128, 0.6015625, 3 / 256, 1 / 3, 0.9999995]
+    eng = np.floor(np.array(vals) * 1e6 + 0.5) / 1e6
+    duck = [
+        # CAST keeps DOUBLE semantics (a bare literal rounds as DECIMAL)
+        duckdb.sql(f"SELECT round(CAST({v!r} AS DOUBLE), 6)").fetchone()[0]
+        for v in vals
+    ]
+    assert list(eng) == [float(d) for d in duck]

@@ -112,3 +112,27 @@ def test_centroids_match_duckdb(ray_session):
     expect = con.execute(sql).df()
     assert np.allclose(out["centroid"], expect["centroid"], atol=2e-6)
     assert (out["n"].to_numpy() == expect["n"].to_numpy()).all()
+
+
+def test_vecstats_empty_lists_dropped(ray_session):
+    # zero-length embeddings are non-null but carry no vector: both ops
+    # must drop them like nulls (the oracle's generate_series emits no
+    # rows), not crash on ragged partials
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 2.0], [], None, [3.0, 4.0]], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 0, 0, 1], pa.int32()),
+        }
+    )
+    from backupdeduplicator_ray.stages.vecstats import embedding_gram, label_centroids
+
+    out = label_centroids(_ds(t, parts=2)).to_pandas()
+    assert set(out["label"]) == {0, 1}
+    assert out[out["label"] == 0]["n"].iloc[0] == 1
+    g = embedding_gram(_ds(t, parts=4)).to_pandas()
+    assert len(g) == 3  # upper triangle of 2x2
+    G = np.array([[1.0, 2.0], [3.0, 4.0]]).T @ np.array([[1.0, 2.0], [3.0, 4.0]])
+    assert np.allclose(g["g"], [G[0, 0], G[0, 1], G[1, 1]])
