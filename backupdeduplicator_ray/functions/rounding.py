@@ -1,0 +1,24 @@
+"""Oracle-matching decimal rounding.
+
+DuckDB's `round(x, n)` rounds decimal halves AWAY FROM ZERO; `np.round`
+(and Python's `round`) round half TO EVEN.  For scores that are ratios of
+SMALL INTEGERS — Jaccard/containment pairs, dup-fractions, micro-unit
+averages — exact decimal halves at 6 dp are reachable (c=77,|A|=128 →
+0.6015625: np.round → .601562, DuckDB → .601563), so engine outputs must
+round the way the SQL oracle does or the value-hash gate trips.
+
+Genuinely-real-valued scores (cosines, BM25, z-scores, k-means
+centroids) stay on np.round: their values are never exactly-representable
+decimal halves, so the two rules agree everywhere reachable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def round_half_away(x: np.ndarray, decimals: int = 6) -> np.ndarray:
+    """Round to `decimals` places with halves away from zero — DuckDB
+    `round()` semantics, sign-correct for negative values."""
+    scale = 10.0**decimals
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale

@@ -42,6 +42,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import hash_binary_column
+from ..functions.rounding import round_half_away
 from .neardup import DEFAULT_MAX_DOC_FREQ, cooccur_pair_hits
 
 PAIR_SCHEMA = pa.schema(
@@ -178,7 +179,7 @@ def fork_pairs(
                     "repo_a": pa.array(a[keep], pa.string()),
                     "repo_b": pa.array(b[keep], pa.string()),
                     "n_shared": pa.array(c[keep].astype(np.int64), pa.int64()),
-                    "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+                    "jaccard": pa.array(round_half_away(j[keep]), pa.float64()),
                 }
             )
 
@@ -213,7 +214,7 @@ def fork_pairs(
                 "repo_a": t["a_id"].filter(kp).cast(pa.string()),
                 "repo_b": t["b_id"].filter(kp).cast(pa.string()),
                 "n_shared": pa.array(c[keep].astype(np.int64), pa.int64()),
-                "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+                "jaccard": pa.array(round_half_away(j[keep]), pa.float64()),
             }
         )
 

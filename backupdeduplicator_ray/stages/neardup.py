@@ -1650,12 +1650,9 @@ def jaccard_pairs(
             return c / np.minimum(na, nb)
         return c / (na + nb - c)
 
-    def _round6(x: np.ndarray) -> np.ndarray:
-        # DuckDB round() is half-AWAY-FROM-ZERO; np.round is half-to-even.
-        # Scores here are ratios of SMALL INTEGERS, which do land on exact
-        # decimal halves (c=77, min=128 -> 0.6015625: np.round gives
-        # .601562, DuckDB .601563) — round like the oracle (x >= 0 always).
-        return np.floor(x * 1e6 + 0.5) / 1e6
+    # scores are ratios of small integers — exact decimal halves are
+    # reachable, so round the way the DuckDB oracle does (functions/rounding)
+    from ..functions.rounding import round_half_away as _round6
 
     compact = hashed
     if compact:
@@ -2016,6 +2013,8 @@ def dup_ngram_fraction(
     """
     import pandas as pd
     import ray
+
+    from ..functions.rounding import round_half_away as _rha
     import ray.data
     from ray.data.aggregate import Sum
 
@@ -2076,7 +2075,7 @@ def dup_ngram_fraction(
             "n_shingles": pa.array(tot.astype(np.int64), pa.int64()),
             "n_dup": pa.array(dup.astype(np.int64), pa.int64()),
             "dup_fraction": pa.array(
-                np.round(dup / tot, 6), pa.float64()
+                _rha(dup / tot), pa.float64()
             ),
         }
     )

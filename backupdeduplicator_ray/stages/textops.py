@@ -14,6 +14,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
+from ..functions.rounding import round_half_away
+
 TOKEN_PATTERN = r"[A-Za-z0-9_]+"
 PUNCT_PATTERN = r"[.,;:!?]"
 DIGIT_PATTERN = r"[0-9]"
@@ -827,7 +829,9 @@ def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text"):
                 "n_tok": pa.array(n, pa.int64()),
                 "logprob_micro": pa.array(s, pa.int64()),
                 "avg_logprob": pa.array(
-                    np.round(s / 1_000_000.0 / n, 6), pa.float64()
+                    # micro-int / int ratios can land on exact decimal
+                    # halves — round like the DuckDB oracle (half away)
+                    round_half_away(s / 1_000_000.0 / n), pa.float64()
                 ),
             }
         )
@@ -1562,7 +1566,9 @@ def bigram_logprob(
                 "n_bigrams": pa.array(n, pa.int64()),
                 "logprob_micro": pa.array(s, pa.int64()),
                 "avg_logprob": pa.array(
-                    np.round(s / 1_000_000.0 / n, 6), pa.float64()
+                    # micro-int / int ratios can land on exact decimal
+                    # halves — round like the DuckDB oracle (half away)
+                    round_half_away(s / 1_000_000.0 / n), pa.float64()
                 ),
             }
         ).cast(out_schema)

@@ -262,8 +262,11 @@ def test_jaccard_rounding_matches_duckdb_half_up(ray_session):
     import duckdb
     import numpy as np
 
-    vals = [77 / 128, 0.6015625, 3 / 256, 1 / 3, 0.9999995]
-    eng = np.floor(np.array(vals) * 1e6 + 0.5) / 1e6
+    from backupdeduplicator_ray.functions.rounding import round_half_away
+
+    # negatives included: avg_logprob scores are negative micro-int ratios
+    vals = [77 / 128, 0.6015625, 3 / 256, 1 / 3, 0.9999995, -0.6015625, -2.5e-6]
+    eng = round_half_away(np.array(vals))
     duck = [
         # CAST keeps DOUBLE semantics (a bare literal rounds as DECIMAL)
         duckdb.sql(f"SELECT round(CAST({v!r} AS DOUBLE), 6)").fetchone()[0]
