@@ -65,3 +65,47 @@ def test_distributed_survivors_are_a_dataset(ray_session):
         r["id"] for r in filter_by_key_set(ds, ["bucket_key"], surv_set).take_all()
     )
     assert kept2 == got
+
+
+def test_rows_with_key_count_between_parity(ray_session):
+    """The fused one-exchange count+filter must select exactly the rows
+    the two-step driver path selects — uint64 (above 2^63), string and
+    binary keys, with and without max_count."""
+    import numpy as np
+    import ray.data
+
+    from backupdeduplicator_ray.functions.groups import (
+        filter_by_key_set,
+        keys_with_count_between,
+        rows_with_key_count_between,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    u64 = (rng.integers(0, 400, n).astype(np.uint64) + np.uint64(2**63)).astype(
+        np.uint64
+    )
+    strs = [f"k{v % 300}" for v in rng.integers(0, 1000, n)]
+    bins = [f"b{v % 250}".encode() for v in rng.integers(0, 1000, n)]
+    t = pa.table(
+        {
+            "u": pa.array(u64, pa.uint64()),
+            "s": pa.array(strs, pa.string()),
+            "b": pa.array(bins, pa.binary()),
+            "row": pa.array(range(n), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+    for key, mc in (("u", None), ("s", 6), ("b", 8)):
+        want_keys = keys_with_count_between(ds, [key], min_count=2, max_count=mc)
+        want = sorted(
+            r["row"]
+            for r in filter_by_key_set(ds, [key], want_keys, keep=True).take_all()
+        )
+        got = sorted(
+            r["row"]
+            for r in rows_with_key_count_between(
+                ds, key, min_count=2, max_count=mc, n_parts=5
+            ).take_all()
+        )
+        assert got == want, key
