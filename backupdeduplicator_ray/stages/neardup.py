@@ -178,6 +178,60 @@ def signatures(
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
 
 
+def _prebucket_partition(g: pa.Table) -> pa.Table:
+    """Partition-local exact-prebucket kernel (the fused 10^12 route):
+    every row of an exact hash co-locates here, so rep selection (min id)
+    and star edges are one vectorized pass — no per-key group calls, no
+    semi-join re-shuffles of the ~1 KiB/row signature table.  Emits the
+    same tagged union (role: rep/edge) as the per-group path."""
+    g = g.drop_columns(["__part"])
+    if g.num_rows == 0:
+        return pa.table(
+            {
+                "role": pa.array([], pa.string()),
+                "id": pa.array([], pa.string()),
+                "exact": pa.array([], pa.binary()),
+                "sig": pa.array([], pa.list_(pa.uint64())),
+                "dst": pa.array([], pa.string()),
+            }
+        )
+    ids = g["id"].combine_chunks().to_numpy(zero_copy_only=False)
+    ex = g["exact"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ex))
+    ex_s = ex[order]
+    first = np.r_[True, ex_s[1:] != ex_s[:-1]]
+    grp = np.cumsum(first) - 1
+    rep_pos_sorted = np.flatnonzero(first)
+    rep_row_for = rep_pos_sorted[grp]
+    edge_mask = ~first
+    rep_tbl = g.take(pa.array(order[rep_pos_sorted], pa.int64()))
+    n_r = len(rep_pos_sorted)
+    n_e = int(edge_mask.sum())
+    src = ids[order[rep_row_for[edge_mask]]]
+    dst = ids[order[edge_mask]]
+    return pa.table(
+        {
+            "role": pa.array(["rep"] * n_r + ["edge"] * n_e, pa.string()),
+            "id": pa.concat_arrays(
+                [
+                    rep_tbl["id"].combine_chunks().cast(pa.string()),
+                    pa.array(src, pa.string()),
+                ]
+            ),
+            "exact": pa.concat_arrays(
+                [rep_tbl["exact"].combine_chunks().cast(pa.binary()), pa.nulls(n_e, pa.binary())]
+            ),
+            "sig": pa.concat_arrays(
+                [
+                    rep_tbl["sig"].combine_chunks().cast(pa.list_(pa.uint64())),
+                    pa.nulls(n_e, pa.list_(pa.uint64())),
+                ]
+            ),
+            "dst": pa.concat_arrays([pa.nulls(n_r, pa.string()), pa.array(dst, pa.string())]),
+        }
+    )
+
+
 def _exact_prebucket(sig_ds, distributed: bool = False):
     """Exact-hash pre-bucket → (edges among identical docs, representatives).
 
@@ -206,12 +260,46 @@ def _exact_prebucket(sig_ds, distributed: bool = False):
         lambda t: t.filter(pc.is_valid(t["exact"])), batch_format="pyarrow"
     ).materialize()
     t1 = time.time()
-    dup_hashes = keys_with_count_between(
-        sig_ds, ["exact"], min_count=2, distributed=distributed
-    )
-    t2 = time.time()
     if timing:
-        print(f"[prebucket] signatures={t1 - t0:.1f}s dupcount={t2 - t1:.1f}s", file=sys.stderr)
+        print(f"[prebucket] signatures={t1 - t0:.1f}s", file=sys.stderr)
+
+    if distributed:
+        # fused 10^12 route: ONE hash exchange on the digest prefix
+        # co-locates every exact key's rows; the partition kernel does rep
+        # selection + star edges in place.  (The previous shape — count
+        # shuffle + TWO semi-joins each re-moving the 1 KiB/row sig table
+        # + a per-key pandas groupby over dup rows — paid three all-to-alls
+        # and Ray's per-group machinery per duplicated content.)
+        import numpy as _np
+
+        from ..functions.hashing import digest_prefix_u64
+
+        def add_part(t: pa.Table) -> pa.Table:
+            parts = (digest_prefix_u64(t["exact"]) % _np.uint64(64)).astype(_np.int32)
+            return t.append_column("__part", pa.array(parts))
+
+        tagged = (
+            sig_ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(_prebucket_partition, batch_format="pyarrow")
+            .materialize()  # two consumers (reps + edges) read it
+        )
+        reps = tagged.map_batches(
+            lambda t: t.filter(pc.equal(t["role"], "rep")).select(["id", "exact", "sig"]),
+            batch_format="pyarrow",
+        )
+        exact_edges = tagged.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.filter(pc.equal(t["role"], "edge"))["id"],
+                    "dst": t.filter(pc.equal(t["role"], "edge"))["dst"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return exact_edges, reps
+
+    dup_hashes = keys_with_count_between(sig_ds, ["exact"], min_count=2)
 
     uniques = filter_by_key_set(sig_ds, ["exact"], dup_hashes, keep=False)
     dup_rows = filter_by_key_set(sig_ds, ["exact"], dup_hashes, keep=True)
