@@ -193,6 +193,41 @@ def cosine_dup_pairs(
 _DRIVER_LSH_CANDROWS_LIMIT = 4_000_000  # candidate band rows verified driver-side
 
 
+def _pair_expand_triu(bk: np.ndarray, codes: np.ndarray, cap: int):
+    """Sorted-by-(bucket, code) arrays → all-pairs code arrays per bucket
+    (sorted distinct codes truncated to `cap`, triangular expansion) —
+    the PAIR-semantics sibling of neardup._bucket_pairs (whose over-cap
+    valve is star expansion, an EDGE/connectivity semantics).  Size-2
+    buckets (the overwhelming majority) are one vectorized shot."""
+    if len(bk) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.nonzero(np.diff(bk))[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(bk)]])
+    sizes = ends - starts
+    a_list, b_list = [], []
+    s2 = starts[sizes == 2]
+    if len(s2):
+        a2, b2 = codes[s2], codes[s2 + 1]
+        valid = a2 != b2  # same vector through two tables
+        a_list.append(a2[valid])
+        b_list.append(b2[valid])
+    for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
+        seg = np.unique(codes[s:e])[:cap]
+        m = len(seg)
+        if m < 2:
+            continue
+        ai, bi = np.triu_indices(m, k=1)
+        a_list.append(seg[ai])
+        b_list.append(seg[bi])
+    if not a_list:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return (
+        np.concatenate(a_list).astype(np.int64),
+        np.concatenate(b_list).astype(np.int64),
+    )
+
+
 def embedding_neardup_lsh(
     ds,
     threshold: float = 0.95,
@@ -264,15 +299,16 @@ def embedding_neardup_lsh(
     )
 
     def vec_side(t: pa.Table) -> pa.Table:
+        # vectors ride as packed BINARY (one buffer, no nested type): the
+        # portable join's pandas merge then ships one object per row
+        # instead of d floats, and the decode is a zero-copy buffer view
         m = _normalize(_batch_matrix(t, vec_col))
-        return pa.table(
-            {
-                "vec_id": t[id_col].cast(pa.int64()),
-                "vec": pa.FixedSizeListArray.from_arrays(
-                    pa.array(m.reshape(-1)), m.shape[1]
-                ).cast(pa.list_(pa.float64())),
-            }
-        )
+        n, d = m.shape if m.ndim == 2 else (0, 0)
+        w = d * 8
+        offs = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * w).tobytes())
+        data = pa.py_buffer(m.astype("<f8", copy=False).tobytes())
+        vb = pa.Array.from_buffers(pa.binary(), n, [None, offs, data])
+        return pa.table({"vec_id": t[id_col].cast(pa.int64()), "vecb": vb})
 
     vecs = filter_by_key_set(ds, [id_col], cand_ids, keep=True).map_batches(
         vec_side, batch_format="pyarrow"
@@ -314,7 +350,7 @@ def embedding_neardup_lsh(
         _, first = np.unique(pair_code, return_index=True)
         a, b = a[first], b[first]
         vec_map = {
-            int(r["vec_id"]): np.asarray(r["vec"], dtype=np.float64)
+            int(r["vec_id"]): np.frombuffer(r["vecb"], dtype="<f8")
             for r in vecs.take_all()
         }
         mat = np.asarray([vec_map[int(i)] for i in uniq_ids])
@@ -347,33 +383,44 @@ def embedding_neardup_lsh(
             "__bpart", pa.array((bk % np.uint64(n_parts)).astype(np.int32))
         )
 
-    def verify_partition(g):
-        a_out, b_out, s_out = [], [], []
-        for _, bucket in g.groupby("bucket_key", sort=False):
-            dedup = {int(i): v for i, v in zip(bucket["vec_id"], bucket["vec"])}
-            if len(dedup) < 2:
-                continue
-            ids = np.sort(np.fromiter(dedup.keys(), dtype=np.int64))[:bucket_cap]
-            m = np.asarray([dedup[int(i)] for i in ids])
-            sims = m @ m.T
-            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
-            a_out.append(ids[ai])
-            b_out.append(ids[bi])
-            s_out.append(np.round(sims[ai, bi], 6))
-        if not a_out:
+    def verify_partition(g: pa.Table) -> pa.Table:
+        # vectorized partition kernel (the previous pandas per-bucket loop
+        # built a Python dict of vectors per bucket): decode the packed
+        # binary vectors once, expand per-bucket triangular pairs with the
+        # same sorted-ids[:cap] semantics, one einsum for all sims
+        if g.num_rows < 2:
             return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
+        ids_raw = g["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        bk = g["bucket_key"].combine_chunks().to_numpy(zero_copy_only=False)
+        arr = g["vecb"].combine_chunks()
+        offsets = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        flat = np.frombuffer(arr.buffers()[2], np.uint8)[offsets[0] : offsets[-1]]
+        d = (offsets[1] - offsets[0]) // 8 if len(arr) else 0
+        V = flat.reshape(len(arr), d * 8).view("<f8")
+        uniq_ids, first_idx, inv = np.unique(
+            ids_raw, return_index=True, return_inverse=True
+        )
+        Vu = V[first_idx]
+        order = np.lexsort((inv, bk))
+        a, b = _pair_expand_triu(bk[order], inv[order].astype(np.int64), bucket_cap)
+        if len(a) == 0:
+            return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
+        sims = np.einsum("ij,ij->i", Vu[a], Vu[b])
+        keep = sims >= threshold
         return pa.table(
             {
-                "a_id": pa.array(np.concatenate(a_out), pa.int64()),
-                "b_id": pa.array(np.concatenate(b_out), pa.int64()),
-                "cos_sim": pa.array(np.concatenate(s_out), pa.float64()),
+                "a_id": pa.array(uniq_ids[a[keep]], pa.int64()),
+                "b_id": pa.array(uniq_ids[b[keep]], pa.int64()),
+                "cos_sim": pa.array(np.round(sims[keep], 6), pa.float64()),
             }
         )
 
     pairs = (
         joined.map_batches(add_bpart, batch_format="pyarrow")
         .groupby("__bpart")
-        .map_groups(verify_partition, batch_format="pandas")
+        .map_groups(verify_partition, batch_format="pyarrow")
     )
     # dedupe pairs found by multiple tables: vectorized Max aggregate (the
     # sim is identical wherever the pair is found) — no per-pair Python

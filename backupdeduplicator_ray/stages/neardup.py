@@ -850,17 +850,7 @@ def _verify_sig_partition(g: pa.Table, cfg: MinHashConfig) -> pa.Table:
     # off the value buffer; "sig" list<uint64> (the broadcast route)
     # flattens.
     if "sigb" in g.column_names:
-        arr = g["sigb"].combine_chunks()
-        w = cfg.num_perms * 8
-        if arr.type.equals(pa.binary(w)):
-            buf = np.frombuffer(
-                arr.buffers()[1], np.uint8, count=(arr.offset + len(arr)) * w
-            )[arr.offset * w :]
-        else:  # variable-width binary (e.g. after a pandas round-trip)
-            buf = np.frombuffer(b"".join(arr.to_pylist()), np.uint8)
-        sig_mat = (
-            buf.reshape(g.num_rows, w).view("<u8").astype(np.uint64, copy=False)
-        )
+        sig_mat = _sig_binary_matrix(g["sigb"], cfg.num_perms)
     else:
         sig_mat = (
             g["sig"]
@@ -903,6 +893,21 @@ def _sig_to_binary(sig_col, num_perms: int) -> pa.Array:
     return pa.Array.from_buffers(
         pa.binary(num_perms * 8), len(sig), [None, pa.py_buffer(flat.tobytes())]
     )
+
+
+def _sig_binary_matrix(col, num_perms: int) -> np.ndarray:
+    """Inverse of _sig_to_binary: (chunked) binary column → (n, num_perms)
+    uint64 matrix, straight off the value buffer for the fixed-width form
+    (variable-width — a pandas round-trip — falls back to a byte join)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    w = num_perms * 8
+    if arr.type.equals(pa.binary(w)):
+        buf = np.frombuffer(
+            arr.buffers()[1], np.uint8, count=(arr.offset + len(arr)) * w
+        )[arr.offset * w :]
+    else:
+        buf = np.frombuffer(b"".join(arr.to_pylist()), np.uint8)
+    return buf.reshape(len(arr), w).view("<u8").astype(np.uint64, copy=False)
 
 
 def _verify_candidates_joined(cand_rows, reps, cfg: MinHashConfig, n_parts: int = 64):
@@ -1294,12 +1299,15 @@ def assign_incoming(
         )
     else:
         # 10^12 route: signatures reach the pairs through partitioned hash
-        # joins; the estimated-Jaccard filter is a per-batch kernel
+        # joins — as fixed-width BINARY (_sig_to_binary: non-nested, so
+        # the native join accepts it and the portable pandas path ships
+        # one object per row, not num_perms); the estimated-Jaccard
+        # filter is a per-batch kernel
         inc_side = sig_inc.map_batches(
             lambda t: pa.table(
                 {
                     "inc_id": t["id"].cast(pa.string()),
-                    "sig_i": t["sig"].cast(pa.list_(pa.uint64())),
+                    "sig_i": _sig_to_binary(t["sig"], cfg.num_perms),
                 }
             ),
             batch_format="pyarrow",
@@ -1308,7 +1316,7 @@ def assign_incoming(
             lambda t: pa.table(
                 {
                     "base_id": t["id"].cast(pa.string()),
-                    "sig_b": t["sig"].cast(pa.list_(pa.uint64())),
+                    "sig_b": _sig_to_binary(t["sig"], cfg.num_perms),
                 }
             ),
             batch_format="pyarrow",
@@ -1323,22 +1331,8 @@ def assign_incoming(
         def ver(t: pa.Table) -> pa.Table:
             if len(t) == 0:
                 return pa.Table.from_pylist([], schema=_VER_SCHEMA)
-            si = (
-                t["sig_i"]
-                .combine_chunks()
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.uint64, copy=False)
-                .reshape(len(t), cfg.num_perms)
-            )
-            sb = (
-                t["sig_b"]
-                .combine_chunks()
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.uint64, copy=False)
-                .reshape(len(t), cfg.num_perms)
-            )
+            si = _sig_binary_matrix(t["sig_i"], cfg.num_perms)
+            sb = _sig_binary_matrix(t["sig_b"], cfg.num_perms)
             keep = (si == sb).mean(axis=1) >= cfg.verify_threshold
             return t.select(["inc_id", "base_id"]).filter(pa.array(keep))
 
