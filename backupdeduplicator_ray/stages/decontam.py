@@ -139,12 +139,21 @@ def decontaminate(
         batch_format="pyarrow",
     )
     # doc-freq >= 2 valve only — no upper cap (see module docstring)
-    survivors = keys_with_count_between(
-        inv, ["shingle"], min_count=2, max_count=None, distributed=distributed
-    )
-    if not distributed and not survivors:
-        return ray.data.from_arrow(pa.Table.from_pylist([], schema=out_schema))
-    cand = filter_by_key_set(inv, ["shingle"], survivors, keep=True).materialize()
+    if distributed:
+        # fused one-exchange count+filter (rows_with_key_count_between):
+        # partition-local doc-freqs are global, so the sort-aggregate over
+        # the near-unique shingle space + second semi-join exchange both
+        # disappear (the forced-minhash lesson, BASELINE.md)
+        from ..functions.groups import rows_with_key_count_between
+
+        cand = rows_with_key_count_between(inv, "shingle", min_count=2).materialize()
+    else:
+        survivors = keys_with_count_between(
+            inv, ["shingle"], min_count=2, max_count=None
+        )
+        if not survivors:
+            return ray.data.from_arrow(pa.Table.from_pylist([], schema=out_schema))
+        cand = filter_by_key_set(inv, ["shingle"], survivors, keep=True).materialize()
     n_cand = cand.count()
     if n_cand == 0:
         return ray.data.from_arrow(pa.Table.from_pylist([], schema=out_schema))

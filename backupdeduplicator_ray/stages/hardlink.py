@@ -99,16 +99,14 @@ def hardlink_sets(
     ).map_batches(
         lambda t: t.filter(pc.is_valid(t["__hk"])), batch_format="pyarrow"
     )
-    colliding = keys_with_count_between(
-        keyed, ["__hk"], min_count=2, distributed=distributed
-    )
     if distributed:
-        # pin the groupby().count() result: partitioned_semi_join's
-        # .schema()/select_columns probes re-execute a lazy all-to-all
-        # upstream (joins.py caller contract); the surviving key set is
-        # count-pruned and tiny relative to the walk
-        colliding = colliding.materialize()
-    cand = filter_by_key_set(keyed, ["__hk"], colliding, keep=True)
+        # fused one-exchange count+filter (the forced-minhash lesson)
+        from ..functions.groups import rows_with_key_count_between
+
+        cand = rows_with_key_count_between(keyed, "__hk", min_count=2)
+    else:
+        colliding = keys_with_count_between(keyed, ["__hk"], min_count=2)
+        cand = filter_by_key_set(keyed, ["__hk"], colliding, keep=True)
 
     def group_sets(g) -> pa.Table:
         g = g.sort_values(["repo", "path"], kind="mergesort")
@@ -161,17 +159,21 @@ def collapse_hardlinks(
     nonnull = keyed.map_batches(
         lambda t: t.filter(pc.is_valid(t["__hk"])), batch_format="pyarrow"
     )
-    colliding = keys_with_count_between(
-        nonnull, ["__hk"], min_count=2, distributed=distributed
-    )
     if distributed:
-        # consumed TWICE below (anti for singles, semi for linked): without
-        # this the count shuffle re-executes up to 4x (joins.py contract)
-        colliding = colliding.materialize()
-    singles = filter_by_key_set(nonnull, ["__hk"], colliding, keep=False).map_batches(
-        lambda t: t.drop_columns(["__hk"]), batch_format="pyarrow"
-    )
-    linked = filter_by_key_set(nonnull, ["__hk"], colliding, keep=True)
+        # two fused exchanges (count==1 / count>=2) replace the previous
+        # count shuffle + TWO semi-join exchanges over the same rows
+        from ..functions.groups import rows_with_key_count_between
+
+        singles = rows_with_key_count_between(
+            nonnull, "__hk", min_count=1, max_count=1
+        ).map_batches(lambda t: t.drop_columns(["__hk"]), batch_format="pyarrow")
+        linked = rows_with_key_count_between(nonnull, "__hk", min_count=2)
+    else:
+        colliding = keys_with_count_between(nonnull, ["__hk"], min_count=2)
+        singles = filter_by_key_set(
+            nonnull, ["__hk"], colliding, keep=False
+        ).map_batches(lambda t: t.drop_columns(["__hk"]), batch_format="pyarrow")
+        linked = filter_by_key_set(nonnull, ["__hk"], colliding, keep=True)
 
     def pick_winner(g) -> pa.Table:
         g = g.sort_values(["repo", "path"], kind="mergesort").head(1)

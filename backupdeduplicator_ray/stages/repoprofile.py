@@ -58,10 +58,14 @@ def repo_profile(ds, distributed: bool = False):
     # two consumers (totals + dup cut) — materialize once, not re-hash twice
     nodes = nodes.materialize()
 
-    dup_hashes = keys_with_count_between(
-        nodes, ["hash"], min_count=2, distributed=distributed
-    )
-    dup_files = filter_by_key_set(nodes, ["hash"], dup_hashes, keep=True)
+    if distributed:
+        # fused one-exchange count+filter (the forced-minhash lesson)
+        from ..functions.groups import rows_with_key_count_between
+
+        dup_files = rows_with_key_count_between(nodes, "hash", min_count=2)
+    else:
+        dup_hashes = keys_with_count_between(nodes, ["hash"], min_count=2)
+        dup_files = filter_by_key_set(nodes, ["hash"], dup_hashes, keep=True)
 
     PARTIAL = pa.schema(
         [

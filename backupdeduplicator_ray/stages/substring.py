@@ -324,17 +324,21 @@ def dedup_spans(
     # not corpus bytes).  Driver path merges per-block value_counts
     # partials (no shuffle at all); distributed=True keeps the surviving
     # key set as a Dataset consumed via partitioned semi-join.
-    survivors = keys_with_count_between(
-        wins, ["win"], min_count=2, distributed=distributed
-    )
-    if not distributed and not survivors:
-        cand = ray.data.from_arrow(
-            pa.table(
-                {"win": pa.array([], pa.int64()), "id": pa.array([], pa.string())}
-            )
-        )
+    if distributed:
+        # fused one-exchange count+filter (the forced-minhash lesson)
+        from ..functions.groups import rows_with_key_count_between
+
+        cand = rows_with_key_count_between(wins, "win", min_count=2)
     else:
-        cand = filter_by_key_set(wins, ["win"], survivors, keep=True)
+        survivors = keys_with_count_between(wins, ["win"], min_count=2)
+        if not survivors:
+            cand = ray.data.from_arrow(
+                pa.table(
+                    {"win": pa.array([], pa.int64()), "id": pa.array([], pa.string())}
+                )
+            )
+        else:
+            cand = filter_by_key_set(wins, ["win"], survivors, keep=True)
     dup = (
         cand.groupby("win")
         .aggregate(Min("id"))
