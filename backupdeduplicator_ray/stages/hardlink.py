@@ -175,12 +175,39 @@ def collapse_hardlinks(
         ).map_batches(lambda t: t.drop_columns(["__hk"]), batch_format="pyarrow")
         linked = filter_by_key_set(nonnull, ["__hk"], colliding, keep=True)
 
-    def pick_winner(g) -> pa.Table:
-        g = g.sort_values(["repo", "path"], kind="mergesort").head(1)
-        return pa.Table.from_pandas(
-            g.drop(columns=["__hk"]), preserve_index=False
-        ).cast(arrow_schema)
+    # partition-grain winner pick: co-locate each physical key's rows by
+    # key hash, then ONE vectorized first-per-key pass per partition — not
+    # Ray's per-group machinery once per physical file (NUL-safe: the
+    # crc32 routes \x00-fused keys exactly; the sort is pandas mergesort)
+    import numpy as np
 
-    winners = linked.groupby("__hk").map_groups(pick_winner, batch_format="pandas")
+    from ..functions.shingles import crc32_column
+
+    def add_wpart(t: pa.Table) -> pa.Table:
+        parts = (crc32_column(t["__hk"].cast(pa.string())) % np.uint32(64)).astype(
+            np.int32
+        )
+        return t.append_column("__wpart", pa.array(parts))
+
+    def pick_winners_part(g) -> pa.Table:
+        # np.lexsort over the raw object arrays, NOT pandas multi-key
+        # sort_values: pandas factorizes str sort keys through its
+        # NUL-TRUNCATING StringHashTable, so \x00-fused keys sharing the
+        # pre-NUL prefix compare EQUAL and equal keys fail to group
+        # (verified: sort_values(["d0\x000","d0\x00192",...]) leaves them
+        # interleaved).  numpy object compare is Python str compare —
+        # NUL-exact.  Same bug class as the merge-path fix in state/joins.
+        hk = g["__hk"].to_numpy()
+        order = np.lexsort((g["path"].to_numpy(), g["repo"].to_numpy(), hk))
+        hk_s = hk[order]
+        first = np.r_[True, hk_s[1:] != hk_s[:-1]]
+        out = g.iloc[order[first]].drop(columns=["__hk", "__wpart"])
+        return pa.Table.from_pandas(out, preserve_index=False).cast(arrow_schema)
+
+    winners = (
+        linked.map_batches(add_wpart, batch_format="pyarrow")
+        .groupby("__wpart")
+        .map_groups(pick_winners_part, batch_format="pandas")
+    )
     passthrough = keyed.map_batches(null_key, batch_format="pyarrow")
     return passthrough.union(singles).union(winners)

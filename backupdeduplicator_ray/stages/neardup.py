@@ -304,39 +304,6 @@ def _exact_prebucket(sig_ds, distributed: bool = False):
     uniques = filter_by_key_set(sig_ds, ["exact"], dup_hashes, keep=False)
     dup_rows = filter_by_key_set(sig_ds, ["exact"], dup_hashes, keep=True)
 
-    def per_group(g):
-        ids = sorted(g["id"])
-        rep = ids[0]
-        rep_row = g[g["id"] == rep].iloc[0]
-        rep_tbl = pa.Table.from_pylist(
-            [{"id": rep, "exact": rep_row["exact"], "sig": list(rep_row["sig"])}],
-            schema=SIG_SCHEMA,
-        )
-        edge_tbl = pa.Table.from_pylist(
-            [{"src": rep, "dst": other} for other in ids[1:]], schema=EDGE_SCHEMA
-        )
-        # tagged union: one output table per group -> one shuffle total
-        return pa.table(
-            {
-                "role": pa.array(["rep"] + ["edge"] * len(edge_tbl)),
-                "id": pa.concat_arrays(
-                    [rep_tbl["id"].combine_chunks(), edge_tbl["src"].combine_chunks()]
-                ),
-                "exact": pa.concat_arrays(
-                    [rep_tbl["exact"].combine_chunks(), pa.nulls(len(edge_tbl), pa.binary())]
-                ),
-                "sig": pa.concat_arrays(
-                    [
-                        rep_tbl["sig"].combine_chunks().cast(pa.list_(pa.uint64())),
-                        pa.nulls(len(edge_tbl), pa.list_(pa.uint64())),
-                    ]
-                ),
-                "dst": pa.concat_arrays(
-                    [pa.nulls(1, pa.string()), edge_tbl["dst"].combine_chunks()]
-                ),
-            }
-        )
-
     dup_rows = dup_rows.materialize()
     if dup_rows.count() <= _DRIVER_DUPROWS_LIMIT and not distributed:
         # vectorized driver path: dup rows are bounded by actual duplicates
@@ -382,7 +349,27 @@ def _exact_prebucket(sig_ds, distributed: bool = False):
             exact_edges = ray.data.from_arrow(edge_tbl)
             dup_reps = ray.data.from_arrow(rep_tbl)
     else:
-        tagged = dup_rows.groupby("exact").map_groups(per_group, batch_format="pandas").materialize()
+        # over-limit escalation: same fused partition kernel as the
+        # distributed route (one hash exchange, vectorized rep+edge pass)
+        # instead of Ray's per-group machinery once per duplicated content
+        import numpy as _np
+
+        from ..functions.hashing import digest_prefix_u64 as _dp64
+
+        tagged = (
+            dup_rows.map_batches(
+                lambda t: t.append_column(
+                    "__part",
+                    pa.array(
+                        (_dp64(t["exact"]) % _np.uint64(64)).astype(_np.int32)
+                    ),
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("__part")
+            .map_groups(_prebucket_partition, batch_format="pyarrow")
+            .materialize()
+        )
         dup_reps = tagged.map_batches(
             lambda t: t.filter(pc.equal(t["role"], "rep")).select(["id", "exact", "sig"]),
             batch_format="pyarrow",

@@ -108,3 +108,30 @@ def test_nul_fused_string_keys_count_exactly(ray_session):
     )
     got = keys_with_count_between(ray.data.from_arrow(t), ["k"], min_count=2)
     assert got == {"d0\x001", "d1\x001"}
+
+
+def test_collapse_nul_fused_keys_group_exactly(ray_session):
+    # regression: two physical keys sharing the pre-NUL prefix ("d0\x000"
+    # vs "d0\x00192") must each collapse to ONE winner — pandas multi-key
+    # sort_values factorizes str keys through a NUL-truncating hashtable
+    # and left equal keys ungrouped (caught live by the sf0.01 gate)
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.hardlink import collapse_hardlinks
+
+    t = pa.table(
+        {
+            "repo": pa.array(["m0", "m1", "r0", "r1"]),
+            "path": pa.array(["p"] * 4),
+            "inode": pa.array([0, 192, 0, 192], pa.int64()),
+            "drive": pa.array(["d0"] * 4),
+        }
+    )
+    out = (
+        collapse_hardlinks(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    assert list(out["repo"]) == ["m0", "m1"]  # min (repo,path) per key

@@ -109,3 +109,37 @@ def test_rows_with_key_count_between_parity(ray_session):
             ).take_all()
         )
         assert got == want, key
+
+
+def test_prebucket_escalation_branch_parity(ray_session, small_corpus, monkeypatch):
+    """Force the over-limit prebucket escalation (_DRIVER_DUPROWS_LIMIT=0):
+    the fused partition kernel must emit the same exact edges + reps the
+    driver path does."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    import backupdeduplicator_ray.stages.neardup as nd
+
+    table, _ = small_corpus
+    docs_tbl = pa.table(
+        {
+            "id": pa.array(
+                [f"{r}|{p}" for r, p in zip(table["repo"].to_pylist(), table["path"].to_pylist())]
+            ),
+            "text": table["content"].cast(pa.large_string()),
+        }
+    )
+    ds = ray.data.from_arrow(docs_tbl.filter(pc.is_valid(docs_tbl["text"])))
+    cfg = MinHashConfig()
+    sig = nd.signatures(ds, cfg, "id", "text").materialize()
+
+    def canon(edges, reps):
+        e = sorted((r["src"], r["dst"]) for r in edges.take_all())
+        rp = sorted((r["id"], r["exact"]) for r in reps.take_all())
+        return e, rp
+
+    base = canon(*nd._exact_prebucket(sig))
+    monkeypatch.setattr(nd, "_DRIVER_DUPROWS_LIMIT", 0)
+    esc = canon(*nd._exact_prebucket(sig))
+    assert esc == base
+    assert base[0]  # fixtures contain exact dups
