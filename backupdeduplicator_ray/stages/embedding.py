@@ -192,6 +192,11 @@ def cosine_dup_pairs(
 
 _DRIVER_LSH_CANDROWS_LIMIT = 4_000_000  # candidate band rows verified driver-side
 
+#: last route taken by embedding_neardup_lsh ("driver" | "distributed") —
+#: read by tests asserting the forced-distributed path never collects the
+#: candidate-id set on the driver (VERDICT r4 item 1).
+_LSH_LAST_ROUTE = None
+
 
 def _pair_expand_triu(bk: np.ndarray, codes: np.ndarray, cap: int):
     """Sorted-by-(bucket, code) arrays → all-pairs code arrays per bucket
@@ -283,21 +288,6 @@ def embedding_neardup_lsh(
     cand = filter_by_key_set(bands, ["bucket_key"], survivors, keep=True).materialize()
     n_cand = cand.count()
 
-    # normalized-vector side, trimmed to candidate ids (the duplicate-
-    # bounded minority) before any exchange
-    id_chunks = [
-        pc.unique(b["vec_id"])
-        for b in cand.select_columns(["vec_id"]).iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
-        if len(b)
-    ]
-    cand_ids = (
-        pc.unique(pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in id_chunks]))
-        if id_chunks
-        else pa.array([], pa.int64())
-    )
-
     def vec_side(t: pa.Table) -> pa.Table:
         # vectors ride as packed BINARY (one buffer, no nested type): the
         # portable join's pandas merge then ships one object per row
@@ -305,22 +295,50 @@ def embedding_neardup_lsh(
         m = _normalize(_batch_matrix(t, vec_col))
         n, d = m.shape if m.ndim == 2 else (0, 0)
         w = d * 8
+        # int32 offsets wrap silently at 2 GiB of packed floats per batch
+        # (verify_partition decodes them as int32) — refuse, don't corrupt
+        if n * w >= 2**31:
+            raise ValueError(
+                f"vec batch too large for int32 binary offsets "
+                f"({n} rows x {w} B); lower the upstream batch/block size"
+            )
         offs = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * w).tobytes())
         data = pa.py_buffer(m.astype("<f8", copy=False).tobytes())
         vb = pa.Array.from_buffers(pa.binary(), n, [None, offs, data])
         return pa.table({"vec_id": t[id_col].cast(pa.int64()), "vecb": vb})
 
-    vecs = filter_by_key_set(ds, [id_col], cand_ids, keep=True).map_batches(
-        vec_side, batch_format="pyarrow"
-    )
-
     import ray.data
 
+    global _LSH_LAST_ROUTE
+
     if n_cand == 0:
+        _LSH_LAST_ROUTE = "empty"
         return ray.data.from_arrow(pa.Table.from_pylist([], schema=PAIRS_SCHEMA))
 
     if n_cand <= _DRIVER_LSH_CANDROWS_LIMIT and not distributed:
+        _LSH_LAST_ROUTE = "driver"
         import pandas as pd
+
+        # candidate ids collected on the driver — bounded by the valve
+        # (n_cand <= _DRIVER_LSH_CANDROWS_LIMIT) — and broadcast ONCE
+        id_chunks = [
+            pc.unique(b["vec_id"])
+            for b in cand.select_columns(["vec_id"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+            if len(b)
+        ]
+        cand_ids = pc.unique(
+            pa.concat_arrays(
+                [
+                    c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                    for c in id_chunks
+                ]
+            )
+        )
+        vecs = filter_by_key_set(ds, [id_col], cand_ids, keep=True).map_batches(
+            vec_side, batch_format="pyarrow"
+        )
 
         df = pd.concat(
             [b.to_pandas() for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)],
@@ -369,10 +387,26 @@ def embedding_neardup_lsh(
     # distributed: vectors reach candidate band rows via the portable
     # partitioned hash join (nested vec payload — native join ineligible),
     # verification is partition-grain with buckets co-located by key hash
+    _LSH_LAST_ROUTE = "distributed"
     from ray.data.aggregate import Max
 
     from ..state.joins import partitioned_hash_join
     from .neardup import _parts_for_rows
+
+    # the candidate-id set stays a DATASET (VERDICT r4 item 1): per-batch
+    # unique'd band ids semi-join the packed vector side in partitions via
+    # filter_by_key_set's Dataset route — no driver id materialization at
+    # any candidate volume (prepare_corpus pattern, curate.py:275-286)
+    cand_keys = cand.select_columns(["vec_id"]).map_batches(
+        lambda t: pa.table({"vec_id": pc.unique(t["vec_id"].combine_chunks())}),
+        batch_format="pyarrow",
+    )
+    vecs = filter_by_key_set(
+        ds.map_batches(vec_side, batch_format="pyarrow"),
+        ["vec_id"],
+        cand_keys,
+        keep=True,
+    )
 
     n_parts = _parts_for_rows(n_cand)
     joined = partitioned_hash_join(cand, vecs, "vec_id", n_parts=n_parts)

@@ -97,6 +97,48 @@ def test_embedding_lsh_paths_agree(ray_session, vec_table):
     assert drv == dist and len(drv) >= 10
 
 
+def test_embedding_lsh_distributed_route_no_driver_ids(ray_session, vec_table, monkeypatch):
+    """VERDICT r4 item 1: the distributed route must keep the candidate-id
+    set a Dataset (semi-join), never an iter_batches driver collection.
+    Forced two ways — the explicit flag and an over-valve corpus — both
+    must take the distributed route and match the driver route exactly."""
+    import ray.data
+
+    import backupdeduplicator_ray.stages.embedding as emb
+
+    ds = ray.data.from_arrow(vec_table).repartition(3)
+    kw = dict(threshold=0.95, n_planes=8, n_tables=6)
+
+    def run(**extra):
+        out = {
+            (r["a_id"], r["b_id"], r["cos_sim"])
+            for r in emb.embedding_neardup_lsh(ds, **kw, **extra).take_all()
+        }
+        return out, emb._LSH_LAST_ROUTE
+
+    base, r0 = run(distributed=False)
+    assert r0 == "driver" and len(base) >= 10
+
+    # iter_batches on the candidate set is a driver collection — forbid it
+    # on the distributed route entirely
+    real_iter = ray.data.Dataset.iter_batches
+    calls = []
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return real_iter(self, *a, **k)
+
+    monkeypatch.setattr(ray.data.Dataset, "iter_batches", spy)
+    forced, r1 = run(distributed=True)
+    assert r1 == "distributed" and forced == base
+    assert not calls, "distributed route collected candidates on the driver"
+
+    monkeypatch.setattr(ray.data.Dataset, "iter_batches", real_iter)
+    monkeypatch.setattr(emb, "_DRIVER_LSH_CANDROWS_LIMIT", 0)
+    valved, r2 = run(distributed=False)
+    assert r2 == "distributed" and valved == base
+
+
 def test_ivf_fullprobe_equals_brute_force(ray_session, vec_table):
     """nprobe = n_lists passes every list -> IVF must EQUAL cosine_topk
     (the oracle-checked invariant), including tie order and rounding."""
