@@ -979,6 +979,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    list_cap: int | None = 262_144,
 ):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     2303.09540): k-means-cluster the embeddings, compare pairs WITHIN each
@@ -999,6 +1000,21 @@ def semantic_dedup(
     and runs a local index-keyed DSU over the hit pairs.  Partitioning
     assumption: one cluster's vectors fit a worker (size n/n_lists under
     balanced k-means; size n_lists to the corpus).
+
+    Hot-list guard (VERDICT r4 item 2, the star-cap doctrine): a list whose
+    count exceeds `list_cap` would otherwise put an unbounded group on one
+    worker with an O(c^2) kernel.  Such lists are salt-split into
+    ceil(count/cap) sub-lists (deterministic vec_id hash) so every group
+    the kernel sees is ~cap-bounded, then a STITCH pass re-runs the kernel
+    over the hot list's surviving keepers — dup-heavy pathologies (the
+    realistic way a list goes hot) collapse in the salt pass, leaving few
+    keepers, and the stitch restores the cross-sub-list components
+    exactly; a dup-light hot list whose keepers still exceed the cap skips
+    the stitch (the missed pairs are the rare dups straddling a salt
+    boundary — the documented approximation).  Stage-1 rep pointers are
+    compressed through stage-2 drops so every rep_id is a final keeper.
+    The guard never fires with `n_lists=1` (or `list_cap=None`), keeping
+    the exact threshold-graph invariant.
     """
 
     centroids = train_centroids(
@@ -1051,4 +1067,113 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupby("list_id").map_groups(group_dedup, batch_format="pyarrow")
+    if n_lists <= 1 or list_cap is None:
+        # exactness invariant: with one list EVERY pair is compared —
+        # never re-split it
+        return assigned.groupby("list_id").map_groups(
+            group_dedup, batch_format="pyarrow"
+        )
+
+    # per-list counts: lean column only (map-side partial count), n_lists
+    # rows to the driver — bounded by construction
+    counts = {
+        int(r["list_id"]): int(r["count()"])
+        for r in assigned.select_columns(["list_id"]).groupby("list_id").count().take_all()
+    }
+    hot = {lid: c for lid, c in counts.items() if c > list_cap}
+    if not hot:
+        return assigned.groupby("list_id").map_groups(
+            group_dedup, batch_format="pyarrow"
+        )
+
+    import math
+
+    import ray
+    import ray.data
+
+    from ..functions.groups import cached_get, filter_by_key_set
+
+    assigned = assigned.materialize()  # consumed by salt pass + stitch
+    subs = {lid: math.ceil(c / list_cap) for lid, c in hot.items()}
+    max_subs = max(subs.values())
+
+    def add_glist(t: pa.Table) -> pa.Table:
+        lids = t["list_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        salt = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        sub = np.zeros(len(lids), np.int64)
+        for lid, s in subs.items():
+            m = lids == lid
+            sub[m] = (salt[m] % np.uint64(s)).astype(np.int64)
+        return t.append_column(
+            "__glist", pa.array(lids * np.int64(max_subs) + sub)
+        )
+
+    # stage 1: every group the kernel sees is ~list_cap-bounded (cold
+    # lists ride through with sub=0); output list_id stays the ORIGINAL
+    # list (group_dedup reads the list_id column, constant per group)
+    drops1 = (
+        assigned.map_batches(add_glist, batch_format="pyarrow")
+        .groupby("__glist")
+        .map_groups(
+            lambda t: group_dedup(t.drop_columns(["__glist"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    # stitch eligibility: keepers(lid) = count - drops; only lists whose
+    # keepers fit the cap are re-run (bounded group again)
+    drop_counts = {
+        int(r["list_id"]): int(r["count()"])
+        for r in drops1.select_columns(["list_id"]).groupby("list_id").count().take_all()
+    }
+    stitch_lids = [
+        lid for lid in hot if counts[lid] - drop_counts.get(lid, 0) <= list_cap
+    ]
+    if not stitch_lids:
+        return drops1
+
+    # hot-list keeper rows: members of stitch-eligible lists minus their
+    # stage-1 drops (Dataset-routed anti-join — drop ids can be huge)
+    stitch_set = pa.array(np.array(stitch_lids, np.int32))
+    hot_rows = filter_by_key_set(assigned, ["list_id"], stitch_set, keep=True)
+    id_type = dict(zip(assigned.schema().names, assigned.schema().types))[id_col]
+    drop_keys = filter_by_key_set(
+        drops1.select_columns(["vec_id", "list_id"]), ["list_id"], stitch_set, keep=True
+    ).map_batches(
+        lambda t: pa.table({id_col: t["vec_id"].cast(id_type)}),
+        batch_format="pyarrow",
+    )
+    keepers = filter_by_key_set(hot_rows, [id_col], drop_keys, keep=False)
+    drops2 = (
+        keepers.groupby("list_id")
+        .map_groups(group_dedup, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # rep-pointer compression: a stage-1 rep dropped by the stitch is
+    # remapped to its final keeper (one level suffices — stage-2 reps are
+    # keepers, and min-id ordering makes chains monotone)
+    rep_tbl = pa.concat_tables(
+        [t for t in ray.get(drops2.to_arrow_refs()) if t.num_rows]
+    ) if drops2.count() else SEMDEDUP_SCHEMA.empty_table()
+    if rep_tbl.num_rows == 0:
+        return drops1
+    mk = rep_tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mv = rep_tbl["rep_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(mk)
+    rep_ref = ray.put((mk[order], mv[order]))  # bounded: stitch drops only
+
+    def compress(t: pa.Table) -> pa.Table:
+        keys, vals = cached_get(rep_ref)
+        reps = t["rep_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, reps)
+        idx_c = np.minimum(idx, len(keys) - 1)
+        found = keys[idx_c] == reps
+        out = np.where(found, vals[idx_c], reps)
+        return t.set_column(
+            t.schema.get_field_index("rep_id"), "rep_id", pa.array(out, pa.int64())
+        )
+
+    return drops1.map_batches(compress, batch_format="pyarrow").union(drops2)

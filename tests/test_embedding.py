@@ -327,3 +327,62 @@ def test_semantic_dedup_exact_at_one_list(ray_session, vec_table):
     bucketed = run(n_lists=4)
     assert set(bucketed) <= set(expect)
     assert run(n_lists=4) == bucketed  # deterministic
+
+
+def test_semantic_dedup_hot_list_guard(ray_session):
+    """VERDICT r4 item 2: a pathological hot list (every vector lands in
+    ONE cluster) must complete with bounded group sizes and — for the
+    dup-heavy way a list actually goes hot — still collapse exactly: the
+    salt pass dedups each sub-list, the stitch merges the survivors, and
+    rep pointers compress to the final min-id keeper."""
+    import ray.data
+
+    import backupdeduplicator_ray.stages.embedding as emb
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    n_dup, n_rand = 200, 40
+    # 200 IDENTICAL vectors all land in one k-means list (tie -> argmin 0):
+    # one 200-row hot list, one threshold component; guard fires at cap=50
+    vecs = np.vstack([np.tile(base, (n_dup, 1)), rng.standard_normal((n_rand, 16))])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(100, 100 + n_dup + n_rand), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+
+    def run(**kw):
+        return {
+            r["vec_id"]: r["rep_id"]
+            for r in emb.semantic_dedup(
+                ds, threshold=0.95, train_sample=64, **kw
+            ).take_all()
+        }
+
+    unguarded = run(n_lists=4, list_cap=None)
+    # the identical block collapses to its min id whatever the bucketing
+    assert all(unguarded[v] == 100 for v in range(101, 100 + n_dup))
+
+    # guard on: salt split (200 > 50 -> 4 sub-lists) + stitch must
+    # reproduce the unguarded per-list result exactly
+    guarded = run(n_lists=4, list_cap=50)
+    assert guarded == unguarded
+
+    # dup-light hot list: distinct vectors forced into few clusters —
+    # must complete (stitch skipped: keepers exceed the cap) with no drops
+    distinct = pa.table(
+        {
+            "vec_id": pa.array(range(240), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in rng.standard_normal((240, 16))],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    out = emb.semantic_dedup(
+        ray.data.from_arrow(distinct), threshold=0.9999, n_lists=2,
+        train_sample=64, list_cap=40,
+    ).take_all()
+    assert out == []
