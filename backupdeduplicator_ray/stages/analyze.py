@@ -209,29 +209,57 @@ def _candidate_sets_driver(cand_ds, cap: int | None = None):
 _DRIVER_DUPDIRS_LIMIT = 2_000_000  # dup-dir suppression keys broadcast below this
 
 
-def _finalize_set_rows(batch: pa.Table, suppressed_of=None) -> pa.Table:
+def _finalize_set_rows(batch: pa.Table, suppress_keys: pa.Array | None = None) -> pa.Table:
     """Candidate-set rows → final dupset rows (stats + optional parent
-    suppression).  suppressed_of(row) returns the per-member suppression
-    list, or None when suppression was already applied upstream."""
-    keep = []
-    for row in batch.to_pylist():
-        if suppressed_of is not None:
-            suppressed = suppressed_of(row)
-            if suppressed and all(suppressed):
-                continue
-        n = int(row.get("n_true") or len(row["repos"]))
-        keep.append(
-            {
-                "hash": row["hash"],
-                "ftype": row["ftype"],
-                "size": row["size"],
-                "n_conflicts": n,
-                "dup_bytes": int(row["size"]) * (n - 1),
-                "repos": row["repos"],
-                "paths": row["paths"],
-            }
+    suppression), fully vectorized (VERDICT r4 item 3): member suppression
+    is one `pc.is_in` over the flattened repo\\x00parent keys and an
+    all-suppressed reduceat per set — no per-row Python.  `suppress_keys`
+    is the fused dup-dir key array, or None when suppression was already
+    applied upstream."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0:
+        return DUPSETS_SCHEMA.empty_table()
+    t = batch.combine_chunks()
+    lens = pc.list_value_length(t["repos"]).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    if suppress_keys is not None and len(suppress_keys) and lens.sum():
+        fused = pc.binary_join_element_wise(
+            pc.list_flatten(t["repos"]), pc.list_flatten(t["parents"]), "\x00"
         )
-    return pa.Table.from_pylist(keep, schema=DUPSETS_SCHEMA)
+        # a null parent joins to null; null membership is "not suppressed"
+        sup = pc.fill_null(
+            pc.is_in(fused, value_set=suppress_keys), False
+        ).to_numpy(zero_copy_only=False)
+        allsup = np.zeros(len(t), bool)
+        ne = lens > 0
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        allsup[ne] = np.logical_and.reduceat(sup, starts[ne])
+        if allsup.any():
+            t = t.filter(pa.array(~allsup))
+            lens = lens[~allsup]
+            if t.num_rows == 0:
+                return DUPSETS_SCHEMA.empty_table()
+
+    lens64 = pa.array(lens, pa.int64())
+    if "n_true" in t.column_names:
+        nt = t["n_true"].combine_chunks()
+        n = pc.if_else(pc.is_valid(nt), pc.cast(nt, pa.int64()), lens64)
+    else:
+        n = lens64
+    size = pc.cast(t["size"], pa.int64())
+    return pa.table(
+        {
+            "hash": t["hash"],
+            "ftype": t["ftype"],
+            "size": size,
+            "n_conflicts": n,
+            "dup_bytes": pc.multiply(size, pc.subtract(n, 1)),
+            "repos": t["repos"],
+            "paths": t["paths"],
+        }
+    ).cast(DUPSETS_SCHEMA)
 
 
 def dup_sets(
@@ -276,23 +304,23 @@ def dup_sets(
         )
 
     if dup_dir_limit is None or dup_dir_ds.count() <= dup_dir_limit:
-        dup_dirs = {
-            (r["repo"], r["path"]) for r in dup_dir_ds.take_all()
-        }
-        dup_dirs_ref = ray.put(dup_dirs)
+        # fused repo\x00path keys, built columnar and broadcast ONCE
+        key_parts = [
+            pc.binary_join_element_wise(t["repo"], t["path"], "\x00").combine_chunks()
+            for t in ray.get(dup_dir_ds.to_arrow_refs())
+            if t.num_rows
+        ]
+        dup_dir_keys = (
+            pc.unique(pa.concat_arrays(key_parts))
+            if key_parts
+            else pa.array([], pa.string())
+        )
+        dup_dirs_ref = ray.put(dup_dir_keys)
 
         def finalize(batch: pa.Table) -> pa.Table:
             from ..functions.groups import cached_get
 
-            s = cached_get(dup_dirs_ref)
-
-            def suppressed_of(row):
-                return [
-                    (parent is not None) and ((repo, parent) in s)
-                    for repo, parent in zip(row["repos"], row["parents"])
-                ]
-
-            return _finalize_set_rows(batch, suppressed_of)
+            return _finalize_set_rows(batch, cached_get(dup_dirs_ref))
 
         dupsets = sets.map_batches(finalize, batch_format="pyarrow").materialize()
     else:
@@ -307,17 +335,19 @@ def dup_sets(
             )
 
         def member_rows(t: pa.Table) -> pa.Table:
-            skeys, mks = [], []
-            sk_col = skey_of_cols(t).to_pylist()
-            for sk, row in zip(sk_col, t.to_pylist()):
-                for repo, parent in zip(row["repos"], row["parents"]):
-                    skeys.append(sk)
-                    mks.append(
-                        _NULL_PARENT if parent is None else f"{repo}\x00{parent}"
-                    )
-            return pa.table(
-                {"skey": pa.array(skeys, pa.string()), "mk": pa.array(mks, pa.string())}
+            import numpy as np
+
+            t = t.combine_chunks()
+            lens = pc.list_value_length(t["repos"]).to_numpy(zero_copy_only=False)
+            idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), lens))
+            skeys = pc.take(skey_of_cols(t), idx)
+            mk = pc.fill_null(
+                pc.binary_join_element_wise(
+                    pc.list_flatten(t["repos"]), pc.list_flatten(t["parents"]), "\x00"
+                ),
+                _NULL_PARENT,
             )
+            return pa.table({"skey": pc.cast(skeys, pa.string()), "mk": mk})
 
         members = sets.map_batches(member_rows, batch_format="pyarrow")
         dirs_keyed = dup_dir_ds.map_batches(
@@ -353,13 +383,14 @@ def dup_sets(
 
 
 def _explode_dir_members(batch: pa.Table) -> pa.Table:
-    repos, paths = [], []
-    for row in batch.to_pylist():
-        if row["ftype"] == "dir":
-            repos.extend(row["repos"])
-            paths.extend(row["paths"])
+    import pyarrow.compute as pc
+
+    t = batch.filter(pc.equal(batch["ftype"], "dir")).combine_chunks()
     return pa.table(
-        {"repo": pa.array(repos, pa.string()), "path": pa.array(paths, pa.string())}
+        {
+            "repo": pc.cast(pc.list_flatten(t["repos"]), pa.string()),
+            "path": pc.cast(pc.list_flatten(t["paths"]), pa.string()),
+        }
     )
 
 
@@ -383,19 +414,21 @@ def dup_members(nodes_ds):
     dupsets, _ = dup_sets(nodes_ds)
 
     def explode(batch: pa.Table) -> pa.Table:
-        rows = []
-        for row in batch.to_pylist():
-            for repo, path in zip(row["repos"], row["paths"]):
-                rows.append(
-                    {
-                        "hash": row["hash"],
-                        "ftype": row["ftype"],
-                        "size": row["size"],
-                        "repo": repo,
-                        "path": path,
-                    }
-                )
-        return pa.Table.from_pylist(rows, schema=MEMBERS_SCHEMA)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        t = batch.combine_chunks()
+        lens = pc.list_value_length(t["repos"]).to_numpy(zero_copy_only=False)
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), lens))
+        return pa.table(
+            {
+                "hash": pc.take(t["hash"], idx),
+                "ftype": pc.take(t["ftype"], idx),
+                "size": pc.take(t["size"], idx),
+                "repo": pc.list_flatten(t["repos"]),
+                "path": pc.list_flatten(t["paths"]),
+            }
+        ).cast(MEMBERS_SCHEMA)
 
     return dupsets.map_batches(explode, batch_format="pyarrow")
 
@@ -430,24 +463,33 @@ def dedup_plan(nodes_ds, max_members: int | None = None):
     dupsets, _ = dup_sets(nodes_ds, max_members=max_members)
 
     def explode(batch: pa.Table) -> pa.Table:
-        rows = []
-        for row in batch.to_pylist():
-            for i, (repo, path) in enumerate(zip(row["repos"], row["paths"])):
-                drop = i > 0
-                rows.append(
-                    {
-                        "hash": row["hash"],
-                        "ftype": row["ftype"],
-                        "size": row["size"],
-                        "repo": repo,
-                        "path": path,
-                        "action": "drop" if drop else "keep",
-                        "reclaim_bytes": int(row["size"])
-                        if (drop and row["ftype"] == "file")
-                        else 0,
-                    }
-                )
-        return pa.Table.from_pylist(rows, schema=PLAN_SCHEMA)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        t = batch.combine_chunks()
+        lens = pc.list_value_length(t["repos"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), lens))
+        # member position within its set: 0 = keeper, rest = drops
+        total = int(lens.sum())
+        pos = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        drop = pos > 0
+        size_f = pc.take(t["size"], idx)
+        ftype_f = pc.take(t["ftype"], idx)
+        is_file = pc.equal(ftype_f, "file").to_numpy(zero_copy_only=False)
+        size_np = size_f.to_numpy(zero_copy_only=False).astype(np.int64)
+        reclaim = np.where(drop & is_file, size_np, 0)
+        action = pa.array(np.where(drop, "drop", "keep"))
+        return pa.table(
+            {
+                "hash": pc.take(t["hash"], idx),
+                "ftype": ftype_f,
+                "size": size_f,
+                "repo": pc.list_flatten(t["repos"]),
+                "path": pc.list_flatten(t["paths"]),
+                "action": action,
+                "reclaim_bytes": pa.array(reclaim, pa.int64()),
+            }
+        ).cast(PLAN_SCHEMA)
 
     return dupsets.map_batches(explode, batch_format="pyarrow")
 
@@ -552,19 +594,20 @@ def exact_clusters(nodes_ds):
     sets = candidate_sets(nodes_ds)
 
     def explode(batch: pa.Table) -> pa.Table:
-        rows = []
-        for row in batch.to_pylist():
-            if row["ftype"] != "file":
-                continue
-            for repo, path in zip(row["repos"], row["paths"]):
-                rows.append(
-                    {
-                        "repo": repo,
-                        "path": path,
-                        "cluster_id": row["hash"],
-                        "method": "exact",
-                    }
-                )
-        return pa.Table.from_pylist(rows, schema=CLUSTERS_SCHEMA)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch["ftype"], "file")).combine_chunks()
+        lens = pc.list_value_length(t["repos"]).to_numpy(zero_copy_only=False)
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), lens))
+        n = len(idx)
+        return pa.table(
+            {
+                "repo": pc.list_flatten(t["repos"]),
+                "path": pc.list_flatten(t["paths"]),
+                "cluster_id": pc.take(t["hash"], idx),
+                "method": pa.array(np.full(n, "exact")),
+            }
+        ).cast(CLUSTERS_SCHEMA)
 
     return sets.map_batches(explode, batch_format="pyarrow")
