@@ -319,3 +319,21 @@ def crc32_column(col) -> np.ndarray:
     if len(starts) == 0:
         return np.empty(0, np.uint32)
     return _crc32_many(d, starts, lens)
+
+
+def iter_string_shingles(ids, texts, k: int):
+    """Per-doc DISTINCT k-token shingle STRINGS — the `hashed=False`
+    oracle-parity route shared by the neardup fallbacks (jaccard explode /
+    doc sizes, dup_ngram_fraction explode / score).  Yields (id, set of
+    " ".join'd k-grams); None texts and docs shorter than k tokens are
+    skipped (the strict len(tokens) >= k convention).  Deliberately
+    per-doc Python: the hot path is the hashed=True batch kernel above —
+    this exists for bit-exact string-shingle parity with the SQL oracle.
+    """
+    for i, t in zip(ids, texts):
+        if t is None:
+            continue
+        toks = tokenize(t)
+        if len(toks) < k:
+            continue
+        yield i, {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}

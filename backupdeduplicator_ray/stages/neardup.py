@@ -35,7 +35,11 @@ from ..config import MinHashConfig, SimHashConfig
 from ..functions import minhash as mh
 from ..functions import simhash as sh
 from ..functions.hashing import hash_binary_column
-from ..functions.shingles import iter_shingle_parts, shingle_hashes, tokenize
+from ..functions.shingles import (
+    iter_shingle_parts,
+    iter_string_shingles,
+    shingle_hashes,
+)
 from ..state.unionfind import EDGE_SCHEMA, connected_components
 
 SIG_SCHEMA = pa.schema(
@@ -487,7 +491,6 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
     # measured 85 s on 6.1M band rows at 408k files; the fused exchange
     # replaces both.
     if distributed:
-        survivors = None
         cand_rows = rows_with_key_count_between(
             bands, "bucket_key", min_count=2, n_parts=64
         ).materialize()
@@ -1816,17 +1819,11 @@ def jaccard_pairs(
                 }
             )
         ids_out, sh_out = [], []
-        for i, t in zip(
-            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        for i, shingles in iter_string_shingles(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist(), k
         ):
-            if t is None:
-                continue
-            toks = tokenize(t)
-            if len(toks) < k:
-                continue
-            shingles = sorted({" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)})
             sid = str(i)
-            for s in shingles:
+            for s in sorted(shingles):
                 ids_out.append(sid)
                 sh_out.append(s)
         return pa.table(
@@ -1939,13 +1936,9 @@ def jaccard_pairs(
                 cols["ids"] = pa.chunked_array(str_chunks)
             return pa.table(cols)
         ids_out, sz_out = [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            if t is None:
-                continue
-            toks = tokenize(t)
-            if len(toks) < k:
-                continue
-            shingles = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+        for i, shingles in iter_string_shingles(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist(), k
+        ):
             n = len(shingles - stop) if stop else len(shingles)
             if n:
                 ids_out.append(str(i))
@@ -2169,15 +2162,10 @@ def dup_ngram_fraction(
                 }
             )
         ids_out, sh_out = [], []
-        for i, t in zip(ids_arr.to_pylist(), batch[text_col].to_pylist()):
-            if t is None:
-                continue
-            toks = tokenize(t)
-            if len(toks) < k:
-                continue
-            for s in sorted(
-                {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
-            ):
+        for i, shingles in iter_string_shingles(
+            ids_arr.to_pylist(), batch[text_col].to_pylist(), k
+        ):
+            for s in sorted(shingles):
                 ids_out.append(i)
                 sh_out.append(s)
         return pa.table(
@@ -2246,13 +2234,9 @@ def dup_ngram_fraction(
                     np.concatenate(dup_l).astype(np.float64),
                 )
             ids_out, tot_out, dup_out = [], [], []
-            for i, t in zip(ids_arr.to_pylist(), batch[text_col].to_pylist()):
-                if t is None:
-                    continue
-                toks = tokenize(t)
-                if len(toks) < k:
-                    continue
-                sh = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+            for i, sh in iter_string_shingles(
+                ids_arr.to_pylist(), batch[text_col].to_pylist(), k
+            ):
                 ids_out.append(i)
                 tot_out.append(len(sh))
                 dup_out.append(len(sh & dup_set))
