@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from ..functions.rounding import round_half_away
 import pyarrow.compute as pc
 
 from .embedding import _batch_matrix
@@ -93,7 +95,7 @@ def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding",
         n = int(pc.sum(g["__n"]).as_py())
         S = np.asarray(g["__sum"].to_pylist(), np.float64).sum(axis=0)
         d = S.shape[0]
-        mean = np.round(S / n, round_to)
+        mean = round_half_away(S / n, round_to)
         return pa.table(
             {
                 label_col: pa.array([g[label_col][0].as_py()] * d).cast(label_type),
@@ -146,7 +148,7 @@ def embedding_gram(ds, vec_col: str = "embedding", round_to: int = 6):
         )
     flat = np.sum(mats, axis=0)
     d = int(round(len(flat) ** 0.5))
-    G = np.round(flat.reshape(d, d), round_to)
+    G = round_half_away(flat.reshape(d, d), round_to)
     iu, ju = np.triu_indices(d)
     return pa.table(
         {

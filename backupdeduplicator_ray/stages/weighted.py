@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from ..functions.rounding import round_half_away
 import pyarrow.compute as pc
 
 _U52 = float(1 << 52)
@@ -123,7 +125,7 @@ def weighted_topk(ds, key_col: str, weight_col: str, k: int, round_to: int = 12)
         u52 = _u52_of(t[key_col].cast(pa.string()))
         w = w_all.filter(valid).to_numpy(zero_copy_only=False)
         u = (u52.astype(np.float64) + 0.5) / _U52
-        aes = np.round(np.power(u, 1.0 / w), round_to)
+        aes = round_half_away(np.power(u, 1.0 / w), round_to)
         # local top-k on (-aes, key): survives into the bounded merge
         ids = t[key_col]
         order = np.lexsort((ids.to_numpy(zero_copy_only=False), -aes))[:k]
