@@ -159,21 +159,6 @@ def collapse_hardlinks(
     nonnull = keyed.map_batches(
         lambda t: t.filter(pc.is_valid(t["__hk"])), batch_format="pyarrow"
     )
-    if distributed:
-        # two fused exchanges (count==1 / count>=2) replace the previous
-        # count shuffle + TWO semi-join exchanges over the same rows
-        from ..functions.groups import rows_with_key_count_between
-
-        singles = rows_with_key_count_between(
-            nonnull, "__hk", min_count=1, max_count=1
-        ).map_batches(lambda t: t.drop_columns(["__hk"]), batch_format="pyarrow")
-        linked = rows_with_key_count_between(nonnull, "__hk", min_count=2)
-    else:
-        colliding = keys_with_count_between(nonnull, ["__hk"], min_count=2)
-        singles = filter_by_key_set(
-            nonnull, ["__hk"], colliding, keep=False
-        ).map_batches(lambda t: t.drop_columns(["__hk"]), batch_format="pyarrow")
-        linked = filter_by_key_set(nonnull, ["__hk"], colliding, keep=True)
 
     # partition-grain winner pick: co-locate each physical key's rows by
     # key hash, then ONE vectorized first-per-key pass per partition — not
@@ -204,10 +189,30 @@ def collapse_hardlinks(
         out = g.iloc[order[first]].drop(columns=["__hk", "__wpart"])
         return pa.Table.from_pandas(out, preserve_index=False).cast(arrow_schema)
 
+    passthrough = keyed.map_batches(null_key, batch_format="pyarrow")
+
+    if distributed:
+        # ONE fused exchange over nonnull (ADVICE r4: the previous shape
+        # ran separate count==1 / count>=2 exchanges over the same rows):
+        # a singleton's only row IS its first-per-key row, so the same
+        # partition kernel emits singletons and hardlink winners together.
+        collapsed = (
+            nonnull.map_batches(add_wpart, batch_format="pyarrow")
+            .groupby("__wpart")
+            .map_groups(pick_winners_part, batch_format="pandas")
+        )
+        return passthrough.union(collapsed)
+
+    # broadcast route: prune singles map-side (zero-shuffle for the
+    # overwhelming majority) and exchange only the colliding minority
+    colliding = keys_with_count_between(nonnull, ["__hk"], min_count=2)
+    singles = filter_by_key_set(
+        nonnull, ["__hk"], colliding, keep=False
+    ).map_batches(lambda t: t.drop_columns(["__hk"]), batch_format="pyarrow")
+    linked = filter_by_key_set(nonnull, ["__hk"], colliding, keep=True)
     winners = (
         linked.map_batches(add_wpart, batch_format="pyarrow")
         .groupby("__wpart")
         .map_groups(pick_winners_part, batch_format="pandas")
     )
-    passthrough = keyed.map_batches(null_key, batch_format="pyarrow")
     return passthrough.union(singles).union(winners)

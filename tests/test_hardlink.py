@@ -58,6 +58,30 @@ def test_hardlink_sets_distributed_parity(ray_session):
     assert a.sort_values(cols).values.tolist() == b.sort_values(cols).values.tolist()
 
 
+def test_collapse_distributed_parity(ray_session):
+    """ADVICE r4: the distributed route's single fused exchange (first-
+    per-key emits singletons AND winners) must match the broadcast route
+    row-for-row."""
+    from backupdeduplicator_ray.stages.hardlink import collapse_hardlinks
+
+    import pandas.testing as pdt
+
+    cols = ["repo", "path", "inode", "drive"]
+    a = (
+        collapse_hardlinks(_corpus())
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    b = (
+        collapse_hardlinks(_corpus(), distributed=True)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pdt.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_collapse_keeps_min_member_and_passthrough(ray_session):
     from backupdeduplicator_ray.stages.hardlink import collapse_hardlinks
 
