@@ -125,9 +125,16 @@ def _rebuild_from_lists(ids, flat, lens, keep_mask, delim: str) -> pa.Table:
     offsets = np.zeros(len(lens) + 1, np.int64)
     np.cumsum(kept_counts, out=offsets[1:])
     kept_vals = flat.filter(pa.array(keep_mask))
+    # binary_join's kernel requires the separator type to match the value
+    # type: large_string columns (the bench corpus) need a large_string
+    # separator or Arrow raises ArrowNotImplementedError
+    sep = pa.scalar(
+        delim,
+        pa.large_string() if pa.types.is_large_string(kept_vals.type) else pa.string(),
+    )
     joined = pc.binary_join(
         pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), kept_vals),
-        delim,
+        sep,
     )
     out = pa.table(
         {

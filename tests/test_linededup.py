@@ -50,6 +50,24 @@ def test_report_and_dedup_hand_built(ray_session):
     assert out["n_kept"].tolist() == [2, 1, 1]
 
 
+def test_large_string_text_both_routes(ray_session):
+    """Bench corpora carry large_string text; binary_join's separator must
+    match the value type (found by the round-5 1.63M forced sweep)."""
+    import pyarrow as pa
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(DOCS["doc_id"], pa.int64()),
+            "text": pa.array(DOCS["text"], pa.large_string()),
+        }
+    )
+    a = _dedup_df(ray.data.from_arrow(t), max_df=2)
+    b = _dedup_df(ray.data.from_arrow(t), max_df=2, distributed=True)
+    assert a["doc_id"].tolist() == [1, 2, 4]
+    assert a.values.tolist() == b.values.tolist()
+
+
 def test_high_max_df_is_identity(ray_session):
     import ray.data
 
