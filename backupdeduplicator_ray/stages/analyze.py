@@ -177,33 +177,54 @@ def _candidate_sets_driver(cand_ds, cap: int | None = None):
     df = pd.concat(frames, ignore_index=True).sort_values(
         ["hash", "size", "node_type", "repo", "path"], kind="mergesort"
     )
-    grp = df.groupby(["hash", "size", "node_type"], sort=False)
-    sizes = grp["repo"].transform("size")
-    df = df[sizes >= 2]
-    if df.empty:
+    # vectorized set construction over the mergesorted frame (VERDICT r4
+    # item 3 family): group bounds by adjacent-key compare, member lists
+    # as one ListArray from offsets — no pandas agg(list), no itertuples
+    import numpy as np
+
+    from ..functions.hashing import hex_column
+
+    h = df["hash"].to_numpy()
+    sz = df["size"].to_numpy()
+    nt = df["node_type"].to_numpy()
+    first = np.ones(len(df), bool)
+    first[1:] = (h[1:] != h[:-1]) | (sz[1:] != sz[:-1]) | (nt[1:] != nt[:-1])
+    gid = np.cumsum(first) - 1
+    counts = np.bincount(gid)
+    gkeep = counts >= 2  # (hash, size, ftype) refinement: singletons out
+    if not gkeep.any():
         return ray.data.from_arrow(_sets_table([]))
-    grp = df.groupby(["hash", "size", "node_type"], sort=False)
-    agg = grp.agg(
-        repos=("repo", list), paths=("path", list), parents=("parent", list)
-    ).reset_index()
-    rows = []
-    for r in agg.itertuples(index=False):
-        n_true = len(r.repos)
-        repos, paths, parents = r.repos, r.paths, r.parents
-        if cap is not None and n_true > cap:
-            repos, paths, parents = repos[:cap], paths[:cap], parents[:cap]
-        rows.append(
-            {
-                "hash": r.hash.hex(),
-                "ftype": r.node_type,
-                "size": int(r.size),
-                "n_true": n_true,
-                "repos": repos,
-                "paths": paths,
-                "parents": [p if isinstance(p, str) else None for p in parents],
-            }
+    starts = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    rowkeep = gkeep[gid]
+    if cap is not None:
+        pos = np.arange(len(df), dtype=np.int64) - starts[gid]
+        rowkeep &= pos < cap
+    kept_counts = np.bincount(gid[rowkeep], minlength=len(counts))[gkeep]
+    offsets = np.zeros(len(kept_counts) + 1, np.int64)
+    np.cumsum(kept_counts, out=offsets[1:])
+    sub = df[rowkeep]
+    offs = pa.array(offsets, pa.int64())
+
+    def _list_of(vals, from_pandas=False):
+        return pa.ListArray.from_arrays(
+            offs, pa.array(vals, pa.string(), from_pandas=from_pandas)
         )
-    return ray.data.from_arrow(_sets_table(rows))
+
+    idx_first = starts[gkeep]
+    out = pa.table(
+        {
+            "hash": hex_column(pa.array(list(h[idx_first]), pa.binary())),
+            "ftype": pa.array(nt[idx_first], pa.string()),
+            "size": pa.array(sz[idx_first].astype(np.int64), pa.int64()),
+            "n_true": pa.array(counts[gkeep].astype(np.int64), pa.int64()),
+            "repos": _list_of(sub["repo"].to_numpy()),
+            "paths": _list_of(sub["path"].to_numpy()),
+            # parent is str-or-missing; from_pandas maps NaN/None -> null
+            "parents": _list_of(sub["parent"].to_numpy(), from_pandas=True),
+        }
+    ).cast(SETS_SCHEMA)
+    return ray.data.from_arrow(out)
 
 
 _DRIVER_DUPDIRS_LIMIT = 2_000_000  # dup-dir suppression keys broadcast below this
