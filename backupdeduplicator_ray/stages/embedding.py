@@ -198,6 +198,32 @@ _DRIVER_LSH_CANDROWS_LIMIT = 4_000_000  # candidate band rows verified driver-si
 _LSH_LAST_ROUTE = None
 
 
+_SIM_PAIR_CHUNK = 1_000_000
+
+
+def _sim_filter_chunked(V: np.ndarray, a: np.ndarray, b: np.ndarray, threshold: float):
+    """Pairwise cosine over (a, b) index arrays in fixed-size chunks.
+
+    `V[a]` materialized whole is O(n_pairs x d) — a dense bucket regime
+    (n_planes sized too small for the corpus) OOM'd a 500k-vector drive
+    at 122M candidate pairs x 64 dims.  Chunking keeps the working set at
+    _SIM_PAIR_CHUNK x d and accumulates only threshold survivors (bounded
+    by true near-dups).  Returns (a_kept, b_kept, sims_kept)."""
+    a_out, b_out, s_out = [], [], []
+    for lo in range(0, len(a), _SIM_PAIR_CHUNK):
+        hi = lo + _SIM_PAIR_CHUNK
+        ac, bc = a[lo:hi], b[lo:hi]
+        sims = np.einsum("ij,ij->i", V[ac], V[bc])
+        keep = sims >= threshold
+        a_out.append(ac[keep])
+        b_out.append(bc[keep])
+        s_out.append(sims[keep])
+    if not a_out:
+        e = np.empty(0, np.int64)
+        return e, e, np.empty(0, np.float64)
+    return np.concatenate(a_out), np.concatenate(b_out), np.concatenate(s_out)
+
+
 def _pair_expand_triu(bk: np.ndarray, codes: np.ndarray, cap: int):
     """Sorted-by-(bucket, code) arrays → all-pairs code arrays per bucket
     (sorted distinct codes truncated to `cap`, triangular expansion) —
@@ -372,14 +398,13 @@ def embedding_neardup_lsh(
             for r in vecs.take_all()
         }
         mat = np.asarray([vec_map[int(i)] for i in uniq_ids])
-        sims = np.einsum("ij,ij->i", mat[a], mat[b])
-        keep = sims >= threshold
+        a_keep, b_keep, s_keep = _sim_filter_chunked(mat, a, b, threshold)
         return ray.data.from_arrow(
             pa.table(
                 {
-                    "a_id": pa.array(uniq_ids[a[keep]], pa.int64()),
-                    "b_id": pa.array(uniq_ids[b[keep]], pa.int64()),
-                    "cos_sim": pa.array(np.round(sims[keep], 6), pa.float64()),
+                    "a_id": pa.array(uniq_ids[a_keep], pa.int64()),
+                    "b_id": pa.array(uniq_ids[b_keep], pa.int64()),
+                    "cos_sim": pa.array(np.round(s_keep, 6), pa.float64()),
                 }
             )
         )
@@ -441,13 +466,12 @@ def embedding_neardup_lsh(
         a, b = _pair_expand_triu(bk[order], inv[order].astype(np.int64), bucket_cap)
         if len(a) == 0:
             return pa.Table.from_pylist([], schema=PAIRS_SCHEMA)
-        sims = np.einsum("ij,ij->i", Vu[a], Vu[b])
-        keep = sims >= threshold
+        a_keep, b_keep, s_keep = _sim_filter_chunked(Vu, a, b, threshold)
         return pa.table(
             {
-                "a_id": pa.array(uniq_ids[a[keep]], pa.int64()),
-                "b_id": pa.array(uniq_ids[b[keep]], pa.int64()),
-                "cos_sim": pa.array(np.round(sims[keep], 6), pa.float64()),
+                "a_id": pa.array(uniq_ids[a_keep], pa.int64()),
+                "b_id": pa.array(uniq_ids[b_keep], pa.int64()),
+                "cos_sim": pa.array(np.round(s_keep, 6), pa.float64()),
             }
         )
 
