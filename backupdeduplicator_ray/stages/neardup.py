@@ -824,6 +824,29 @@ def _verify_candidates_distributed(reps, survivors, cfg: MinHashConfig, n_parts:
     )
 
 
+_SIG_PAIR_CHUNK = 1_000_000
+
+
+def _sig_match_chunked(sigs: np.ndarray, a: np.ndarray, b: np.ndarray, threshold: float):
+    """Signature-equality fraction over (a, b) pair index arrays in fixed
+    1M-pair chunks — sigs[a] whole is O(n_pairs x num_perms) (the
+    embedding._sim_filter_chunked doctrine; star-cap bounds pairs by
+    design, this bounds the working set by construction).  Returns the
+    (a_kept, b_kept) arrays."""
+    a_out, b_out = [], []
+    for lo in range(0, len(a), _SIG_PAIR_CHUNK):
+        hi = lo + _SIG_PAIR_CHUNK
+        ac, bc = a[lo:hi], b[lo:hi]
+        est = (sigs[ac] == sigs[bc]).mean(axis=1)
+        keep = est >= threshold
+        a_out.append(ac[keep])
+        b_out.append(bc[keep])
+    e = np.empty(0, np.int64)
+    if not a_out:
+        return e, e
+    return np.concatenate(a_out), np.concatenate(b_out)
+
+
 def _verify_sig_partition(g: pa.Table, cfg: MinHashConfig) -> pa.Table:
     """Per-partition signature verification over co-located whole buckets:
     candidate pairs from the shared `_bucket_pairs` kernel, verified with
@@ -859,12 +882,11 @@ def _verify_sig_partition(g: pa.Table, cfg: MinHashConfig) -> pa.Table:
     a, b = _bucket_pairs(bk[order], inv[order].astype(np.int64), cfg.bucket_cap)
     if len(a) == 0:
         return pa.Table.from_pylist([], schema=EDGE_SCHEMA)
-    est = (sigs[a] == sigs[b]).mean(axis=1)
-    keep = est >= cfg.verify_threshold
+    a_keep, b_keep = _sig_match_chunked(sigs, a, b, cfg.verify_threshold)
     return pa.table(
         {
-            "src": pa.array(uniq_ids[a[keep]], pa.string()),
-            "dst": pa.array(uniq_ids[b[keep]], pa.string()),
+            "src": pa.array(uniq_ids[a_keep], pa.string()),
+            "dst": pa.array(uniq_ids[b_keep], pa.string()),
         }
     )
 
@@ -976,12 +998,11 @@ def _verify_candidates_driver(cand_rows, sig_lookup, cfg: MinHashConfig):
         s_ids, s_mat = sig_lookup
         rows = np.searchsorted(s_ids, uniq_ids)
         sigs = s_mat[rows]
-    est = (sigs[a] == sigs[b]).mean(axis=1)
-    keep = est >= cfg.verify_threshold
+    a_keep, b_keep = _sig_match_chunked(sigs, a, b, cfg.verify_threshold)
     table = pa.table(
         {
-            "src": pa.array(uniq_ids[a[keep]], pa.string()),
-            "dst": pa.array(uniq_ids[b[keep]], pa.string()),
+            "src": pa.array(uniq_ids[a_keep], pa.string()),
+            "dst": pa.array(uniq_ids[b_keep], pa.string()),
         }
     )
     return ray.data.from_arrow(table)
