@@ -1234,9 +1234,18 @@ def remove_stopwords(
         offsets = np.zeros(int(nonempty.sum()) + 1, np.int32)
         np.cumsum(kept_per_doc[nonempty], out=offsets[1:])
         kept_toks = toks.filter(pa.array(keep))
+        # binary_join's kernel requires the separator type to match the
+        # list value type: large_string text (any corpus read with large
+        # types) otherwise raises — the line_dedup bug class (round 5)
+        sep = pa.scalar(
+            " ",
+            pa.large_string()
+            if pa.types.is_large_string(kept_toks.type)
+            else pa.string(),
+        )
         joined = pc.binary_join(
             pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_toks),
-            " ",
+            sep,
         )
         return pa.table(
             {

@@ -143,6 +143,13 @@ def test_remove_stopwords_semantics(ray_session):
     assert run(1) == expect
     assert run(4) == expect
 
+    # large_string text (any corpus read with large types): binary_join's
+    # separator must match the value type — the round-5 line_dedup bug
+    # class, also present here until fixed
+    tl = t.set_column(1, "text", t["text"].cast(pa.large_string()))
+    out = remove_stopwords(ray.data.from_arrow(tl), ["the", "on"]).take_all()
+    assert {r["doc_id"]: r["text_clean"] for r in out} == expect
+
 
 def test_token_drift_exact_ppm_and_k_boundary(ray_session):
     """Integer-ppm math checked by hand; k-boundary tie breaks on token;
