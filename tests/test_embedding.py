@@ -386,3 +386,31 @@ def test_semantic_dedup_hot_list_guard(ray_session):
         train_sample=64, list_cap=40,
     ).take_all()
     assert out == []
+
+
+def test_sim_filter_chunked_chunk_invariance():
+    """The chunked pair-cosine filter must be invariant to chunk size
+    (including chunk < pairs, chunk == 1, and one-shot)."""
+    import backupdeduplicator_ray.stages.embedding as emb
+
+    rng = np.random.default_rng(11)
+    V = rng.standard_normal((50, 8))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    a = rng.integers(0, 50, 400).astype(np.int64)
+    b = rng.integers(0, 50, 400).astype(np.int64)
+    th = 0.2
+
+    def run(chunk):
+        old = emb._SIM_PAIR_CHUNK
+        emb._SIM_PAIR_CHUNK = chunk
+        try:
+            ak, bk, sk = emb._sim_filter_chunked(V, a, b, th)
+        finally:
+            emb._SIM_PAIR_CHUNK = old
+        return list(ak), list(bk), [round(s, 12) for s in sk]
+
+    base = run(10**9)
+    assert base[0]  # threshold 0.2 keeps some pairs
+    assert run(7) == base
+    assert run(1) == base
+    assert run(400) == base

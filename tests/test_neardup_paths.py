@@ -143,3 +143,29 @@ def test_prebucket_escalation_branch_parity(ray_session, small_corpus, monkeypat
     esc = canon(*nd._exact_prebucket(sig))
     assert esc == base
     assert base[0]  # fixtures contain exact dups
+
+
+def test_sig_match_chunked_chunk_invariance():
+    """Chunked signature-equality filter invariant to chunk size."""
+    import numpy as np
+
+    import backupdeduplicator_ray.stages.neardup as nd
+
+    rng = np.random.default_rng(3)
+    sigs = rng.integers(0, 4, (40, 16)).astype(np.uint64)
+    a = rng.integers(0, 40, 300).astype(np.int64)
+    b = rng.integers(0, 40, 300).astype(np.int64)
+
+    def run(chunk):
+        old = nd._SIG_PAIR_CHUNK
+        nd._SIG_PAIR_CHUNK = chunk
+        try:
+            ak, bk = nd._sig_match_chunked(sigs, a, b, 0.3)
+        finally:
+            nd._SIG_PAIR_CHUNK = old
+        return list(ak), list(bk)
+
+    base = run(10**9)
+    assert base[0]
+    assert run(7) == base
+    assert run(1) == base
