@@ -1,0 +1,35 @@
+"""Shared chunked pair-filter skeleton.
+
+Verifying candidate pairs gathers score operands per pair —
+``V[a]`` / ``sigs[a]`` materialized whole is O(n_pairs x width) working
+set, which OOM'd a 500k-vector LSH drive at ~122M pairs (BASELINE.md
+round 5).  Both verify families (embedding cosine, minhash
+signature-equality) share this skeleton: fixed-size chunks of the pair
+index arrays, scoring kernel applied per chunk, only threshold
+survivors accumulated (bounded by true near-dups).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def filter_pairs_chunked(a: np.ndarray, b: np.ndarray, score_fn, keep_fn, chunk: int):
+    """Run ``score_fn(ac, bc) -> scores`` over fixed ``chunk``-size slices
+    of the pair index arrays, keeping rows where ``keep_fn(scores)``.
+
+    Returns ``(a_kept, b_kept, scores_kept)`` — callers that only need
+    the indices ignore the third element."""
+    a_out, b_out, s_out = [], [], []
+    for lo in range(0, len(a), chunk):
+        hi = lo + chunk
+        ac, bc = a[lo:hi], b[lo:hi]
+        s = score_fn(ac, bc)
+        k = keep_fn(s)
+        a_out.append(ac[k])
+        b_out.append(bc[k])
+        s_out.append(s[k])
+    if not a_out:
+        e = np.empty(0, np.int64)
+        return e, e, np.empty(0, np.float64)
+    return np.concatenate(a_out), np.concatenate(b_out), np.concatenate(s_out)

@@ -206,22 +206,18 @@ def _sim_filter_chunked(V: np.ndarray, a: np.ndarray, b: np.ndarray, threshold: 
 
     `V[a]` materialized whole is O(n_pairs x d) — a dense bucket regime
     (n_planes sized too small for the corpus) OOM'd a 500k-vector drive
-    at 122M candidate pairs x 64 dims.  Chunking keeps the working set at
-    _SIM_PAIR_CHUNK x d and accumulates only threshold survivors (bounded
-    by true near-dups).  Returns (a_kept, b_kept, sims_kept)."""
-    a_out, b_out, s_out = [], [], []
-    for lo in range(0, len(a), _SIM_PAIR_CHUNK):
-        hi = lo + _SIM_PAIR_CHUNK
-        ac, bc = a[lo:hi], b[lo:hi]
-        sims = np.einsum("ij,ij->i", V[ac], V[bc])
-        keep = sims >= threshold
-        a_out.append(ac[keep])
-        b_out.append(bc[keep])
-        s_out.append(sims[keep])
-    if not a_out:
-        e = np.empty(0, np.int64)
-        return e, e, np.empty(0, np.float64)
-    return np.concatenate(a_out), np.concatenate(b_out), np.concatenate(s_out)
+    at 122M candidate pairs x 64 dims.  Thin wrapper over the shared
+    `functions.pairchunk.filter_pairs_chunked` skeleton (also used by
+    neardup's signature verify).  Returns (a_kept, b_kept, sims_kept)."""
+    from ..functions.pairchunk import filter_pairs_chunked
+
+    return filter_pairs_chunked(
+        a,
+        b,
+        lambda ac, bc: np.einsum("ij,ij->i", V[ac], V[bc]),
+        lambda s: s >= threshold,
+        _SIM_PAIR_CHUNK,
+    )
 
 
 def _pair_expand_triu(bk: np.ndarray, codes: np.ndarray, cap: int):
@@ -310,8 +306,20 @@ def embedding_neardup_lsh(
         )
 
     bands = ds.map_batches(bucketize, batch_format="pyarrow").materialize()
-    survivors = keys_with_count_between(bands, ["bucket_key"], min_count=2)
-    cand = filter_by_key_set(bands, ["bucket_key"], survivors, keep=True).materialize()
+    if distributed:
+        # forced 10^12 route: the surviving-bucket key set must not touch
+        # the driver either — fused one-exchange count+filter, exactly the
+        # minhash_edges shape (neardup.py) this route mirrors
+        from ..functions.groups import rows_with_key_count_between
+
+        cand = rows_with_key_count_between(
+            bands, "bucket_key", min_count=2, n_parts=64
+        ).materialize()
+    else:
+        survivors = keys_with_count_between(bands, ["bucket_key"], min_count=2)
+        cand = filter_by_key_set(
+            bands, ["bucket_key"], survivors, keep=True
+        ).materialize()
     n_cand = cand.count()
 
     def vec_side(t: pa.Table) -> pa.Table:
@@ -1032,11 +1040,15 @@ def semantic_dedup(
     the kernel sees is ~cap-bounded, then a STITCH pass re-runs the kernel
     over the hot list's surviving keepers — dup-heavy pathologies (the
     realistic way a list goes hot) collapse in the salt pass, leaving few
-    keepers, and the stitch restores the cross-sub-list components
-    exactly; a dup-light hot list whose keepers still exceed the cap skips
-    the stitch (the missed pairs are the rare dups straddling a salt
-    boundary — the documented approximation).  Stage-1 rep pointers are
-    compressed through stage-2 drops so every rep_id is a final keeper.
+    keepers, and the stitch merges components whose KEEPERS are within
+    threshold of each other (exact for identical/mutually-similar blocks,
+    the tested pathology).  The guard is an APPROXIMATION with two
+    precisely-bounded gaps, both one-directional (guard drops ⊆ unguarded
+    drops, tested): a chain that crosses a salt boundary only through a
+    stage-1-DROPPED member is not re-found by the keeper stitch, and a
+    dup-light hot list whose keepers still exceed the cap skips the
+    stitch entirely.  Stage-1 rep pointers are compressed through stage-2
+    drops so every rep_id is a final keeper.
     The guard never fires with `n_lists=1` (or `list_cap=None`), keeping
     the exact threshold-graph invariant.
     """

@@ -134,10 +134,13 @@ def collapse_hardlinks(
     """Keep one representative (min (repo, path)) per physical file.
 
     Output preserves the input schema and every row whose identity is
-    null or unique; only rows that share a (drive, inode) key with
-    another row go through the one winner-pick exchange (count-pruned, so
-    the shuffle moves hardlink rows only — at backup scale a tiny
-    fraction of the walk).
+    null or unique.  Broadcast route (default): only rows sharing a
+    (drive, inode) key with another row go through the winner-pick
+    exchange (count-pruned — at backup scale the colliding minority).
+    `distributed=True`: ONE fused exchange over all identity-bearing rows
+    (payload rides it once — the trade for zero driver key state; the
+    first-per-key kernel emits singletons and winners together, pure
+    Arrow so payload types survive exactly).
     """
     import pyarrow.compute as pc
 
@@ -174,7 +177,7 @@ def collapse_hardlinks(
         )
         return t.append_column("__wpart", pa.array(parts))
 
-    def pick_winners_part(g) -> pa.Table:
+    def pick_winners_part(g: pa.Table) -> pa.Table:
         # np.lexsort over the raw object arrays, NOT pandas multi-key
         # sort_values: pandas factorizes str sort keys through its
         # NUL-TRUNCATING StringHashTable, so \x00-fused keys sharing the
@@ -182,12 +185,25 @@ def collapse_hardlinks(
         # (verified: sort_values(["d0\x000","d0\x00192",...]) leaves them
         # interleaved).  numpy object compare is Python str compare —
         # NUL-exact.  Same bug class as the merge-path fix in state/joins.
-        hk = g["__hk"].to_numpy()
-        order = np.lexsort((g["path"].to_numpy(), g["repo"].to_numpy(), hk))
+        # The winner rows come back via Arrow `take` — payload columns
+        # never round-trip through pandas (a nullable int64 would go
+        # float64 there, silently perturbing values past 2^53).
+        g = g.combine_chunks()
+        hk = g["__hk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort(
+            (
+                g["path"].to_numpy(zero_copy_only=False),
+                g["repo"].to_numpy(zero_copy_only=False),
+                hk,
+            )
+        )
         hk_s = hk[order]
         first = np.r_[True, hk_s[1:] != hk_s[:-1]]
-        out = g.iloc[order[first]].drop(columns=["__hk", "__wpart"])
-        return pa.Table.from_pandas(out, preserve_index=False).cast(arrow_schema)
+        return (
+            g.take(pa.array(order[first], pa.int64()))
+            .drop_columns(["__hk", "__wpart"])
+            .select(list(arrow_schema.names))
+        )
 
     passthrough = keyed.map_batches(null_key, batch_format="pyarrow")
 
@@ -199,7 +215,7 @@ def collapse_hardlinks(
         collapsed = (
             nonnull.map_batches(add_wpart, batch_format="pyarrow")
             .groupby("__wpart")
-            .map_groups(pick_winners_part, batch_format="pandas")
+            .map_groups(pick_winners_part, batch_format="pyarrow")
         )
         return passthrough.union(collapsed)
 
@@ -213,6 +229,6 @@ def collapse_hardlinks(
     winners = (
         linked.map_batches(add_wpart, batch_format="pyarrow")
         .groupby("__wpart")
-        .map_groups(pick_winners_part, batch_format="pandas")
+        .map_groups(pick_winners_part, batch_format="pyarrow")
     )
     return passthrough.union(singles).union(winners)

@@ -70,6 +70,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
         )
     if width <= 0 or height == 0:
         raise ValueError(f"bad BMP dimensions {width}x{height}")
+    if pix_off < 14 + hdr_size:
+        # pixel data cannot start inside the header/palette region — a
+        # crafted offset would otherwise decode header bytes as pixels
+        raise ValueError(f"bad BMP pixel offset {pix_off} (header ends at {14 + hdr_size})")
     top_down = height < 0
     h = abs(height)
     nch = bpp // 8

@@ -829,22 +829,20 @@ _SIG_PAIR_CHUNK = 1_000_000
 
 def _sig_match_chunked(sigs: np.ndarray, a: np.ndarray, b: np.ndarray, threshold: float):
     """Signature-equality fraction over (a, b) pair index arrays in fixed
-    1M-pair chunks — sigs[a] whole is O(n_pairs x num_perms) (the
-    embedding._sim_filter_chunked doctrine; star-cap bounds pairs by
-    design, this bounds the working set by construction).  Returns the
-    (a_kept, b_kept) arrays."""
-    a_out, b_out = [], []
-    for lo in range(0, len(a), _SIG_PAIR_CHUNK):
-        hi = lo + _SIG_PAIR_CHUNK
-        ac, bc = a[lo:hi], b[lo:hi]
-        est = (sigs[ac] == sigs[bc]).mean(axis=1)
-        keep = est >= threshold
-        a_out.append(ac[keep])
-        b_out.append(bc[keep])
-    e = np.empty(0, np.int64)
-    if not a_out:
-        return e, e
-    return np.concatenate(a_out), np.concatenate(b_out)
+    1M-pair chunks — sigs[a] whole is O(n_pairs x num_perms); star-cap
+    bounds pairs by design, the shared
+    `functions.pairchunk.filter_pairs_chunked` skeleton bounds the
+    working set by construction.  Returns the (a_kept, b_kept) arrays."""
+    from ..functions.pairchunk import filter_pairs_chunked
+
+    a_k, b_k, _ = filter_pairs_chunked(
+        a,
+        b,
+        lambda ac, bc: (sigs[ac] == sigs[bc]).mean(axis=1),
+        lambda s: s >= threshold,
+        _SIG_PAIR_CHUNK,
+    )
+    return a_k, b_k
 
 
 def _verify_sig_partition(g: pa.Table, cfg: MinHashConfig) -> pa.Table:

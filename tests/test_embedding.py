@@ -119,21 +119,32 @@ def test_embedding_lsh_distributed_route_no_driver_ids(ray_session, vec_table, m
     base, r0 = run(distributed=False)
     assert r0 == "driver" and len(base) >= 10
 
-    # iter_batches on the candidate set is a driver collection — forbid it
-    # on the distributed route entirely
+    # iter_batches / take_all on the band or candidate sets are driver
+    # collections — forbid BOTH on the distributed route entirely (the
+    # bucket-key survivor set must stay distributed too, not just vec ids)
     real_iter = ray.data.Dataset.iter_batches
+    real_take = ray.data.Dataset.take_all
     calls = []
 
-    def spy(self, *a, **k):
-        calls.append(1)
+    def spy_iter(self, *a, **k):
+        calls.append("iter_batches")
         return real_iter(self, *a, **k)
 
-    monkeypatch.setattr(ray.data.Dataset, "iter_batches", spy)
-    forced, r1 = run(distributed=True)
-    assert r1 == "distributed" and forced == base
-    assert not calls, "distributed route collected candidates on the driver"
+    def spy_take(self, *a, **k):
+        calls.append("take_all")
+        return real_take(self, *a, **k)
 
+    monkeypatch.setattr(ray.data.Dataset, "iter_batches", spy_iter)
+    monkeypatch.setattr(ray.data.Dataset, "take_all", spy_take)
+    forced_ds = emb.embedding_neardup_lsh(ds, **kw, distributed=True)
+    r1 = emb._LSH_LAST_ROUTE
+    assert not calls, f"distributed route collected on the driver: {calls}"
     monkeypatch.setattr(ray.data.Dataset, "iter_batches", real_iter)
+    monkeypatch.setattr(ray.data.Dataset, "take_all", real_take)
+    forced = {
+        (r["a_id"], r["b_id"], r["cos_sim"]) for r in forced_ds.take_all()
+    }
+    assert r1 == "distributed" and forced == base
     monkeypatch.setattr(emb, "_DRIVER_LSH_CANDROWS_LIMIT", 0)
     valved, r2 = run(distributed=False)
     assert r2 == "distributed" and valved == base

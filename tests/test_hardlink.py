@@ -82,6 +82,32 @@ def test_collapse_distributed_parity(ray_session):
     pdt.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_collapse_distributed_preserves_nullable_int64_payload(ray_session):
+    """The winner-pick kernel must NOT round payload through pandas: a
+    nullable int64 column with values past 2^53 would go float64 there
+    and come back silently perturbed (round-5 code-review find)."""
+    import pyarrow as pa
+    import ray.data
+
+    from backupdeduplicator_ray.stages.hardlink import collapse_hardlinks
+
+    big = 2**61 + 12345  # not exactly float64-representable
+    t = pa.table(
+        {
+            "repo": pa.array(["rA", "rA", "rB", "rC"], pa.string()),
+            "path": pa.array(["a", "b", "c", "d"], pa.string()),
+            "big_id": pa.array([big, big + 1, None, big + 3], pa.int64()),
+            "inode": pa.array([1, 1, 2, None], pa.int64()),
+            "drive": pa.array(["d0", "d0", "d0", None], pa.string()),
+        }
+    )
+    out = collapse_hardlinks(
+        ray.data.from_arrow(t).repartition(2), distributed=True
+    ).take_all()
+    vals = {r["path"]: r["big_id"] for r in out}
+    assert vals == {"a": big, "c": None, "d": big + 3}  # b collapsed into a
+
+
 def test_collapse_keeps_min_member_and_passthrough(ray_session):
     from backupdeduplicator_ray.stages.hardlink import collapse_hardlinks
 
