@@ -309,11 +309,15 @@ def embedding_neardup_lsh(
     if distributed:
         # forced 10^12 route: the surviving-bucket key set must not touch
         # the driver either — fused one-exchange count+filter, exactly the
-        # minhash_edges shape (neardup.py) this route mirrors
+        # minhash_edges shape (neardup.py) this route mirrors.  n_parts
+        # sized to the band volume (each __part group lands on ONE worker
+        # as one block — a fixed 64 would OOM at the scale this route is
+        # for); bands is materialized, so count() is metadata-only
         from ..functions.groups import rows_with_key_count_between
+        from .neardup import _parts_for_rows
 
         cand = rows_with_key_count_between(
-            bands, "bucket_key", min_count=2, n_parts=64
+            bands, "bucket_key", min_count=2, n_parts=_parts_for_rows(bands.count())
         ).materialize()
     else:
         survivors = keys_with_count_between(bands, ["bucket_key"], min_count=2)

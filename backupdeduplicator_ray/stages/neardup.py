@@ -491,8 +491,11 @@ def minhash_edges(ds, cfg: MinHashConfig | None = None, id_col: str = "id", text
     # measured 85 s on 6.1M band rows at 408k files; the fused exchange
     # replaces both.
     if distributed:
+        # n_parts sized to the band volume — each __part group lands on
+        # one worker as one block, so a fixed 64 would OOM at the scale
+        # this route exists for; bands is materialized, count is metadata
         cand_rows = rows_with_key_count_between(
-            bands, "bucket_key", min_count=2, n_parts=64
+            bands, "bucket_key", min_count=2, n_parts=_parts_for_rows(bands.count())
         ).materialize()
         mark("count")
     else:

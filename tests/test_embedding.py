@@ -119,11 +119,14 @@ def test_embedding_lsh_distributed_route_no_driver_ids(ray_session, vec_table, m
     base, r0 = run(distributed=False)
     assert r0 == "driver" and len(base) >= 10
 
-    # iter_batches / take_all on the band or candidate sets are driver
-    # collections — forbid BOTH on the distributed route entirely (the
-    # bucket-key survivor set must stay distributed too, not just vec ids)
+    # iter_batches / take_all / to_arrow_refs on the band or candidate
+    # sets are driver collections — forbid ALL on the distributed route
+    # (to_arrow_refs is the exact mechanism keys_with_count_between's
+    # driver path uses for the bucket-key survivor set, so spying only
+    # the first two would miss a regression to the pre-fix shape)
     real_iter = ray.data.Dataset.iter_batches
     real_take = ray.data.Dataset.take_all
+    real_refs = ray.data.Dataset.to_arrow_refs
     calls = []
 
     def spy_iter(self, *a, **k):
@@ -134,13 +137,19 @@ def test_embedding_lsh_distributed_route_no_driver_ids(ray_session, vec_table, m
         calls.append("take_all")
         return real_take(self, *a, **k)
 
+    def spy_refs(self, *a, **k):
+        calls.append("to_arrow_refs")
+        return real_refs(self, *a, **k)
+
     monkeypatch.setattr(ray.data.Dataset, "iter_batches", spy_iter)
     monkeypatch.setattr(ray.data.Dataset, "take_all", spy_take)
+    monkeypatch.setattr(ray.data.Dataset, "to_arrow_refs", spy_refs)
     forced_ds = emb.embedding_neardup_lsh(ds, **kw, distributed=True)
     r1 = emb._LSH_LAST_ROUTE
     assert not calls, f"distributed route collected on the driver: {calls}"
     monkeypatch.setattr(ray.data.Dataset, "iter_batches", real_iter)
     monkeypatch.setattr(ray.data.Dataset, "take_all", real_take)
+    monkeypatch.setattr(ray.data.Dataset, "to_arrow_refs", real_refs)
     forced = {
         (r["a_id"], r["b_id"], r["cos_sim"]) for r in forced_ds.take_all()
     }
