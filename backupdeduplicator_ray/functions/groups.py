@@ -273,6 +273,13 @@ def rows_with_key_count_between(
     (measured on the forced-distributed minhash route at 408k files:
     the count+filter legs dropped from 85 s to one exchange; see
     BASELINE.md).  No driver key state at any scale.
+
+    SIZING: each `__part` group lands on ONE worker as one block, so
+    callers whose input can outgrow 64 x worker-heap rows must size
+    `n_parts` to the input volume (`neardup._parts_for_rows(ds.count())`
+    on a materialized input is metadata-only — the forced minhash/LSH
+    routes do exactly this); the default 64 suits exchanges up to the
+    low tens of millions of lean rows.
     """
     import numpy as np
     import pyarrow.compute as pc
