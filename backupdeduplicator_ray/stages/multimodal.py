@@ -7,10 +7,12 @@ decode kernel is stubbed two ways — `mode="strict"` raises
 NotImplementedError (clearly marked), `mode="fake"` produces a
 deterministic content-derived pseudo-feature vector — while everything
 Ray-side (schema, batch sizing, actor signature, output layout) is real
-and tested.  One REAL strict branch exists in-sandbox (VERDICT r4 item
-6): uncompressed 24/32-bit BMP decodes through the pure-Python
-`decode_bmp` below, so `mode="strict"` is exercised end-to-end on real
-pixels; every other format still raises at the clearly-marked seam.
+and tested.  REAL strict branches exist in-sandbox (VERDICT r4 item 6):
+uncompressed 24/32-bit BMP decodes through the pure-Python `decode_bmp`
+below and PCM/IEEE-float WAV through `decode_wav`, so `mode="strict"`
+is exercised end-to-end on real pixels AND real audio samples (features
+and sample-aligned frame windows); every other format still raises at
+the clearly-marked seam.
 
 Media rows are large: the stage defaults to small batches so
 batch_size x concurrency x row_size stays inside a worker's heap (the
@@ -89,6 +91,86 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb)
 
 
+def _wav_layout(data: bytes) -> tuple[dict, int, int]:
+    """RIFF chunk walk → (fmt dict, data-chunk byte offset, data-chunk
+    size).  Shared by `decode_wav` (full sample decode) and the strict
+    frame sampler (which windows the raw data chunk without decoding).
+    Raises ValueError on non-WAV / truncated / missing-chunk inputs."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = None
+    span = None
+    pos = 12
+    # chunk walk: [4-byte id][4-byte size][payload, padded to even]
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        csize = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if pos + 8 + csize > len(data):
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: {len(data) - pos - 8} < {csize}"
+            )
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError(f"short fmt chunk ({csize} bytes)")
+            body = data[pos + 8 : pos + 24]
+            fmt = {
+                "tag": int.from_bytes(body[0:2], "little"),
+                "channels": int.from_bytes(body[2:4], "little"),
+                "rate": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            span = (pos + 8, csize)
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or span is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt["channels"] < 1 or fmt["rate"] < 1:
+        raise ValueError(f"bad WAV fmt {fmt}")
+    return fmt, span[0], span[1]
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Pure-Python decode of an uncompressed RIFF/WAVE file → (samples,
+    sample_rate).  Samples come back as float64 in [-1, 1], shape
+    (n_frames, n_channels) — a single `np.frombuffer` over the data chunk,
+    no Python per sample.  Supports PCM (format 1: 8/16/32-bit ints) and
+    IEEE float (format 3: 32/64-bit); walks the chunk list so extra
+    chunks (LIST, fact, ...) before `data` are handled.  Raises ValueError
+    on anything else — the caller treats that as "not a decodable WAV"
+    and falls through to the NotImplementedError seam."""
+    fmt, data_off, data_size = _wav_layout(data)
+    pcm = data[data_off : data_off + data_size]
+    key = (fmt["tag"], fmt["bits"])
+    if key == (1, 8):  # unsigned 8-bit PCM
+        s = (np.frombuffer(pcm, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif key == (1, 16):
+        s = np.frombuffer(pcm, "<i2").astype(np.float64) / 32768.0
+    elif key == (1, 32):
+        s = np.frombuffer(pcm, "<i4").astype(np.float64) / 2147483648.0
+    elif key == (3, 32):
+        s = np.frombuffer(pcm, "<f4").astype(np.float64)
+    elif key == (3, 64):
+        s = np.frombuffer(pcm, "<f8").astype(np.float64)
+    else:
+        raise ValueError(
+            f"unsupported WAV (format_tag={fmt['tag']}, bits={fmt['bits']}); "
+            "only integer PCM 8/16/32 and IEEE float 32/64 are implemented"
+        )
+    n_fr = len(s) // fmt["channels"]
+    return s[: n_fr * fmt["channels"]].reshape(n_fr, fmt["channels"]), fmt["rate"]
+
+
+def _samples_to_feature(samples: np.ndarray, dim: int) -> np.ndarray:
+    """Decoded audio → dim-length feature: mean absolute amplitude across
+    channels per of `dim` equal time splits (empty split → 0).  The audio
+    analogue of `_pixels_to_feature` — deterministic, vectorized."""
+    a = np.abs(samples).mean(axis=1) if samples.size else np.empty(0)
+    return np.array(
+        [float(s.mean()) if len(s) else 0.0 for s in np.array_split(a, dim)],
+        np.float32,
+    )
+
+
 def _pixels_to_feature(rgb: np.ndarray, dim: int) -> np.ndarray:
     """Decoded pixels → dim-length feature: integer ITU-R 601 luma,
     flattened row-major, mean per of `dim` equal splits (empty split → 0).
@@ -124,14 +206,20 @@ class MediaFeatureStage:
         self.media_col = media_col
 
     def _decode_real(self, data: bytes, kind: str) -> np.ndarray:
-        # the one real in-sandbox branch: uncompressed BMP (pure Python)
+        # the real in-sandbox branches: uncompressed BMP and PCM WAV
+        # (both pure Python + numpy)
         if kind == "image" and data[:2] == b"BM":
             try:
                 return _pixels_to_feature(decode_bmp(data), self.dim)
             except ValueError:
                 pass  # BMP-magic but unsupported variant: fall through
+        if kind == "audio" and data[:4] == b"RIFF":
+            try:
+                return _samples_to_feature(decode_wav(data)[0], self.dim)
+            except ValueError:
+                pass  # RIFF-magic but unsupported variant: fall through
         raise NotImplementedError(
-            "media decoding beyond uncompressed BMP requires PIL/ffmpeg "
+            "media decoding beyond uncompressed BMP/WAV requires PIL/ffmpeg "
             "which are not available in this environment; run with "
             "mode='fake' for the deterministic stub"
         )
@@ -236,9 +324,13 @@ FRAME_SCHEMA = pa.schema(
 class FrameSampleStage:
     """Actor-pool stage: video/audio binary → N sampled frames.
 
-    mode="strict": raises NotImplementedError at the decode step (real
-    frame extraction needs ffmpeg — STUB, clearly marked, same doctrine as
-    MediaFeatureStage).  mode="fake": deterministic byte-window "frames" —
+    mode="strict": REAL frame extraction for PCM WAV audio (pure-Python
+    RIFF walk — frames are sample-frame-aligned byte windows over the
+    `data` chunk, so a window never splits a PCM sample across channels);
+    every other format raises NotImplementedError at the decode step
+    (video frame extraction needs ffmpeg — STUB, clearly marked, same
+    doctrine as MediaFeatureStage).  mode="fake": deterministic
+    byte-window "frames" —
     frame i is the `frame_len`-byte window at offset i * stride with
     stride = max(n_bytes // n_frames, 1), emitted as (media_id, frame_idx,
     frame_off, frame_hash).  frame_hash = sha256 of the window's UPPERCASE
@@ -264,10 +356,48 @@ class FrameSampleStage:
         self.mode = mode
         self.media_col = media_col
 
-    def _decode_real(self, data: bytes) -> list:
+    def _decode_real(self, data: bytes, kind: str) -> list:
+        """The real in-sandbox branch: PCM WAV (pure Python).  Returns
+        [(frame_idx, frame_off, frame_hash)] — frame_off is the absolute
+        byte offset of the window within the media payload (inside the
+        RIFF `data` chunk), aligned down to whole PCM sample frames, and
+        the window length is `frame_len` aligned down to whole frames
+        (min one).  frame_hash uses the same hex-domain sha256 convention
+        as the fake path so the two emit comparable fingerprints."""
+        if kind == "audio" and data and data[:4] == b"RIFF":
+            try:
+                fmt, doff, dsz = _wav_layout(data)
+                if (fmt["tag"], fmt["bits"]) not in (
+                    (1, 8), (1, 16), (1, 32), (3, 32), (3, 64),
+                ):
+                    raise ValueError("unsupported WAV sample format")
+                block = fmt["channels"] * (fmt["bits"] // 8)
+                n_pcm = dsz // block
+                if n_pcm > 0:
+                    stride = max(n_pcm // self.n_frames, 1)
+                    win = max(self.frame_len // block, 1) * block
+                    out = []
+                    for i in range(self.n_frames):
+                        foff = i * stride
+                        if foff >= n_pcm:
+                            break
+                        boff = doff + foff * block
+                        out.append(
+                            (
+                                i,
+                                boff,
+                                hashlib.sha256(
+                                    data[boff : boff + win].hex().upper().encode()
+                                ).hexdigest(),
+                            )
+                        )
+                    return out
+            except ValueError:
+                pass  # RIFF-magic but unsupported variant: fall through
         raise NotImplementedError(
-            "frame extraction requires ffmpeg which is not available in "
-            "this environment; run with mode='fake' for the deterministic stub"
+            "frame extraction beyond PCM WAV requires ffmpeg which is not "
+            "available in this environment; run with mode='fake' for the "
+            "deterministic stub"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -275,7 +405,12 @@ class FrameSampleStage:
         for row in batch.to_pylist():
             data = row[self.media_col]
             if self.mode == "strict":
-                self._decode_real(data)
+                for i, off, h in self._decode_real(data, row["kind"]):
+                    ids.append(row["media_id"])
+                    idxs.append(i)
+                    offs.append(off)
+                    hashes.append(h)
+                continue
             if not data:
                 continue
             n = len(data)

@@ -281,6 +281,128 @@ def test_multimodal_strict_bmp_decode(ray_session):
         MediaFeatureStage(mode="strict")(bad)
 
 
+def _build_wav(samples, rate=8000, bits=16, tag=1, extra_chunk=False):
+    """Hand-assemble a RIFF/WAVE file from an (n_frames, n_channels)
+    float array in [-1, 1].  tag=1 integer PCM (8/16/32), tag=3 IEEE
+    float (32/64).  extra_chunk inserts an odd-sized LIST chunk before
+    `data` to exercise the chunk walk + even-padding rule."""
+    import numpy as np
+
+    s = np.asarray(samples, np.float64)
+    nch = s.shape[1]
+    if tag == 1 and bits == 8:
+        body = (np.clip(s, -1, 1) * 127 + 128).round().astype(np.uint8).tobytes()
+    elif tag == 1 and bits == 16:
+        body = (np.clip(s, -1, 1) * 32767).round().astype("<i2").tobytes()
+    elif tag == 1 and bits == 32:
+        body = (np.clip(s, -1, 1) * 2147483647).round().astype("<i4").tobytes()
+    elif tag == 3 and bits == 32:
+        body = s.astype("<f4").tobytes()
+    elif tag == 3 and bits == 64:
+        body = s.astype("<f8").tobytes()
+    else:
+        raise AssertionError(f"bad test combo tag={tag} bits={bits}")
+    block = nch * bits // 8
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + tag.to_bytes(2, "little") + nch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    extra = b""
+    if extra_chunk:
+        extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"  # pad to even
+    data = b"data" + len(body).to_bytes(4, "little") + body
+    payload = b"WAVE" + fmt + extra + data
+    return b"RIFF" + len(payload).to_bytes(4, "little") + payload
+
+
+def test_multimodal_strict_wav_decode(ray_session):
+    """The audio sibling of the BMP branch: hand-built PCM/float WAVs
+    decode through the pure-Python RIFF walker and yield amplitude
+    features + REAL sample-aligned frames, end-to-end in strict mode."""
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    from backupdeduplicator_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        FrameSampleStage,
+        MediaFeatureStage,
+        _samples_to_feature,
+        _wav_layout,
+        decode_wav,
+        media_features,
+        media_frames,
+    )
+
+    rng = np.random.default_rng(7)
+    ref = rng.uniform(-1, 1, (240, 2))  # stereo, 240 PCM frames
+
+    # decoder round-trips within quantization error for every sample format
+    # int PCM: encode scales by 2^(b-1)-1, decode by 2^(b-1) — error
+    # bounded by |x|/2^(b-1) + rounding half-step = 1.5 / 2^(b-1)
+    for tag, bits, tol in [(1, 8, 1.5 / 128), (1, 16, 1.5 / 32768),
+                           (1, 32, 1.5 / 2**31), (3, 32, 1e-6), (3, 64, 0.0)]:
+        got, rate = decode_wav(_build_wav(ref, bits=bits, tag=tag))
+        assert rate == 8000 and got.shape == ref.shape
+        assert np.abs(got - ref).max() <= tol, (tag, bits)
+    # chunk walk skips extra odd-sized chunks (even-padding rule)
+    got, _ = decode_wav(_build_wav(ref, tag=3, bits=64, extra_chunk=True))
+    assert np.array_equal(got, ref)
+
+    # end-to-end: strict media_features over a WAV row through the pool
+    wav = _build_wav(ref, tag=3, bits=64)
+    rows = [{
+        "media_id": 1, "kind": "audio", "media": wav, "format": "wav",
+        "width": -1, "height": -1, "duration_ms": 30,
+    }]
+    t = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+    out = media_features(ray.data.from_arrow(t), dim=8, mode="strict").take_all()
+    assert len(out) == 1
+    assert np.allclose(out[0]["feature"], _samples_to_feature(ref, 8))
+
+    # strict media_frames: REAL frames — offsets inside the data chunk,
+    # aligned to whole PCM sample frames, hashes fingerprint the window
+    frames = media_frames(
+        ray.data.from_arrow(t), n_frames=4, frame_len=33, mode="strict"
+    ).take_all()
+    fmt, doff, dsz = _wav_layout(wav)
+    block = 2 * 8  # stereo float64
+    win = (33 // block) * block  # frame_len aligned down to whole frames
+    assert len(frames) == 4
+    for f in sorted(frames, key=lambda r: r["frame_idx"]):
+        off = f["frame_off"]
+        assert doff <= off < doff + dsz and (off - doff) % block == 0
+        assert f["frame_hash"] == hashlib.sha256(
+            wav[off: off + win].hex().upper().encode()
+        ).hexdigest()
+    strides = sorted(f["frame_off"] for f in frames)
+    assert strides == [doff + i * (240 // 4) * block for i in range(4)]
+
+    # unsupported variant (24-bit PCM) still hits the marked seam, for
+    # both stages
+    import pytest as _pytest
+
+    bad_fmt = (
+        b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+        + (24000).to_bytes(4, "little") + (3).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+    )
+    bad_body = b"data" + (6).to_bytes(4, "little") + b"\x00" * 6
+    bad = b"RIFF" + (4 + len(bad_fmt) + len(bad_body)).to_bytes(4, "little") \
+        + b"WAVE" + bad_fmt + bad_body
+    bad_t = pa.Table.from_pylist(
+        [dict(rows[0], media=bad)], schema=MEDIA_SCHEMA
+    )
+    with _pytest.raises(NotImplementedError):
+        MediaFeatureStage(mode="strict")(bad_t)
+    with _pytest.raises(NotImplementedError):
+        FrameSampleStage(mode="strict")(bad_t)
+
+
 def test_multimodal_frame_sample(ray_session):
     import hashlib
 
