@@ -373,25 +373,29 @@ class FrameSampleStage:
                     raise ValueError("unsupported WAV sample format")
                 block = fmt["channels"] * (fmt["bits"] // 8)
                 n_pcm = dsz // block
-                if n_pcm > 0:
-                    stride = max(n_pcm // self.n_frames, 1)
-                    win = max(self.frame_len // block, 1) * block
-                    out = []
-                    for i in range(self.n_frames):
-                        foff = i * stride
-                        if foff >= n_pcm:
-                            break
-                        boff = doff + foff * block
-                        out.append(
-                            (
-                                i,
-                                boff,
-                                hashlib.sha256(
-                                    data[boff : boff + win].hex().upper().encode()
-                                ).hexdigest(),
-                            )
+                if n_pcm == 0:
+                    return []  # valid but empty audio: no frames, like fake mode
+                stride = max(n_pcm // self.n_frames, 1)
+                win = max(self.frame_len // block, 1) * block
+                out = []
+                for i in range(self.n_frames):
+                    foff = i * stride
+                    if foff >= n_pcm:
+                        break
+                    boff = doff + foff * block
+                    # clamp at the data-chunk end: a frame window must not
+                    # bleed into trailing chunk headers after `data`
+                    end = min(boff + win, doff + dsz)
+                    out.append(
+                        (
+                            i,
+                            boff,
+                            hashlib.sha256(
+                                data[boff:end].hex().upper().encode()
+                            ).hexdigest(),
                         )
-                    return out
+                    )
+                return out
             except ValueError:
                 pass  # RIFF-magic but unsupported variant: fall through
         raise NotImplementedError(

@@ -402,6 +402,32 @@ def test_multimodal_strict_wav_decode(ray_session):
     with _pytest.raises(NotImplementedError):
         FrameSampleStage(mode="strict")(bad_t)
 
+    # valid-but-empty WAV emits zero frames (like fake mode on empty media)
+    empty_wav = _build_wav(np.empty((0, 1)), bits=16)
+    empty_t = pa.Table.from_pylist(
+        [dict(rows[0], media=empty_wav)], schema=MEDIA_SCHEMA
+    )
+    assert FrameSampleStage(mode="strict")(empty_t).num_rows == 0
+
+    # a trailing chunk after `data` must not bleed into frame windows:
+    # the last frame's hash covers only up to the data-chunk end
+    short = _build_wav(ref[:10], bits=16)  # 10 frames x 4B = 40B data chunk
+    trailer = b"JUNK" + (6).to_bytes(4, "little") + b"abcdef"
+    with_trailer = (
+        b"RIFF" + (len(short) - 8 + len(trailer)).to_bytes(4, "little")
+        + short[8:] + trailer
+    )
+    tfr = FrameSampleStage(n_frames=2, frame_len=64, mode="strict")(
+        pa.Table.from_pylist(
+            [dict(rows[0], media=with_trailer)], schema=MEDIA_SCHEMA
+        )
+    ).to_pylist()
+    _, doff2, dsz2 = _wav_layout(with_trailer)
+    last = max(tfr, key=lambda r: r["frame_idx"])
+    assert last["frame_hash"] == hashlib.sha256(
+        with_trailer[last["frame_off"]: doff2 + dsz2].hex().upper().encode()
+    ).hexdigest()
+
 
 def test_multimodal_frame_sample(ray_session):
     import hashlib
