@@ -143,3 +143,66 @@ def test_empty_corpus_pipelines(ray_session):
     assert dupsets.count() == 0 and dup_bytes == 0
     docs = ray.data.from_arrow(pa.table({"id": pa.array([], pa.string()), "text": pa.array([], pa.large_string())}))
     assert minhash_clusters(docs).count() == 0
+
+
+# --- media decode properties (pure functions — no Ray session needed) ---
+
+_wav_formats = st.sampled_from([(1, 8), (1, 16), (1, 32), (3, 32), (3, 64)])
+
+
+@given(
+    st.integers(min_value=0, max_value=50),
+    st.integers(min_value=1, max_value=4),
+    _wav_formats,
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_wav_roundtrip_property(n_frames, n_ch, fmt, extra, rnd):
+    """decode(encode(x)) is within the format's quantization error for any
+    shape / channel count / sample format, with or without extra chunks."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from test_archive_clean import _build_wav
+
+    from backupdeduplicator_ray.stages.multimodal import decode_wav
+
+    tag, bits = fmt
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    ref = rng.uniform(-1, 1, (n_frames, n_ch))
+    got, rate = decode_wav(_build_wav(ref, bits=bits, tag=tag, extra_chunk=extra))
+    assert rate == 8000
+    assert got.shape == ref.shape
+    if ref.size:
+        tol = {
+            (1, 8): 1.5 / 128,
+            (1, 16): 1.5 / 32768,
+            (1, 32): 1.5 / 2**31,
+            (3, 32): 1e-7,  # float32 relative precision at |x| < 1
+            (3, 64): 0.0,
+        }[(tag, bits)]
+        assert np.abs(got - ref).max() <= tol
+
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.sampled_from([24, 32]),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_bmp_roundtrip_property(w, h, bpp, top_down, rnd):
+    """decode(encode(px)) is exact for any size / bpp / row direction —
+    including widths whose rows need 4-byte padding."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from test_archive_clean import _build_bmp
+
+    from backupdeduplicator_ray.stages.multimodal import decode_bmp
+
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(_build_bmp(px, top_down=top_down, bpp=bpp)), px)
