@@ -206,3 +206,46 @@ def test_bmp_roundtrip_property(w, h, bpp, top_down, rnd):
     rng = np.random.default_rng(rnd.randrange(2**32))
     px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     assert np.array_equal(decode_bmp(_build_bmp(px, top_down=top_down, bpp=bpp)), px)
+
+
+@given(
+    st.sampled_from(["bmp", "wav"]),
+    st.integers(min_value=0, max_value=3),
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000),
+                  st.integers(min_value=0, max_value=255)),
+        min_size=0, max_size=8,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_decoder_mutation_robustness(kind, trunc_div, mutations, rnd):
+    """Truncated / byte-mutated media never crashes a decoder: every input
+    either decodes to a well-formed array or raises ValueError (which the
+    strict stages convert to the marked NotImplementedError seam)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from test_archive_clean import _build_bmp, _build_wav
+
+    from backupdeduplicator_ray.stages.multimodal import decode_bmp, decode_wav
+
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    if kind == "bmp":
+        data = _build_bmp(rng.integers(0, 256, (6, 5, 3), dtype=np.uint8))
+        decoder = decode_bmp
+    else:
+        data = _build_wav(rng.uniform(-1, 1, (50, 2)), bits=16)
+        decoder = decode_wav
+    if trunc_div:  # keep a prefix: full, 1/2, 1/3 of the file
+        data = data[: len(data) // trunc_div]
+    b = bytearray(data)
+    for off, val in mutations:
+        if len(b):
+            b[off % len(b)] = val
+    try:
+        out = decoder(bytes(b))
+    except ValueError:
+        return
+    arr = out[0] if kind == "wav" else out
+    assert isinstance(arr, np.ndarray) and arr.ndim in (2, 3)

@@ -20,7 +20,7 @@ import logging; logging.getLogger("ray.data").setLevel(logging.ERROR)
 import __ray_entry__ as e
 import pyarrow as pa, ray.data
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("GATE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]
 con = duckdb.connect()
 for t in TABLES:
