@@ -195,6 +195,53 @@ def synth_corpus(
 # --- distributed bench-scale generator ------------------------------------
 
 
+_BENCH_DIRS = ["src", "src/core", "src/util", "docs", "tests/unit", "src/gen/v2"]
+
+
+def _bench_repo_name(repo_idx: int) -> str:
+    return f"org{repo_idx % 7}/repo{repo_idx:06d}"
+
+
+def _bench_file_meta(repo_idx: int, j: int, files_per_repo: int) -> tuple[str, str]:
+    """(lang, path) for file j of bench repo repo_idx — the ONE place the
+    naming scheme lives, shared by `_repo_rows` and
+    `injected_truth_pairs` so truth derivation can never drift from the
+    generator.  Shared-content files (j < n_dup + n_near) must derive
+    lang from j only: the content header depends on lang and both repos
+    of a group must generate identical bytes."""
+    n_dup = max(1, files_per_repo // 10)
+    n_near = max(1, files_per_repo // 20)
+    if j < n_dup + n_near:
+        lang = _LANGS[j % len(_LANGS)]
+    else:
+        lang = _LANGS[(repo_idx + j) % len(_LANGS)]
+    d = _BENCH_DIRS[(j * 7 + repo_idx) % len(_BENCH_DIRS)]
+    return lang, f"{d}/mod_{j:04d}.{lang}"
+
+
+def injected_truth_pairs(
+    n_repos: int, files_per_repo: int = 100
+) -> tuple[list, list]:
+    """Ground truth the coordination-free bench generator injects
+    (`_repo_rows`): repo pairs (2i, 2i+1) share identical content for
+    j < n_dup and one-token-edited content for n_dup <= j < n_dup+n_near.
+    Returns (exact_pairs, near_pairs), each a list of
+    ((repo_a, path_a), (repo_b, path_b)) — the basis of the recall
+    protocol recorded in STATS_r5 (408k drive: recall 1.0000)."""
+    n_dup = max(1, files_per_repo // 10)
+    n_near = max(1, files_per_repo // 20)
+    exact, near = [], []
+    for g in range(n_repos // 2):
+        a, b = 2 * g, 2 * g + 1
+        for j in range(n_dup + n_near):
+            pair = (
+                (_bench_repo_name(a), _bench_file_meta(a, j, files_per_repo)[1]),
+                (_bench_repo_name(b), _bench_file_meta(b, j, files_per_repo)[1]),
+            )
+            (exact if j < n_dup else near).append(pair)
+    return exact, near
+
+
 def _repo_rows(
     repo_idx: int, files_per_repo: int, seed: int, content_scale: int = 1
 ) -> list[dict]:
@@ -214,23 +261,14 @@ def _repo_rows(
     the way it does on real source trees.
     """
     rng = random.Random(f"{seed}:{repo_idx}")
-    repo = f"org{repo_idx % 7}/repo{repo_idx:06d}"
+    repo = _bench_repo_name(repo_idx)
     commit = f"{rng.getrandbits(160):040x}"
-    dirs = ["src", "src/core", "src/util", "docs", "tests/unit", "src/gen/v2"]
     rows = []
     n_dup = max(1, files_per_repo // 10)
     n_near = max(1, files_per_repo // 20)
     group = repo_idx // 2
     for j in range(files_per_repo):
-        # shared-content files (j < n_dup + n_near) must derive lang from j
-        # only — the content header depends on lang and both repos of a
-        # group must generate identical bytes
-        if j < n_dup + n_near:
-            lang = _LANGS[j % len(_LANGS)]
-        else:
-            lang = _LANGS[(repo_idx + j) % len(_LANGS)]
-        d = dirs[(j * 7 + repo_idx) % len(dirs)]
-        path = f"{d}/mod_{j:04d}.{lang}"
+        lang, path = _bench_file_meta(repo_idx, j, files_per_repo)
         if j < n_dup:
             crng = random.Random(f"{seed}:dup:{group}:{j}")
             content = _gen_content(crng, lang, crng.randint(20, 120) * content_scale)

@@ -95,7 +95,13 @@ def _wav_layout(data: bytes) -> tuple[dict, int, int]:
     """RIFF chunk walk → (fmt dict, data-chunk byte offset, data-chunk
     size).  Shared by `decode_wav` (full sample decode) and the strict
     frame sampler (which windows the raw data chunk without decoding).
-    Raises ValueError on non-WAV / truncated / missing-chunk inputs."""
+    Raises ValueError on non-WAV / truncated-essential-chunk /
+    missing-chunk inputs.  Two real-world truncations are tolerated
+    rather than refused: a `data` csize past the end of the file
+    (streaming recorders leave placeholder sizes like 0xFFFFFFFF
+    unpatched) is clamped to the bytes actually present, and a cut-off
+    trailing metadata chunk AFTER a complete fmt+data pair ends the walk
+    instead of failing the file."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     fmt = None
@@ -105,10 +111,14 @@ def _wav_layout(data: bytes) -> tuple[dict, int, int]:
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         csize = int.from_bytes(data[pos + 4 : pos + 8], "little")
-        if pos + 8 + csize > len(data):
-            raise ValueError(
-                f"truncated WAV chunk {cid!r}: {len(data) - pos - 8} < {csize}"
-            )
+        avail = len(data) - pos - 8
+        if csize > avail:
+            if cid == b"data":
+                span = (pos + 8, avail)
+                break  # nothing can follow a runs-to-EOF data chunk
+            if fmt is not None and span is not None:
+                break  # truncated trailing metadata; the audio is complete
+            raise ValueError(f"truncated WAV chunk {cid!r}: {avail} < {csize}")
         if cid == b"fmt ":
             if csize < 16:
                 raise ValueError(f"short fmt chunk ({csize} bytes)")
@@ -129,6 +139,11 @@ def _wav_layout(data: bytes) -> tuple[dict, int, int]:
     return fmt, span[0], span[1]
 
 
+#: (format_tag, bits_per_sample) pairs both decode_wav and the strict frame
+#: sampler accept — ONE list so the two stages can never drift apart.
+_WAV_SUPPORTED = frozenset({(1, 8), (1, 16), (1, 32), (3, 32), (3, 64)})
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Pure-Python decode of an uncompressed RIFF/WAVE file → (samples,
     sample_rate).  Samples come back as float64 in [-1, 1], shape
@@ -139,8 +154,17 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     on anything else — the caller treats that as "not a decodable WAV"
     and falls through to the NotImplementedError seam."""
     fmt, data_off, data_size = _wav_layout(data)
-    pcm = data[data_off : data_off + data_size]
     key = (fmt["tag"], fmt["bits"])
+    if key not in _WAV_SUPPORTED:
+        raise ValueError(
+            f"unsupported WAV (format_tag={fmt['tag']}, bits={fmt['bits']}); "
+            "only integer PCM 8/16/32 and IEEE float 32/64 are implemented"
+        )
+    # align down to whole samples: a clamped streaming-size data chunk may
+    # end mid-sample, and np.frombuffer requires whole items
+    itemsize = fmt["bits"] // 8
+    data_size -= data_size % itemsize
+    pcm = data[data_off : data_off + data_size]
     if key == (1, 8):  # unsigned 8-bit PCM
         s = (np.frombuffer(pcm, np.uint8).astype(np.float64) - 128.0) / 128.0
     elif key == (1, 16):
@@ -149,13 +173,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         s = np.frombuffer(pcm, "<i4").astype(np.float64) / 2147483648.0
     elif key == (3, 32):
         s = np.frombuffer(pcm, "<f4").astype(np.float64)
-    elif key == (3, 64):
+    else:  # key == (3, 64) — the dispatch is exhaustive over _WAV_SUPPORTED
         s = np.frombuffer(pcm, "<f8").astype(np.float64)
-    else:
-        raise ValueError(
-            f"unsupported WAV (format_tag={fmt['tag']}, bits={fmt['bits']}); "
-            "only integer PCM 8/16/32 and IEEE float 32/64 are implemented"
-        )
     n_fr = len(s) // fmt["channels"]
     return s[: n_fr * fmt["channels"]].reshape(n_fr, fmt["channels"]), fmt["rate"]
 
@@ -189,10 +208,11 @@ def _pixels_to_feature(rgb: np.ndarray, dim: int) -> np.ndarray:
 class MediaFeatureStage:
     """Actor-pool stage: media binary → fixed-size feature vector.
 
-    mode="strict": decodes uncompressed BMP images for real (pure-Python
-    `decode_bmp` → luma-split features) and raises NotImplementedError for
-    every other format (the general decoder is not available in this
-    environment — STUB, clearly marked).
+    mode="strict": decodes uncompressed BMP images (pure-Python
+    `decode_bmp` → luma-split features) and PCM/IEEE-float WAV audio
+    (`decode_wav` → amplitude-split features) for real, and raises
+    NotImplementedError for every other format (the general decoder is
+    not available in this environment — STUB, clearly marked).
     mode="fake": deterministic pseudo-features derived from the media bytes
     (sha256-seeded), so the distributed plumbing is exercised end-to-end
     and downstream stages (ANN over features) have real inputs to chew on.
@@ -321,6 +341,37 @@ FRAME_SCHEMA = pa.schema(
 )
 
 
+def _frame_windows(
+    data: bytes, base_off: int, n_units: int, block: int, n_frames: int, frame_len: int
+):
+    """The ONE stride/window/fingerprint rule both frame paths share
+    (fake: unit = 1 byte over the whole payload; strict WAV: unit = one
+    PCM sample frame over the `data` chunk).  Yields (frame_idx,
+    byte_off, frame_hash): stride = max(n_units // n_frames, 1) units,
+    window = `frame_len` bytes aligned down to whole units (multi-byte
+    units round a short window up to one unit), clamped at the region's
+    last whole unit so a window never splits a unit or bleeds past the
+    region.  frame_hash = sha256 of the window's
+    UPPERCASE HEX encoding — the SQL-derivable byte-domain form (DuckDB
+    has no BLOB substr/sha256; ADVICE r3)."""
+    if n_units <= 0:
+        return
+    stride = max(n_units // n_frames, 1)
+    win = (frame_len // block) * block
+    if win == 0 and block > 1:
+        win = block  # multi-byte units round a short window UP to one unit
+    region_end = base_off + n_units * block
+    for i in range(n_frames):
+        u = i * stride
+        if u >= n_units:
+            break
+        boff = base_off + u * block
+        end = min(boff + win, region_end)
+        yield i, boff, hashlib.sha256(
+            data[boff:end].hex().upper().encode()
+        ).hexdigest()
+
+
 class FrameSampleStage:
     """Actor-pool stage: video/audio binary → N sampled frames.
 
@@ -367,35 +418,17 @@ class FrameSampleStage:
         if kind == "audio" and data and data[:4] == b"RIFF":
             try:
                 fmt, doff, dsz = _wav_layout(data)
-                if (fmt["tag"], fmt["bits"]) not in (
-                    (1, 8), (1, 16), (1, 32), (3, 32), (3, 64),
-                ):
+                if (fmt["tag"], fmt["bits"]) not in _WAV_SUPPORTED:
                     raise ValueError("unsupported WAV sample format")
                 block = fmt["channels"] * (fmt["bits"] // 8)
-                n_pcm = dsz // block
-                if n_pcm == 0:
-                    return []  # valid but empty audio: no frames, like fake mode
-                stride = max(n_pcm // self.n_frames, 1)
-                win = max(self.frame_len // block, 1) * block
-                out = []
-                for i in range(self.n_frames):
-                    foff = i * stride
-                    if foff >= n_pcm:
-                        break
-                    boff = doff + foff * block
-                    # clamp at the data-chunk end: a frame window must not
-                    # bleed into trailing chunk headers after `data`
-                    end = min(boff + win, doff + dsz)
-                    out.append(
-                        (
-                            i,
-                            boff,
-                            hashlib.sha256(
-                                data[boff:end].hex().upper().encode()
-                            ).hexdigest(),
-                        )
+                # valid-but-empty audio yields no frames, like fake mode;
+                # window clamps at the last whole PCM frame (never a split
+                # sample, never bytes from trailing chunks after `data`)
+                return list(
+                    _frame_windows(
+                        data, doff, dsz // block, block, self.n_frames, self.frame_len
                     )
-                return out
+                )
             except ValueError:
                 pass  # RIFF-magic but unsupported variant: fall through
         raise NotImplementedError(
@@ -417,20 +450,13 @@ class FrameSampleStage:
                 continue
             if not data:
                 continue
-            n = len(data)
-            stride = max(n // self.n_frames, 1)
-            for i in range(self.n_frames):
-                off = i * stride
-                if off >= n:
-                    break
+            for i, off, h in _frame_windows(
+                data, 0, len(data), 1, self.n_frames, self.frame_len
+            ):
                 ids.append(row["media_id"])
                 idxs.append(i)
                 offs.append(off)
-                hashes.append(
-                    hashlib.sha256(
-                        data[off : off + self.frame_len].hex().upper().encode()
-                    ).hexdigest()
-                )
+                hashes.append(h)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),

@@ -428,6 +428,35 @@ def test_multimodal_strict_wav_decode(ray_session):
         with_trailer[last["frame_off"]: doff2 + dsz2].hex().upper().encode()
     ).hexdigest()
 
+    # a data chunk ending mid-sample (csize not a multiple of block):
+    # windows clamp at the LAST WHOLE PCM frame — never a split sample
+    ragged = bytearray(_build_wav(ref[:10], bits=16))  # 40B data chunk
+    dpos = ragged.rindex(b"data")
+    ragged[dpos + 4: dpos + 8] = (39).to_bytes(4, "little")  # 9.75 frames
+    ragged = bytes(ragged[:-1])
+    fmt_r, doff_r, dsz_r = _wav_layout(ragged)
+    assert dsz_r == 39
+    rfr = FrameSampleStage(n_frames=1, frame_len=64, mode="strict")(
+        pa.Table.from_pylist([dict(rows[0], media=ragged)], schema=MEDIA_SCHEMA)
+    ).to_pylist()
+    assert rfr[0]["frame_hash"] == hashlib.sha256(
+        ragged[doff_r: doff_r + 9 * 4].hex().upper().encode()  # 9 whole frames
+    ).hexdigest()
+
+    # streaming-recorder placeholder data size (0xFFFFFFFF, never patched):
+    # layout clamps to the bytes present and decode still round-trips
+    stream = bytearray(_build_wav(ref, tag=3, bits=64))
+    spos = stream.rindex(b"data")
+    stream[spos + 4: spos + 8] = (0xFFFFFFFF).to_bytes(4, "little")
+    got_s, _ = decode_wav(bytes(stream))
+    assert np.array_equal(got_s, ref)
+
+    # truncated trailing metadata AFTER a complete fmt+data pair is
+    # tolerated (the audio is complete); a truncated fmt still raises
+    cut = _build_wav(ref[:10], bits=16) + b"LIST" + (100).to_bytes(4, "little") + b"ab"
+    got_c, _ = decode_wav(cut)
+    assert got_c.shape == (10, 2)
+
 
 def test_multimodal_frame_sample(ray_session):
     import hashlib

@@ -117,11 +117,15 @@ def test_minhash_clusters_recall_bench_corpus(ray_session):
     data-scale protocol recorded in STATS_r5: repo pairs (2i, 2i+1) share
     10 exact-dup and 5 one-token-edit near-dup files each) — the
     suite-scale twin of the 408k drive where recall measured 1.0000."""
-    from backupdeduplicator_ray.sources.corpus import _LANGS, synth_corpus_distributed
+    from backupdeduplicator_ray.sources.corpus import (
+        injected_truth_pairs,
+        synth_corpus_distributed,
+    )
     from backupdeduplicator_ray.stages.neardup import minhash_clusters
 
     n_repos, fpr = 100, 102
     corpus = synth_corpus_distributed(n_repos, files_per_repo=fpr)
+
     def to_docs(t):
         import pyarrow as _pa
         import pyarrow.compute as _pc
@@ -136,23 +140,14 @@ def test_minhash_clusters_recall_bench_corpus(ray_session):
     docs = corpus.map_batches(to_docs, batch_format="pyarrow")
     labels = {r["id"]: r["cluster_id"] for r in minhash_clusters(docs).take_all()}
 
-    dirs = ["src", "src/core", "src/util", "docs", "tests/unit", "src/gen/v2"]
-    n_dup, n_near = max(1, fpr // 10), max(1, fpr // 20)
-
-    def pid(i, j):
-        lang = _LANGS[j % len(_LANGS)]
-        return f"org{i % 7}/repo{i:06d}|{dirs[(j * 7 + i) % len(dirs)]}/mod_{j:04d}.{lang}"
-
-    hits = tot = 0
-    for g in range(n_repos // 2):
-        a, b = 2 * g, 2 * g + 1
-        for j in range(n_dup + n_near):
-            tot += 1
-            hits += labels.get(pid(a, j)) is not None and labels.get(
-                pid(a, j)
-            ) == labels.get(pid(b, j))
-    assert tot == (n_repos // 2) * (n_dup + n_near)
-    assert hits / tot >= 0.99, f"recall {hits}/{tot}"
+    exact, near = injected_truth_pairs(n_repos, fpr)
+    pairs = [(f"{ra}|{pa_}", f"{rb}|{pb}") for (ra, pa_), (rb, pb) in exact + near]
+    assert len(pairs) == (n_repos // 2) * (max(1, fpr // 10) + max(1, fpr // 20))
+    hits = sum(
+        labels.get(a) is not None and labels.get(a) == labels.get(b)
+        for a, b in pairs
+    )
+    assert hits / len(pairs) >= 0.99, f"recall {hits}/{len(pairs)}"
 
 
 def test_minhash_precision_no_false_merges(ray_session, doc_corpus):

@@ -161,9 +161,6 @@ _wav_formats = st.sampled_from([(1, 8), (1, 16), (1, 32), (3, 32), (3, 64)])
 def test_wav_roundtrip_property(n_frames, n_ch, fmt, extra, rnd):
     """decode(encode(x)) is within the format's quantization error for any
     shape / channel count / sample format, with or without extra chunks."""
-    import sys as _sys
-
-    _sys.path.insert(0, "tests")
     from test_archive_clean import _build_wav
 
     from backupdeduplicator_ray.stages.multimodal import decode_wav
@@ -196,9 +193,6 @@ def test_wav_roundtrip_property(n_frames, n_ch, fmt, extra, rnd):
 def test_bmp_roundtrip_property(w, h, bpp, top_down, rnd):
     """decode(encode(px)) is exact for any size / bpp / row direction —
     including widths whose rows need 4-byte padding."""
-    import sys as _sys
-
-    _sys.path.insert(0, "tests")
     from test_archive_clean import _build_bmp
 
     from backupdeduplicator_ray.stages.multimodal import decode_bmp
@@ -223,9 +217,6 @@ def test_decoder_mutation_robustness(kind, trunc_div, mutations, rnd):
     """Truncated / byte-mutated media never crashes a decoder: every input
     either decodes to a well-formed array or raises ValueError (which the
     strict stages convert to the marked NotImplementedError seam)."""
-    import sys as _sys
-
-    _sys.path.insert(0, "tests")
     from test_archive_clean import _build_bmp, _build_wav
 
     from backupdeduplicator_ray.stages.multimodal import decode_bmp, decode_wav
