@@ -9,10 +9,12 @@ deterministic content-derived pseudo-feature vector — while everything
 Ray-side (schema, batch sizing, actor signature, output layout) is real
 and tested.  REAL strict branches exist in-sandbox (VERDICT r4 item 6):
 uncompressed 24/32-bit BMP decodes through the pure-Python `decode_bmp`
-below and PCM/IEEE-float WAV through `decode_wav`, so `mode="strict"`
-is exercised end-to-end on real pixels AND real audio samples (features
-and sample-aligned frame windows); every other format still raises at
-the clearly-marked seam.
+below, non-interlaced 8-bit PNG through `decode_png` (stdlib zlib
+inflate + numpy de-filtering), and PCM/IEEE-float WAV through
+`decode_wav`, so `mode="strict"` is exercised end-to-end on real pixels
+AND real audio samples (features and sample-aligned frame windows);
+the remaining formats (JPEG, MP3, video codecs) still raise at the
+clearly-marked seam.
 
 Media rows are large: the stage defaults to small batches so
 batch_size x concurrency x row_size stays inside a worker's heap (the
@@ -89,6 +91,126 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if not top_down:
         rgb = rgb[::-1]
     return np.ascontiguousarray(rgb)
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: color_type -> samples per pixel (8-bit depth): grey, RGB, palette,
+#: grey+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-Python decode of a non-interlaced 8-bit-depth PNG → (h, w, 3)
+    uint8 RGB (alpha dropped, greyscale expanded, palette resolved).
+    Stdlib zlib inflates the IDAT stream; scanline de-filtering runs
+    row-sequentially with the cheap filters (None/Up/Sub) fully
+    vectorized per row (Sub is a per-lane cumsum mod 256) and
+    Average/Paeth looping per PIXEL (not per byte) within the row.
+    Chunk CRCs are verified.  Raises ValueError on anything else
+    (interlaced, 16-bit, <8-bit, bad CRC, truncated) — the caller treats
+    that as "not a decodable PNG" and falls through to the
+    NotImplementedError seam."""
+    import zlib
+
+    if len(data) < 8 + 25 or not data.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG file")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(data):
+        clen = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) < clen or pos + 12 + clen > len(data):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        crc = int.from_bytes(data[pos + 8 + clen : pos + 12 + clen], "big")
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, compression={comp}, "
+            f"interlace={interlace}); only non-interlaced 8-bit is implemented"
+        )
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color}")
+    if w < 1 or h < 1:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    bpp = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG IDAT stream: {e}") from None
+    stride = 1 + w * bpp
+    if len(raw) < stride * h:
+        raise ValueError(f"short PNG pixel data: {len(raw)} < {stride * h}")
+    rows = np.frombuffer(raw, np.uint8, count=stride * h).reshape(h, stride)
+    out = np.zeros((h, w * bpp), np.uint8)
+    prev = np.zeros(w * bpp, np.uint16)
+    for y in range(h):
+        ft, line = rows[y, 0], rows[y, 1:].astype(np.uint16)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp] — cumsum per lane
+            cur = line.reshape(w, bpp).cumsum(axis=0, dtype=np.uint32).reshape(-1) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth: left-dependency, loop per pixel
+            cur = np.zeros(w * bpp, np.uint16)
+            pv = prev.astype(np.int32)
+            cv = cur
+            left = np.zeros(bpp, np.int32)
+            upleft = np.zeros(bpp, np.int32)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                up = pv[s]
+                if ft == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - upleft
+                    pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = np.where(
+                        (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, up, upleft)
+                    )
+                px = (line[s] + pred) & 0xFF
+                cv[s] = px
+                upleft = up
+                left = px.astype(np.int32)
+        else:
+            raise ValueError(f"bad PNG filter type {ft} on row {y}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, bpp)
+    if color == 2:  # RGB
+        return np.ascontiguousarray(px)
+    if color == 6:  # RGBA -> drop alpha
+        return np.ascontiguousarray(px[:, :, :3])
+    if color == 0:  # grey -> expand
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if color == 4:  # grey+alpha -> expand grey, drop alpha
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+    # color == 3: palette
+    if plte is None or len(plte) % 3:
+        raise ValueError("paletted PNG missing/ragged PLTE")
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    idx = px[:, :, 0]
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("PNG palette index out of range")
+    return np.ascontiguousarray(pal[idx])
 
 
 def _wav_layout(data: bytes) -> tuple[dict, int, int]:
@@ -208,11 +330,12 @@ def _pixels_to_feature(rgb: np.ndarray, dim: int) -> np.ndarray:
 class MediaFeatureStage:
     """Actor-pool stage: media binary → fixed-size feature vector.
 
-    mode="strict": decodes uncompressed BMP images (pure-Python
-    `decode_bmp` → luma-split features) and PCM/IEEE-float WAV audio
-    (`decode_wav` → amplitude-split features) for real, and raises
-    NotImplementedError for every other format (the general decoder is
-    not available in this environment — STUB, clearly marked).
+    mode="strict": decodes uncompressed BMP and non-interlaced 8-bit PNG
+    images (pure-Python `decode_bmp` / `decode_png` → luma-split
+    features) and PCM/IEEE-float WAV audio (`decode_wav` →
+    amplitude-split features) for real, and raises NotImplementedError
+    for every other format (the general decoder is not available in
+    this environment — STUB, clearly marked).
     mode="fake": deterministic pseudo-features derived from the media bytes
     (sha256-seeded), so the distributed plumbing is exercised end-to-end
     and downstream stages (ANN over features) have real inputs to chew on.
@@ -226,20 +349,25 @@ class MediaFeatureStage:
         self.media_col = media_col
 
     def _decode_real(self, data: bytes, kind: str) -> np.ndarray:
-        # the real in-sandbox branches: uncompressed BMP and PCM WAV
-        # (both pure Python + numpy)
+        # the real in-sandbox branches: BMP, PNG (stdlib zlib) and PCM WAV
+        # (all pure Python + numpy)
         if kind == "image" and data[:2] == b"BM":
             try:
                 return _pixels_to_feature(decode_bmp(data), self.dim)
             except ValueError:
                 pass  # BMP-magic but unsupported variant: fall through
+        if kind == "image" and data[:8] == _PNG_MAGIC:
+            try:
+                return _pixels_to_feature(decode_png(data), self.dim)
+            except ValueError:
+                pass  # PNG-magic but unsupported variant: fall through
         if kind == "audio" and data[:4] == b"RIFF":
             try:
                 return _samples_to_feature(decode_wav(data)[0], self.dim)
             except ValueError:
                 pass  # RIFF-magic but unsupported variant: fall through
         raise NotImplementedError(
-            "media decoding beyond uncompressed BMP/WAV requires PIL/ffmpeg "
+            "media decoding beyond BMP/PNG/WAV requires PIL/ffmpeg "
             "which are not available in this environment; run with "
             "mode='fake' for the deterministic stub"
         )

@@ -458,6 +458,136 @@ def test_multimodal_strict_wav_decode(ray_session):
     assert got_c.shape == (10, 2)
 
 
+def _build_png(rgb, color_type=2, filters=None):
+    """Hand-assemble a non-interlaced 8-bit PNG from an (h, w, 3) RGB
+    uint8 array, applying the given per-row filter types (default: cycle
+    through all five).  color_type: 0 grey (uses channel 0), 2 RGB,
+    3 palette, 4 grey+alpha, 6 RGBA."""
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    if color_type == 2:
+        raw = rgb
+    elif color_type == 6:
+        raw = np.concatenate([rgb, np.full((h, w, 1), 255, np.uint8)], axis=2)
+    elif color_type == 0:
+        raw = rgb[:, :, :1]
+    elif color_type == 4:
+        raw = np.concatenate(
+            [rgb[:, :, :1], np.full((h, w, 1), 255, np.uint8)], axis=2
+        )
+    elif color_type == 3:
+        flat = rgb.reshape(-1, 3)
+        pal, idx = np.unique(flat, axis=0, return_inverse=True)
+        assert len(pal) <= 256, "palette test image has too many colors"
+        raw = idx.astype(np.uint8).reshape(h, w, 1)
+        plte = pal.astype(np.uint8).tobytes()
+    else:
+        raise AssertionError(color_type)
+    bpp = raw.shape[2]
+    sl = raw.reshape(h, w * bpp).astype(np.int16)
+    filters = filters or [y % 5 for y in range(h)]
+    stream = bytearray()
+    prev = np.zeros(w * bpp, np.int16)
+    for y in range(h):
+        cur, ft = sl[y], filters[y]
+        left = np.zeros(w * bpp, np.int16)
+        left[bpp:] = cur[:-bpp]
+        upleft = np.zeros(w * bpp, np.int16)
+        upleft[bpp:] = prev[:-bpp]
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            f = cur - left
+        elif ft == 2:
+            f = cur - prev
+        elif ft == 3:
+            f = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa_, pb_, pc_ = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, prev, upleft)
+            )
+            f = cur - pred
+        stream.append(ft)
+        stream.extend((f & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(bytes(stream)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_multimodal_strict_png_decode(ray_session):
+    """The compressed-image sibling of the BMP branch: hand-built PNGs
+    (all five filter types, all five 8-bit color types) decode through
+    the pure-Python zlib+numpy decoder, end-to-end in strict mode."""
+    import numpy as np
+    import ray.data
+
+    from backupdeduplicator_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        MediaFeatureStage,
+        _pixels_to_feature,
+        decode_png,
+        media_features,
+    )
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    grey = np.repeat(rng.integers(0, 256, (7, 5, 1), dtype=np.uint8), 3, axis=2)
+    # palette image: few distinct colors
+    pal_px = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 128]], np.uint8)[
+        rng.integers(0, 3, (7, 5))
+    ]
+
+    # round-trips: every filter type alone, the cycling default, all colors
+    for ft in range(5):
+        assert np.array_equal(decode_png(_build_png(px, 2, [ft] * 7)), px), ft
+    assert np.array_equal(decode_png(_build_png(px, 2)), px)
+    assert np.array_equal(decode_png(_build_png(px, 6)), px)  # RGBA
+    assert np.array_equal(decode_png(_build_png(grey, 0)), grey)
+    assert np.array_equal(decode_png(_build_png(grey, 4)), grey)
+    assert np.array_equal(decode_png(_build_png(pal_px, 3)), pal_px)
+
+    # end-to-end strict through the actor pool
+    rows = [{
+        "media_id": 1, "kind": "image", "media": _build_png(px), "format": "png",
+        "width": 5, "height": 7, "duration_ms": -1,
+    }]
+    t = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+    out = media_features(ray.data.from_arrow(t), dim=8, mode="strict").take_all()
+    assert len(out) == 1
+    assert np.allclose(out[0]["feature"], _pixels_to_feature(px, 8))
+
+    # CRC corruption and truncation hit the marked seam
+    import pytest as _pytest
+
+    good = _build_png(px)
+    corrupt = good[:40] + bytes([good[40] ^ 0xFF]) + good[41:]
+    for bad in (corrupt, good[: len(good) // 2]):
+        bad_t = pa.Table.from_pylist(
+            [dict(rows[0], media=bad)], schema=MEDIA_SCHEMA
+        )
+        with _pytest.raises(NotImplementedError):
+            MediaFeatureStage(mode="strict")(bad_t)
+
+
 def test_multimodal_frame_sample(ray_session):
     import hashlib
 

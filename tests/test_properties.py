@@ -203,7 +203,34 @@ def test_bmp_roundtrip_property(w, h, bpp, top_down, rnd):
 
 
 @given(
-    st.sampled_from(["bmp", "wav"]),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.sampled_from([0, 2, 3, 4, 6]),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=9, max_size=9),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_png_roundtrip_property(w, h, color_type, filters, rnd):
+    """decode(encode(px)) is exact for any size / color type / per-row
+    filter assignment (all five PNG filters)."""
+    from test_archive_clean import _build_png
+
+    from backupdeduplicator_ray.stages.multimodal import decode_png
+
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    if color_type in (0, 4):  # grey paths must start from grey-equal pixels
+        px = np.repeat(rng.integers(0, 256, (h, w, 1), dtype=np.uint8), 3, axis=2)
+    elif color_type == 3:  # palette: small color universe
+        pal = np.array([[0, 0, 0], [255, 9, 1], [7, 255, 128], [50, 60, 70]], np.uint8)
+        px = pal[rng.integers(0, len(pal), (h, w))]
+    else:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    got = decode_png(_build_png(px, color_type, filters[:h]))
+    assert np.array_equal(got, px), (color_type, filters[:h])
+
+
+@given(
+    st.sampled_from(["bmp", "wav", "png"]),
     st.integers(min_value=0, max_value=3),
     st.lists(
         st.tuples(st.integers(min_value=0, max_value=10_000),
@@ -217,14 +244,21 @@ def test_decoder_mutation_robustness(kind, trunc_div, mutations, rnd):
     """Truncated / byte-mutated media never crashes a decoder: every input
     either decodes to a well-formed array or raises ValueError (which the
     strict stages convert to the marked NotImplementedError seam)."""
-    from test_archive_clean import _build_bmp, _build_wav
+    from test_archive_clean import _build_bmp, _build_png, _build_wav
 
-    from backupdeduplicator_ray.stages.multimodal import decode_bmp, decode_wav
+    from backupdeduplicator_ray.stages.multimodal import (
+        decode_bmp,
+        decode_png,
+        decode_wav,
+    )
 
     rng = np.random.default_rng(rnd.randrange(2**32))
     if kind == "bmp":
         data = _build_bmp(rng.integers(0, 256, (6, 5, 3), dtype=np.uint8))
         decoder = decode_bmp
+    elif kind == "png":
+        data = _build_png(rng.integers(0, 256, (6, 5, 3), dtype=np.uint8))
+        decoder = decode_png
     else:
         data = _build_wav(rng.uniform(-1, 1, (50, 2)), bits=16)
         decoder = decode_wav
